@@ -1,13 +1,587 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.api.{GDF, IndexMeta}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] exercises one operator family from
+  * SURVEY.md §2 through the graft API; [[oracleSql]] holds the equivalent
+  * ANSI SQL the driver runs in DuckDB over the same parquet tables.
+  * Column names/aliases are kept identical on both sides (the driver's
+  * compare sorts columns by name before hashing).  Floating-point outputs
+  * are rounded on both sides so summation-order differences between
+  * engines cannot flip the hash.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") GraftSession.events(s, dir)
+    else s.read.parquet(s"$dir/$name.parquet")
+  private def g(s: SparkSession, dir: String, name: String): GDF =
+    GDF(t(s, dir, name))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_agg")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1/§2.5 scan → filter → groupby agg (TPC-H Q1 shape) --------
+    "q01_agg" -> { (s, dir) =>
+      g(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupby("l_returnflag", "l_linestatus")
+        .aggAliased(
+          ("l_quantity", "sum", "sum_qty"),
+          ("l_extendedprice", "sum", "sum_base_price"),
+          ("l_quantity", "mean", "avg_qty"),
+          ("l_extendedprice", "mean", "avg_price"),
+          ("l_discount", "mean", "avg_disc"),
+          ("l_quantity", "count", "count_order"))
+        .assign("sum_qty", round(col("sum_qty"), 2))
+        .assign("sum_base_price", round(col("sum_base_price"), 2))
+        .assign("avg_qty", round(col("avg_qty"), 4))
+        .assign("avg_price", round(col("avg_price"), 4))
+        .assign("avg_disc", round(col("avg_disc"), 4))
+        .df
+    },
+    // ---- §2.3 projection + filter + computed column --------------------
+    "q02_filter_project" -> { (s, dir) =>
+      g(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        // identical fp expression on both engines (round() half-up vs
+        // half-even differs at representation boundaries)
+        .assign("disc_price",
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5) / 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "disc_price")
+        .df
+    },
+    // ---- §2.4 multi-way join + agg (TPC-H Q3 shape) ---------------------
+    "q03_join" -> { (s, dir) =>
+      val cust = g(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = g(s, dir, "orders")
+      val li = g(s, dir, "lineitem")
+      cust
+        .merge(ord.rename("o_custkey" -> "c_custkey"), on = Seq("c_custkey"))
+        .merge(li.rename("l_orderkey" -> "o_orderkey"), on = Seq("o_orderkey"))
+        .groupby("o_orderkey")
+        .aggAliased(("l_extendedprice", "sum", "revenue"))
+        .assign("revenue", round(col("revenue"), 2))
+        .sortValues(Seq("revenue", "o_orderkey"), Seq(false, true))
+        .headDF(10)
+        .df
+    },
+    // ---- §2.4 broadcast join (small dim) --------------------------------
+    "q04_broadcast_join" -> { (s, dir) =>
+      val part = g(s, dir, "part").filter(col("p_size") <= 10)
+      g(s, dir, "lineitem")
+        .rename("l_partkey" -> "p_partkey")
+        .merge(part, on = Seq("p_partkey"), broadcastRight = true)
+        .groupby("p_brand")
+        .aggAliased(("l_quantity", "sum", "total_qty"), ("l_quantity", "count", "n_items"))
+        .assign("total_qty", round(col("total_qty"), 2))
+        .df
+    },
+    // ---- §2.4 5-way join (TPC-H Q5 shape) -------------------------------
+    "q05_join5way" -> { (s, dir) =>
+      val region = g(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = g(s, dir, "nation").rename("n_regionkey" -> "r_regionkey")
+      val cust = g(s, dir, "customer").rename("c_nationkey" -> "n_nationkey")
+      val ord = g(s, dir, "orders").rename("o_custkey" -> "c_custkey")
+      val li = g(s, dir, "lineitem").rename("l_orderkey" -> "o_orderkey")
+      region
+        .merge(nation, on = Seq("r_regionkey"))
+        .merge(cust, on = Seq("n_nationkey"))
+        .merge(ord, on = Seq("c_custkey"))
+        .merge(li, on = Seq("o_orderkey"))
+        .assign("rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .groupby("n_name")
+        .aggAliased(("rev", "sum", "revenue"))
+        .assign("revenue", round(col("revenue"), 2))
+        .df
+    },
+    // ---- §2.4 leftsemi / leftanti ---------------------------------------
+    "q06_semi_anti" -> { (s, dir) =>
+      val cust = g(s, dir, "customer")
+      val ord = g(s, dir, "orders").rename("o_custkey" -> "c_custkey")
+      val withOrders = cust.merge(ord, on = Seq("c_custkey"), how = "leftsemi")
+        .assign("kind", lit("with_orders"))
+      val withoutOrders = cust.merge(ord, on = Seq("c_custkey"), how = "leftanti")
+        .assign("kind", lit("without_orders"))
+      withOrders.concat(withoutOrders)
+        .groupby("kind").countRows("n").df
+    },
+    // ---- §2.4 outer join ------------------------------------------------
+    "q07_outer_join" -> { (s, dir) =>
+      val ordCnt = g(s, dir, "orders")
+        .groupby("o_custkey").countRows("n_orders")
+        .rename("o_custkey" -> "c_custkey")
+      g(s, dir, "customer")
+        .merge(ordCnt, on = Seq("c_custkey"), how = "left")
+        .fillna(0L, Seq("n_orders"))
+        .select("c_custkey", "n_orders")
+        .df
+    },
+    // ---- §2.5 distinct / drop_duplicates --------------------------------
+    "q08_distinct" -> { (s, dir) =>
+      g(s, dir, "lineitem").select("l_returnflag", "l_linestatus").dropDuplicates().df
+    },
+    // ---- §2.5 value_counts ----------------------------------------------
+    "q09_value_counts" -> { (s, dir) =>
+      g(s, dir, "orders").valueCounts("o_orderpriority").df
+    },
+    // ---- §2.5 nunique + idxmax ------------------------------------------
+    "q10_nunique_idx" -> { (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        max_by(col("l_orderkey"), struct(col("l_extendedprice"), col("l_orderkey"))).as("idxmax_price"))
+    },
+    // ---- §2.5 var/std/skew/kurt -----------------------------------------
+    "q11_moments" -> { (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(stddev_samp(col("l_quantity")), 4).as("std_qty"),
+        round(skewness(col("l_discount")), 4).as("skew_disc"),
+        round(kurtosis(col("l_discount")), 4).as("kurt_disc"),
+        round(avg(col("l_quantity")), 4).as("mean_qty"))
+    },
+    // ---- §2.5 exact quantile / median -----------------------------------
+    "q12_quantile" -> { (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99"))
+    },
+    // ---- §2.5 corr / cov ------------------------------------------------
+    "q13_corr_cov" -> { (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qe"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qe"))
+    },
+    // ---- §2.5 groupby median (holistic) ---------------------------------
+    "q14_group_median" -> { (s, dir) =>
+      g(s, dir, "lineitem")
+        .groupby("l_returnflag")
+        .median("l_extendedprice", "med_price")
+        .assign("med_price", round(col("med_price"), 4))
+        .df
+    },
+    // ---- §2.5 pivot_table -----------------------------------------------
+    "q15_pivot" -> { (s, dir) =>
+      g(s, dir, "orders")
+        .pivotTable("o_orderpriority", "o_orderstatus", "o_totalprice",
+          aggfunc = "count", knownValues = Seq("F", "O", "P"))
+        .rename("F" -> "st_f", "O" -> "st_o", "P" -> "st_p")
+        .fillna(0L, Seq("st_f", "st_o", "st_p"))
+        .df
+    },
+    // ---- §2.8 melt / unpivot --------------------------------------------
+    "q16_melt" -> { (s, dir) =>
+      g(s, dir, "part")
+        .assign("p_size", col("p_size").cast("double"))
+        .melt(Seq("p_partkey"), Seq("p_size", "p_retailprice"))
+        .df
+    },
+    // ---- §2.3 case_when / where / clip ----------------------------------
+    "q17_case_when" -> { (s, dir) =>
+      g(s, dir, "customer")
+        .assign("bal_bucket",
+          when(col("c_acctbal") < 0, "negative")
+            .when(col("c_acctbal") < 5000, "low")
+            .otherwise("high"))
+        .assign("bal_clipped", round(greatest(least(col("c_acctbal"), lit(5000.0)), lit(0.0)), 2))
+        .groupby("bal_bucket")
+        .aggAliased(("bal_clipped", "sum", "sum_clipped"), ("bal_clipped", "count", "n"))
+        .assign("sum_clipped", round(col("sum_clipped"), 2))
+        .df
+    },
+    // ---- §2.9 string functions ------------------------------------------
+    "q18_str_funcs" -> { (s, dir) =>
+      g(s, dir, "part")
+        .assign("name_upper", upper(col("p_name")))
+        .assign("name_len", length(col("p_name")).cast("int"))
+        .assign("brand_trim", trim(col("p_brand")))
+        .assign("first_word", split(col("p_name"), " ").getItem(0))
+        .assign("has_green", col("p_name").contains("green"))
+        .assign("padded", lpad(col("p_type"), 30, "_"))
+        .select("p_partkey", "name_upper", "name_len", "brand_trim", "first_word",
+          "has_green", "padded")
+        .df
+    },
+    // ---- §2.9 datetime functions ----------------------------------------
+    "q19_dt_funcs" -> { (s, dir) =>
+      g(s, dir, "orders")
+        .assign("yr", year(col("o_orderdate")).cast("int"))
+        .assign("mo", month(col("o_orderdate")).cast("int"))
+        .assign("dom", dayofmonth(col("o_orderdate")).cast("int"))
+        .assign("qtr", quarter(col("o_orderdate")).cast("int"))
+        .assign("wd", weekday(col("o_orderdate")).cast("int"))
+        .assign("trunc_mo", date_trunc("month", col("o_orderdate")))
+        .select("o_orderkey", "yr", "mo", "dom", "qtr", "wd", "trunc_mo")
+        .df
+    },
+    // ---- §2.7 sort + limit (nlargest) -----------------------------------
+    "q20_nlargest" -> { (s, dir) =>
+      g(s, dir, "orders")
+        .sortValues(Seq("o_totalprice", "o_orderkey"), Seq(false, true))
+        .headDF(25)
+        .select("o_orderkey", "o_totalprice")
+        .df
+    },
+    // ---- §2.6 window rank within group ----------------------------------
+    "q21_rank" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk").cast("int").as("rk"))
+    },
+    // ---- §2.3 isin / between / query ------------------------------------
+    "q22_isin_between" -> { (s, dir) =>
+      g(s, dir, "supplier")
+        .isin("s_nationkey", Seq(1, 3, 5, 7))
+        .between("s_acctbal", 0.0, 5000.0)
+        .query("s_suppkey % 2 = 0")
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+        .df
+    },
+    // ---- §2.5 groupby multi-key + size + nunique ------------------------
+    "q23_group_multi" -> { (s, dir) =>
+      g(s, dir, "lineitem")
+        .groupby("l_returnflag", "l_linestatus")
+        .aggAliased(
+          ("l_orderkey", "nunique", "n_orders"),
+          ("l_quantity", "size", "n_rows"),
+          ("l_extendedprice", "max", "max_price"),
+          ("l_extendedprice", "min", "min_price"))
+        .df
+    },
+    // ---- §2.8 concat axis=0 (union) -------------------------------------
+    "q24_concat" -> { (s, dir) =>
+      val c = g(s, dir, "customer").select("c_name").rename("c_name" -> "name")
+        .assign("src", lit("customer"))
+      val sup = g(s, dir, "supplier").select("s_name").rename("s_name" -> "name")
+        .assign("src", lit("supplier"))
+      c.concat(sup).groupby("src").countRows("n").df
+    },
+
+    // ---- §2.6 ordered/temporal family on events -------------------------
+    // global rolling sum via MapOverlap ghost rows (scalable path)
+    "q30_rolling_global" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .orderBy(col("ts"), col("event_id"))
+        .select(col("event_id"), col("ts"), col("value"))
+      val rolled = graft.operators.MapOverlap.rollingSum(ev, "value", 5, "roll_sum")
+      rolled.select(col("event_id"), round(col("roll_sum"), 4).as("roll_sum"))
+    },
+    // per-key rolling mean via native SQL window (parallel by key)
+    "q31_rolling_bykey" -> { (s, dir) =>
+      val ev = GDF(t(s, dir, "events")).withIndex("ts")
+      new graft.api.GRolling(ev.df, 3, Seq("ts", "event_id"), Seq("user_id"), 1)
+        .mean("value", "roll_mean")
+        .select(col("event_id"), round(col("roll_mean"), 4).as("roll_mean"))
+    },
+    // distributed two-phase global cumsum
+    "q32_cumsum" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .orderBy(col("ts"), col("event_id"))
+        .select(col("event_id"), col("ts"), col("value"))
+      graft.operators.Cumulative(ev, "value", graft.operators.Cumulative.CumSum, "cum_value")
+        .select(col("event_id"), round(col("cum_value"), 4).as("cum_value"))
+    },
+    // global shift/diff across partition boundaries
+    "q33_shift_diff" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .orderBy(col("ts"), col("event_id"))
+        .select(col("event_id"), col("ts"), col("value"))
+      val shifted = graft.operators.MapOverlap.shift(ev, "value", 1, "prev_value")
+      shifted.select(
+        col("event_id"),
+        round(col("prev_value"), 4).as("prev_value"),
+        round(col("value") - col("prev_value"), 4).as("diff_value"))
+    },
+    // resample: tumbling 1h buckets
+    "q34_resample" -> { (s, dir) =>
+      graft.operators.Resample.agg(
+        t(s, dir, "events"), "ts", 3600,
+        Seq(
+          "n" -> count(lit(1)),
+          "sum_value" -> round(sum(col("value")), 4),
+          "max_value" -> round(max(col("value")), 4)))
+    },
+    // resample OHLC
+    "q35_ohlc" -> { (s, dir) =>
+      graft.operators.Resample.ohlc(t(s, dir, "events"), "ts", 3600, "value", "event_id")
+        .select(col("ts"), round(col("open"), 4).as("open"), round(col("high"), 4).as("high"),
+          round(col("low"), 4).as("low"), round(col("close"), 4).as("close"))
+    },
+    // distributed ffill over injected nulls
+    "q36_ffill" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("value", when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+        .orderBy(col("ts"), col("event_id"))
+        .select(col("event_id"), col("ts"), col("value"))
+      graft.operators.Fill.ffill(ev, "value")
+        .select(col("event_id"), round(col("value"), 4).as("filled_value"))
+    },
+    // merge_asof backward: latest order of the same user at event time
+    "q37_asof_backward" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("ts"))
+      // aggregate right to unique (key, time) so the carried payload is
+      // deterministic across engines
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"))
+        .agg(round(max(col("o_totalprice")), 2).as("last_order_price"))
+      graft.operators.MergeAsof(ev, ord, on = "ts", by = Seq("user_id"))
+        .select(col("event_id"), col("last_order_price"))
+    },
+    // merge_asof with tolerance (backward, 7 days)
+    "q38_asof_tolerance" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"))
+        .agg(round(max(col("o_totalprice")), 2).as("recent_price"))
+      graft.operators.MergeAsof(ev, ord, on = "ts", by = Seq("user_id"),
+          tolerance = Some(7 * 86400.0))
+        .select(col("event_id"), col("recent_price"))
+    },
+    // §2.3 explode + token frequencies
+    "q39_explode_tokens" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50)
+    },
+    // §2.9 json access on events.props
+    "q40_json" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.device").as("device"))
+        .groupBy(col("device")).agg(count(lit(1)).as("n"))
+    })
+
+  /** DuckDB-equivalent SQL per query (column names aligned with the Spark
+    * side).  Omitted keys get the driver's weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(l_quantity) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS disc_price
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin,
+    "q03_join" ->
+      """SELECT o_orderkey, round(sum(l_extendedprice), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q04_broadcast_join" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS total_qty,
+        |  count(l_quantity) AS n_items
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND p_size <= 10
+        |GROUP BY p_brand""".stripMargin,
+    "q05_join5way" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM region, nation, customer, orders, lineitem
+        |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+        |  AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND l_orderkey = o_orderkey
+        |GROUP BY n_name""".stripMargin,
+    "q06_semi_anti" ->
+      """SELECT kind, count(*) AS n FROM (
+        |  SELECT 'with_orders' AS kind FROM customer
+        |    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'without_orders' AS kind FROM customer
+        |    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |) GROUP BY kind""".stripMargin,
+    "q07_outer_join" ->
+      """SELECT c_custkey, coalesce(n_orders, 0) AS n_orders
+        |FROM customer LEFT JOIN
+        |  (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
+        |  ON c_custkey = o.o_custkey""".stripMargin,
+    "q08_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q09_value_counts" ->
+      """SELECT o_orderpriority, count(*) AS count FROM orders
+        |GROUP BY 1 ORDER BY count DESC, o_orderpriority""".stripMargin,
+    "q10_nunique_idx" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  (SELECT l_orderkey FROM lineitem
+        |   ORDER BY l_extendedprice DESC, l_orderkey DESC LIMIT 1) AS idxmax_price
+        |FROM lineitem""".stripMargin,
+    // Spark's skewness/kurtosis are population estimators (m3/m2^1.5,
+    // m4/m2^2-3); DuckDB's built-ins are sample-corrected — compute the
+    // population form explicitly.
+    "q11_moments" ->
+      """WITH mu AS (SELECT avg(l_discount) AS m FROM lineitem)
+        |SELECT round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(stddev_samp(l_quantity), 4) AS std_qty,
+        |  round(avg(pow(l_discount - m, 3)) / pow(avg(pow(l_discount - m, 2)), 1.5), 4)
+        |    AS skew_disc,
+        |  round(avg(pow(l_discount - m, 4)) / pow(avg(pow(l_discount - m, 2)), 2) - 3, 4)
+        |    AS kurt_disc,
+        |  round(avg(l_quantity), 4) AS mean_qty
+        |FROM lineitem, mu""".stripMargin,
+    "q12_quantile" ->
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem""".stripMargin,
+    "q13_corr_cov" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qe,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qe
+        |FROM lineitem""".stripMargin,
+    "q14_group_median" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS med_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q15_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS st_f,
+        |  count(*) FILTER (o_orderstatus = 'O') AS st_o,
+        |  count(*) FILTER (o_orderstatus = 'P') AS st_p
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q16_melt" ->
+      """SELECT p_partkey, 'p_size' AS variable, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS variable, p_retailprice AS value FROM part""".stripMargin,
+    "q17_case_when" ->
+      """SELECT bal_bucket, round(sum(bal_clipped), 2) AS sum_clipped,
+        |  count(bal_clipped) AS n
+        |FROM (SELECT
+        |  CASE WHEN c_acctbal < 0 THEN 'negative'
+        |       WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_bucket,
+        |  round(greatest(least(c_acctbal, 5000.0), 0.0), 2) AS bal_clipped
+        |  FROM customer)
+        |GROUP BY 1""".stripMargin,
+    "q18_str_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  trim(p_brand) AS brand_trim,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  contains(p_name, 'green') AS has_green,
+        |  lpad(p_type, 30, '_') AS padded
+        |FROM part""".stripMargin,
+    "q19_dt_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd,
+        |  date_trunc('month', o_orderdate) AS trunc_mo
+        |FROM orders""".stripMargin,
+    "q20_nlargest" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q21_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 2""".stripMargin,
+    "q22_isin_between" ->
+      """SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+        |WHERE s_nationkey IN (1, 3, 5, 7)
+        |  AND s_acctbal BETWEEN 0.0 AND 5000.0
+        |  AND s_suppkey % 2 = 0""".stripMargin,
+    "q23_group_multi" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(*) AS n_rows,
+        |  max(l_extendedprice) AS max_price,
+        |  min(l_extendedprice) AS min_price
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q24_concat" ->
+      """SELECT src, count(*) AS n FROM (
+        |  SELECT c_name AS name, 'customer' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_name AS name, 'supplier' AS src FROM supplier
+        |) GROUP BY 1""".stripMargin,
+    "q30_rolling_global" ->
+      """SELECT event_id, round(roll_sum, 4) AS roll_sum FROM (
+        |  SELECT event_id, sum(value) OVER (
+        |    ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+        |  ) AS roll_sum FROM events)""".stripMargin,
+    "q31_rolling_bykey" ->
+      """SELECT event_id, round(roll_mean, 4) AS roll_mean FROM (
+        |  SELECT event_id, avg(value) OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+        |  ) AS roll_mean FROM events)""".stripMargin,
+    "q32_cumsum" ->
+      """SELECT event_id, round(cum_value, 4) AS cum_value FROM (
+        |  SELECT event_id, sum(value) OVER (
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        |  ) AS cum_value FROM events)""".stripMargin,
+    "q33_shift_diff" ->
+      """SELECT event_id, round(prev_value, 4) AS prev_value,
+        |  round(value - prev_value, 4) AS diff_value FROM (
+        |  SELECT event_id, value,
+        |    lag(value, 1) OVER (ORDER BY ts, event_id) AS prev_value
+        |  FROM events)""".stripMargin,
+    "q34_resample" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ts, count(*) AS n,
+        |  round(sum(value), 4) AS sum_value,
+        |  round(max(value), 4) AS max_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q35_ohlc" ->
+      """SELECT bts AS ts,
+        |  round(first(value ORDER BY ots, event_id), 4) AS open,
+        |  round(max(value), 4) AS high,
+        |  round(min(value), 4) AS low,
+        |  round(last(value ORDER BY ots, event_id), 4) AS close
+        |FROM (SELECT time_bucket(INTERVAL '1 hour', ts) AS bts, ts AS ots,
+        |        event_id, value FROM events)
+        |GROUP BY bts""".stripMargin,
+    "q36_ffill" ->
+      """SELECT event_id, round(filled_value, 4) AS filled_value FROM (
+        |  SELECT event_id,
+        |    last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END IGNORE NULLS)
+        |      OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_value
+        |  FROM events)""".stripMargin,
+    "q37_asof_backward" ->
+      """SELECT e.event_id, o.last_order_price
+        |FROM events e ASOF LEFT JOIN (
+        |  SELECT o_custkey AS user_id, o_orderdate AS ots,
+        |    round(max(o_totalprice), 2) AS last_order_price
+        |  FROM orders GROUP BY 1, 2) o
+        |ON e.user_id = o.user_id AND e.ts >= o.ots""".stripMargin,
+    "q38_asof_tolerance" ->
+      """SELECT e.event_id,
+        |  CASE WHEN e.ts - o.ots <= INTERVAL '7 days' THEN o.recent_price END
+        |    AS recent_price
+        |FROM events e ASOF LEFT JOIN (
+        |  SELECT o_custkey AS user_id, o_orderdate AS ots,
+        |    round(max(o_totalprice), 2) AS recent_price
+        |  FROM orders GROUP BY 1, 2) o
+        |ON e.user_id = o.user_id AND e.ts >= o.ots""".stripMargin,
+    "q39_explode_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q40_json" ->
+      """SELECT json_extract_string(props, '$.device') AS device, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin)
 }

@@ -1,0 +1,395 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Index metadata carried by every [[GDF]].
+  *
+  * Mirrors the reference's `divisions` model (dask
+  * `_collection.py:334-355`): a frame optionally designates index
+  * column(s); `sorted=true` means the frame is range-partitioned and
+  * sorted by the index (dask "known divisions"), which makes positional /
+  * ordered operators (head, rolling, shift, cumulative) well-defined and
+  * lets Catalyst prune partitions on index-range predicates.
+  */
+final case class IndexMeta(cols: Seq[String], sorted: Boolean) {
+  require(cols.nonEmpty, "index requires at least one column")
+  def primary: String = cols.head
+}
+
+/** A lazy, pandas/dask-flavored DataFrame.
+  *
+  * Thin, immutable wrapper over `org.apache.spark.sql.DataFrame`: every
+  * method declares logical-plan transformations and lets Catalyst/AQE do
+  * the optimization the reference implements by hand (projection/filter
+  * pushdown `dask_expr/_expr.py:2121-2245`, join selection
+  * `_merge.py:286-418`, shuffle staging `_shuffle.py:326-496`).  Nothing
+  * here materializes data on the driver except the explicit action methods
+  * (`compute`, `head`, …), so the same plans run unchanged on a
+  * 1000-executor cluster.
+  */
+final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
+
+  def spark: SparkSession = df.sparkSession
+  def columns: Seq[String] = df.columns.toSeq
+  def schema = df.schema
+
+  private def keep(d: DataFrame): GDF = new GDF(d, index.filter(_.cols.forall(d.columns.contains)))
+  private def unordered(d: DataFrame): GDF =
+    new GDF(d, index.filter(_.cols.forall(d.columns.contains)).map(_.copy(sorted = false)))
+
+  /** Ordering expression for positional/ordered ops. Requires an index. */
+  private[graft] def orderCols: Seq[Column] = index match {
+    case Some(ix) => ix.cols.map(col)
+    case None =>
+      throw new IllegalStateException(
+        "this operation is order-dependent: call setIndex(col) first " +
+          "(Spark DataFrames are unordered multisets; dask SURVEY.md §1.1)")
+  }
+
+  // ---- projections / filters / row-wise (SURVEY §2.3) -------------------
+
+  /** `df[cols]` — column projection. */
+  def select(cols: String*): GDF = keep(df.select(cols.map(col): _*))
+  def selectCols(cols: Seq[Column]): GDF = keep(df.select(cols: _*))
+
+  /** `df[mask]` — boolean filter. */
+  def filter(cond: Column): GDF = keep(df.filter(cond))
+
+  /** pandas `query(expr)` — SQL-string predicate. */
+  def query(sql: String): GDF = keep(df.filter(sql))
+
+  /** pandas `eval(expr)` — add a computed column from a SQL expression. */
+  def eval(name: String, sql: String): GDF = keep(df.withColumn(name, expr(sql)))
+
+  /** `assign(name=expr)` — add/replace a column. */
+  def assign(name: String, c: Column): GDF = keep(df.withColumn(name, c))
+  def assign(pairs: (String, Column)*): GDF =
+    keep(pairs.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) })
+
+  def drop(cols: String*): GDF = keep(df.drop(cols: _*))
+
+  def rename(mapping: (String, String)*): GDF = {
+    val m = mapping.toMap
+    val d = df.select(df.columns.map(c => col(c).as(m.getOrElse(c, c))): _*)
+    new GDF(d, index.map(ix => ix.copy(cols = ix.cols.map(c => m.getOrElse(c, c)))))
+  }
+  def addPrefix(p: String): GDF = rename(df.columns.map(c => c -> (p + c)).toIndexedSeq: _*)
+  def addSuffix(s: String): GDF = rename(df.columns.map(c => c -> (c + s)).toIndexedSeq: _*)
+
+  /** `astype` */
+  def astype(name: String, t: DataType): GDF = keep(df.withColumn(name, col(name).cast(t)))
+
+  def isin(name: String, values: Seq[Any]): GDF = keep(df.filter(col(name).isin(values: _*)))
+  def between(name: String, lo: Any, hi: Any): GDF = keep(df.filter(col(name).between(lo, hi)))
+
+  /** pandas `where(cond, other)` — keep values where cond, else `other`. */
+  def where(name: String, cond: Column, other: Column): GDF =
+    keep(df.withColumn(name, when(cond, col(name)).otherwise(other)))
+
+  /** pandas `mask(cond, other)` — replace values where cond holds. */
+  def mask(name: String, cond: Column, other: Column): GDF =
+    keep(df.withColumn(name, when(cond, other).otherwise(col(name))))
+
+  def fillna(value: Any, subset: Seq[String] = Nil): GDF = {
+    val cols = if (subset.isEmpty) df.columns.toSeq else subset
+    val d = value match {
+      case v: String => df.na.fill(v, cols)
+      case v: Long   => df.na.fill(v, cols)
+      case v: Int    => df.na.fill(v.toLong, cols)
+      case v: Double => df.na.fill(v, cols)
+      case v: Boolean => df.na.fill(v, cols)
+      case other => throw new IllegalArgumentException(s"fillna: unsupported $other")
+    }
+    keep(d)
+  }
+
+  def dropna(how: String = "any", subset: Seq[String] = Nil): GDF =
+    keep(if (subset.isEmpty) df.na.drop(how) else df.na.drop(how, subset))
+
+  def replaceValues[T](cols: Seq[String], mapping: Map[T, T]): GDF =
+    keep(df.na.replace(cols, mapping))
+
+  def clip(name: String, lo: Double, hi: Double): GDF =
+    keep(df.withColumn(name, greatest(least(col(name), lit(hi)), lit(lo))))
+
+  def roundCol(name: String, scale: Int): GDF = keep(df.withColumn(name, round(col(name), scale)))
+  def absCol(name: String): GDF = keep(df.withColumn(name, abs(col(name))))
+  def isna(name: String, out: String): GDF = keep(df.withColumn(out, col(name).isNull))
+
+  /** `explode` a list column into rows. */
+  def explodeCol(name: String): GDF = unordered(df.withColumn(name, explode(col(name))))
+
+  def sample(fraction: Double, withReplacement: Boolean = false, seed: Long = 42L): GDF =
+    unordered(df.sample(withReplacement, fraction, seed))
+
+  def randomSplit(weights: Array[Double], seed: Long = 42L): Array[GDF] =
+    df.randomSplit(weights, seed).map(unordered)
+
+  // ---- joins (SURVEY §2.4) ---------------------------------------------
+
+  /** dask/pandas `merge`.  `how` ∈ inner/left/right/outer/leftsemi/leftanti/cross.
+    * Equi-join on `on` columns; overlapping non-key columns get `suffixes`.
+    * Spark's AQE picks broadcast vs shuffled strategies by runtime size —
+    * superseding the reference's `npartitions`-based log-rule
+    * (`_merge.py:233-252`).  Pass `broadcastRight=true` to force-hint.
+    */
+  def merge(
+      right: GDF,
+      on: Seq[String],
+      how: String = "inner",
+      suffixes: (String, String) = ("_x", "_y"),
+      broadcastRight: Boolean = false): GDF = {
+    val sparkHow = how match {
+      case "outer"    => "full_outer"
+      case "leftsemi" => "left_semi"
+      case "leftanti" => "left_anti"
+      case h          => h
+    }
+    val overlap = (df.columns.toSet & right.df.columns.toSet) -- on.toSet
+    val l = overlap.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
+    val r0 = overlap.foldLeft(right.df)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
+    val r = if (broadcastRight) broadcast(r0) else r0
+    new GDF(l.join(r, on, sparkHow), None)
+  }
+
+  def crossJoin(right: GDF): GDF = new GDF(df.crossJoin(right.df), None)
+
+  // ---- groupby (SURVEY §2.5) -------------------------------------------
+
+  def groupby(cols: String*): GGroupBy = new GGroupBy(this, cols, dropna = true)
+  def groupbyDropna(dropna: Boolean, cols: String*): GGroupBy = new GGroupBy(this, cols, dropna)
+
+  // ---- reductions -------------------------------------------------------
+
+  def count(): Long = df.count()
+  def agg(exprs: Column*): DataFrame = df.agg(exprs.head, exprs.tail: _*)
+
+  /** `value_counts` over one column. */
+  def valueCounts(name: String, normalize: Boolean = false): GDF = {
+    import org.apache.spark.sql.{functions => F}
+    val counted = df.groupBy(col(name)).agg(F.count(lit(1)).as("count"))
+    val out =
+      if (!normalize) counted
+      else {
+        // single-row total broadcast-joined; no driver round-trip
+        val total = df.select(F.count(lit(1)).as("__total__"))
+        counted.crossJoin(broadcast(total))
+          .withColumn("proportion", col("count") / col("__total__"))
+          .drop("__total__", "count")
+      }
+    new GDF(out.orderBy(col(if (normalize) "proportion" else "count").desc, col(name)), None)
+  }
+
+  def dropDuplicates(subset: Seq[String] = Nil): GDF =
+    unordered(if (subset.isEmpty) df.dropDuplicates() else df.dropDuplicates(subset))
+
+  /** dask `drop_duplicates(keep="first"/"last")` — order-aware dedup via
+    * the index ordering (window row_number, SURVEY §2.5).
+    */
+  def dropDuplicatesKeep(subset: Seq[String], keep: String): GDF = {
+    val ord = keep match {
+      case "first" => orderCols
+      case "last"  => orderCols.map(_.desc)
+      case other   => throw new IllegalArgumentException(s"keep=$other")
+    }
+    val w = Window.partitionBy(subset.map(col): _*).orderBy(ord: _*)
+    unordered(
+      df.withColumn("__rn__", row_number().over(w)).filter(col("__rn__") === 1).drop("__rn__"))
+  }
+
+  def nlargest(n: Int, by: String): GDF = new GDF(df.orderBy(col(by).desc).limit(n), None)
+  def nsmallest(n: Int, by: String): GDF = new GDF(df.orderBy(col(by).asc).limit(n), None)
+
+  /** approximate quantiles (reference: `dask_expr/_quantile.py`). */
+  def quantileApprox(name: String, qs: Array[Double], err: Double = 0.01): Array[Double] =
+    df.stat.approxQuantile(name, qs, err)
+
+  def describe(cols: String*): DataFrame =
+    (if (cols.isEmpty) df else df.select(cols.map(col): _*)).summary()
+
+  // ---- sorts / index / partitioning (SURVEY §2.7) -----------------------
+
+  /** `sort_values` — global range-partitioned sort (Spark samples
+    * partition bounds exactly like the reference's RepartitionQuantiles,
+    * `_shuffle.py:975-1131`).
+    */
+  def sortValues(by: Seq[String], ascending: Seq[Boolean] = Nil): GDF = {
+    val asc = if (ascending.isEmpty) Seq.fill(by.size)(true) else ascending
+    val sortExprs = by.zip(asc).map { case (c, a) => if (a) col(c).asc else col(c).desc }
+    new GDF(df.orderBy(sortExprs: _*), None)
+  }
+
+  /** `set_index(col)` — range-partition + sort by the index column and
+    * record "known divisions" (`IndexMeta.sorted=true`).  Downstream
+    * ordered ops (rolling/shift/cumsum/asof) and index-range filters get
+    * partition pruning + shuffle-free execution from this, mirroring the
+    * reference's divisions mechanism (`_shuffle.py:806-972`).
+    */
+  def setIndex(c: String, numPartitions: Int = 0): GDF = {
+    val parted =
+      if (numPartitions > 0) df.repartitionByRange(numPartitions, col(c))
+      else df.repartitionByRange(col(c))
+    new GDF(parted.sortWithinPartitions(col(c)), Some(IndexMeta(Seq(c), sorted = true)))
+  }
+
+  /** Declare an existing column as index without shuffling (dask
+    * `set_index(sorted=True)` blockwise path).
+    */
+  def withIndex(c: String, alreadySorted: Boolean = false): GDF =
+    new GDF(df, Some(IndexMeta(Seq(c), alreadySorted)))
+
+  def resetIndex(): GDF = new GDF(df, None)
+
+  /** `.loc[lo:hi]` — index-range selection; with a range-partitioned index
+    * this prunes partitions (the reference binary-searches divisions,
+    * `_indexing.py:68-176`; Catalyst does the same from min/max stats).
+    */
+  def loc(lo: Any, hi: Any): GDF = keep(df.filter(col(orderColsName).between(lo, hi)))
+  private def orderColsName: String = index.map(_.primary).getOrElse(orderCols.head.toString)
+
+  def repartition(n: Int): GDF = keep(df.repartition(n))
+  def repartitionByCols(n: Int, cols: Seq[String]): GDF =
+    keep(df.repartition(n, cols.map(col): _*))
+  def coalescePartitions(n: Int): GDF = keep(df.coalesce(n))
+
+  /** positional head — requires sorted index for determinism. */
+  def headDF(n: Int): GDF = index match {
+    case Some(ix) if ix.sorted => new GDF(df.orderBy(ix.cols.map(col): _*).limit(n), index)
+    case _                     => new GDF(df.limit(n), None)
+  }
+
+  def tailDF(n: Int): GDF = {
+    val ord = orderCols.map(_.desc)
+    new GDF(df.orderBy(ord: _*).limit(n).orderBy(orderCols: _*), index)
+  }
+
+  // ---- set ops / reshape (SURVEY §2.8) ----------------------------------
+
+  /** `concat(axis=0)` */
+  def concat(others: GDF*): GDF =
+    unordered(others.foldLeft(df)((a, b) => a.unionByName(b.df, allowMissingColumns = true)))
+
+  /** `melt` — wide→long. */
+  def melt(idVars: Seq[String], valueVars: Seq[String],
+           varName: String = "variable", valueName: String = "value"): GDF = {
+    val d = df.unpivot(idVars.map(col).toArray, valueVars.map(col).toArray, varName, valueName)
+    new GDF(d, None)
+  }
+
+  /** `pivot_table(index, columns, values, aggfunc)`. */
+  def pivotTable(indexCol: String, columnsCol: String, valuesCol: String,
+                 aggfunc: String = "sum", knownValues: Seq[Any] = Nil): GDF = {
+    val g = df.groupBy(col(indexCol))
+    val p = if (knownValues.nonEmpty) g.pivot(columnsCol, knownValues) else g.pivot(columnsCol)
+    val out = aggfunc match {
+      case "sum"   => p.sum(valuesCol)
+      case "count" => p.count()
+      case "mean"  => p.avg(valuesCol)
+      case "min"   => p.min(valuesCol)
+      case "max"   => p.max(valuesCol)
+      case other   => throw new IllegalArgumentException(s"aggfunc=$other")
+    }
+    new GDF(out, None)
+  }
+
+  /** `get_dummies` — one-hot encode a (low-cardinality) string column.
+    * `categories` must be known/provided to keep the plan static — same
+    * constraint as dask's known-categories requirement
+    * (`_dummies.py:12-179`).
+    */
+  def getDummies(name: String, categories: Seq[String], prefix: String = ""): GDF = {
+    val pfx = if (prefix.isEmpty) name else prefix
+    val withCols = categories.foldLeft(df) { (d, v) =>
+      d.withColumn(s"${pfx}_$v", when(col(name) === v, 1).otherwise(0))
+    }
+    keep(withCols.drop(name))
+  }
+
+  // ---- ordered / temporal ops (SURVEY §2.6) -----------------------------
+
+  /** rolling window over the index order; pass `partitionBy` keys for the
+    * per-key (fully parallel native-window) path.
+    */
+  def rolling(window: Int, partitionBy: Seq[String] = Nil, minPeriods: Int = 1): GRolling = {
+    val ord = index.map(_.cols).getOrElse(
+      throw new IllegalStateException("rolling requires setIndex/withIndex"))
+    new GRolling(df, window, ord, partitionBy, minPeriods)
+  }
+
+  /** global shift across partition boundaries (two-phase, no shuffle). */
+  def shift(valueCol: String, n: Int, out: String): GDF = {
+    requireSortedIndex("shift")
+    new GDF(graft.operators.MapOverlap.shift(df, valueCol, n, out), index)
+  }
+
+  /** diff(n) = x - shift(x, n) */
+  def diff(valueCol: String, n: Int, out: String): GDF = {
+    val shifted = shift(valueCol, n, "__shifted__")
+    new GDF(
+      shifted.df.withColumn(out, col(valueCol) - col("__shifted__")).drop("__shifted__"),
+      index)
+  }
+
+  /** global cumulative aggregates (distributed two-phase prefix scan). */
+  def cumsum(valueCol: String, out: String): GDF = cumOp(valueCol, out, graft.operators.Cumulative.CumSum)
+  def cumprod(valueCol: String, out: String): GDF = cumOp(valueCol, out, graft.operators.Cumulative.CumProd)
+  def cummax(valueCol: String, out: String): GDF = cumOp(valueCol, out, graft.operators.Cumulative.CumMax)
+  def cummin(valueCol: String, out: String): GDF = cumOp(valueCol, out, graft.operators.Cumulative.CumMin)
+  private def cumOp(valueCol: String, out: String, op: graft.operators.Cumulative.Op): GDF = {
+    requireSortedIndex("cumulative aggregate")
+    new GDF(graft.operators.Cumulative(df, valueCol, op, out), index)
+  }
+
+  /** global forward/backward fill (distributed two-phase). */
+  def ffill(valueCol: String): GDF = {
+    requireSortedIndex("ffill")
+    new GDF(graft.operators.Fill.ffill(df, valueCol), index)
+  }
+  def bfill(valueCol: String): GDF = {
+    requireSortedIndex("bfill")
+    new GDF(graft.operators.Fill.bfill(df, valueCol), index)
+  }
+
+  /** resample(rule) — tumbling-bucket aggregation (Resample operator). */
+  def resample(seconds: Long, aggs: (String, Column)*): GDF = {
+    val ts = index.map(_.primary).getOrElse(
+      throw new IllegalStateException("resample requires a timestamp index"))
+    new GDF(graft.operators.Resample.agg(df, ts, seconds, aggs), None)
+  }
+
+  /** merge_asof — see [[graft.operators.MergeAsof]]. */
+  def mergeAsof(right: GDF, on: String, by: Seq[String] = Nil,
+                direction: String = "backward", tolerance: Option[Double] = None,
+                allowExactMatches: Boolean = true): GDF =
+    new GDF(
+      graft.operators.MergeAsof(df, right.df, on, by, direction, tolerance, allowExactMatches),
+      index)
+
+  private def requireSortedIndex(opName: String): Unit =
+    require(index.exists(_.sorted),
+      s"$opName is order-dependent: call setIndex(col) first (range-partitions + sorts)")
+
+  // ---- UDF surface (SURVEY §2.10) --------------------------------------
+
+  /** `map_partitions` — per-partition typed transform.  The declared
+    * encoder plays the role of dask's `meta=` (SURVEY §1.2).
+    */
+  def mapPartitionsTyped[T: org.apache.spark.sql.Encoder, U: org.apache.spark.sql.Encoder](
+      f: Iterator[T] => Iterator[U]): Dataset[U] =
+    df.as[T].mapPartitions(f)
+
+  // ---- actions ----------------------------------------------------------
+
+  /** dask `compute()` — materialize to the driver. Only explicit action. */
+  def compute(): Array[Row] = df.collect()
+  def persist(): GDF = { df.persist(); this }
+  def explainPlan(): Unit = df.explain("formatted")
+}
+
+object GDF {
+  def apply(df: DataFrame): GDF = new GDF(df, None)
+  def fromParquet(spark: SparkSession, path: String): GDF = GDF(spark.read.parquet(path))
+}

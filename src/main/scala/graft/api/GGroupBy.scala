@@ -1,0 +1,152 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Groupby surface (reference: `dask_expr/_groupby.py`).
+  *
+  * Every decomposable aggregation here compiles to Spark's partial→final
+  * hash aggregate — exactly the reference's ApplyConcatApply
+  * chunk/combine/aggregate pattern (`_reductions.py:399-573`) but executed
+  * by Tungsten with map-side combine, so the tree-reduce/`split_every`
+  * machinery is unnecessary.  Holistic aggregations (exact median/quantile)
+  * shuffle whole groups, mirroring `HolisticGroupbyAggregation`
+  * (`_groupby.py:468`).
+  */
+final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
+
+  private def base: DataFrame =
+    if (dropna) keys.foldLeft(gdf.df)((d, k) => d.filter(col(k).isNotNull)) else gdf.df
+  private def grouped = base.groupBy(keys.map(col): _*)
+
+  /** Multi-agg `agg(spec)`: pairs of (column, function[, alias]). */
+  def agg(spec: (String, String)*): GDF = aggAliased(spec.map { case (c, f) => (c, f, s"${c}_$f") }: _*)
+
+  def aggAliased(spec: (String, String, String)*): GDF = {
+    val exprs = spec.map { case (c, f, alias) => GGroupBy.fn(f, c).as(alias) }
+    new GDF(grouped.agg(exprs.head, exprs.tail: _*), None)
+  }
+
+  def sum(cols: String*): GDF = agg(cols.map(_ -> "sum"): _*)
+  def mean(cols: String*): GDF = agg(cols.map(_ -> "mean"): _*)
+  def min(cols: String*): GDF = agg(cols.map(_ -> "min"): _*)
+  def max(cols: String*): GDF = agg(cols.map(_ -> "max"): _*)
+  def countRows(alias: String = "size"): GDF =
+    new GDF(grouped.agg(count(lit(1)).as(alias)), None)
+
+  def nunique(c: String, alias: String = "nunique"): GDF =
+    new GDF(grouped.agg(countDistinct(col(c)).as(alias)), None)
+
+  /** HLL-approximate distinct (reference: `hyperloglog.py:20-83` → Spark
+    * built-in HLL++).
+    */
+  def nuniqueApprox(c: String, rsd: Double = 0.05, alias: String = "nunique_approx"): GDF =
+    new GDF(grouped.agg(approx_count_distinct(col(c), rsd).as(alias)), None)
+
+  /** idxmin/idxmax — `min_by`/`max_by` (SURVEY §2.5). */
+  def idxmin(valueCol: String, idxCol: String, alias: String = "idxmin"): GDF =
+    new GDF(grouped.agg(min_by(col(idxCol), col(valueCol)).as(alias)), None)
+  def idxmax(valueCol: String, idxCol: String, alias: String = "idxmax"): GDF =
+    new GDF(grouped.agg(max_by(col(idxCol), col(valueCol)).as(alias)), None)
+
+  /** Exact per-group median — holistic (sort-based `percentile`). */
+  def median(c: String, alias: String = "median"): GDF =
+    new GDF(grouped.agg(percentile(col(c), lit(0.5)).as(alias)), None)
+
+  def quantile(c: String, q: Double, alias: String = "quantile"): GDF =
+    new GDF(grouped.agg(percentile(col(c), lit(q)).as(alias)), None)
+
+  def quantileApprox(c: String, q: Double, alias: String = "quantile_approx"): GDF =
+    new GDF(grouped.agg(percentile_approx(col(c), lit(q), lit(10000)).as(alias)), None)
+
+  def varStd(c: String): GDF =
+    new GDF(grouped.agg(var_samp(col(c)).as(s"${c}_var"), stddev_samp(col(c)).as(s"${c}_std")), None)
+
+  def covCorr(x: String, y: String): GDF =
+    new GDF(grouped.agg(covar_samp(col(x), col(y)).as("cov"), corr(col(x), col(y)).as("corr")), None)
+
+  /** first/last by explicit ordering (dask's first/last are
+    * position-dependent; Spark needs the order spelled out — SURVEY §2.5).
+    */
+  def firstBy(valueCol: String, ordCol: String, alias: String = "first"): GDF =
+    new GDF(grouped.agg(min_by(col(valueCol), col(ordCol)).as(alias)), None)
+  def lastBy(valueCol: String, ordCol: String, alias: String = "last"): GDF =
+    new GDF(grouped.agg(max_by(col(valueCol), col(ordCol)).as(alias)), None)
+
+  /** collect distinct values per group (dask `GroupBy.unique`). */
+  def uniqueList(c: String, alias: String = "unique"): GDF =
+    new GDF(grouped.agg(array_sort(collect_set(col(c))).as(alias)), None)
+
+  // ---- windowed per-group ops (no aggregation of rows) ------------------
+
+  private def w(orderBy: String) = Window.partitionBy(keys.map(col): _*).orderBy(col(orderBy))
+
+  /** per-group shift (lag). */
+  def shift(c: String, periods: Int, orderBy: String, alias: String): GDF =
+    new GDF(base.withColumn(alias, lag(col(c), periods).over(w(orderBy))), gdf.index)
+
+  /** per-group cumulative sum. */
+  def cumsum(c: String, orderBy: String, alias: String): GDF =
+    new GDF(
+      base.withColumn(
+        alias,
+        org.apache.spark.sql.functions.sum(col(c))
+          .over(w(orderBy).rowsBetween(Window.unboundedPreceding, Window.currentRow))),
+      gdf.index)
+
+  def cumcount(orderBy: String, alias: String = "cumcount"): GDF =
+    new GDF(base.withColumn(alias, row_number().over(w(orderBy)) - 1), gdf.index)
+
+  /** per-group forward-fill. */
+  def ffill(c: String, orderBy: String): GDF =
+    new GDF(
+      base.withColumn(
+        c,
+        last(col(c), ignoreNulls = true)
+          .over(w(orderBy).rowsBetween(Window.unboundedPreceding, Window.currentRow))),
+      gdf.index)
+
+  /** per-group head — first n rows by `orderBy` within each group. */
+  def headPerGroup(n: Int, orderBy: String): GDF =
+    new GDF(
+      base.withColumn("__rn__", row_number().over(w(orderBy)))
+        .filter(col("__rn__") <= n).drop("__rn__"),
+      None)
+
+  def getGroup(values: Seq[Any]): GDF =
+    new GDF(keys.zip(values).foldLeft(base) { case (d, (k, v)) => d.filter(col(k) === v) }, gdf.index)
+
+  /** UDTF-style per-group apply (dask `GroupBy.apply` → `flatMapGroups`,
+    * SURVEY §2.10).
+    */
+  def applyGroups[K: org.apache.spark.sql.Encoder, T: org.apache.spark.sql.Encoder,
+                  U: org.apache.spark.sql.Encoder](
+      keyFn: T => K)(f: (K, Iterator[T]) => IterableOnce[U]): org.apache.spark.sql.Dataset[U] =
+    base.as[T].groupByKey(keyFn).flatMapGroups((k: K, it: Iterator[T]) => f(k, it).iterator)
+}
+
+object GGroupBy {
+  /** agg-spec name → Spark function (reference spec names,
+    * `_groupby.py:564-627`).
+    */
+  def fn(name: String, c: String): Column = name match {
+    case "sum"            => sum(col(c))
+    case "prod" | "product" => product(col(c))
+    case "mean" | "avg"   => avg(col(c))
+    case "min"            => min(col(c))
+    case "max"            => max(col(c))
+    case "count"          => count(col(c))
+    case "size"           => count(lit(1))
+    case "var"            => var_samp(col(c))
+    case "std"            => stddev_samp(col(c))
+    case "sem"            => stddev_samp(col(c)) / sqrt(count(col(c)))
+    case "skew"           => skewness(col(c))
+    case "kurt" | "kurtosis" => kurtosis(col(c))
+    case "nunique"        => countDistinct(col(c))
+    case "median"         => percentile(col(c), lit(0.5))
+    case "any"            => max(col(c).cast("boolean"))
+    case "all"            => min(col(c).cast("boolean"))
+    case other            => throw new IllegalArgumentException(s"unknown agg: $other")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.api
+
+import graft.operators.MapOverlap
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Rolling / expanding windows — reference `dask_expr/_rolling.py:45-343`.
+  *
+  * Two physical paths, mirroring the reference's blockwise-vs-MapOverlap
+  * lowering:
+  *   - `partitionBy` keys present → native SQL window (parallel per key,
+  *     whole-stage codegen);
+  *   - global order, no keys → [[MapOverlap]] ghost-row scan, because an
+  *     un-partitioned SQL window is a single task in Spark and would not
+  *     survive cluster scale.
+  */
+final class GRolling(
+    df: DataFrame,
+    window: Int,
+    orderBy: Seq[String],
+    partitionBy: Seq[String],
+    minPeriods: Int) {
+
+  private def spec: WindowSpec = {
+    val base =
+      if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
+      else Window.partitionBy()
+    base.orderBy(orderBy.map(col): _*).rowsBetween(-(window - 1), Window.currentRow)
+  }
+
+  private def guarded(c: Column): Column = {
+    val cnt = org.apache.spark.sql.functions.count(lit(1)).over(spec)
+    if (minPeriods <= 1) c else when(cnt >= minPeriods, c).otherwise(lit(null))
+  }
+
+  private def add(name: String, c: Column): DataFrame = df.withColumn(name, guarded(c))
+
+  def sum(valueCol: String, out: String): DataFrame =
+    if (partitionBy.isEmpty)
+      MapOverlap.rollingSum(df, valueCol, window, out, minPeriods)
+    else add(out, org.apache.spark.sql.functions.sum(col(valueCol)).over(spec))
+
+  def mean(valueCol: String, out: String): DataFrame =
+    if (partitionBy.isEmpty)
+      MapOverlap.rollingMean(df, valueCol, window, out, minPeriods)
+    else add(out, avg(col(valueCol)).over(spec))
+
+  def min(valueCol: String, out: String): DataFrame =
+    add(out, org.apache.spark.sql.functions.min(col(valueCol)).over(spec))
+  def max(valueCol: String, out: String): DataFrame =
+    add(out, org.apache.spark.sql.functions.max(col(valueCol)).over(spec))
+  def count(valueCol: String, out: String): DataFrame =
+    df.withColumn(out, org.apache.spark.sql.functions.count(col(valueCol)).over(spec))
+  def std(valueCol: String, out: String): DataFrame =
+    add(out, stddev_samp(col(valueCol)).over(spec))
+  def variance(valueCol: String, out: String): DataFrame =
+    add(out, var_samp(col(valueCol)).over(spec))
+
+  /** time-range rolling (`rolling("10s")`): window is an interval on the
+    * order column rather than a row count.
+    */
+  def sumRange(valueCol: String, out: String, rangeSeconds: Long): DataFrame = {
+    require(orderBy.size == 1, "range rolling needs a single time order column")
+    val w =
+      (if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
+       else Window.partitionBy())
+        .orderBy(col(orderBy.head).cast("long"))
+        .rangeBetween(-rangeSeconds, 0)
+    df.withColumn(out, org.apache.spark.sql.functions.sum(col(valueCol)).over(w))
+  }
+}
+
+object GRolling {
+  /** expanding() = rolling with an unbounded-preceding frame. */
+  def expanding(df: DataFrame, orderBy: Seq[String], partitionBy: Seq[String],
+                valueCol: String, out: String, agg: String): DataFrame = {
+    val base =
+      if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
+      else Window.partitionBy()
+    val w = base.orderBy(orderBy.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = agg match {
+      case "sum"  => sum(col(valueCol))
+      case "mean" => avg(col(valueCol))
+      case "min"  => org.apache.spark.sql.functions.min(col(valueCol))
+      case "max"  => org.apache.spark.sql.functions.max(col(valueCol))
+      case other  => throw new IllegalArgumentException(s"expanding agg=$other")
+    }
+    df.withColumn(out, c.over(w))
+  }
+}

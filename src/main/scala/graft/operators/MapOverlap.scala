@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Generic partition-overlap ("stencil") operator — the reference's
+  * `map_overlap(func, before, after)` (`dask_expr/_expr.py:881-1033`,
+  * kernels `dask/dataframe/rolling.py`): run a per-partition function that
+  * needs to see the `before` trailing rows of the previous partition and
+  * the `after` leading rows of the next one (UDF rolling windows, shift,
+  * diff, ffill across boundaries…).
+  *
+  * Spark-first design: Spark has no ghost-row primitive, and a naive
+  * re-keyed union would re-shuffle the *entire* dataset just to move a few
+  * boundary rows.  Instead we exploit that the ghost region is tiny
+  * (`before + after` rows per partition): one narrow job collects only the
+  * boundary rows (`take`-style per partition), the driver broadcasts them,
+  * and a single `mapPartitions` prepends/appends the neighbours' rows —
+  * zero shuffle of the main data.  Driver memory is
+  * O(npartitions × (before+after) × rowsize), the same budget the
+  * reference spends on its `concat(tails)` graph edges.
+  *
+  * The input must be range-partitioned and sorted by the index column
+  * (i.e. `setIndex` has run) so "previous/next partition" is meaningful.
+  */
+object MapOverlap {
+
+  /** @param f     sees (ghostBefore ++ partition ++ ghostAfter) as one
+    *              iterator plus the count of before/after ghost rows; must
+    *              return exactly one output row per non-ghost input row
+    *              region it owns (the usual rolling/shift contract).
+    */
+  def apply(df: DataFrame, outSchema: StructType, before: Int, after: Int)(
+      f: (Seq[Row], Iterator[Row], Seq[Row]) => Iterator[Row]): DataFrame = {
+
+    val spark = df.sparkSession
+    import org.apache.spark.TaskContext
+
+    // 1) narrow pass: per-partition head/tail boundary rows
+    val boundaries: Array[(Int, Array[Row], Array[Row])] = df.rdd
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val head = new scala.collection.mutable.ArrayBuffer[Row]
+        val tail = new scala.collection.mutable.ArrayBuffer[Row]
+        var n = 0
+        while (it.hasNext) {
+          val r = it.next(); n += 1
+          if (after > 0 && head.size < after) head += r
+          if (before > 0) { tail += r; if (tail.size > before) tail.remove(0) }
+        }
+        Iterator.single((pid, tail.toArray, head.toArray))
+      }
+      .collect()
+
+    val tails = boundaries.map(b => b._1 -> b._2).toMap // pid → last `before` rows
+    val heads = boundaries.map(b => b._1 -> b._3).toMap // pid → first `after` rows
+    val bcTails = spark.sparkContext.broadcast(tails)
+    val bcHeads = spark.sparkContext.broadcast(heads)
+
+    // 2) main pass: hand each partition its ghosts
+    val outRdd = df.rdd.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val ghostBefore: Seq[Row] =
+        if (before > 0) bcTails.value.getOrElse(pid - 1, Array.empty[Row]).toSeq else Nil
+      val ghostAfter: Seq[Row] =
+        if (after > 0) bcHeads.value.getOrElse(pid + 1, Array.empty[Row]).toSeq else Nil
+      f(ghostBefore, it, ghostAfter)
+    }
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
+  /** Rolling aggregate over the previous `window-1` rows + current, global
+    * order — the scalable replacement for an un-partitioned SQL window
+    * (which Spark executes in ONE task).  Mirrors dask's
+    * `RollingReduction → MapOverlap` lowering (`_rolling.py:114-153`).
+    *
+    * @param minPeriods rows required before emitting a value (else null)
+    */
+  def rollingSum(df: DataFrame, valueCol: String, window: Int, outCol: String,
+                 minPeriods: Int = 1): DataFrame =
+    rollingAgg(df, valueCol, window, outCol, minPeriods)(_.sum)
+
+  def rollingMean(df: DataFrame, valueCol: String, window: Int, outCol: String,
+                  minPeriods: Int = 1): DataFrame =
+    rollingAgg(df, valueCol, window, outCol, minPeriods)(xs => xs.sum / xs.size)
+
+  def rollingAgg(df: DataFrame, valueCol: String, window: Int, outCol: String,
+                 minPeriods: Int)(agg: Seq[Double] => Double): DataFrame = {
+    val idx = df.schema.fieldIndex(valueCol)
+    val outSchema = df.schema.add(outCol, "double")
+    apply(df, outSchema, before = window - 1, after = 0) { (ghosts, it, _) =>
+      val buf = new scala.collection.mutable.ArrayDeque[Double]()
+      var bufValid = new scala.collection.mutable.ArrayDeque[Boolean]()
+      // seed with ghost rows (counted in the window but not emitted)
+      ghosts.foreach { g =>
+        val v = g.get(idx)
+        buf.append(if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue())
+        bufValid.append(v != null)
+        if (buf.size > window) { buf.removeHead(); bufValid.removeHead() }
+      }
+      var seen = ghosts.size.toLong
+      it.map { r =>
+        val v = r.get(idx)
+        buf.append(if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue())
+        bufValid.append(v != null)
+        if (buf.size > window) { buf.removeHead(); bufValid.removeHead() }
+        seen += 1
+        val valid = buf.indices.filter(bufValid(_)).map(buf(_))
+        val out: Any =
+          if (valid.size >= minPeriods) agg(valid) else null
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }
+  }
+
+  /** Global shift(n) across partition boundaries (dask `Shift`
+    * `_expr.py:3454`): each row receives the value `n` rows earlier.
+    */
+  def shift(df: DataFrame, valueCol: String, n: Int, outCol: String): DataFrame = {
+    require(n >= 0, "forward shift only (use negative windows for lead)")
+    val idx = df.schema.fieldIndex(valueCol)
+    val outSchema = df.schema.add(outCol, df.schema(valueCol).dataType)
+    apply(df, outSchema, before = n, after = 0) { (ghosts, it, _) =>
+      val buf = new scala.collection.mutable.ArrayDeque[Any]()
+      ghosts.foreach { g => buf.append(g.get(idx)); if (buf.size > n) buf.removeHead() }
+      // pad so the first rows of partition 0 get null
+      while (buf.size < n) buf.prepend(null)
+      it.map { r =>
+        val shifted = if (n == 0) r.get(idx) else buf.head
+        buf.append(r.get(idx)); if (buf.size > n) buf.removeHead()
+        Row.fromSeq(r.toSeq :+ shifted)
+      }
+    }
+  }
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (nearest-key) join — `merge_asof` in the reference
+  * (`dask/dataframe/dask_expr/_merge_asof.py:19-440`,
+  * `_collection.py:5687`).
+  *
+  * The reference repartitions both sides to common divisions and
+  * propagates partition tails across boundaries so each partition can run
+  * a local pandas `merge_asof`.  Spark-first re-expression: **union the
+  * two sides, order by (by, on, side-tag) and window-carry the most recent
+  * right-side row onto every left row** — one exchange, one sort, no
+  * cross-partition boundary bookkeeping, and whole-stage codegen handles
+  * the carry.  That is exactly the prefix-propagation the reference hand
+  * rolls with `compute_tails`/`prefix_reduction`, done by Spark's native
+  * window machinery.
+  *
+  * Semantics implemented: direction ∈ backward / forward / nearest,
+  * optional `by` grouping keys, `tolerance` (in units of `on`; for
+  * timestamps pass seconds), `allowExactMatches`.
+  *
+  * Scale note: with `by` keys the window partitions by them and the plan
+  * is fully parallel.  Without `by` Spark plans a single-partition window;
+  * for that case callers at cluster scale should pre-bucket `on` into
+  * coarse ranges and pass the bucket as a `by` key, or use
+  * [[MapOverlap]]-style ghost rows — the fixture queries all carry `by`.
+  */
+object MergeAsof {
+
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      on: String,
+      by: Seq[String] = Nil,
+      direction: String = "backward",
+      tolerance: Option[Double] = None,
+      allowExactMatches: Boolean = true,
+      rightSuffix: String = "_right"): DataFrame = {
+
+    require(left.columns.contains(on) && right.columns.contains(on), s"both sides need '$on'")
+    direction match {
+      case "backward" | "forward" => joinOneDirection(left, right, on, by, direction, tolerance, allowExactMatches, rightSuffix)
+      case "nearest"              => nearest(left, right, on, by, tolerance, allowExactMatches, rightSuffix)
+      case other => throw new IllegalArgumentException(s"direction=$other")
+    }
+  }
+
+  /** numeric view of the `on` column (timestamps → epoch seconds as double) */
+  private def onNum(df: DataFrame, on: String): Column = {
+    df.schema(on).dataType.typeName match {
+      case "timestamp" | "timestamp_ntz" => unix_micros(col(on).cast("timestamp")).cast("double") / 1e6
+      case "date"                        => col(on).cast("timestamp").cast("double")
+      case _                             => col(on).cast("double")
+    }
+  }
+
+  private val IsLeft = "__asof_isleft__"
+  private val OnNum = "__asof_on__"
+
+  /** payload columns the right side contributes (renamed if clashing) */
+  private def rightPayload(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
+                           suffix: String): Seq[(String, String)] = {
+    val keys = Set(on) ++ by
+    right.columns.toSeq.filterNot(keys.contains).map { c =>
+      c -> (if (left.columns.contains(c)) c + suffix else c)
+    }
+  }
+
+  private def joinOneDirection(
+      left: DataFrame, right: DataFrame, on: String, by: Seq[String],
+      direction: String, tolerance: Option[Double], allowExact: Boolean,
+      suffix: String): DataFrame = {
+
+    val payload = rightPayload(left, right, on, by, suffix)
+    val outRight = payload.map(_._2)
+
+    // Union schema: by ++ on-num ++ isleft ++ left payload ++ right payload
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn(OnNum, onNum(left, on))
+      .withColumn(IsLeft, lit(true))
+    val lPadded = payload.foldLeft(l) { case (d, (src, dst)) =>
+      d.withColumn(dst, lit(null).cast(right.schema(src).dataType))
+    }
+    var r = right.withColumn(OnNum, onNum(right, on)).withColumn(IsLeft, lit(false))
+    for ((src, dst) <- payload) if (src != dst) r = r.withColumnRenamed(src, dst)
+    val rPadded = leftCols.filterNot(c => by.contains(c) || outRight.contains(c))
+      .foldLeft(r) { (d, c) => if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(left.schema(c).dataType)) }
+
+    val cols = by ++ Seq(OnNum, IsLeft) ++ leftCols.filterNot(by.contains) ++ outRight
+    val unioned = lPadded.select(cols.distinct.map(col): _*)
+      .unionByName(rPadded.select(cols.distinct.map(col): _*))
+
+    // Tag ordering decides whether an exact-timestamp right row is visible.
+    // backward+allowExact: right first at equal on  (right visible)
+    // backward+!allowExact: left first              (right hidden)
+    // forward mirrors with a descending carry.
+    val backward = direction == "backward"
+    val rightFirst = if (backward) allowExact else !allowExact
+    val tagOrd = when(col(IsLeft), lit(if (rightFirst) 1 else 0))
+      .otherwise(lit(if (rightFirst) 0 else 1))
+
+    val ord: Seq[Column] =
+      if (backward) Seq(col(OnNum).asc, tagOrd.asc) else Seq(col(OnNum).desc, tagOrd.asc)
+    val w = (if (by.nonEmpty) Window.partitionBy(by.map(col): _*) else Window.partitionBy())
+      .orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = (outRight :+ OnNum).foldLeft(unioned) { (d, c) =>
+      val src = if (c == OnNum) when(!col(IsLeft), col(OnNum)) else when(!col(IsLeft), col(c))
+      d.withColumn(s"__carry_$c", last(src, ignoreNulls = true).over(w))
+    }
+
+    val withinTol: Column = tolerance match {
+      case Some(t) =>
+        val diff = if (backward) col(OnNum) - col(s"__carry_$OnNum")
+                   else col(s"__carry_$OnNum") - col(OnNum)
+        diff <= lit(t)
+      case None => lit(true)
+    }
+
+    val result = carried
+      .filter(col(IsLeft))
+      .select(
+        (leftCols.map(col) ++
+          outRight.map(c => when(withinTol, col(s"__carry_$c")).otherwise(lit(null)).as(c))): _*)
+    result
+  }
+
+  /** nearest = min(backward-dist, forward-dist); ties → backward (pandas). */
+  private def nearest(
+      left: DataFrame, right: DataFrame, on: String, by: Seq[String],
+      tolerance: Option[Double], allowExact: Boolean, suffix: String): DataFrame = {
+
+    val payload = rightPayload(left, right, on, by, suffix)
+    val outRight = payload.map(_._2)
+    val rowId = "__asof_rowid__"
+    val lId = left.withColumn(rowId, monotonically_increasing_id())
+
+    // carry the right `on` alongside the payload so the nearer side can be
+    // chosen per row; both directional passes share one shuffled layout
+    val rWithOn = right.withColumn("__r_on", col(on))
+    val bwd2 = joinOneDirection(lId, rWithOn, on, by, "backward", tolerance, allowExact, suffix)
+    val fwd2 = joinOneDirection(lId, rWithOn, on, by, "forward", tolerance, allowExact, suffix)
+    val onN = onNum(lId, on)
+
+    val b2 = bwd2.select(
+      (Seq(col(rowId)) ++ outRight.map(c => col(c).as(c + "_bwd")) :+
+        (onN - onNum(bwd2, "__r_on")).as("__dist_bwd")): _*)
+    val f2 = fwd2.select(
+      (Seq(col(rowId)) ++ outRight.map(c => col(c).as(c + "_fwd")) :+
+        (onNum(fwd2, "__r_on") - onN).as("__dist_fwd")): _*)
+
+    val joined = lId.join(b2, Seq(rowId), "left").join(f2, Seq(rowId), "left")
+    val useBwd = col("__dist_bwd").isNotNull &&
+      (col("__dist_fwd").isNull || col("__dist_bwd") <= col("__dist_fwd"))
+    val out = outRight.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, when(useBwd, col(c + "_bwd")).otherwise(col(c + "_fwd")))
+    }
+    out.select((left.columns.toSeq ++ outRight).map(col): _*)
+  }
+}
