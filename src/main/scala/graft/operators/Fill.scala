@@ -74,14 +74,14 @@ object Fill {
 
     val outRdd = df.rdd.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
-      val next: Any = bc.value.getOrElse(pid, null)
+      val carryFromNext: Any = bc.value.getOrElse(pid, null)
       // need the partition's own next-non-null lookahead: buffer rows until
       // a non-null is seen (bounded by the null-run length, not partition
       // size)
       new Iterator[Row] {
-        val pending = new scala.collection.mutable.ArrayDeque[Row]()
-        val ready = new scala.collection.mutable.ArrayDeque[Row]()
-        def refill(): Unit = {
+        private val pending = new scala.collection.mutable.ArrayDeque[Row]()
+        private val ready = new scala.collection.mutable.ArrayDeque[Row]()
+        private def refill(): Unit = {
           while (ready.isEmpty && it.hasNext) {
             val r = it.next()
             val v = r.get(vIdx)
@@ -92,7 +92,11 @@ object Fill {
             } else pending.append(r)
           }
           if (ready.isEmpty && !it.hasNext && pending.nonEmpty) {
-            pending.foreach(p => ready.append(if (next == null) p else Row.fromSeq(p.toSeq.updated(vIdx, next))))
+            pending.foreach { p =>
+              ready.append(
+                if (carryFromNext == null) p
+                else Row.fromSeq(p.toSeq.updated(vIdx, carryFromNext)))
+            }
             pending.clear()
           }
         }

@@ -95,11 +95,11 @@ object MergeAsof {
       .unionByName(rPadded.select(cols.distinct.map(col): _*))
 
     // Tag ordering decides whether an exact-timestamp right row is visible.
-    // backward+allowExact: right first at equal on  (right visible)
-    // backward+!allowExact: left first              (right hidden)
-    // forward mirrors with a descending carry.
+    // The carry always looks backwards in ITERATION order (forward just
+    // iterates descending), so in both directions an exact-match right row
+    // is visible iff it sorts before the left row at equal `on`.
     val backward = direction == "backward"
-    val rightFirst = if (backward) allowExact else !allowExact
+    val rightFirst = allowExact
     val tagOrd = when(col(IsLeft), lit(if (rightFirst) 1 else 0))
       .otherwise(lit(if (rightFirst) 0 else 1))
 

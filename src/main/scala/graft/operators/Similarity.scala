@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * one narrow pass over the corpus, per-query top-k.  Scale path: sign-LSH
+  * (random hyperplanes) bucketing — an IVF-style candidate restriction
+  * that turns the corpus scan into a bucket-local join.
+  *
+  * All vector math is expressed with Spark's higher-order functions
+  * (`zip_with`/`aggregate`), which stay inside codegen — no Scala UDF in
+  * the hot path.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in index order (deterministic double accumulation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine = dot/(‖a‖·‖b‖), all in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, _.cast("double"))
+    val bd = transform(b, _.cast("double"))
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    *
+    * `queries` is expected to be small (it is broadcast); the corpus scan
+    * is a single narrow pass and the only shuffle is the per-query top-k
+    * (rows ≤ queries × corpus-partition count after partial filtering).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk").cast("int").as("rk"))
+  }
+
+  private val bucketUdf = udf((v: Seq[Float], planes: Int) =>
+    Hashing.signBucket(v.toArray, planes))
+
+  /** Sign-LSH bucket assignment: `planes`-bit bucket key per vector.
+    * Deterministic hyperplanes are derived from (plane, dim) hashes — no
+    * broadcast state, reproducible on any executor.
+    */
+  def lshBuckets(vectors: DataFrame, idCol: String, vecCol: String,
+                 planes: Int = 12): DataFrame =
+    vectors.select(col(idCol), bucketUdf(col(vecCol), lit(planes)).as("bucket"))
+
+  /** Bucketed ANN: candidates restricted to the query's bucket, then exact
+    * cosine rank within the bucket — the IVF pattern (coarse quantize →
+    * exact re-rank).  Recall is tunable by `planes` (fewer planes → bigger
+    * buckets → higher recall, more compute).
+    */
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, planes: Int = 8): DataFrame = {
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      bucketUdf(col(vecCol), lit(planes)).as("bucket"))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      bucketUdf(col(vecCol), lit(planes)).as("bucket")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    cb.join(qb, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk").cast("int").as("rk"))
+  }
+}

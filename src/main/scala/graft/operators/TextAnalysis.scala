@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting.  Everything here is built from
+  * codegen'd `org.apache.spark.sql.functions` (no UDFs) so the whole
+  * stage fuses into the scan at any scale.
+  */
+object TextAnalysis {
+
+  /** Function-word markers per language for the n-gram-free heuristic
+    * language ID: score = count of marker-word hits; argmax wins, ties
+    * broken by list order.  (A real pipeline would use char-3-gram
+    * profiles; the plumbing — per-language score columns + argmax — is
+    * identical.)
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "una", "en", "por"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和"))
+
+  private def markerCount(text: Column, words: Seq[String]): Column =
+    regexp_count(text, lit("\\b(" + words.mkString("|") + ")\\b"))
+
+  /** Adds `lang_pred` + per-language hit counts. */
+  def langId(docs: DataFrame, textCol: String): DataFrame = {
+    val scored = langMarkers.foldLeft(docs) { case (d, (lang, words)) =>
+      d.withColumn(s"__hits_$lang", markerCount(lower(col(textCol)), words))
+    }
+    // argmax via greatest over (count, -order) structs
+    val best = langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+      struct(col(s"__hits_$lang").as("hits"), lit(-i).as("ord"), lit(lang).as("lang"))
+    }
+    scored
+      .withColumn("lang_pred", greatest(best: _*).getField("lang"))
+      .drop(langMarkers.map { case (l, _) => s"__hits_$l" }: _*)
+  }
+
+  /** whitespace token count, empty tokens excluded (matches pandas
+    * `str.split()` and DuckDB `list_filter(string_split_regex(...))`).
+    */
+  def wsTokens(t: Column): Column =
+    size(filter(split(t, "\\s+"), x => length(x) > 0))
+
+  /** Quality metrics + composite score in [0, 1]:
+    * length/punctuation/stopword/word-length signals — the standard cheap
+    * pre-filters in corpus cleaning pipelines.
+    */
+  def qualityScore(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_chars_q", length(t).cast("long"))
+      .withColumn("n_tokens", wsTokens(t).cast("long"))
+      .withColumn("punct_ratio",
+        round(regexp_count(t, lit("[.,;:!?]")).cast("double") / greatest(length(t), lit(1)), 6))
+      .withColumn("stopword_ratio",
+        round(regexp_count(lower(t), lit("\\b(the|a|of|and|to|in|is)\\b")).cast("double") /
+          greatest(wsTokens(t), lit(1)), 6))
+      .withColumn("mean_word_len",
+        round((length(t) - regexp_count(t, lit("\\s"))).cast("double") /
+          greatest(wsTokens(t), lit(1)), 6))
+      .withColumn("quality_score",
+        round(least(lit(1.0), greatest(lit(0.0),
+          lit(0.25) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
+            + lit(0.25) * (lit(1.0) - col("punct_ratio") * 10)
+            + lit(0.25) * least(col("stopword_ratio") * 5, lit(1.0))
+            + lit(0.25) * least(col("mean_word_len") / 8.0, lit(1.0)))), 6))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other-glyphs) — the usual cheap
+    * proxy for tokenizer cost estimation.
+    */
+  def tokenCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("ws_tokens", wsTokens(t).cast("long"))
+      .withColumn("re_tokens",
+        size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
+  }
+}

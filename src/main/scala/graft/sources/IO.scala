@@ -1,0 +1,88 @@
+package graft.sources
+
+import graft.api.GDF
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** IO surface — reference §2.1/§2.2 (`dask/dataframe/io`).
+  *
+  * Every reader maps to a Spark DataSource (vectorized parquet/orc scan,
+  * line-splittable csv/json/text, partition-ranged jdbc), so byte-range
+  * splitting, schema inference, predicate pushdown and parallel writes —
+  * which the reference implements by hand (e.g. csv byte-range splitting
+  * `io/csv.py:748`, parquet row-group planning `io/parquet.py:827`) — are
+  * engine-native.  `read_hdf`/`to_hdf` are documented descopes (no Spark
+  * source; SURVEY §2.1).
+  */
+object IO {
+
+  // ---- readers ---------------------------------------------------------
+
+  def readParquet(spark: SparkSession, path: String, columns: Seq[String] = Nil): GDF = {
+    val df = spark.read.parquet(path)
+    GDF(if (columns.isEmpty) df else df.select(columns.map(df.col): _*))
+  }
+
+  /** `read_csv`: header + dtype inference from sample, like the
+    * reference; pass an explicit schema to skip the inference scan (the
+    * scalable path — inference reads the data twice).
+    */
+  def readCsv(spark: SparkSession, path: String, header: Boolean = true,
+              schema: Option[StructType] = None, sep: String = ","): GDF = {
+    val r = spark.read.option("header", header.toString).option("sep", sep)
+    GDF(schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path))
+  }
+
+  /** `read_json`: line-delimited by default (splittable); `multiLine`
+    * for whole-file documents (one task per file, as in the reference).
+    */
+  def readJson(spark: SparkSession, path: String, multiLine: Boolean = false): GDF =
+    GDF(spark.read.option("multiLine", multiLine.toString).json(path))
+
+  def readOrc(spark: SparkSession, path: String): GDF = GDF(spark.read.orc(path))
+
+  def readText(spark: SparkSession, path: String): GDF = GDF(spark.read.text(path))
+
+  /** `read_sql_table`: partition by numeric column range — identical
+    * semantics to the reference's per-partition `WHERE lo <= col < hi`
+    * pushdown (`io/sql.py:195`).
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               partitionColumn: String, lowerBound: Long, upperBound: Long,
+               numPartitions: Int, props: java.util.Properties = new java.util.Properties()): GDF =
+    GDF(spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
+      numPartitions, props))
+
+  /** `from_map`-style source: one row-group per input item, function
+    * applied distributively (reference `io/io.py:237`).
+    */
+  def fromMap[T: scala.reflect.ClassTag, U: org.apache.spark.sql.Encoder: scala.reflect.ClassTag](
+      spark: SparkSession, items: Seq[T],
+      numPartitions: Int)(f: T => IterableOnce[U]): GDF = {
+    val rdd = spark.sparkContext.parallelize(items, math.min(numPartitions, math.max(items.size, 1)))
+      .flatMap(f(_).iterator)
+    GDF(spark.createDataset(rdd).toDF())
+  }
+
+  // ---- writers ---------------------------------------------------------
+
+  def toParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+                mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def toCsv(df: DataFrame, path: String, header: Boolean = true,
+            mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", header.toString).csv(path)
+
+  def toJson(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  def toOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
+  def toJdbc(df: DataFrame, url: String, table: String,
+             props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.jdbc(url, table, props)
+}

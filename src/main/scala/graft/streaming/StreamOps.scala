@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming surface.
+  *
+  * The reference has NO streaming engine (SURVEY §2.6 — dask defers to
+  * the external `streamz`/distributed projects), so this module is a
+  * graft extension: the batch operators (resample → windowed agg,
+  * groupby → keyed state) re-expressed over unbounded input.  The same
+  * tumbling-bucket semantics as [[graft.operators.Resample]] come from
+  * `window()` + watermark; custom per-key state uses
+  * `mapGroupsWithState`.
+  */
+object StreamOps {
+
+  /** Tumbling-window aggregate with late-data handling: the streaming
+    * twin of `Resample.agg` (same bucket edges, same output schema plus
+    * the window struct).
+    */
+  def windowedAgg(events: DataFrame, tsCol: String, windowDur: String,
+                  watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as(tsCol), col("n"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(nEvents: Long, total: Double, lastTs: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, total: Double)
+
+  /** Session aggregation with an inactivity gap via `mapGroupsWithState`
+    * (the `KeyValueGroupedDataset` custom-state path from the brief).
+    */
+  def sessionize(events: Dataset[SessionEvent], gapSeconds: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout)(
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          val prev = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+          var (n, tot, last) = (prev.nEvents, prev.total, prev.lastTs)
+          rows.foreach { e =>
+            val t = e.ts.getTime / 1000
+            if (last != Long.MinValue && t - last > gapSeconds) { n = 0; tot = 0.0 }
+            n += 1; tot += e.value; last = t
+          }
+          state.update(SessionState(n, tot, last))
+          SessionOut(user, n, tot)
+        })
+  }
+
+  /** File-sink pipeline starter: parquet-in → transform → parquet-out with
+    * checkpointing (exactly-once file sink).
+    */
+  def fileSinkPipeline(spark: SparkSession, inPath: String, schema: org.apache.spark.sql.types.StructType,
+                       outPath: String, checkpoint: String)(
+      transform: DataFrame => DataFrame): StreamingQuery =
+    transform(spark.readStream.schema(schema).parquet(inPath))
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append())
+      .start()
+}

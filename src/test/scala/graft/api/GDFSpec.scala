@@ -1,0 +1,119 @@
+package graft.api
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** GDF wrapper API semantics (reference test style: small frames, several
+  * partitions, compare to expected — SURVEY §5).
+  */
+class GDFSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def df = GDF(Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0),
+    (4L, "c", 40.0), (5L, "b", 50.0), (6L, "a", 60.0)
+  ).toDF("id", "k", "v").repartition(3))
+
+  test("select/filter/assign/drop/rename compose") {
+    val out = df.filter(col("v") > 15)
+      .assign("v2", col("v") * 2)
+      .drop("v")
+      .rename("v2" -> "doubled")
+      .select("id", "doubled")
+    assert(out.columns == Seq("id", "doubled"))
+    assert(out.df.as[(Long, Double)].collect().toMap == Map(
+      2L -> 40.0, 3L -> 60.0, 4L -> 80.0, 5L -> 100.0, 6L -> 120.0))
+  }
+
+  test("groupby agg spec with aliases") {
+    val out = df.groupby("k").aggAliased(("v", "sum", "total"), ("v", "count", "n")).df
+    assert(out.columns.toSeq == Seq("k", "total", "n"))
+    val m = df.groupby("k").aggAliased(("v", "sum", "total"))
+      .df.as[(String, Double)].collect().toMap
+    assert(m == Map("a" -> 100.0, "b" -> 70.0, "c" -> 40.0))
+  }
+
+  test("merge inner/left with suffixes") {
+    val right = GDF(Seq((1L, 100.0), (2L, 200.0)).toDF("id", "v"))
+    val m = df.merge(right, on = Seq("id"), how = "inner")
+    assert(m.columns.toSet == Set("id", "k", "v_x", "v_y"))
+    assert(m.count() == 2)
+    val l = df.merge(right, on = Seq("id"), how = "left")
+    assert(l.count() == 6)
+  }
+
+  test("setIndex records sorted divisions; loc prunes by range") {
+    val ix = df.setIndex("id", numPartitions = 3)
+    assert(ix.index.contains(IndexMeta(Seq("id"), sorted = true)))
+    assert(ix.loc(2L, 4L).count() == 3)
+  }
+
+  test("dropDuplicatesKeep first/last via index order") {
+    val ix = df.setIndex("id", numPartitions = 2)
+    val first = ix.dropDuplicatesKeep(Seq("k"), "first").df
+      .select("k", "id").as[(String, Long)].collect().toMap
+    assert(first == Map("a" -> 1L, "b" -> 2L, "c" -> 4L))
+    val last = ix.dropDuplicatesKeep(Seq("k"), "last").df
+      .select("k", "id").as[(String, Long)].collect().toMap
+    assert(last == Map("a" -> 6L, "b" -> 5L, "c" -> 4L))
+  }
+
+  test("valueCounts orders by count desc") {
+    val vc = df.valueCounts("k").df.as[(String, Long)].collect()
+    assert(vc.head == ("a", 3L))
+    assert(vc.toMap == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("melt produces long format") {
+    val m = GDF(Seq((1L, 2.0, 3.0)).toDF("id", "x", "y"))
+      .melt(Seq("id"), Seq("x", "y")).df.collect()
+    assert(m.length == 2)
+  }
+
+  test("pivotTable + getDummies") {
+    val p = df.pivotTable("k", "k", "v", "count", knownValues = Seq("a", "b", "c")).df
+    assert(p.columns.toSet == Set("k", "a", "b", "c"))
+    val dums = df.getDummies("k", Seq("a", "b", "c")).df
+    assert(dums.columns.count(_.startsWith("k_")) == 3)
+    assert(dums.agg(sum(col("k_a"))).head().getLong(0) == 3L)
+  }
+
+  test("rolling via index: global path uses MapOverlap, keyed path uses window") {
+    val ix = df.setIndex("id", numPartitions = 3)
+    val global = ix.rolling(2).sum("v", "rs")
+    val got = global.select("id", "rs").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 10.0 && got(2L) == 30.0 && got(6L) == 110.0)
+    val keyed = ix.rolling(2, partitionBy = Seq("k")).sum("v", "rs")
+    val gk = keyed.select("id", "rs").as[(Long, Double)].collect().toMap
+    assert(gk(3L) == 40.0) // a: 10 + 30
+  }
+
+  test("cumsum/shift/diff/ffill require a sorted index") {
+    intercept[IllegalArgumentException](df.cumsum("v", "cs"))
+    val ix = df.setIndex("id", numPartitions = 3)
+    val cs = ix.cumsum("v", "cs").df.select("id", "cs").as[(Long, Double)].collect().toMap
+    assert(cs(6L) == 210.0)
+    val sh = ix.shift("v", 1, "pv").df.select("id", "pv").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(sh(1L).isEmpty && sh(2L).contains(10.0))
+  }
+
+  test("concat unions by name with missing columns") {
+    val other = GDF(Seq((7L, "d")).toDF("id", "k"))
+    val c = df.concat(other)
+    assert(c.count() == 7)
+    assert(c.df.filter(col("id") === 7).head().isNullAt(2))
+  }
+
+  test("timeseries generator is deterministic and index-sorted") {
+    val ts = graft.sources.Timeseries(spark, 1704067200L, 1000, freqSec = 1, numPartitions = 4)
+    assert(ts.index.exists(_.sorted))
+    // per-row values are a pure function of the row id → bit-identical
+    // across partition layouts (sum order may differ, so compare rows)
+    val a = ts.df.select("timestamp", "x").orderBy("timestamp").limit(20).collect().toSeq
+    val b = graft.sources.Timeseries(spark, 1704067200L, 1000, freqSec = 1, numPartitions = 8)
+      .df.select("timestamp", "x").orderBy("timestamp").limit(20).collect().toSeq
+    assert(a == b)
+    assert(ts.df.select("name").distinct().count() > 5)
+  }
+}

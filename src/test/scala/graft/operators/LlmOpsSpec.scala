@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.functions.Hashing
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / text-analysis operator semantics. */
+class LlmOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "dog lazy the over jumps fox brown quick the"), // word-shuffle of 1
+    (4L, "completely different content about spark engines and shuffles"),
+    (5L, "the quick brown fox jumps over the lazy cat") // one word changed
+  ).toDF("doc_id", "text").repartition(3)
+
+  test("exact dedup groups word-multiset-equal docs") {
+    val groups = Dedup.exact(docs, "doc_id", "text").collect()
+    val g = groups.map(r => r.getLong(r.fieldIndex("keep_id")) ->
+      r.getLong(r.fieldIndex("group_size"))).toMap
+    assert(g(1L) == 3L) // docs 1,2,3 share a word multiset
+    assert(g(4L) == 1L && g(5L) == 1L)
+    // byte-exact mode separates the shuffled copy
+    val exactG = Dedup.exact(docs, "doc_id", "text", byteExact = true).collect()
+      .map(r => r.getLong(r.fieldIndex("keep_id")) -> r.getLong(r.fieldIndex("group_size"))).toMap
+    assert(exactG(1L) == 2L && exactG(3L) == 1L)
+  }
+
+  test("minhash near-dups finds the high-jaccard pairs and skips low ones") {
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+      threshold = 0.5, shingleSize = 1, bands = 16, rowsPerBand = 2)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(pairs.forall { case (a, b) => Set(a, b).intersect(Set(4L)).isEmpty })
+  }
+
+  test("ngramJaccard is 1 for identical, 0 for disjoint") {
+    assert(Hashing.ngramJaccard("a b c", "a b c", 2) == 1.0)
+    assert(Hashing.ngramJaccard("a b c", "x y z", 2) == 0.0)
+  }
+
+  test("simhash: identical multisets collide, near texts are close") {
+    val h1 = Hashing.simhash64(docs.filter($"doc_id" === 1).head().getString(1))
+    val h3 = Hashing.simhash64(docs.filter($"doc_id" === 3).head().getString(1))
+    val h4 = Hashing.simhash64(docs.filter($"doc_id" === 4).head().getString(1))
+    assert(h1 == h3) // order-independent
+    assert(java.lang.Long.bitCount(h1 ^ h4) > 10)
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxDistance = 3)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+  }
+
+  test("cosine similarity: known vectors") {
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 1), "vec_id", "embedding", 2)
+      .select("neighbor_id", "sim").as[(Long, Double)].collect().toMap
+    assert(math.abs(topk(3L) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(topk(2L)) < 1e-12)
+  }
+
+  test("lsh buckets: identical vectors share a bucket") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)),
+      (3L, Seq(-1.0f, -2.0f, -3.0f))).toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(df, "vec_id", "embedding", planes = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(b(1L) == b(2L))
+    assert(b(1L) != b(3L)) // antipodal vector flips every sign bit
+  }
+
+  test("langId: marker words decide; tie-break by list order") {
+    val d = Seq((1L, "the cat is in the house"), (2L, "der hund ist nicht da"),
+      (3L, "xyzzy qwerty")).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(d, "text").select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "de")
+    assert(out(3L) == "en") // zero hits everywhere → first language wins
+  }
+
+  test("tokenCounts and quality metrics") {
+    val d = Seq((1L, "hello world, this is a test!")).toDF("doc_id", "text")
+    val tc = TextAnalysis.tokenCounts(d, "text").head()
+    assert(tc.getAs[Long]("ws_tokens") == 6L)
+    assert(tc.getAs[Long]("re_tokens") == 8L) // 6 words + ',' + '!'
+    val q = TextAnalysis.qualityScore(d, "text").head()
+    val score = q.getAs[Double]("quality_score")
+    assert(score >= 0.0 && score <= 1.0)
+    assert(q.getAs[Double]("stopword_ratio") > 0.0) // "this/is/a" markers: is, a
+  }
+
+  test("multimodal plumbing: schema, byte_len, deterministic stub features") {
+    val media = Multimodal.fromDocuments(docs, "doc_id", "text")
+    assert(media.schema.fieldNames.toSet == Set("media_id", "modality", "payload", "meta"))
+    val feats = Multimodal.extractFeatures(media, featureDim = 4).collect()
+    val fIdx = feats.head.fieldIndex("features")
+    assert(feats.forall(_.getSeq[Float](fIdx).length == 4))
+    val f1 = feats.find(_.getLong(0) == 1L).get.getSeq[Float](fIdx)
+    val f2 = feats.find(_.getLong(0) == 2L).get.getSeq[Float](fIdx)
+    assert(f1.toList == f2.toList) // same payload → same stub features
+    val doc1len = docs.filter($"doc_id" === 1).head().getString(1).length
+    assert(feats.find(_.getLong(0) == 1L).get.getAs[Long]("byte_len") == doc1len)
+  }
+}
