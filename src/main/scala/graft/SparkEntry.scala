@@ -372,11 +372,13 @@ object SparkEntry {
       graft.operators.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
         .select(col("keep_id"), col("group_size"))
     },
-    // MinHash-LSH near-duplicate pairs, exact-Jaccard verified (unigram
-    // shingles: the fixture's near-dups are word-shuffled copies)
+    // MinHash-LSH near-duplicate pairs, exact-Jaccard verified (bigram
+    // shingles: the fixture's near-dups are lightly-edited copies with
+    // ~0.99 bigram jaccard; unigram shingles would degenerate on the
+    // tiny synthetic vocabulary — every doc contains most words)
     "q51_minhash_neardups" -> { (s, dir) =>
       graft.operators.Dedup.nearDuplicates(
-        t(s, dir, "documents"), "doc_id", "text", threshold = 0.8, shingleSize = 1)
+        t(s, dir, "documents"), "doc_id", "text", threshold = 0.8, shingleSize = 2)
     },
     // per-doc SimHash fingerprints + hamming near-dup pairs
     "q52_simhash_neardups" -> { (s, dir) =>
