@@ -269,6 +269,55 @@ object SparkEntry {
       c.concat(sup).groupby("src").countRows("n").df
     },
 
+    // ---- §2.3 dropna over injected nulls --------------------------------
+    "q25_dropna" -> { (s, dir) =>
+      val ev = GDF(t(s, dir, "events")
+        .withColumn("value", when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value"))))
+      ev.dropna(subset = Seq("value"))
+        .groupby("event_type")
+        .aggAliased(("value", "count", "n"), ("value", "sum", "sum_value"))
+        .assign("sum_value", round(col("sum_value"), 4))
+        .df
+    },
+    // ---- §2.3 replace ----------------------------------------------------
+    "q26_replace" -> { (s, dir) =>
+      g(s, dir, "orders")
+        .replaceValues(Seq("o_orderstatus"),
+          Map("F" -> "FINISHED", "O" -> "OPEN", "P" -> "PENDING"))
+        .groupby("o_orderstatus").countRows("n").df
+    },
+    // ---- §2.8 get_dummies (one-hot over known categories) ---------------
+    "q27_get_dummies" -> { (s, dir) =>
+      g(s, dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .getDummies("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"), prefix = "pr")
+        .groupby("o_orderstatus")
+        .aggAliased(
+          ("pr_1-URGENT", "sum", "n_urgent"), ("pr_2-HIGH", "sum", "n_high"),
+          ("pr_3-MEDIUM", "sum", "n_medium"), ("pr_4-NOT SPECIFIED", "sum", "n_notspec"),
+          ("pr_5-LOW", "sum", "n_low"))
+        .df
+    },
+    // ---- §2.8 intersect / except (native Spark set ops) -----------------
+    "q28_setops" -> { (s, dir) =>
+      val f = g(s, dir, "orders").filter(col("o_orderstatus") === "F").select("o_custkey")
+      val o = g(s, dir, "orders").filter(col("o_orderstatus") === "O").select("o_custkey")
+      val both = f.intersect(o).assign("kind", lit("both"))
+      val fOnly = f.exceptRows(o).assign("kind", lit("f_only"))
+      both.concat(fOnly).groupby("kind").countRows("n").df
+    },
+    // ---- §2.8 concat axis=1 (align on key = full outer join) ------------
+    "q29_concat_axis1" -> { (s, dir) =>
+      val c = g(s, dir, "customer").groupby("c_nationkey").countRows("n_cust")
+        .rename("c_nationkey" -> "nationkey")
+      val sup = g(s, dir, "supplier").groupby("s_nationkey").countRows("n_supp")
+        .rename("s_nationkey" -> "nationkey")
+      c.concatAxis1(sup, on = "nationkey")
+        .fillna(0L, Seq("n_cust", "n_supp"))
+        .df
+    },
+
     // ---- §2.6 ordered/temporal family on events -------------------------
     // global rolling sum via MapOverlap ghost rows (scalable path)
     "q30_rolling_global" -> { (s, dir) =>
@@ -366,6 +415,85 @@ object SparkEntry {
         .groupBy(col("device")).agg(count(lit(1)).as("n"))
     },
 
+    // ---- §2.5 mode (deterministic tie-break) ----------------------------
+    "q41_mode" -> { (s, dir) =>
+      g(s, dir, "lineitem").modeOf("l_quantity", "mode_qty").df
+    },
+    // ---- §2.5 first/last by composite order (min_by/max_by on struct) ---
+    "q42_group_firstlast" -> { (s, dir) =>
+      val li = g(s, dir, "lineitem")
+      val ord = Seq("l_shipdate", "l_orderkey", "l_linenumber")
+      li.groupby("l_returnflag").firstByOrd("l_extendedprice", ord, "first_price")
+        .concatAxis1(
+          li.groupby("l_returnflag").lastByOrd("l_extendedprice", ord, "last_price"),
+          on = "l_returnflag")
+        .df
+    },
+    // ---- §2.10 per-group UDTF apply (flatMapGroups) ---------------------
+    "q43_group_apply" -> { (s, dir) =>
+      import s.implicits._
+      // integer cents so the per-group arithmetic is exact (float sums
+      // are accumulation-order-dependent and can't hash-match an oracle)
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[(Long, Long, Long)]
+      // scaled demeaning within each user — the dask GroupBy.apply shape:
+      // whole group shuffled to one task, arbitrary Scala on the group
+      ev.groupByKey(_._1)
+        .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Long)]) =>
+          val rows = it.toIndexedSeq
+          val total = rows.map(_._3).sum
+          val n = rows.size
+          rows.map { case (_, eid, c) => (eid, n * c - total) }
+        }
+        .toDF("event_id", "demeaned_scaled")
+    },
+    // ---- §2.10 custom Aggregator UDAFs (dd.Aggregation / reduction) -----
+    "q44_custom_udaf" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(graft.functions.Aggregators.geometricMean(col("l_quantity").cast("double")), 4)
+            .as("geo_qty"),
+          round(graft.functions.Aggregators.weightedMean(
+            col("l_extendedprice").cast("double"), col("l_quantity").cast("double")), 4)
+            .as("wavg_price"))
+    },
+    // ---- §2.6 expanding window per key ----------------------------------
+    "q45_expanding" -> { (s, dir) =>
+      // expanding sum over integer cents: exact at any accumulation order
+      val ev = t(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      graft.api.GRolling.expanding(
+          ev, Seq("ts", "event_id"), Seq("user_id"), "cents", "exp_sum", "sum")
+        .select(col("event_id"), col("exp_sum"))
+    },
+    // ---- §2.6 time-range rolling (rangeBetween) -------------------------
+    "q46_rolling_range" -> { (s, dir) =>
+      val ev = GDF(t(s, dir, "events")).withIndex("ts")
+      new graft.api.GRolling(ev.df, 0, Seq("ts"), Seq("user_id"), 1)
+        .sumRange("value", "range_sum", 600)
+        .select(col("event_id"), round(col("range_sum"), 4).as("range_sum"))
+    },
+    // ---- §2.11 histogram -------------------------------------------------
+    "q47_histogram" -> { (s, dir) =>
+      graft.operators.ArrayAlgs.histogram(t(s, dir, "lineitem"), "l_extendedprice",
+        0.0, 110000.0, 11)
+    },
+    // ---- §2.11 digitize / searchsorted ----------------------------------
+    "q48_digitize" -> { (s, dir) =>
+      val bucket = graft.operators.ArrayAlgs.digitize(
+        t(s, dir, "customer"), "c_acctbal", Seq(0.0, 1000.0, 5000.0))
+      t(s, dir, "customer").select(col("c_custkey"), bucket)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    },
+    // ---- §2.11 pairwise correlation matrix (single scan) ----------------
+    "q49_corr_matrix" -> { (s, dir) =>
+      graft.operators.ArrayAlgs.corrMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+    },
+
     // ---- LLM-pipeline extensions ---------------------------------------
     // exact dedup on canonicalized text (order-insensitive word multiset)
     "q50_dedup_exact" -> { (s, dir) =>
@@ -432,6 +560,91 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text")
       graft.operators.Multimodal.extractFeatures(media, featureDim = 8)
         .select(col("media_id"), col("modality"), col("byte_len"))
+    },
+    // embedding-cosine near-duplicate pairs (exact; composes with LSH
+    // buckets at corpus scale — see Similarity.exactNearDupPairs)
+    "q61_embedding_neardups" -> { (s, dir) =>
+      // exact pairs on a stride subset (all-pairs is the oracle-checkable
+      // baseline; the corpus-scale path is LSH-bucketed — q55/q56)
+      val vecs = t(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)
+      graft.operators.Similarity.exactNearDupPairs(
+          vecs, "vec_id", "embedding", threshold = 0.95)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+    },
+
+    // ---- §2.1/§2.2 IO roundtrips (csv / json / orc) ---------------------
+    "q62_csv_roundtrip" -> { (s, dir) =>
+      val path = "/tmp/graft_io/nation_csv"
+      graft.sources.IO.toCsv(t(s, dir, "nation"), path)
+      graft.sources.IO.readCsv(s, path).df
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"), max(col("n_name")).as("max_name"))
+    },
+    "q63_json_roundtrip" -> { (s, dir) =>
+      val path = "/tmp/graft_io/supplier_json"
+      graft.sources.IO.toJson(t(s, dir, "supplier"), path)
+      graft.sources.IO.readJson(s, path).df
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"), round(sum(col("s_acctbal")), 2).as("sum_bal"))
+    },
+    "q64_orc_roundtrip" -> { (s, dir) =>
+      val path = "/tmp/graft_io/orders_orc"
+      graft.sources.IO.toOrc(t(s, dir, "orders"), path)
+      graft.sources.IO.readOrc(s, path).df
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+    },
+
+    // ---- §2.4 merge_asof forward / nearest ------------------------------
+    "q65_asof_forward" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"))
+        .agg(round(max(col("o_totalprice")), 2).as("next_price"))
+      graft.operators.MergeAsof(ev, ord, on = "ts", by = Seq("user_id"),
+          direction = "forward")
+        .select(col("event_id"), col("next_price"))
+    },
+
+    // ---- §2.5 order-aware dedup (keep="first") --------------------------
+    "q66_dedup_keepfirst" -> { (s, dir) =>
+      GDF(t(s, dir, "events"))
+        .withIndexCols(Seq("ts", "event_id"))
+        .dropDuplicatesKeep(Seq("user_id"), keep = "first")
+        .select("user_id", "event_id")
+        .df
+    },
+
+    // ---- §2.3 sample / random_split (seeded; rows-only check) -----------
+    "q67_sample" -> { (s, dir) =>
+      val parts = g(s, dir, "lineitem").randomSplit(Array(0.8, 0.2), seed = 7L)
+      val sampled = g(s, dir, "lineitem").sample(0.1, seed = 7L)
+      parts(0).assign("split", lit("train")).select("split", "l_orderkey")
+        .concat(
+          parts(1).assign("split", lit("test")).select("split", "l_orderkey"),
+          sampled.assign("split", lit("sample")).select("split", "l_orderkey"))
+        .groupby("split").countRows("n").df
+    },
+
+    // ---- §2.5 nunique_approx: HLL++ within declared rsd -----------------
+    "q68_nunique_approx" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.05).as("approx"),
+          countDistinct(col("l_partkey")).as("exact"))
+        .select((abs(col("approx") - col("exact")) / col("exact") <= 0.05)
+          .as("within_tolerance"))
+    },
+
+    // ---- §2.1 seeded demo generator (dask.datasets.timeseries) ----------
+    "q69_timeseries" -> { (s, dir) =>
+      graft.sources.Timeseries(s, startEpochSec = 946684800L, rows = 100000L,
+          freqSec = 1, seed = 42L, numPartitions = 8)
+        .groupby("name")
+        .aggAliased(("x", "mean", "mean_x"), ("y", "sum", "sum_y"), ("id", "count", "n"))
+        .assign("mean_x", round(col("mean_x"), 4))
+        .assign("sum_y", round(col("sum_y"), 4))
+        .df
     })
 
   /** DuckDB-equivalent SQL per query (column names aligned with the Spark
@@ -585,6 +798,96 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT s_name AS name, 'supplier' AS src FROM supplier
         |) GROUP BY 1""".stripMargin,
+    "q25_dropna" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events WHERE event_id % 7 <> 0
+        |GROUP BY 1""".stripMargin,
+    "q26_replace" ->
+      """SELECT CASE o_orderstatus WHEN 'F' THEN 'FINISHED' WHEN 'O' THEN 'OPEN'
+        |  WHEN 'P' THEN 'PENDING' ELSE o_orderstatus END AS o_orderstatus,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q27_get_dummies" ->
+      """SELECT o_orderstatus,
+        |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+        |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
+        |  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n_medium,
+        |  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n_notspec,
+        |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n_low
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q28_setops" ->
+      """SELECT kind, count(*) AS n FROM (
+        |  SELECT 'both' AS kind FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |    INTERSECT
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |  UNION ALL
+        |  SELECT 'f_only' AS kind FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |    EXCEPT
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |) GROUP BY 1""".stripMargin,
+    "q29_concat_axis1" ->
+      """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+        |      FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+        |           FROM supplier GROUP BY 1) s USING (nationkey)""".stripMargin,
+    "q41_mode" ->
+      """SELECT l_quantity AS mode_qty FROM (
+        |  SELECT l_quantity, count(*) AS c FROM lineitem GROUP BY 1
+        |  ORDER BY c DESC, l_quantity LIMIT 1)""".stripMargin,
+    "q42_group_firstlast" ->
+      """SELECT l_returnflag,
+        |  first(l_extendedprice ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |    AS first_price,
+        |  last(l_extendedprice ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |    AS last_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q43_group_apply" ->
+      """SELECT event_id,
+        |  CAST(round(value * 100) AS BIGINT) * count(*) OVER w
+        |    - sum(CAST(round(value * 100) AS BIGINT)) OVER w AS demeaned_scaled
+        |FROM events WINDOW w AS (PARTITION BY user_id)""".stripMargin,
+    "q44_custom_udaf" ->
+      """SELECT l_returnflag,
+        |  round(exp(avg(ln(l_quantity))), 4) AS geo_qty,
+        |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q45_expanding" ->
+      """SELECT event_id, sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS exp_sum
+        |FROM events""".stripMargin,
+    "q46_rolling_range" ->
+      """SELECT event_id, round(range_sum, 4) AS range_sum FROM (
+        |  SELECT event_id, sum(value) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS range_sum
+        |  FROM events)""".stripMargin,
+    "q47_histogram" ->
+      """SELECT bin, count(*) AS n, 0.0 + bin * 10000.0 AS bin_lo,
+        |  0.0 + (bin + 1) * 10000.0 AS bin_hi
+        |FROM (SELECT CAST(least(floor(l_extendedprice / 10000.0), 10) AS INTEGER) AS bin
+        |      FROM lineitem WHERE l_extendedprice BETWEEN 0.0 AND 110000.0)
+        |GROUP BY bin""".stripMargin,
+    "q48_digitize" ->
+      """SELECT bucket, count(*) AS n FROM (
+        |  SELECT CAST((CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN c_acctbal >= 1000 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN c_acctbal >= 5000 THEN 1 ELSE 0 END) AS INTEGER) AS bucket
+        |  FROM customer)
+        |GROUP BY 1""".stripMargin,
+    "q49_corr_matrix" ->
+      """SELECT 'l_quantity' AS var1, 'l_extendedprice' AS var2,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_discount',
+        |  round(corr(l_quantity, l_discount), 6) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_discount',
+        |  round(corr(l_extendedprice, l_discount), 6) FROM lineitem""".stripMargin,
     "q30_rolling_global" ->
       """SELECT event_id, round(roll_sum, 4) AS roll_sum FROM (
         |  SELECT event_id, sum(value) OVER (
@@ -696,5 +999,40 @@ object SparkEntry {
     "q60_multimodal" ->
       """SELECT doc_id AS media_id, 'image' AS modality,
         |  octet_length(encode(text)) AS byte_len
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "q61_embedding_neardups" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS sim
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0 AND a.vec_id < b.vec_id
+        |  AND list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+        |    (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+        |     sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.95""".stripMargin,
+    "q62_csv_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n_nations, max(n_name) AS max_name
+        |FROM nation GROUP BY 1""".stripMargin,
+    "q63_json_roundtrip" ->
+      """SELECT s_nationkey, count(*) AS n_supp, round(sum(s_acctbal), 2) AS sum_bal
+        |FROM supplier GROUP BY 1""".stripMargin,
+    "q64_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q65_asof_forward" ->
+      """SELECT e.event_id, o.next_price
+        |FROM events e ASOF LEFT JOIN (
+        |  SELECT o_custkey AS user_id, o_orderdate AS ots,
+        |    round(max(o_totalprice), 2) AS next_price
+        |  FROM orders GROUP BY 1, 2) o
+        |ON e.user_id = o.user_id AND e.ts <= o.ots""".stripMargin,
+    "q66_dedup_keepfirst" ->
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    // the tolerance assertion is evaluated on the Spark side (approx vs
+    // exact in one plan); the oracle just pins the expected verdict
+    "q68_nunique_approx" ->
+      "SELECT CAST(1 AS BOOLEAN) AS within_tolerance")
 }

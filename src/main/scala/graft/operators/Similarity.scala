@@ -63,6 +63,28 @@ object Similarity {
                  planes: Int = 12): DataFrame =
     vectors.select(col(idCol), bucketUdf(col(vecCol), lit(planes)).as("bucket"))
 
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    * threshold) — the embedding leg of the dedup suite (SURVEY §7.2 M5).
+    * Exact all-pairs within the broadcastable side; at corpus scale the
+    * same call composes with [[lshBuckets]]: join on bucket first, so only
+    * same-bucket candidates pay the cosine (see [[annTopK]]).
+    */
+  def exactNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame = {
+    // norms and double-casts are O(n) pre-passes; each of the O(n²) pairs
+    // then pays exactly one index-ordered dot product
+    val prepped = vectors.select(
+      col(idCol),
+      transform(col(vecCol), _.cast("double")).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val a = prepped.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = prepped.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Bucketed ANN: candidates restricted to the query's bucket, then exact
     * cosine rank within the bucket — the IVF pattern (coarse quantize →
     * exact re-rank).  Recall is tunable by `planes` (fewer planes → bigger
