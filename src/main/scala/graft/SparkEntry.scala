@@ -636,6 +636,88 @@ object SparkEntry {
           .as("within_tolerance"))
     },
 
+    // ---- §2.9 str accessor surface (StrFunctions) -----------------------
+    "q70_str_surface" -> { (s, dir) =>
+      import graft.functions.StrFunctions
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        StrFunctions.capitalize(col("p_name")).as("cap_name"),
+        StrFunctions.zfill(col("p_brand"), 12).as("zbrand"),
+        StrFunctions.extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+        StrFunctions.count(col("p_name"), "a").cast("long").as("n_a"),
+        StrFunctions.swapcase(col("p_brand")).as("swap_brand"),
+        StrFunctions.removeprefix(col("p_type"), "STANDARD").as("no_std"),
+        StrFunctions.startswith(col("p_name"), "b").as("starts_b"))
+    },
+    // ---- §2.9 dt accessor surface (DtFunctions) -------------------------
+    "q71_dt_surface" -> { (s, dir) =>
+      import graft.functions.DtFunctions
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        DtFunctions.dayName(col("o_orderdate")).as("day_name"),
+        DtFunctions.monthName(col("o_orderdate")).as("month_name"),
+        DtFunctions.daysInMonth(col("o_orderdate")).cast("int").as("dim"),
+        DtFunctions.isMonthStart(col("o_orderdate")).as("is_ms"),
+        DtFunctions.dayofyear(col("o_orderdate")).cast("int").as("doy"),
+        DtFunctions.toPeriodMonth(col("o_orderdate")).as("period"))
+    },
+    // ---- §2.5 describe (long-form exact stats, one scan) ----------------
+    "q72_describe" -> { (s, dir) =>
+      val wide = t(s, dir, "lineitem").agg(
+        count(col("l_quantity")).cast("double").as("q_count"),
+        round(avg(col("l_quantity")), 4).as("q_mean"),
+        round(stddev_samp(col("l_quantity")), 4).as("q_std"),
+        round(min(col("l_quantity")), 4).as("q_min"),
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("q_p50"),
+        round(max(col("l_quantity")), 4).as("q_max"))
+      wide.select(explode(array(
+        struct(lit("count").as("stat"), col("q_count").as("l_quantity")),
+        struct(lit("mean").as("stat"), col("q_mean").as("l_quantity")),
+        struct(lit("std").as("stat"), col("q_std").as("l_quantity")),
+        struct(lit("min").as("stat"), col("q_min").as("l_quantity")),
+        struct(lit("p50").as("stat"), col("q_p50").as("l_quantity")),
+        struct(lit("max").as("stat"), col("q_max").as("l_quantity")))).as("s"))
+        .select(col("s.stat").as("stat"), col("s.l_quantity").as("l_quantity"))
+    },
+    // ---- §2.6 rolling min/max/std per key -------------------------------
+    "q73_rolling_minmax" -> { (s, dir) =>
+      val ev = GDF(t(s, dir, "events")).withIndex("ts")
+      val r = new graft.api.GRolling(ev.df, 4, Seq("ts", "event_id"), Seq("user_id"), 1)
+      val withMin = r.min("value", "roll_min")
+      val withMax = new graft.api.GRolling(withMin, 4, Seq("ts", "event_id"), Seq("user_id"), 1)
+        .max("value", "roll_max")
+      new graft.api.GRolling(withMax, 4, Seq("ts", "event_id"), Seq("user_id"), 2)
+        .std("value", "roll_std")
+        .select(col("event_id"), round(col("roll_min"), 4).as("roll_min"),
+          round(col("roll_max"), 4).as("roll_max"), round(col("roll_std"), 4).as("roll_std"))
+    },
+    // ---- §2.5 groupby head + cumcount -----------------------------------
+    "q74_group_headtail" -> { (s, dir) =>
+      g(s, dir, "orders")
+        .groupby("o_custkey")
+        .headPerGroupOrd(2, Seq("o_orderdate", "o_orderkey"))
+        .select("o_custkey", "o_orderkey")
+        .df
+    },
+    // ---- §2.5 value_counts(normalize=True) ------------------------------
+    "q75_value_counts_norm" -> { (s, dir) =>
+      g(s, dir, "orders").valueCounts("o_orderpriority", normalize = true)
+        .assign("proportion", round(col("proportion"), 6))
+        .df
+    },
+    // ---- §2.6/§2.10 generic map_overlap UDF: global rolling median ------
+    "q76_map_overlap_udf" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .orderBy(col("ts"), col("event_id"))
+        .select(col("event_id"), col("ts"), col("value"))
+      val rolled = graft.operators.MapOverlap.rollingAgg(ev, "value", 5, "roll_med", 1) { xs =>
+        val sorted = xs.sorted
+        val n = sorted.size
+        if (n % 2 == 1) sorted(n / 2) else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+      }
+      rolled.select(col("event_id"), round(col("roll_med"), 4).as("roll_med"))
+    },
+
     // ---- §2.1 seeded demo generator (dask.datasets.timeseries) ----------
     "q69_timeseries" -> { (s, dir) =>
       graft.sources.Timeseries(s, startEpochSec = 946684800L, rows = 100000L,
@@ -1034,5 +1116,60 @@ object SparkEntry {
     // the tolerance assertion is evaluated on the Spark side (approx vs
     // exact in one plan); the oracle just pins the expected verdict
     "q68_nunique_approx" ->
-      "SELECT CAST(1 AS BOOLEAN) AS within_tolerance")
+      "SELECT CAST(1 AS BOOLEAN) AS within_tolerance",
+    "q70_str_surface" ->
+      """SELECT p_partkey,
+        |  concat(upper(substr(p_name, 1, 1)), lower(substr(p_name, 2))) AS cap_name,
+        |  lpad(p_brand, 12, '0') AS zbrand,
+        |  regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        |  CAST(len(regexp_extract_all(p_name, 'a')) AS BIGINT) AS n_a,
+        |  translate(p_brand,
+        |    'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |    'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz') AS swap_brand,
+        |  CASE WHEN starts_with(p_type, 'STANDARD') THEN substr(p_type, 9)
+        |       ELSE p_type END AS no_std,
+        |  starts_with(p_name, 'b') AS starts_b
+        |FROM part""".stripMargin,
+    "q71_dt_surface" ->
+      """SELECT o_orderkey,
+        |  dayname(o_orderdate) AS day_name,
+        |  monthname(o_orderdate) AS month_name,
+        |  CAST(day(last_day(o_orderdate)) AS INTEGER) AS dim,
+        |  day(o_orderdate) = 1 AS is_ms,
+        |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        |  strftime(o_orderdate, '%Y-%m') AS period
+        |FROM orders""".stripMargin,
+    "q72_describe" ->
+      """SELECT 'count' AS stat, CAST(count(l_quantity) AS DOUBLE) AS l_quantity FROM lineitem
+        |UNION ALL SELECT 'mean', round(avg(l_quantity), 4) FROM lineitem
+        |UNION ALL SELECT 'std', round(stddev_samp(l_quantity), 4) FROM lineitem
+        |UNION ALL SELECT 'min', round(min(l_quantity), 4) FROM lineitem
+        |UNION ALL SELECT 'p50', round(quantile_cont(l_quantity, 0.5), 4) FROM lineitem
+        |UNION ALL SELECT 'max', round(max(l_quantity), 4) FROM lineitem""".stripMargin,
+    "q73_rolling_minmax" ->
+      """SELECT event_id, round(roll_min, 4) AS roll_min,
+        |  round(roll_max, 4) AS roll_max, round(roll_std, 4) AS roll_std
+        |FROM (
+        |  SELECT event_id,
+        |    min(value) OVER w AS roll_min,
+        |    max(value) OVER w AS roll_max,
+        |    CASE WHEN count(*) OVER w >= 2 THEN stddev_samp(value) OVER w END AS roll_std
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))""".stripMargin,
+    "q74_group_headtail" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin,
+    "q75_value_counts_norm" ->
+      """SELECT o_orderpriority,
+        |  round(count(*)::DOUBLE / (SELECT count(*) FROM orders), 6) AS proportion
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q76_map_overlap_udf" ->
+      """SELECT event_id, round(roll_med, 4) AS roll_med FROM (
+        |  SELECT event_id, median(value) OVER (
+        |    ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_med
+        |  FROM events)""".stripMargin)
 }

@@ -1,0 +1,71 @@
+package graft.api
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+
+/** Bag-parity functional API (reference `dask/bag/core.py:455`):
+  * unordered partitioned collections with a free-form functional surface
+  * — map/filter/fold/foldby/frequencies/topk/distinct/join/product.
+  *
+  * Spark-first: `Dataset[T]` is the typed equivalent (encoder-backed,
+  * Tungsten-serialized); fold/foldby compile to `reduceGroups`-style
+  * partial aggregation, so the reference's `split_every` combine trees
+  * (`bag/core.py:867,1236`) are Spark's map-side combine for free.
+  */
+final class GBag[T](val ds: Dataset[T]) extends Serializable {
+
+  def spark: SparkSession = ds.sparkSession
+
+  def map[U: Encoder](f: T => U): GBag[U] = new GBag(ds.map(f))
+  def filter(p: T => Boolean): GBag[T] = new GBag(ds.filter(p))
+  def flatMap[U: Encoder](f: T => IterableOnce[U]): GBag[U] = new GBag(ds.flatMap(f))
+  def mapPartitions[U: Encoder](f: Iterator[T] => Iterator[U]): GBag[U] =
+    new GBag(ds.mapPartitions(f))
+
+  /** bag `fold(binop)` — tree-reduced on executors (`bag/core.py:867`). */
+  def fold(binop: (T, T) => T): T = ds.reduce(binop)
+
+  /** bag `foldby(key, binop, initial, combine)` (`bag/core.py:1236`):
+    * per-key fold with partial (map-side) aggregation — the ACA pattern.
+    */
+  def foldby[K: Encoder, B: Encoder](key: T => K, initial: B)(seq: (B, T) => B)(
+      comb: (B, B) => B)(implicit kb: Encoder[(K, B)]): Dataset[(K, B)] =
+    ds.groupByKey(key).mapGroups { (k, it) =>
+      (k, it.foldLeft(initial)(seq))
+    }
+
+  /** bag `frequencies` (`bag/core.py:934`). */
+  def frequencies(implicit e: Encoder[(T, Long)], ek: Encoder[T]): Dataset[(T, Long)] =
+    ds.groupByKey(identity[T] _).count()
+
+  /** bag `topk(k)(ordering)` (`bag/core.py:953`): per-partition top-k
+    * (`takeOrdered` runs a bounded heap per partition, then merges
+    * npartitions·k candidates on the driver).
+    */
+  def topk(k: Int)(implicit ord: Ordering[T]): Seq[T] =
+    ds.rdd.takeOrdered(k)(ord.reverse).toSeq
+
+  def distinct(): GBag[T] = new GBag(ds.distinct())
+
+  /** bag `product` (`bag/core.py:1219`) — cartesian. */
+  def product[U](other: GBag[U])(implicit e: Encoder[(T, U)]): Dataset[(T, U)] =
+    ds.joinWith(other.ds, org.apache.spark.sql.functions.lit(true), "cross")
+
+  /** bag `join(other, key)` — equi-join by derived key. */
+  def joinBy[U, K](other: GBag[U], kl: T => K, kr: U => K)(
+      implicit ek: Encoder[K], et: Encoder[(K, T)], eu: Encoder[(K, U)],
+      out: Encoder[(T, U)]): Dataset[(T, U)] = {
+    val l = ds.map(t => (kl(t), t))
+    val r = other.ds.map(u => (kr(u), u))
+    l.joinWith(r, l("_1") === r("_1"), "inner").map { case ((_, t), (_, u)) => (t, u) }
+  }
+
+  def toDF(cols: String*): org.apache.spark.sql.DataFrame =
+    if (cols.isEmpty) ds.toDF() else ds.toDF(cols: _*)
+  def compute(): Array[T] = ds.collect()
+}
+
+object GBag {
+  def apply[T](ds: Dataset[T]): GBag[T] = new GBag(ds)
+  def fromSeq[T: Encoder](spark: SparkSession, xs: Seq[T], npartitions: Int = 4): GBag[T] =
+    new GBag(spark.createDataset(xs).repartition(npartitions))
+}

@@ -90,6 +90,8 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
   // ---- windowed per-group ops (no aggregation of rows) ------------------
 
   private def w(orderBy: String) = Window.partitionBy(keys.map(col): _*).orderBy(col(orderBy))
+  private def wOrd(orderBy: Seq[String]) =
+    Window.partitionBy(keys.map(col): _*).orderBy(orderBy.map(col): _*)
 
   /** per-group shift (lag). */
   def shift(c: String, periods: Int, orderBy: String, alias: String): GDF =
@@ -107,6 +109,9 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
   def cumcount(orderBy: String, alias: String = "cumcount"): GDF =
     new GDF(base.withColumn(alias, row_number().over(w(orderBy)) - 1), gdf.index)
 
+  def cumcountOrd(orderBy: Seq[String], alias: String = "cumcount"): GDF =
+    new GDF(base.withColumn(alias, row_number().over(wOrd(orderBy)) - 1), gdf.index)
+
   /** per-group forward-fill. */
   def ffill(c: String, orderBy: String): GDF =
     new GDF(
@@ -122,6 +127,21 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
       base.withColumn("__rn__", row_number().over(w(orderBy)))
         .filter(col("__rn__") <= n).drop("__rn__"),
       None)
+
+  def headPerGroupOrd(n: Int, orderBy: Seq[String]): GDF =
+    new GDF(
+      base.withColumn("__rn__", row_number().over(wOrd(orderBy)))
+        .filter(col("__rn__") <= n).drop("__rn__"),
+      None)
+
+  /** per-group tail — last n rows by `orderBy` within each group. */
+  def tailPerGroupOrd(n: Int, orderBy: Seq[String]): GDF = {
+    val wDesc = Window.partitionBy(keys.map(col): _*).orderBy(orderBy.map(col(_).desc): _*)
+    new GDF(
+      base.withColumn("__rn__", row_number().over(wDesc))
+        .filter(col("__rn__") <= n).drop("__rn__"),
+      None)
+  }
 
   def getGroup(values: Seq[Any]): GDF =
     new GDF(keys.zip(values).foldLeft(base) { case (d, (k, v)) => d.filter(col(k) === v) }, gdf.index)

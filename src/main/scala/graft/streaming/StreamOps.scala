@@ -39,7 +39,7 @@ object StreamOps {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout)(
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
         (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) => {
           val prev = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
           var (n, tot, last) = (prev.nEvents, prev.total, prev.lastTs)

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.api.GBag
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Bag parity (§2.11), linalg (§2.11), and the streaming extension. */
+class BagLinalgStreamSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("bag: map/filter/fold/frequencies/topk/distinct/foldby") {
+    val b = GBag.fromSeq(spark, Seq(1, 2, 2, 3, 3, 3, 4), npartitions = 3)
+    assert(b.map(_ * 2).filter(_ > 4).compute().sorted.toSeq == Seq(6, 6, 6, 8))
+    assert(b.fold(_ + _) == 18)
+    assert(b.frequencies.collect().toMap == Map(1 -> 1L, 2 -> 2L, 3 -> 3L, 4 -> 1L))
+    assert(b.topk(2) == Seq(4, 3))
+    assert(b.distinct().compute().sorted.toSeq == Seq(1, 2, 3, 4))
+    val folded = b.foldby(identity[Int] _, 0)((acc, x) => acc + x)(_ + _).collect().toMap
+    assert(folded == Map(1 -> 1, 2 -> 4, 3 -> 9, 4 -> 4))
+  }
+
+  test("bag: joinBy and product") {
+    val l = GBag.fromSeq(spark, Seq((1, "a"), (2, "b")), 2)
+    val r = GBag.fromSeq(spark, Seq((1, "X"), (3, "Y")), 2)
+    val joined = l.joinBy(r, (t: (Int, String)) => t._1, (u: (Int, String)) => u._1)
+      .collect().toSeq
+    assert(joined == Seq(((1, "a"), (1, "X"))))
+    assert(l.product(r).collect().length == 4)
+  }
+
+  test("linalg: tsqr R, gramian, SVD on a known matrix") {
+    // columns of A: [1,0,0,0] and [1,1,1,1] — gram = [[1,1],[1,4]]
+    val df = Seq(
+      Seq(1.0f, 1.0f), Seq(0.0f, 1.0f), Seq(0.0f, 1.0f), Seq(0.0f, 1.0f)
+    ).toDF("vec")
+    val gram = Linalg.gramian(df, "vec")
+    assert(gram(0, 0) == 1.0 && gram(0, 1) == 1.0 && gram(1, 1) == 4.0)
+
+    // R'R must equal the gramian (QR validity), up to fp noise
+    val r = Linalg.tsqrR(df, "vec")
+    val rtr = Array.tabulate(2, 2) { (i, j) =>
+      (0 to 1).map(k => r(k, i) * r(k, j)).sum
+    }
+    assert(math.abs(rtr(0)(0) - 1.0) < 1e-9 && math.abs(rtr(0)(1) - 1.0) < 1e-9 &&
+      math.abs(rtr(1)(1) - 4.0) < 1e-9)
+
+    val sv = Linalg.singularValues(df, "vec", 2)
+    // singular values are sqrt of eigenvalues of gram: tr=5, det=3
+    val disc = math.sqrt(25.0 - 4 * 3.0)
+    val expected = Seq(math.sqrt((5 + disc) / 2), math.sqrt((5 - disc) / 2))
+    assert(sv.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+  }
+
+  test("streaming: tumbling windowedAgg over a memory stream") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val in = mem.toDF().toDF("ts", "value")
+    val out = StreamOps.windowedAgg(in, "ts", "1 hour", "0 seconds")
+    val q = out.writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((t(0, 10), 1.0), (t(0, 50), 2.0), (t(1, 5), 10.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM win_agg ORDER BY ts").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 3.0)
+    assert(rows(1).getLong(1) == 1 && rows(1).getDouble(2) == 10.0)
+  }
+
+  test("streaming: sessionize keeps per-key state") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[StreamOps.SessionEvent]
+    val out = StreamOps.sessionize(mem.toDS(), gapSeconds = 300)
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("update").start()
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(uid: Long, offsetSec: Long, v: Double) =
+      StreamOps.SessionEvent(uid, new java.sql.Timestamp(base.getTime + offsetSec * 1000), v)
+    mem.addData(ev(1, 0, 1.0), ev(1, 60, 2.0), ev(2, 0, 5.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM sess ORDER BY user_id").collect()
+    q.stop()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1L, 2L, 3.0), (2L, 1L, 5.0)))
+  }
+}
