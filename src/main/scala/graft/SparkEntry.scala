@@ -149,10 +149,14 @@ object SparkEntry {
     },
     // ---- §2.5 exact quantile / median -----------------------------------
     "q12_quantile" -> { (s, dir) =>
-      t(s, dir, "lineitem").agg(
-        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
-        round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99"))
+      // one percentile pass for all three cut points (one value-count map
+      // build + merge instead of three)
+      t(s, dir, "lineitem")
+        .agg(percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9), lit(0.99))).as("ps"))
+        .select(
+          round(col("ps").getItem(0), 4).as("p50"),
+          round(col("ps").getItem(1), 4).as("p90"),
+          round(col("ps").getItem(2), 4).as("p99"))
     },
     // ---- §2.5 corr / cov ------------------------------------------------
     "q13_corr_cov" -> { (s, dir) =>
