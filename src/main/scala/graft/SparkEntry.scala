@@ -722,6 +722,42 @@ object SparkEntry {
       rolled.select(col("event_id"), round(col("roll_med"), 4).as("roll_med"))
     },
 
+    // ---- §2.7 loc: index-range selection with partition pruning ---------
+    "q77_loc" -> { (s, dir) =>
+      g(s, dir, "orders")
+        .setIndex("o_orderdate", numPartitions = 8)
+        .loc("1996-01-01", "1996-12-31")
+        .select("o_orderkey", "o_orderdate")
+        .df
+    },
+    // ---- §2.4 merge(indicator=True) -------------------------------------
+    "q78_merge_indicator" -> { (s, dir) =>
+      val cust = g(s, dir, "customer").select("c_custkey")
+      val ords = g(s, dir, "orders").select("o_custkey").dropDuplicates()
+        .rename("o_custkey" -> "c_custkey")
+      cust.mergeIndicator(ords, on = Seq("c_custkey"))
+        .groupby("_merge").countRows("n").df
+    },
+    // ---- §2.3 bfill across partition boundaries -------------------------
+    "q79_bfill" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("value", when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+        .orderBy(col("ts"), col("event_id"))
+        .select(col("event_id"), col("ts"), col("value"))
+      graft.operators.Fill.bfill(ev, "value")
+        .select(col("event_id"), round(col("value"), 4).as("bfilled_value"))
+    },
+    // ---- §2.4 merge_asof nearest ----------------------------------------
+    "q80_asof_nearest" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"))
+        .agg(round(max(col("o_totalprice")), 2).as("near_price"))
+      graft.operators.MergeAsof(ev, ord, on = "ts", by = Seq("user_id"),
+          direction = "nearest")
+        .select(col("event_id"), col("near_price"))
+    },
+
     // ---- §2.1 seeded demo generator (dask.datasets.timeseries) ----------
     "q69_timeseries" -> { (s, dir) =>
       graft.sources.Timeseries(s, startEpochSec = 946684800L, rows = 100000L,
@@ -1175,5 +1211,41 @@ object SparkEntry {
       """SELECT event_id, round(roll_med, 4) AS roll_med FROM (
         |  SELECT event_id, median(value) OVER (
         |    ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_med
-        |  FROM events)""".stripMargin)
+        |  FROM events)""".stripMargin,
+    "q77_loc" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'""".stripMargin,
+    "q78_merge_indicator" ->
+      """SELECT _merge, count(*) AS n FROM (
+        |  SELECT CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL THEN 'both'
+        |              WHEN c.c_custkey IS NOT NULL THEN 'left_only'
+        |              ELSE 'right_only' END AS _merge
+        |  FROM customer c
+        |  FULL JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |    ON c.c_custkey = o.o_custkey)
+        |GROUP BY 1""".stripMargin,
+    "q79_bfill" ->
+      """SELECT event_id, round(bfilled_value, 4) AS bfilled_value FROM (
+        |  SELECT event_id,
+        |    first_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END IGNORE NULLS)
+        |      OVER (ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |    AS bfilled_value
+        |  FROM events)""".stripMargin,
+    "q80_asof_nearest" ->
+      """WITH ords AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS ots,
+        |    round(max(o_totalprice), 2) AS near_price
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (
+        |  SELECT e.event_id, o.near_price, e.ts - o.ots AS dist
+        |  FROM events e ASOF LEFT JOIN ords o
+        |  ON e.user_id = o.user_id AND e.ts >= o.ots),
+        |f AS (
+        |  SELECT e.event_id, o.near_price, o.ots - e.ts AS dist
+        |  FROM events e ASOF LEFT JOIN ords o
+        |  ON e.user_id = o.user_id AND e.ts <= o.ots)
+        |SELECT b.event_id,
+        |  CASE WHEN b.dist IS NOT NULL AND (f.dist IS NULL OR b.dist <= f.dist)
+        |       THEN b.near_price ELSE f.near_price END AS near_price
+        |FROM b JOIN f USING (event_id)""".stripMargin)
 }

@@ -157,6 +157,24 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
 
   def crossJoin(right: GDF): GDF = new GDF(df.crossJoin(right.df), None)
 
+  /** pandas `merge(indicator=True)` — adds a `_merge` column marking each
+    * row as left_only / right_only / both (`_merge.py:76`). Implemented
+    * with presence flags carried through the join, so it costs nothing
+    * beyond the join itself.
+    */
+  def mergeIndicator(right: GDF, on: Seq[String], how: String = "outer"): GDF = {
+    val l = df.withColumn("__lpresent__", lit(true))
+    val r = right.df.withColumn("__rpresent__", lit(true))
+    val sparkHow = if (how == "outer") "full_outer" else how
+    val joined = l.join(r, on, sparkHow)
+      .withColumn("_merge",
+        when(col("__lpresent__").isNotNull && col("__rpresent__").isNotNull, "both")
+          .when(col("__lpresent__").isNotNull, "left_only")
+          .otherwise("right_only"))
+      .drop("__lpresent__", "__rpresent__")
+    new GDF(joined, None)
+  }
+
   // ---- groupby (SURVEY §2.5) -------------------------------------------
 
   def groupby(cols: String*): GGroupBy = new GGroupBy(this, cols, dropna = true)
