@@ -758,6 +758,65 @@ object SparkEntry {
         .select(col("event_id"), col("near_price"))
     },
 
+    // ---- §2.3 to_datetime / to_numeric / astype family ------------------
+    "q81_astype" -> { (s, dir) =>
+      g(s, dir, "orders")
+        .assign("date_str", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .assign("reparsed", to_timestamp(col("date_str"), "yyyy-MM-dd"))
+        .assign("price_str", format_number(col("o_totalprice"), 2))
+        .assign("price_int", col("o_totalprice").cast("long"))
+        .assign("key_str", col("o_orderkey").cast("string"))
+        .select("o_orderkey", "date_str", "reparsed", "price_int", "key_str")
+        .df
+    },
+    // ---- §2.6 rolling center=True ---------------------------------------
+    "q83_rolling_center" -> { (s, dir) =>
+      // integer cents: centered-frame sums stay order-insensitive
+      val withCents = t(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      new graft.api.GRolling(withCents, 5, Seq("ts", "event_id"), Seq("user_id"), 1)
+        .sumCentered("cents", "roll_csum")
+        .select(col("event_id"), col("roll_csum"))
+    },
+    // ---- §2.5 groupby prod / any / all ----------------------------------
+    "q84_group_prod_anyall" -> { (s, dir) =>
+      g(s, dir, "lineitem")
+        .assign("disc_factor", lit(1.0) + col("l_discount"))
+        .assign("is_big", col("l_quantity") > 25)
+        .groupby("l_partkey")
+        .aggAliased(
+          ("disc_factor", "prod", "prod_factor"),
+          ("is_big", "any", "any_big"),
+          ("is_big", "all", "all_big"))
+        .assign("prod_factor", round(col("prod_factor"), 4))
+        .df
+    },
+    // ---- §2.5 is_monotonic per key --------------------------------------
+    "q85_is_monotonic" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("prev").isNull, true).otherwise(col("value") >= col("prev")))
+          .as("monotonic_inc"))
+    },
+    // ---- §2.5 Len fast path (metadata-only count) -----------------------
+    "q86_len" -> { (s, dir) =>
+      // parquet aggregate pushdown answers this from footers — the
+      // reference's Len-from-statistics rewrite (`_reductions.py:1048`)
+      t(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))
+    },
+    // ---- §2.5 series autocorr (corr with lag-1) -------------------------
+    "q87_autocorr" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("ts"), col("event_id"), col("value"))
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .agg(round(corr(col("value"), col("prev")), 4).as("autocorr"))
+    },
+
     // ---- §2.1 seeded demo generator (dask.datasets.timeseries) ----------
     "q69_timeseries" -> { (s, dir) =>
       graft.sources.Timeseries(s, startEpochSec = 946684800L, rows = 100000L,
@@ -1247,5 +1306,35 @@ object SparkEntry {
         |SELECT b.event_id,
         |  CASE WHEN b.dist IS NOT NULL AND (f.dist IS NULL OR b.dist <= f.dist)
         |       THEN b.near_price ELSE f.near_price END AS near_price
-        |FROM b JOIN f USING (event_id)""".stripMargin)
+        |FROM b JOIN f USING (event_id)""".stripMargin,
+    "q81_astype" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS date_str,
+        |  strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS reparsed,
+        |  CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+        |  CAST(o_orderkey AS VARCHAR) AS key_str
+        |FROM orders""".stripMargin,
+    "q83_rolling_center" ->
+      """SELECT event_id, sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS roll_csum
+        |FROM events""".stripMargin,
+    "q84_group_prod_anyall" ->
+      """SELECT l_partkey, round(product(1.0 + l_discount), 4) AS prod_factor,
+        |  bool_or(l_quantity > 25) AS any_big,
+        |  bool_and(l_quantity > 25) AS all_big
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q85_is_monotonic" ->
+      """SELECT user_id, bool_and(CASE WHEN prev IS NULL THEN true
+        |    ELSE value >= prev END) AS monotonic_inc
+        |FROM (SELECT user_id, value,
+        |        lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |      FROM events)
+        |GROUP BY 1""".stripMargin,
+    "q86_len" ->
+      "SELECT count(*) AS n_rows FROM lineitem",
+    "q87_autocorr" ->
+      """SELECT round(corr(value, prev), 4) AS autocorr FROM (
+        |  SELECT value, lag(value, 1) OVER (ORDER BY ts, event_id) AS prev
+        |  FROM events)""".stripMargin)
 }

@@ -57,6 +57,22 @@ final class GRolling(
   def variance(valueCol: String, out: String): DataFrame =
     add(out, var_samp(col(valueCol)).over(spec))
 
+  /** `center=True` frame: pandas window w centered → [-w/2, w - w/2 - 1]
+    * (reference `_rolling.py:114-153` splits before/after the same way).
+    */
+  private def centerSpec: WindowSpec = {
+    val base =
+      if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
+      else Window.partitionBy()
+    base.orderBy(orderBy.map(col): _*)
+      .rowsBetween(-(window / 2), window - window / 2 - 1)
+  }
+
+  def meanCentered(valueCol: String, out: String): DataFrame =
+    df.withColumn(out, avg(col(valueCol)).over(centerSpec))
+  def sumCentered(valueCol: String, out: String): DataFrame =
+    df.withColumn(out, org.apache.spark.sql.functions.sum(col(valueCol)).over(centerSpec))
+
   /** time-range rolling (`rolling("10s")`): window is an interval on the
     * order column rather than a row count.
     */
