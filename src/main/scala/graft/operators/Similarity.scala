@@ -31,20 +31,26 @@ object Similarity {
     dot(ad, bd) / (norm(ad) * norm(bd))
   }
 
+  import org.apache.spark.sql.graftx.VecColumns.{vecDot, vecNorm}
+
   /** Brute-force top-k cosine neighbors for each query vector.
     *
     * `queries` is expected to be small (it is broadcast); the corpus scan
     * is a single narrow pass and the only shuffle is the per-query top-k
     * (rows ≤ queries × corpus-partition count after partial filtering).
+    * Norms are precomputed per side (O(n)); each of the O(n·q) pairs pays
+    * one codegen'd [[org.apache.spark.sql.graftx.FloatVecDot]] loop.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      vecNorm(col(vecCol)).as("__qn")))
     val scored = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+        vecNorm(col(vecCol)).as("__cn"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("sim", vecDot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     scored
       .withColumn("rk", row_number().over(w))
@@ -71,16 +77,14 @@ object Similarity {
     */
   def exactNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
-    // norms and double-casts are O(n) pre-passes; each of the O(n²) pairs
-    // then pays exactly one index-ordered dot product
-    val prepped = vectors.select(
-      col(idCol),
-      transform(col(vecCol), _.cast("double")).as("__v"))
-      .withColumn("__n", norm(col("__v")))
+    // norms are an O(n) pre-pass; each of the O(n²) pairs then pays
+    // exactly one codegen'd primitive dot loop (FloatVecDot)
+    val prepped = vectors.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__n", vecNorm(col("__v")))
     val a = prepped.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
     val b = prepped.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .withColumn("sim", vecDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
@@ -93,13 +97,15 @@ object Similarity {
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 8): DataFrame = {
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      vecNorm(col(vecCol)).as("__cn"),
       bucketUdf(col(vecCol), lit(planes)).as("bucket"))
     val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      vecNorm(col(vecCol)).as("__qn"),
       bucketUdf(col(vecCol), lit(planes)).as("bucket")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     cb.join(qb, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("sim", vecDot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk").cast("int").as("rk"))
