@@ -817,6 +817,27 @@ object SparkEntry {
         .agg(round(corr(col("value"), col("prev")), 4).as("autocorr"))
     },
 
+    // ---- §2.9 .cat accessor: categorize → dictionary codes --------------
+    "q88_categorize" -> { (s, dir) =>
+      graft.functions.CatFunctions.categorize(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          "o_orderpriority", "prio_code")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("prio_code"))
+    },
+    // ---- §2.8 Series.dot (exact integer-scaled) -------------------------
+    "q89_series_dot" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(sum(round(col("l_discount") * 100).cast("long") *
+          col("l_quantity").cast("long")).as("dot_scaled"))
+    },
+    // ---- §2.11 stats: one-sample t statistic ----------------------------
+    "q90_ttest" -> { (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        round((avg(col("l_quantity")) - 25.5) /
+          (stddev_samp(col("l_quantity")) / sqrt(count(col("l_quantity")))), 4)
+          .as("t_stat"))
+    },
+
     // ---- §2.1 seeded demo generator (dask.datasets.timeseries) ----------
     "q69_timeseries" -> { (s, dir) =>
       graft.sources.Timeseries(s, startEpochSec = 946684800L, rows = 100000L,
@@ -1336,5 +1357,17 @@ object SparkEntry {
     "q87_autocorr" ->
       """SELECT round(corr(value, prev), 4) AS autocorr FROM (
         |  SELECT value, lag(value, 1) OVER (ORDER BY ts, event_id) AS prev
-        |  FROM events)""".stripMargin)
+        |  FROM events)""".stripMargin,
+    "q88_categorize" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS INTEGER) AS prio_code
+        |FROM orders""".stripMargin,
+    "q89_series_dot" ->
+      """SELECT sum(CAST(round(l_discount * 100) AS BIGINT) *
+        |  CAST(l_quantity AS BIGINT)) AS dot_scaled
+        |FROM lineitem""".stripMargin,
+    "q90_ttest" ->
+      """SELECT round((avg(l_quantity) - 25.5) /
+        |  (stddev_samp(l_quantity) / sqrt(count(l_quantity))), 4) AS t_stat
+        |FROM lineitem""".stripMargin)
 }
