@@ -1358,6 +1358,25 @@ object SparkEntry {
       """SELECT round(corr(value, prev), 4) AS autocorr FROM (
         |  SELECT value, lag(value, 1) OVER (ORDER BY ts, event_id) AS prev
         |  FROM events)""".stripMargin,
+    // argmax with list-order tie-break: chained CASE = the greatest-struct
+    // trick on the Spark side
+    "q57_langid" ->
+      """SELECT lang, lang_pred, count(*) AS n FROM (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_zh THEN 'en'
+        |      WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_zh THEN 'de'
+        |      WHEN h_fr >= h_es AND h_fr >= h_zh THEN 'fr'
+        |      WHEN h_es >= h_zh THEN 'es'
+        |      ELSE 'zh' END AS lang_pred
+        |  FROM (SELECT lang,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS h_en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein)\b')) AS h_de,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|dans)\b')) AS h_fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|en|por)\b')) AS h_es,
+        |    len(regexp_extract_all(lower(text), '\b(的|是|了|在|我|有|和)\b')) AS h_zh
+        |  FROM documents))
+        |GROUP BY 1, 2""".stripMargin,
     "q88_categorize" ->
       """SELECT o_orderkey, o_orderpriority,
         |  CAST(dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS INTEGER) AS prio_code
