@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests: the distributed custom operators (MapOverlap ghost
+  * rows, two-phase Cumulative, Fill, MergeAsof) must agree with the
+  * single-task SQL-window ground truth on randomized inputs across
+  * varying partition counts — the dask `assert_eq` testing stance
+  * (SURVEY §5) with the partition axis parametrized.
+  */
+class DistributedOpsPropSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def randomDoubles(seed: Long, n: Int): List[Double] =
+    Gen.listOfN(n, Gen.choose(-100.0, 100.0)).apply(Gen.Parameters.default, Seed(seed)).get
+
+  private def frame(seed: Long, n: Int, parts: Int): DataFrame =
+    randomDoubles(seed, n).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("idx", "v")
+      .repartitionByRange(parts, col("idx"))
+      .sortWithinPartitions("idx")
+
+  private def col2map(df: DataFrame, value: String): Map[Long, Option[Double]] =
+    df.select(col("idx"), col(value)).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+
+  test("MapOverlap rolling sum/shift == SQL window, any partitioning") {
+    for (seed <- Seq(1L, 2L); parts <- Seq(1, 3, 7); window <- Seq(1, 4)) {
+      val df = frame(seed, 50, parts)
+      val got = col2map(MapOverlap.rollingSum(df, "v", window, "out"), "out")
+      val w = Window.orderBy("idx").rowsBetween(-(window - 1), Window.currentRow)
+      val exp = col2map(df.withColumn("out", sum(col("v")).over(w)), "out")
+      for (k <- exp.keys)
+        assert(got(k).zip(exp(k)).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+          s"rollingSum seed=$seed parts=$parts window=$window idx=$k")
+
+      val gotS = col2map(MapOverlap.shift(df, "v", 2, "out"), "out")
+      val expS = col2map(df.withColumn("out", lag(col("v"), 2).over(Window.orderBy("idx"))), "out")
+      assert(gotS == expS, s"shift seed=$seed parts=$parts")
+    }
+  }
+
+  test("Cumulative two-phase scan == SQL running aggregate") {
+    for (seed <- Seq(3L, 4L); parts <- Seq(1, 5)) {
+      val df = frame(seed, 60, parts)
+      val w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      for ((op, ex) <- Seq[(Cumulative.Op, org.apache.spark.sql.Column)](
+        Cumulative.CumSum -> sum(col("v")).over(w),
+        Cumulative.CumMax -> max(col("v")).over(w),
+        Cumulative.CumMin -> min(col("v")).over(w))) {
+        val got = col2map(Cumulative(df, "v", op, "out"), "out")
+        val exp = col2map(df.withColumn("out", ex), "out")
+        for (k <- exp.keys)
+          assert(got(k).zip(exp(k)).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+            s"$op seed=$seed parts=$parts idx=$k")
+      }
+    }
+  }
+
+  test("Fill ffill/bfill == SQL ignore-nulls window") {
+    for (seed <- Seq(5L, 6L); parts <- Seq(2, 6)) {
+      val base = frame(seed, 50, parts)
+        .withColumn("v", when(col("idx") % 3 === 0, lit(null)).otherwise(col("v")))
+      val gotF = col2map(Fill.ffill(base, "v"), "v")
+      val wF = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expF = col2map(base.withColumn("v", last(col("v"), ignoreNulls = true).over(wF)), "v")
+      assert(gotF == expF, s"ffill seed=$seed parts=$parts")
+
+      val gotB = col2map(Fill.bfill(base, "v"), "v")
+      val wB = Window.orderBy("idx").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val expB = col2map(base.withColumn("v", first(col("v"), ignoreNulls = true).over(wB)), "v")
+      assert(gotB == expB, s"bfill seed=$seed parts=$parts")
+    }
+  }
+
+  test("MergeAsof backward/forward == window-carry reference on random data") {
+    for (seed <- Seq(7L, 8L)) {
+      val lv = randomDoubles(seed, 40).map(v => math.abs(v) % 50)
+      val rv = randomDoubles(seed + 100, 15).map(v => math.abs(v) % 50)
+      val left = lv.zipWithIndex.map { case (t, i) => (i.toLong, 1L + i % 2, math.floor(t)) }
+        .toDF("lid", "k", "t").repartition(3)
+      val right = rv.zipWithIndex.map { case (t, i) => (1L + i % 2, math.floor(t), i * 10.0) }
+        .toDF("k", "t", "payload")
+        // dedup (k, t) so the matched payload is unique
+        .groupBy("k", "t").agg(max("payload").as("payload")).repartition(2)
+
+      for (dir <- Seq("backward", "forward")) {
+        val got = MergeAsof(left, right, on = "t", by = Seq("k"), direction = dir)
+          .select("lid", "payload").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+        // reference: per left row, scan the right side driver-side
+        val rRows = right.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        val lRows = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        for ((lid, k, t) <- lRows) {
+          val cands = rRows.filter(c => c._1 == k &&
+            (if (dir == "backward") c._2 <= t else c._2 >= t))
+          val exp =
+            if (cands.isEmpty) None
+            else if (dir == "backward") Some(cands.maxBy(c => (c._2, c._3))._3)
+            else Some(cands.minBy(_._2)._3)
+          // forward ties on t: payload is unique per (k,t) after dedup
+          assert(got(lid) == exp, s"asof $dir seed=$seed lid=$lid")
+        }
+      }
+    }
+  }
+}
