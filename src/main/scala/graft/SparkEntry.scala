@@ -838,6 +838,21 @@ object SparkEntry {
           .as("t_stat"))
     },
 
+    // ---- §2.9 str split(expand) / partition / find / title --------------
+    "q91_str_split_expand" -> { (s, dir) =>
+      import graft.functions.StrFunctions
+      val parts = StrFunctions.partition(col("p_type"), " ")
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        split(col("p_name"), " ").getItem(0).as("tok0"),
+        split(col("p_name"), " ").getItem(1).as("tok1"),
+        parts.getField("head").as("part_head"),
+        parts.getField("sep").as("part_sep"),
+        parts.getField("tail").as("part_tail"),
+        StrFunctions.find(col("p_name"), "o").cast("int").as("find_o"),
+        StrFunctions.title(col("p_brand")).as("brand_title"))
+    },
+
     // ---- §2.1 seeded demo generator (dask.datasets.timeseries) ----------
     "q69_timeseries" -> { (s, dir) =>
       graft.sources.Timeseries(s, startEpochSec = 946684800L, rows = 100000L,
@@ -1388,5 +1403,19 @@ object SparkEntry {
     "q90_ttest" ->
       """SELECT round((avg(l_quantity) - 25.5) /
         |  (stddev_samp(l_quantity) / sqrt(count(l_quantity))), 4) AS t_stat
-        |FROM lineitem""".stripMargin)
+        |FROM lineitem""".stripMargin,
+    "q91_str_split_expand" ->
+      """SELECT p_partkey,
+        |  string_split(p_name, ' ')[1] AS tok0,
+        |  string_split(p_name, ' ')[2] AS tok1,
+        |  CASE WHEN instr(p_type, ' ') > 0
+        |       THEN substr(p_type, 1, instr(p_type, ' ') - 1) ELSE p_type END AS part_head,
+        |  CASE WHEN instr(p_type, ' ') > 0 THEN ' ' ELSE '' END AS part_sep,
+        |  CASE WHEN instr(p_type, ' ') > 0
+        |       THEN substr(p_type, instr(p_type, ' ') + 1) ELSE '' END AS part_tail,
+        |  CAST(instr(p_name, 'o') - 1 AS INTEGER) AS find_o,
+        |  -- initcap equivalent: capitalize each space-separated word
+        |  array_to_string(list_transform(string_split(lower(p_brand), ' '),
+        |    w -> concat(upper(substr(w, 1, 1)), substr(w, 2))), ' ') AS brand_title
+        |FROM part""".stripMargin)
 }

@@ -233,6 +233,13 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
         .select(col(name).as(alias)),
       None)
 
+  /** `memory_usage`/`nbytes` (reference `_reductions.py:1475-1523`) —
+    * mapped to Catalyst's plan statistics (parquet footer / CBO sizes),
+    * the same metadata-only fast path as the reference's Len rewrite.
+    */
+  def sizeInBytes: BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
   /** approximate quantiles (reference: `dask_expr/_quantile.py`). */
   def quantileApprox(name: String, qs: Array[Double], err: Double = 0.01): Array[Double] =
     df.stat.approxQuantile(name, qs, err)
