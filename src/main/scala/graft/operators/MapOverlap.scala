@@ -56,16 +56,48 @@ object MapOverlap {
 
     val tails = boundaries.map(b => b._1 -> b._2).toMap // pid → last `before` rows
     val heads = boundaries.map(b => b._1 -> b._3).toMap // pid → first `after` rows
+    val nParts = df.rdd.getNumPartitions
     val bcTails = spark.sparkContext.broadcast(tails)
     val bcHeads = spark.sparkContext.broadcast(heads)
 
-    // 2) main pass: hand each partition its ghosts
+    // 2) main pass: hand each partition its ghosts. A neighbour shorter
+    // than the ghost region (or empty) contributes ALL its rows and the
+    // walk continues — a tail of size < `before` means that partition had
+    // exactly that many rows, so the remainder comes from further back.
     val outRdd = df.rdd.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
       val ghostBefore: Seq[Row] =
-        if (before > 0) bcTails.value.getOrElse(pid - 1, Array.empty[Row]).toSeq else Nil
+        if (before <= 0) Nil
+        else {
+          val buf = scala.collection.mutable.ArrayBuffer[Row]()
+          var k = pid - 1
+          var need = before
+          while (k >= 0 && need > 0) {
+            val t = bcTails.value.getOrElse(k, Array.empty[Row])
+            val take = math.min(t.length, need)
+            buf.prependAll(t.takeRight(take).toSeq)
+            need -= take
+            if (t.length >= before) need = 0
+            k -= 1
+          }
+          buf.toSeq
+        }
       val ghostAfter: Seq[Row] =
-        if (after > 0) bcHeads.value.getOrElse(pid + 1, Array.empty[Row]).toSeq else Nil
+        if (after <= 0) Nil
+        else {
+          val buf = scala.collection.mutable.ArrayBuffer[Row]()
+          var k = pid + 1
+          var need = after
+          while (k < nParts && need > 0) {
+            val h = bcHeads.value.getOrElse(k, Array.empty[Row])
+            val take = math.min(h.length, need)
+            buf.appendAll(h.take(take).toSeq)
+            need -= take
+            if (h.length >= after) need = 0
+            k += 1
+          }
+          buf.toSeq
+        }
       f(ghostBefore, it, ghostAfter)
     }
     spark.createDataFrame(outRdd, outSchema)

@@ -46,6 +46,29 @@ class DistributedOpsPropSpec extends SparkTestBase {
     }
   }
 
+  test("MapOverlap ghosts span partitions shorter than the window") {
+    // partition layout [4 rows][1 row][0 rows][4 rows]: window 4 ghosts
+    // for the last partition must come from BOTH preceding non-empty ones
+    val slices = Seq(Seq(0L, 1L, 2L, 3L), Seq(4L), Seq.empty[Long], Seq(5L, 6L, 7L, 8L))
+    val rowRdd = spark.sparkContext.parallelize(0 until slices.size, slices.size)
+      .mapPartitionsWithIndex { (pid, _) =>
+        slices(pid).iterator.map(i => org.apache.spark.sql.Row(i, i.toDouble))
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("idx", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val df = spark.createDataFrame(rowRdd, schema)
+    assert(df.rdd.getNumPartitions == 4)
+    val got = col2map(MapOverlap.rollingSum(df, "v", 4, "out"), "out")
+    val w = Window.orderBy("idx").rowsBetween(-3, Window.currentRow)
+    val exp = col2map(df.withColumn("out", sum(col("v")).over(w)), "out")
+    assert(got == exp)
+
+    val gotS = col2map(MapOverlap.shift(df, "v", 3, "out"), "out")
+    val expS = col2map(df.withColumn("out", lag(col("v"), 3).over(Window.orderBy("idx"))), "out")
+    assert(gotS == expS)
+  }
+
   test("Cumulative two-phase scan == SQL running aggregate") {
     for (seed <- Seq(3L, 4L); parts <- Seq(1, 5)) {
       val df = frame(seed, 60, parts)
