@@ -157,6 +157,28 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
 
   def crossJoin(right: GDF): GDF = new GDF(df.crossJoin(right.df), None)
 
+  /** Index-aligned binary op — dask's `OpAlignPartitions`
+    * (`_expr.py:3717`): operands are aligned on the index (outer join)
+    * before the op, producing null where either side is absent. With both
+    * frames range-partitioned on the index this is a co-partitioned
+    * sort-merge join — the same shuffle-free path the reference gets from
+    * matching divisions.
+    */
+  def alignedBinop(other: GDF, leftCol: String, rightCol: String, out: String)(
+      op: (Column, Column) => Column): GDF = {
+    val ix = index.orElse(other.index).getOrElse(throw new IllegalStateException(
+      "alignedBinop needs an index on at least one side (setIndex/withIndex)")).cols
+    require(ix.forall(df.columns.contains) && ix.forall(other.df.columns.contains),
+      s"both sides need index columns $ix")
+    val l = df.select(ix.map(col) :+ col(leftCol).as("__l__"): _*)
+    val r = other.df.select(ix.map(col) :+ col(rightCol).as("__r__"): _*)
+    new GDF(
+      l.join(r, ix, "full_outer")
+        .withColumn(out, op(col("__l__"), col("__r__")))
+        .drop("__l__", "__r__"),
+      Some(IndexMeta(ix, sorted = false)))
+  }
+
   /** pandas `merge(indicator=True)` — adds a `_merge` column marking each
     * row as left_only / right_only / both (`_merge.py:76`). Implemented
     * with presence flags carried through the join, so it costs nothing

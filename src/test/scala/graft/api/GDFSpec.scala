@@ -98,6 +98,23 @@ class GDFSpec extends SparkTestBase {
     assert(sh(1L).isEmpty && sh(2L).contains(10.0))
   }
 
+  test("alignedBinop outer-aligns on the index before the op") {
+    val l = GDF(Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")).withIndex("id")
+    val r = GDF(Seq((2L, 2.0), (3L, 3.0)).toDF("id", "v"))
+    val out = l.alignedBinop(r, "v", "v", "sum")(_ + _).df
+      .select("id", "sum").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(out == Map(1L -> None, 2L -> Some(22.0), 3L -> None))
+  }
+
+  test("mergeIndicator marks both/left_only/right_only") {
+    val l = GDF(Seq(1L, 2L).toDF("id"))
+    val r = GDF(Seq(2L, 3L).toDF("id"))
+    val m = l.mergeIndicator(r, Seq("id")).df.select("id", "_merge")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(m == Map(1L -> "left_only", 2L -> "both", 3L -> "right_only"))
+  }
+
   test("concat unions by name with missing columns") {
     val other = GDF(Seq((7L, "d")).toDF("id", "k"))
     val c = df.concat(other)
