@@ -159,10 +159,13 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
 
   /** Index-aligned binary op — dask's `OpAlignPartitions`
     * (`_expr.py:3717`): operands are aligned on the index (outer join)
-    * before the op, producing null where either side is absent. With both
-    * frames range-partitioned on the index this is a co-partitioned
-    * sort-merge join — the same shuffle-free path the reference gets from
-    * matching divisions.
+    * before the op, producing null where either side is absent.
+    *
+    * Semantics caveats vs pandas: index labels must be unique per side
+    * (duplicate labels would join m×n, not align positionally) and null
+    * labels never match (SQL join equality) — both are the documented
+    * join-based alignment behavior, matching dask's own divergence from
+    * pandas on unknown divisions.
     */
   def alignedBinop(other: GDF, leftCol: String, rightCol: String, out: String)(
       op: (Column, Column) => Column): GDF = {
@@ -170,6 +173,7 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
       "alignedBinop needs an index on at least one side (setIndex/withIndex)")).cols
     require(ix.forall(df.columns.contains) && ix.forall(other.df.columns.contains),
       s"both sides need index columns $ix")
+    require(!ix.contains(out), s"output column '$out' would overwrite index column")
     val l = df.select(ix.map(col) :+ col(leftCol).as("__l__"): _*)
     val r = other.df.select(ix.map(col) :+ col(rightCol).as("__r__"): _*)
     new GDF(
@@ -184,9 +188,13 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
     * with presence flags carried through the join, so it costs nothing
     * beyond the join itself.
     */
-  def mergeIndicator(right: GDF, on: Seq[String], how: String = "outer"): GDF = {
-    val l = df.withColumn("__lpresent__", lit(true))
-    val r = right.df.withColumn("__rpresent__", lit(true))
+  def mergeIndicator(right: GDF, on: Seq[String], how: String = "outer",
+                     suffixes: (String, String) = ("_x", "_y")): GDF = {
+    val overlap = (df.columns.toSet & right.df.columns.toSet) -- on.toSet
+    val l = overlap.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
+      .withColumn("__lpresent__", lit(true))
+    val r = overlap.foldLeft(right.df)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
+      .withColumn("__rpresent__", lit(true))
     val sparkHow = if (how == "outer") "full_outer" else how
     val joined = l.join(r, on, sparkHow)
       .withColumn("_merge",

@@ -107,12 +107,24 @@ class GDFSpec extends SparkTestBase {
     assert(out == Map(1L -> None, 2L -> Some(22.0), 3L -> None))
   }
 
-  test("mergeIndicator marks both/left_only/right_only") {
-    val l = GDF(Seq(1L, 2L).toDF("id"))
-    val r = GDF(Seq(2L, 3L).toDF("id"))
-    val m = l.mergeIndicator(r, Seq("id")).df.select("id", "_merge")
+  test("mergeIndicator marks both/left_only/right_only and suffixes overlaps") {
+    val l = GDF(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"))
+    val r = GDF(Seq((2L, 20.0), (3L, 30.0)).toDF("id", "v"))
+    val out = l.mergeIndicator(r, Seq("id"))
+    assert(out.columns.toSet == Set("id", "v_x", "v_y", "_merge"))
+    val m = out.df.select("id", "_merge")
       .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
     assert(m == Map(1L -> "left_only", 2L -> "both", 3L -> "right_only"))
+  }
+
+  test("alignedBinop: right-side-only index works; index-name output rejected") {
+    val l = GDF(Seq((1L, 10.0)).toDF("id", "v"))
+    val r = GDF(Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v")).withIndex("id")
+    val out = l.alignedBinop(r, "v", "v", "prod")(_ * _).df
+      .select("id", "prod").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1)))).toMap
+    assert(out == Map(1L -> Some(20.0), 2L -> None))
+    intercept[IllegalArgumentException](l.withIndex("id").alignedBinop(r, "v", "v", "id")(_ + _))
   }
 
   test("concat unions by name with missing columns") {
