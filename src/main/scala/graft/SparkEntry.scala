@@ -853,6 +853,23 @@ object SparkEntry {
         StrFunctions.title(col("p_brand")).as("brand_title"))
     },
 
+    // ---- end-to-end LLM training-data pipeline composition --------------
+    // quality-filter → language-ID → near-dup removal → per-language stats:
+    // the north-star pipeline, composed from the operators above in one
+    // declarative plan (single scan feeds every stage; dedup is the only
+    // shuffle)
+    "q92_pipeline" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val scored = graft.operators.TextAnalysis.qualityScore(t(s, dir, "documents"), "text")
+        .filter(col("quality_score") >= 0.4)
+      val lang = graft.operators.TextAnalysis.langId(scored, "text")
+        .withColumn("dup_key", graft.operators.Dedup.canonicalKey(col("text"), exact = false))
+      val w = Window.partitionBy(col("dup_key")).orderBy(col("doc_id"))
+      lang.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    },
+
     // ---- §2.1 seeded demo generator (dask.datasets.timeseries) ----------
     "q69_timeseries" -> { (s, dir) =>
       graft.sources.Timeseries(s, startEpochSec = 946684800L, rows = 100000L,
@@ -1404,6 +1421,45 @@ object SparkEntry {
       """SELECT round((avg(l_quantity) - 25.5) /
         |  (stddev_samp(l_quantity) / sqrt(count(l_quantity))), 4) AS t_stat
         |FROM lineitem""".stripMargin,
+    // composed from the q58 quality expr, q57 langid argmax, q50 dup key
+    "q92_pipeline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
+        |    round(least(1.0, greatest(0.0,
+        |      0.25 * least(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE / 100.0, 1.0)
+        |      + 0.25 * (1.0 - round(len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE /
+        |          greatest(length(text), 1), 6) * 10)
+        |      + 0.25 * least(round(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b'))::DOUBLE /
+        |          greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 6) * 5, 1.0)
+        |      + 0.25 * least(round((length(text) - len(regexp_extract_all(text, '\s')))::DOUBLE /
+        |          greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 6) / 8.0, 1.0))), 6)
+        |      AS quality_score
+        |  FROM documents),
+        |filt AS (SELECT * FROM scored WHERE quality_score >= 0.4),
+        |lang AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    CASE
+        |      WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_zh THEN 'en'
+        |      WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_zh THEN 'de'
+        |      WHEN h_fr >= h_es AND h_fr >= h_zh THEN 'fr'
+        |      WHEN h_es >= h_zh THEN 'es'
+        |      ELSE 'zh' END AS lang_pred
+        |  FROM (SELECT doc_id, text, n_tokens,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS h_en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein)\b')) AS h_de,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|dans)\b')) AS h_fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|en|por)\b')) AS h_es,
+        |    len(regexp_extract_all(lower(text), '\b(的|是|了|在|我|有|和)\b')) AS h_zh
+        |  FROM filt)),
+        |dedup AS (
+        |  SELECT lang_pred, n_tokens, row_number() OVER (
+        |    PARTITION BY md5(array_to_string(list_sort(
+        |      list_filter(string_split_regex(text, '\s+'), x -> x <> '')), ' '))
+        |    ORDER BY doc_id) AS rn
+        |  FROM lang)
+        |SELECT lang_pred, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+        |FROM dedup WHERE rn = 1 GROUP BY 1""".stripMargin,
     "q91_str_split_expand" ->
       """SELECT p_partkey,
         |  string_split(p_name, ' ')[1] AS tok0,
