@@ -183,6 +183,13 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
       Some(IndexMeta(ix, sorted = false)))
   }
 
+  /** pandas `combine_first` for one value column: align on the index and
+    * take this frame's value, falling back to `other`'s where null/absent
+    * (coalesce over the aligned pair).
+    */
+  def combineFirst(other: GDF, valueCol: String): GDF =
+    alignedBinop(other, valueCol, valueCol, valueCol)(coalesce(_, _))
+
   /** pandas `merge(indicator=True)` — adds a `_merge` column marking each
     * row as left_only / right_only / both (`_merge.py:76`). Implemented
     * with presence flags carried through the join, so it costs nothing

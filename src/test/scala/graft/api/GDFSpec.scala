@@ -127,6 +127,14 @@ class GDFSpec extends SparkTestBase {
     intercept[IllegalArgumentException](l.withIndex("id").alignedBinop(r, "v", "v", "id")(_ + _))
   }
 
+  test("combineFirst fills nulls and absent labels from the other frame") {
+    val l = GDF(Seq((1L, Some(10.0)), (2L, None)).toDF("id", "v")).withIndex("id")
+    val r = GDF(Seq((2L, 2.0), (3L, 3.0)).toDF("id", "v"))
+    val out = l.combineFirst(r, "v").df.select("id", "v").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(out == Map(1L -> 10.0, 2L -> 2.0, 3L -> 3.0))
+  }
+
   test("concat unions by name with missing columns") {
     val other = GDF(Seq((7L, "d")).toDF("id", "k"))
     val c = df.concat(other)
