@@ -16,7 +16,10 @@ object StrFunctions {
   def casefold(c: Column): Column = lower(c) // full Unicode casefold ≈ lower for BMP text
   def center(c: Column, width: Int, fill: String = " "): Column = {
     val padLeft = floor((lit(width) - length(c)) / 2).cast("int")
-    rpad(lpad(c, greatest(length(c) + padLeft, length(c)), lit(fill)), width, fill)
+    // pandas: strings already >= width are returned unchanged (lpad/rpad
+    // would truncate them)
+    when(length(c) >= width, c)
+      .otherwise(rpad(lpad(c, length(c) + padLeft, lit(fill)), width, fill))
   }
   def contains(c: Column, pat: String, regex: Boolean = false): Column =
     if (regex) regexp_like(c, lit(pat)) else c.contains(pat)

@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Column
+
+/** .str accessor semantics vs pandas (SURVEY §2.9). */
+class StrFunctionsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def eval1(c: String => Column, in: String): Any = {
+    val df = Seq(in).toDF("s")
+    df.select(c("s").as("out")).collect().head.get(0)
+  }
+  private def s(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c
+
+  test("center pads both sides, returns unchanged when width <= len") {
+    import org.apache.spark.sql.functions.col
+    assert(eval1(n => StrFunctions.center(col(n), 5, "*"), "ab") == "*ab**")
+    assert(eval1(n => StrFunctions.center(col(n), 3, "*"), "abcdef") == "abcdef")
+  }
+
+  test("rfind: last index, -1 when absent (pandas 0-based)") {
+    import org.apache.spark.sql.functions.col
+    assert(eval1(n => StrFunctions.rfind(col(n), "l"), "hello") == 3)
+    assert(eval1(n => StrFunctions.rfind(col(n), "z"), "hello") == -1)
+  }
+
+  test("capitalize / swapcase / zfill / removeprefix / removesuffix") {
+    import org.apache.spark.sql.functions.col
+    assert(eval1(n => StrFunctions.capitalize(col(n)), "hELLO world") == "Hello world")
+    assert(eval1(n => StrFunctions.swapcase(col(n)), "AbC1") == "aBc1")
+    assert(eval1(n => StrFunctions.zfill(col(n), 5), "42") == "00042")
+    assert(eval1(n => StrFunctions.removeprefix(col(n), "un"), "unhappy") == "happy")
+    assert(eval1(n => StrFunctions.removeprefix(col(n), "un"), "happy") == "happy")
+    assert(eval1(n => StrFunctions.removesuffix(col(n), "ly"), "quickly") == "quick")
+  }
+
+  test("partition returns head/sep/tail struct; no-sep keeps whole in head") {
+    import org.apache.spark.sql.functions.col
+    val r = Seq("a-b-c").toDF("s")
+      .select(StrFunctions.partition(col("s"), "-").as("p"))
+      .select("p.head", "p.sep", "p.tail").collect().head
+    assert((r.getString(0), r.getString(1), r.getString(2)) == ("a", "-", "b-c"))
+    val r2 = Seq("abc").toDF("s")
+      .select(StrFunctions.partition(col("s"), "-").as("p"))
+      .select("p.head", "p.sep", "p.tail").collect().head
+    assert((r2.getString(0), r2.getString(1), r2.getString(2)) == ("abc", "", ""))
+  }
+
+  test("slice / sliceReplace / find / get (0-based pandas semantics)") {
+    import org.apache.spark.sql.functions.col
+    assert(eval1(n => StrFunctions.slice(col(n), 1, 4), "abcdef") == "bcd")
+    assert(eval1(n => StrFunctions.sliceReplace(col(n), 1, 4, "XY"), "abcdef") == "aXYef")
+    assert(eval1(n => StrFunctions.find(col(n), "cd"), "abcdef") == 2)
+    assert(eval1(n => StrFunctions.get(col(n), 2), "abcdef") == "c")
+  }
+
+  test("is-predicates and fullmatch") {
+    import org.apache.spark.sql.functions.col
+    assert(eval1(n => StrFunctions.isalpha(col(n)), "abc") == true)
+    assert(eval1(n => StrFunctions.isalpha(col(n)), "ab1") == false)
+    assert(eval1(n => StrFunctions.isdigit(col(n)), "123") == true)
+    assert(eval1(n => StrFunctions.isspace(col(n)), "  \t") == true)
+    assert(eval1(n => StrFunctions.isupper(col(n)), "ABC1") == true)
+    assert(eval1(n => StrFunctions.islower(col(n)), "abc1") == true)
+    assert(eval1(n => StrFunctions.fullmatch(col(n), "a+b"), "aab") == true)
+    assert(eval1(n => StrFunctions.fullmatch(col(n), "a+b"), "aabc") == false)
+  }
+}
