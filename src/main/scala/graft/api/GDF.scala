@@ -476,6 +476,11 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
 
   /** dask `compute()` — materialize to the driver. Only explicit action. */
   def compute(): Array[Row] = df.collect()
+
+  /** `iterrows`/`itertuples` — streaming driver iterator (one partition
+    * in memory at a time, not a full collect).
+    */
+  def iterRows(): java.util.Iterator[Row] = df.toLocalIterator()
   def persist(): GDF = { df.persist(); this }
   def explainPlan(): Unit = df.explain("formatted")
 }

@@ -41,6 +41,23 @@ object IO {
 
   def readOrc(spark: SparkSession, path: String): GDF = GDF(spark.read.orc(path))
 
+  /** `read_fwf`: fixed-width fields — byte-range-splittable text scan +
+    * codegen substring slicing per column (the reference parses per chunk
+    * with pandas, `io/csv.py:418`).
+    *
+    * @param widths column widths in characters, in order
+    * @param names  output column names (same arity as widths)
+    */
+  def readFwf(spark: SparkSession, path: String, widths: Seq[Int], names: Seq[String]): GDF = {
+    require(widths.size == names.size, "one name per width")
+    import org.apache.spark.sql.functions.{col, substring, trim}
+    val offsets = widths.scanLeft(1)(_ + _)
+    val cols = names.zip(widths).zip(offsets).map { case ((n, w), off) =>
+      trim(substring(col("value"), off, w)).as(n)
+    }
+    GDF(spark.read.text(path).select(cols: _*))
+  }
+
   def readText(spark: SparkSession, path: String): GDF = GDF(spark.read.text(path))
 
   /** `read_sql_table`: partition by numeric column range — identical
