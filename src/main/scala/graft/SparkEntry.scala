@@ -809,11 +809,11 @@ object SparkEntry {
     },
     // ---- §2.5 series autocorr (corr with lag-1) -------------------------
     "q87_autocorr" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("ts"), col("event_id"))
-      t(s, dir, "events")
+      // lag via MapOverlap ghost rows, not a global (single-task) window
+      val ev = t(s, dir, "events")
+        .orderBy(col("ts"), col("event_id"))
         .select(col("ts"), col("event_id"), col("value"))
-        .withColumn("prev", lag(col("value"), 1).over(w))
+      graft.operators.MapOverlap.shift(ev, "value", 1, "prev")
         .agg(round(corr(col("value"), col("prev")), 4).as("autocorr"))
     },
 

@@ -54,6 +54,18 @@ class BagLinalgStreamSpec extends SparkTestBase {
     assert(sv.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-6 })
   }
 
+  test("resample aggDense emits empty buckets between min and max") {
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 02:10:00"), 2.0)
+    ).toDF("ts", "value")
+    val out = Resample.aggDense(df, "ts", 3600,
+      Seq("n" -> count(lit(1)), "s" -> sum(col("value")))).orderBy("ts").collect()
+    assert(out.length == 3) // 00:00, 01:00 (empty), 02:00
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(0).getLong(1) == 1 && out(2).getDouble(2) == 2.0)
+  }
+
   test("streaming: tumbling windowedAgg over a memory stream") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Double)]
