@@ -32,6 +32,7 @@ object GraftSession {
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       // parquet TIMESTAMP(NANOS) (events fixture) is unreadable natively;
       // read as long and convert via GraftSession.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

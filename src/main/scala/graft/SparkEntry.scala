@@ -870,6 +870,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
     },
 
+    // ---- SQL interface (free superset: dask has no SQL front end) -------
+    "q93_sql" -> { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      // TPC-H Q6 shape through the SQL parser — identical Catalyst plan
+      // to the DataFrame form
+      s.sql(
+        """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+          |FROM lineitem_v
+          |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          |  AND l_shipdate < TIMESTAMP '1996-01-01'
+          |  AND l_discount BETWEEN 0.05 AND 0.07
+          |  AND l_quantity < 24""".stripMargin)
+    },
+
     // ---- §2.1 seeded demo generator (dask.datasets.timeseries) ----------
     "q69_timeseries" -> { (s, dir) =>
       graft.sources.Timeseries(s, startEpochSec = 946684800L, rows = 100000L,
@@ -1421,6 +1435,13 @@ object SparkEntry {
       """SELECT round((avg(l_quantity) - 25.5) /
         |  (stddev_samp(l_quantity) / sqrt(count(l_quantity))), 4) AS t_stat
         |FROM lineitem""".stripMargin,
+    "q93_sql" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     // composed from the q58 quality expr, q57 langid argmax, q50 dup key
     "q92_pipeline" ->
       """WITH scored AS (
