@@ -488,7 +488,7 @@ object SparkEntry {
     // ---- §2.11 digitize / searchsorted ----------------------------------
     "q48_digitize" -> { (s, dir) =>
       val bucket = graft.operators.ArrayAlgs.digitize(
-        t(s, dir, "customer"), "c_acctbal", Seq(0.0, 1000.0, 5000.0))
+        "c_acctbal", Seq(0.0, 1000.0, 5000.0))
       t(s, dir, "customer").select(col("c_custkey"), bucket)
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
     },

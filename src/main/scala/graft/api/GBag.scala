@@ -25,13 +25,25 @@ final class GBag[T](val ds: Dataset[T]) extends Serializable {
   def fold(binop: (T, T) => T): T = ds.reduce(binop)
 
   /** bag `foldby(key, binop, initial, combine)` (`bag/core.py:1236`):
-    * per-key fold with partial (map-side) aggregation — the ACA pattern.
+    * per-key fold with true partial aggregation — each partition folds its
+    * rows locally (`seq`), only the per-partition partials shuffle, and
+    * `comb` merges them per key. This IS the reference's ACA pattern; a
+    * plain groupByKey would shuffle every raw row.
     */
   def foldby[K: Encoder, B: Encoder](key: T => K, initial: B)(seq: (B, T) => B)(
-      comb: (B, B) => B)(implicit kb: Encoder[(K, B)]): Dataset[(K, B)] =
-    ds.groupByKey(key).mapGroups { (k, it) =>
-      (k, it.foldLeft(initial)(seq))
+      comb: (B, B) => B)(implicit kb: Encoder[(K, B)]): Dataset[(K, B)] = {
+    val partials: Dataset[(K, B)] = ds.mapPartitions { it =>
+      val acc = scala.collection.mutable.Map[K, B]()
+      it.foreach { t =>
+        val k = key(t)
+        acc(k) = seq(acc.getOrElse(k, initial), t)
+      }
+      acc.iterator
     }
+    partials.groupByKey(_._1).mapGroups { (k, it) =>
+      (k, it.map(_._2).reduce(comb))
+    }
+  }
 
   /** bag `frequencies` (`bag/core.py:934`). */
   def frequencies(implicit e: Encoder[(T, Long)], ek: Encoder[T]): Dataset[(T, Long)] =

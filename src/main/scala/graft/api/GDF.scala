@@ -197,6 +197,9 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
     */
   def mergeIndicator(right: GDF, on: Seq[String], how: String = "outer",
                      suffixes: (String, String) = ("_x", "_y")): GDF = {
+    // pandas allows indicator only for hows that keep both sides' columns
+    require(Set("inner", "left", "right", "outer").contains(how),
+      s"indicator is undefined for how=$how")
     val overlap = (df.columns.toSet & right.df.columns.toSet) -- on.toSet
     val l = overlap.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
       .withColumn("__lpresent__", lit(true))
@@ -264,7 +267,9 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
     */
   def modeOf(name: String, alias: String = "mode"): GDF =
     new GDF(
-      df.groupBy(col(name)).agg(org.apache.spark.sql.functions.count(lit(1)).as("__n__"))
+      // pandas mode() drops NaN/null before counting
+      df.filter(col(name).isNotNull)
+        .groupBy(col(name)).agg(org.apache.spark.sql.functions.count(lit(1)).as("__n__"))
         .orderBy(col("__n__").desc, col(name).asc)
         .limit(1)
         .select(col(name).as(alias)),

@@ -68,10 +68,16 @@ final class GRolling(
       .rowsBetween(-(window / 2), window - window / 2 - 1)
   }
 
+  private def guardedCentered(c: Column): Column = {
+    val cnt = org.apache.spark.sql.functions.count(lit(1)).over(centerSpec)
+    if (minPeriods <= 1) c else when(cnt >= minPeriods, c).otherwise(lit(null))
+  }
+
   def meanCentered(valueCol: String, out: String): DataFrame =
-    df.withColumn(out, avg(col(valueCol)).over(centerSpec))
+    df.withColumn(out, guardedCentered(avg(col(valueCol)).over(centerSpec)))
   def sumCentered(valueCol: String, out: String): DataFrame =
-    df.withColumn(out, org.apache.spark.sql.functions.sum(col(valueCol)).over(centerSpec))
+    df.withColumn(out,
+      guardedCentered(org.apache.spark.sql.functions.sum(col(valueCol)).over(centerSpec)))
 
   /** time-range rolling (`rolling("10s")`): window is an interval on the
     * order column rather than a row count.

@@ -24,6 +24,8 @@ object CatFunctions {
     val mapping = df.select(col(c)).filter(col(c).isNotNull).distinct()
       .withColumn(codeCol, (row_number().over(w) - 1).cast("int"))
     df.join(broadcast(mapping), Seq(c), "left")
+      // pandas .cat.codes sentinel for missing values
+      .withColumn(codeCol, coalesce(col(codeCol), lit(-1)))
   }
 
   /** The category set itself (dask `.cat.categories`). */

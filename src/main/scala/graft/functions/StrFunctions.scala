@@ -15,9 +15,11 @@ object StrFunctions {
 
   def casefold(c: Column): Column = lower(c) // full Unicode casefold ≈ lower for BMP text
   def center(c: Column, width: Int, fill: String = " "): Column = {
-    val padLeft = floor((lit(width) - length(c)) / 2).cast("int")
-    // pandas: strings already >= width are returned unchanged (lpad/rpad
-    // would truncate them)
+    // CPython: left margin = marg/2 + (marg & width & 1) — the extra char
+    // goes LEFT when both margin and width are odd
+    val marg = lit(width) - length(c)
+    val padLeft = (floor(marg / 2) + (marg.bitwiseAND(lit(width)).bitwiseAND(lit(1)))).cast("int")
+    // strings already >= width are returned unchanged (lpad/rpad truncate)
     when(length(c) >= width, c)
       .otherwise(rpad(lpad(c, length(c) + padLeft, lit(fill)), width, fill))
   }

@@ -43,8 +43,9 @@ object ArrayAlgs {
     * into (count of boundaries <= x, i.e. right-closed `right=False`).
     * Boundaries are a small sorted literal array, so the bucket expression
     * is pure codegen — no join, no shuffle beyond the caller's plan.
+    * Returns an unbound Column: apply it to any frame with `valueCol`.
     */
-  def digitize(df: DataFrame, valueCol: String, boundaries: Seq[Double],
+  def digitize(valueCol: String, boundaries: Seq[Double],
                out: String = "bucket"): Column = {
     require(boundaries == boundaries.sorted, "boundaries must be sorted")
     val c = col(valueCol).cast("double")
@@ -59,14 +60,18 @@ object ArrayAlgs {
     * constant-size literal unpivot.
     */
   def corrMatrix(df: DataFrame, cols: Seq[String], scale: Int = 6): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix needs at least 2 columns, got $cols")
     val pairs = for {
       (a, i) <- cols.zipWithIndex
       b <- cols.drop(i + 1)
     } yield (a, b)
-    val aggs = pairs.map { case (a, b) => round(corr(col(a), col(b)), scale).as(s"${a}__${b}") }
+    // index-based aliases: column names themselves may contain any chars
+    val aggs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      round(corr(col(a), col(b)), scale).as(s"__corr_$i")
+    }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = pairs.map { case (a, b) =>
-      struct(lit(a).as("var1"), lit(b).as("var2"), col(s"${a}__${b}").as("corr"))
+    val stacked = pairs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(a).as("var1"), lit(b).as("var2"), col(s"__corr_$i").as("corr"))
     }
     wide.select(explode(array(stacked: _*)).as("p"))
       .select(col("p.var1").as("var1"), col("p.var2").as("var2"), col("p.corr").as("corr"))

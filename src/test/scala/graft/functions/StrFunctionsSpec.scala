@@ -14,9 +14,13 @@ class StrFunctionsSpec extends SparkTestBase {
   }
   private def s(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c
 
-  test("center pads both sides, returns unchanged when width <= len") {
+  test("center pads both sides (CPython left-bias rule), unchanged when width <= len") {
     import org.apache.spark.sql.functions.col
-    assert(eval1(n => StrFunctions.center(col(n), 5, "*"), "ab") == "*ab**")
+    // CPython: 'ab'.center(5,'*') == '**ab*' (odd margin & odd width → extra LEFT)
+    assert(eval1(n => StrFunctions.center(col(n), 5, "*"), "ab") == "**ab*")
+    assert(eval1(n => StrFunctions.center(col(n), 4, "*"), "ab") == "*ab*")
+    assert(eval1(n => StrFunctions.center(col(n), 5, "*"), "abc") == "*abc*")
+    assert(eval1(n => StrFunctions.center(col(n), 6, "*"), "abc") == "*abc**")
     assert(eval1(n => StrFunctions.center(col(n), 3, "*"), "abcdef") == "abcdef")
   }
 

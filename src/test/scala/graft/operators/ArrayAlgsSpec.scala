@@ -33,7 +33,7 @@ class ArrayAlgsSpec extends SparkTestBase {
 
   test("digitize: bucket = count of boundaries <= x") {
     val df = Seq(-5.0, 0.0, 0.5, 1.0, 2.5).toDF("x")
-    val got = df.select(col("x"), ArrayAlgs.digitize(df, "x", Seq(0.0, 1.0, 2.0)))
+    val got = df.select(col("x"), ArrayAlgs.digitize("x", Seq(0.0, 1.0, 2.0)))
       .orderBy("x").collect().map(_.getInt(1)).toSeq
     assert(got == Seq(0, 1, 1, 2, 3))
   }
