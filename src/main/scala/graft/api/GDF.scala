@@ -183,6 +183,16 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
       Some(IndexMeta(ix, sorted = false)))
   }
 
+  /** `DataFrame.join(other)` — join on the index columns
+    * (`_collection.py:2983`); both frames must carry the same index.
+    */
+  def joinIndex(right: GDF, how: String = "left",
+                suffixes: (String, String) = ("_x", "_y")): GDF = {
+    val ix = index.getOrElse(throw new IllegalStateException(
+      "joinIndex needs an index (setIndex/withIndex)")).cols
+    merge(right, on = ix, how = how, suffixes = suffixes)
+  }
+
   /** pandas `combine_first` for one value column: align on the index and
     * take this frame's value, falling back to `other`'s where null/absent
     * (coalesce over the aligned pair).

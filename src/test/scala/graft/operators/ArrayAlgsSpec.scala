@@ -71,8 +71,31 @@ class ArrayAlgsSpec extends SparkTestBase {
     assert(a.exceptRows(b).df.collect().map(_.getInt(0)).toSeq == Seq(1))
   }
 
-  test("modeOf: deterministic smallest-value tie-break") {
+  test("modeOf: deterministic smallest-value tie-break; nulls dropped") {
     val df = Seq(3, 1, 1, 3, 2).toDF("v")
     assert(GDF(df).modeOf("v").df.collect().head.getInt(0) == 1)
+    val withNulls = Seq[Option[Int]](None, None, None, Some(1), Some(1), Some(2)).toDF("v")
+    assert(GDF(withNulls).modeOf("v").df.collect().head.getInt(0) == 1)
+  }
+
+  test("vec_dot: null on ragged pair or null element, exact otherwise") {
+    import org.apache.spark.sql.graftx.VecColumns
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),
+      (Seq(1.0f), Seq(3.0f, 4.0f))
+    ).toDF("a", "b")
+    val out = df.select(VecColumns.vecDot($"a", $"b").as("d")).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0))
+    val withNullElem = Seq((Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))))
+      .toDF("a", "b")
+    assert(withNullElem.select(VecColumns.vecDot($"a", $"b")).collect().head.isNullAt(0))
+  }
+
+  test("categorize: sorted codes, -1 sentinel for null categories") {
+    val df = Seq(Some("b"), Some("a"), None, Some("b")).toDF("c")
+    val out = graft.functions.CatFunctions.categorize(df, "c", "code")
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getInt(1)).toSet
+    assert(out == Set("a" -> 0, "b" -> 1, (null: String) -> -1))
   }
 }

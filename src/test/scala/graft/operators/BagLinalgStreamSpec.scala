@@ -83,6 +83,22 @@ class BagLinalgStreamSpec extends SparkTestBase {
     assert(rows(1).getLong(1) == 1 && rows(1).getDouble(2) == 10.0)
   }
 
+  test("streaming: file-sink pipeline reads, transforms, writes exactly-once") {
+    val base = "/tmp/graft_stream_test"
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    val data = Seq((1L, 2.0), (2L, 4.0), (3L, 6.0)).toDF("id", "v")
+    data.write.parquet(in)
+    val q = StreamOps.fileSinkPipeline(spark, in, data.schema, out, ckpt)(
+      _.withColumn("v2", col("v") * 2))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 4.0), (2L, 8.0), (3L, 12.0)))
+  }
+
   test("streaming: sessionize keeps per-key state") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[StreamOps.SessionEvent]
