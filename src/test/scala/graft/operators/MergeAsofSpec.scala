@@ -62,6 +62,40 @@ class MergeAsofSpec extends SparkTestBase {
     assert(out(("b", 2.0)).contains(400.0)) // only forward exists
   }
 
+  test("reference fixture: indexed backward merge across partitions") {
+    // test_merge_asof_indexed (dask_expr/tests/test_merge_asof.py): A/B on
+    // integer indexes, npartitions 4/3; expected = pandas merge_asof
+    val aIdx = Seq(1, 3, 7, 9, 10, 13, 14, 17, 20, 24, 25, 28)
+    val aVal = "abcd" * 3
+    val bIdx = Seq(1, 2, 3, 6, 7, 10, 12, 14, 16, 19, 23, 26)
+    val bVal = "xyz" * 4
+    val a = aIdx.zip(aVal).map { case (i, v) => (i, v.toString) }.toDF("idx", "left_val")
+      .repartition(4)
+    val b = bIdx.zip(bVal).map { case (i, v) => (i, v.toString) }.toDF("idx", "right_val")
+      .repartition(3)
+    val out = MergeAsof(a, b, on = "idx")
+      .collect().map(r => r.getInt(0) -> r.getString(2)).toMap
+    val expected = Map(1 -> "x", 3 -> "z", 7 -> "y", 9 -> "y", 10 -> "z", 13 -> "x",
+      14 -> "y", 17 -> "z", 20 -> "x", 24 -> "y", 25 -> "y", 28 -> "z")
+    assert(out == expected)
+  }
+
+  test("reference fixture: on-column basic and exact-nearest") {
+    // test_merge_asof_on_basic
+    val a = Seq((1, "a"), (5, "b"), (10, "c")).toDF("a", "left_val").repartition(2)
+    val b = Seq((1, 1), (2, 2), (3, 3), (6, 6), (7, 7)).toDF("a", "right_val").repartition(2)
+    val out = MergeAsof(a, b, on = "a")
+      .collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(out == Map(1 -> 1, 5 -> 3, 10 -> 7))
+
+    // test_merge_asof_one_partition (nearest, all keys exact)
+    val l = Seq((1, 4), (2, 5), (3, 6)).toDF("a", "b")
+    val r = Seq((1, 4), (2, 5), (3, 6)).toDF("a", "c")
+    val near = MergeAsof(l, r, on = "a", direction = "nearest")
+      .collect().map(x => x.getInt(0) -> x.getInt(2)).toMap
+    assert(near == Map(1 -> 4, 2 -> 5, 3 -> 6))
+  }
+
   test("right payload column name collision gets suffixed") {
     val r2 = right.withColumnRenamed("v", "t2").withColumnRenamed("t2", "v")
     val l2 = left.withColumn("v", org.apache.spark.sql.functions.lit(-1.0))
