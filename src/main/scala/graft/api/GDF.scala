@@ -305,9 +305,19 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
     * partition bounds exactly like the reference's RepartitionQuantiles,
     * `_shuffle.py:975-1131`).
     */
-  def sortValues(by: Seq[String], ascending: Seq[Boolean] = Nil): GDF = {
+  def sortValues(by: Seq[String], ascending: Seq[Boolean] = Nil,
+                 naPosition: String = "last"): GDF = {
     val asc = if (ascending.isEmpty) Seq.fill(by.size)(true) else ascending
-    val sortExprs = by.zip(asc).map { case (c, a) => if (a) col(c).asc else col(c).desc }
+    // pandas default puts NaN last regardless of direction
+    val sortExprs = by.zip(asc).map { case (c, a) =>
+      (a, naPosition) match {
+        case (true, "last")   => col(c).asc_nulls_last
+        case (true, "first")  => col(c).asc_nulls_first
+        case (false, "last")  => col(c).desc_nulls_last
+        case (false, "first") => col(c).desc_nulls_first
+        case (_, other)       => throw new IllegalArgumentException(s"na_position=$other")
+      }
+    }
     new GDF(df.orderBy(sortExprs: _*), None)
   }
 

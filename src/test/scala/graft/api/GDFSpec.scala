@@ -135,6 +135,16 @@ class GDFSpec extends SparkTestBase {
     assert(out == Map(1L -> 10.0, 2L -> 2.0, 3L -> 3.0))
   }
 
+  test("sortValues honors na_position (pandas: NaN last by default)") {
+    val d = GDF(Seq(Some(2.0), None, Some(1.0)).toDF("v"))
+    def order(na: String, asc: Boolean) =
+      d.sortValues(Seq("v"), Seq(asc), naPosition = na).df.collect()
+        .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(order("last", true) == Seq(Some(1.0), Some(2.0), None))
+    assert(order("first", true) == Seq(None, Some(1.0), Some(2.0)))
+    assert(order("last", false) == Seq(Some(2.0), Some(1.0), None))
+  }
+
   test("concat unions by name with missing columns") {
     val other = GDF(Seq((7L, "d")).toDF("id", "k"))
     val c = df.concat(other)
