@@ -93,6 +93,18 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
   def mask(name: String, cond: Column, other: Column): GDF =
     keep(df.withColumn(name, when(cond, other).otherwise(col(name))))
 
+  /** `Series.map(dict)` — value substitution from a small literal mapping;
+    * unmapped values become null (pandas semantics). Compiles to a when
+    * chain (pure codegen) — for large mappings use a broadcast join.
+    */
+  def mapValues[T](name: String, out: String, mapping: Map[T, T]): GDF = {
+    val c = col(name)
+    val chained = mapping.foldLeft(lit(null).cast(df.schema(name).dataType)) {
+      case (acc, (from, to)) => when(c === lit(from), lit(to)).otherwise(acc)
+    }
+    keep(df.withColumn(out, chained))
+  }
+
   def fillna(value: Any, subset: Seq[String] = Nil): GDF = {
     val cols = if (subset.isEmpty) df.columns.toSeq else subset
     val d = value match {
@@ -428,11 +440,15 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
 
   /** rolling window over the index order; pass `partitionBy` keys for the
     * per-key (fully parallel native-window) path.
+    *
+    * `minPeriods` defaults to the window size like pandas fixed windows
+    * (`rolling(3).sum()` yields null for the first 2 rows); pass 1 for
+    * emit-from-first-row behavior.
     */
-  def rolling(window: Int, partitionBy: Seq[String] = Nil, minPeriods: Int = 1): GRolling = {
+  def rolling(window: Int, partitionBy: Seq[String] = Nil, minPeriods: Int = -1): GRolling = {
     val ord = index.map(_.cols).getOrElse(
       throw new IllegalStateException("rolling requires setIndex/withIndex"))
-    new GRolling(df, window, ord, partitionBy, minPeriods)
+    new GRolling(df, window, ord, partitionBy, if (minPeriods <= 0) window else minPeriods)
   }
 
   /** global shift across partition boundaries (two-phase, no shuffle). */

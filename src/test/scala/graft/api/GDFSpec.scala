@@ -80,12 +80,26 @@ class GDFSpec extends SparkTestBase {
 
   test("rolling via index: global path uses MapOverlap, keyed path uses window") {
     val ix = df.setIndex("id", numPartitions = 3)
-    val global = ix.rolling(2).sum("v", "rs")
-    val got = global.select("id", "rs").as[(Long, Double)].collect().toMap
-    assert(got(1L) == 10.0 && got(2L) == 30.0 && got(6L) == 110.0)
+    // pandas default min_periods = window → first row is null
+    val got = ix.rolling(2).sum("v", "rs").select("id", "rs").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).isEmpty && got(2L).contains(30.0) && got(6L).contains(110.0))
+    // explicit minPeriods = 1 emits from the first row
+    val eager = ix.rolling(2, minPeriods = 1).sum("v", "rs")
+      .select("id", "rs").as[(Long, Double)].collect().toMap
+    assert(eager(1L) == 10.0)
     val keyed = ix.rolling(2, partitionBy = Seq("k")).sum("v", "rs")
-    val gk = keyed.select("id", "rs").as[(Long, Double)].collect().toMap
-    assert(gk(3L) == 40.0) // a: 10 + 30
+      .select("id", "rs").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(keyed(3L).contains(40.0)) // a: 10 + 30
+    assert(keyed(1L).isEmpty)        // first row of group a
+  }
+
+  test("mapValues substitutes from a literal dict, null for unmapped") {
+    val out = df.mapValues("k", "k2", Map("a" -> "A", "b" -> "B")).df
+      .select("id", "k2").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(out(1L).contains("A") && out(2L).contains("B") && out(4L).isEmpty)
   }
 
   test("cumsum/shift/diff/ffill require a sorted index") {
