@@ -870,6 +870,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
     },
 
+    // ---- §2.5 groupby transform (agg broadcast back to rows) ------------
+    "q94_group_transform" -> { (s, dir) =>
+      g(s, dir, "events")
+        .assign("cents", round(col("value") * 100).cast("long"))
+        .groupby("user_id")
+        .transform("cents", "sum", "user_total_cents")
+        .select("event_id", "user_total_cents")
+        .df
+    },
+
     // ---- SQL interface (free superset: dask has no SQL front end) -------
     "q93_sql" -> { (s, dir) =>
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
@@ -1435,6 +1445,11 @@ object SparkEntry {
       """SELECT round((avg(l_quantity) - 25.5) /
         |  (stddev_samp(l_quantity) / sqrt(count(l_quantity))), 4) AS t_stat
         |FROM lineitem""".stripMargin,
+    "q94_group_transform" ->
+      """SELECT event_id,
+        |  sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id)
+        |    AS user_total_cents
+        |FROM events""".stripMargin,
     "q93_sql" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
         |FROM lineitem

@@ -112,6 +112,16 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
   def cumcountOrd(orderBy: Seq[String], alias: String = "cumcount"): GDF =
     new GDF(base.withColumn(alias, row_number().over(wOrd(orderBy)) - 1), gdf.index)
 
+  /** dask `GroupBy.transform(func)` for decomposable aggs: the group
+    * aggregate broadcast back onto every row (`_groupby.py:1033`). A
+    * whole-partition window (no ORDER BY) — one shuffle on the keys, no
+    * join back.
+    */
+  def transform(c: String, fn: String, alias: String): GDF = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    new GDF(base.withColumn(alias, GGroupBy.fn(fn, c).over(w)), gdf.index)
+  }
+
   /** per-group forward-fill. */
   def ffill(c: String, orderBy: String): GDF =
     new GDF(
