@@ -870,6 +870,12 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
     },
 
+    // ---- §2.11 histogram2d ----------------------------------------------
+    "q95_histogram2d" -> { (s, dir) =>
+      graft.operators.ArrayAlgs.histogram2d(t(s, dir, "lineitem"),
+        "l_quantity", "l_discount", 0.0, 50.0, 0.0, 0.1, 5, 4)
+    },
+
     // ---- §2.5 groupby transform (agg broadcast back to rows) ------------
     "q94_group_transform" -> { (s, dir) =>
       g(s, dir, "events")
@@ -1445,6 +1451,13 @@ object SparkEntry {
       """SELECT round((avg(l_quantity) - 25.5) /
         |  (stddev_samp(l_quantity) / sqrt(count(l_quantity))), 4) AS t_stat
         |FROM lineitem""".stripMargin,
+    "q95_histogram2d" ->
+      """SELECT CAST(least(floor(l_quantity / 10.0), 4) AS INTEGER) AS bin_x,
+        |  CAST(least(floor(l_discount / 0.025), 3) AS INTEGER) AS bin_y,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 0.0 AND 50.0 AND l_discount BETWEEN 0.0 AND 0.1
+        |GROUP BY 1, 2""".stripMargin,
     "q94_group_transform" ->
       """SELECT event_id,
         |  sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id)

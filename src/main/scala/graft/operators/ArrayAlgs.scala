@@ -33,6 +33,24 @@ object ArrayAlgs {
       .withColumn("bin_hi", lit(lo) + (col("bin") + 1) * lit(width))
   }
 
+  /** `np.histogram2d` — joint fixed-width binning of two columns; same
+    * single-aggregate shape as [[histogram]] with a composite bucket key.
+    */
+  def histogram2d(df: DataFrame, xCol: String, yCol: String,
+                  xLo: Double, xHi: Double, yLo: Double, yHi: Double,
+                  nx: Int, ny: Int): DataFrame = {
+    require(nx > 0 && ny > 0 && xHi > xLo && yHi > yLo, "bad histogram2d spec")
+    val wx = (xHi - xLo) / nx
+    val wy = (yHi - yLo) / ny
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    df.filter(x >= xLo && x <= xHi && y >= yLo && y <= yHi)
+      .groupBy(
+        least(floor((x - lit(xLo)) / lit(wx)), lit(nx - 1)).cast("int").as("bin_x"),
+        least(floor((y - lit(yLo)) / lit(wy)), lit(ny - 1)).cast("int").as("bin_y"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** `np.bincount` — counts of non-negative integer values. */
   def bincount(df: DataFrame, intCol: String): DataFrame =
     df.filter(col(intCol) >= 0)
