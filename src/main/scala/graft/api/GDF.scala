@@ -365,6 +365,19 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
   def loc(lo: Any, hi: Any): GDF = keep(df.filter(col(orderColsName).between(lo, hi)))
   private def orderColsName: String = index.map(_.primary).getOrElse(orderCols.head.toString)
 
+  /** pandas `pipe(func)` — method-chain a transformation. */
+  def pipe(f: GDF => GDF): GDF = f(this)
+
+  /** dask `reverse` (`_indexing.py:177`) — index order flipped. */
+  def reverse(): GDF = {
+    val ord = orderCols.map(_.desc)
+    new GDF(df.orderBy(ord: _*), index.map(_.copy(sorted = false)))
+  }
+
+  /** dask `.partitions[i]` — one physical partition (`_expr.py:3020`). */
+  def partitionSlice(i: Int): GDF =
+    keep(df.filter(spark_partition_id() === i))
+
   def repartition(n: Int): GDF = keep(df.repartition(n))
   def repartitionByCols(n: Int, cols: Seq[String]): GDF =
     keep(df.repartition(n, cols.map(col): _*))

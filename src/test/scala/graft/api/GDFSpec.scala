@@ -95,6 +95,15 @@ class GDFSpec extends SparkTestBase {
     assert(keyed(1L).isEmpty)        // first row of group a
   }
 
+  test("pipe chains, reverse flips index order, partitionSlice selects one") {
+    val ix = df.setIndex("id", numPartitions = 3)
+    assert(ix.pipe(_.filter(col("v") > 15)).count() == 5)
+    val rev = ix.reverse().df.select("id").collect().map(_.getLong(0)).toSeq
+    assert(rev == Seq(6L, 5L, 4L, 3L, 2L, 1L))
+    val total = (0 until 3).map(i => ix.partitionSlice(i).count()).sum
+    assert(total == 6)
+  }
+
   test("mapValues substitutes from a literal dict, null for unmapped") {
     val out = df.mapValues("k", "k2", Map("a" -> "A", "b" -> "B")).df
       .select("id", "k2").collect()
