@@ -24,10 +24,11 @@ object GraftSession {
       .builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      // SPARK_GRAFT_AQE=false turns runtime re-planning off for
+      // SPARK_GRAFT_AQE=false/0/no turns runtime re-planning off for
       // small-data latency experiments; production default is on
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+        (!Set("false", "0", "no", "off")
+          .contains(sys.env.getOrElse("SPARK_GRAFT_AQE", "true").toLowerCase)).toString)
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)

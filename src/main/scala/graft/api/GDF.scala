@@ -202,7 +202,10 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
                 suffixes: (String, String) = ("_x", "_y")): GDF = {
     val ix = index.getOrElse(throw new IllegalStateException(
       "joinIndex needs an index (setIndex/withIndex)")).cols
-    merge(right, on = ix, how = how, suffixes = suffixes)
+    // pandas join preserves the index; sortedness is not (full_outer /
+    // right joins can interleave right-only labels)
+    new GDF(merge(right, on = ix, how = how, suffixes = suffixes).df,
+      Some(IndexMeta(ix, sorted = false)))
   }
 
   /** pandas `combine_first` for one value column: align on the index and
@@ -319,6 +322,9 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
     */
   def sortValues(by: Seq[String], ascending: Seq[Boolean] = Nil,
                  naPosition: String = "last"): GDF = {
+    require(ascending.isEmpty || ascending.size == by.size,
+      s"ascending has ${ascending.size} entries for ${by.size} sort keys")
+    require(naPosition == "last" || naPosition == "first", s"na_position=$naPosition")
     val asc = if (ascending.isEmpty) Seq.fill(by.size)(true) else ascending
     // pandas default puts NaN last regardless of direction
     val sortExprs = by.zip(asc).map { case (c, a) =>
@@ -374,9 +380,15 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
     new GDF(df.orderBy(ord: _*), index.map(_.copy(sorted = false)))
   }
 
-  /** dask `.partitions[i]` — one physical partition (`_expr.py:3020`). */
-  def partitionSlice(i: Int): GDF =
+  /** dask `.partitions[i]` — one physical partition (`_expr.py:3020`).
+    * Note: evaluated as a filter over the scan (all partitions are still
+    * planned, unlike dask's partition-pruned graph); an out-of-range `i`
+    * yields an empty frame. For pruned index-range access use [[loc]].
+    */
+  def partitionSlice(i: Int): GDF = {
+    require(i >= 0, s"partition index $i")
     keep(df.filter(spark_partition_id() === i))
+  }
 
   def repartition(n: Int): GDF = keep(df.repartition(n))
   def repartitionByCols(n: Int, cols: Seq[String]): GDF =
@@ -461,7 +473,13 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
   def rolling(window: Int, partitionBy: Seq[String] = Nil, minPeriods: Int = -1): GRolling = {
     val ord = index.map(_.cols).getOrElse(
       throw new IllegalStateException("rolling requires setIndex/withIndex"))
-    new GRolling(df, window, ord, partitionBy, if (minPeriods <= 0) window else minPeriods)
+    // -1 sentinel → pandas fixed-window default (= window);
+    // explicit 0 behaves like 1 (pandas accepts min_periods=0)
+    val mp =
+      if (minPeriods < 0) window
+      else if (minPeriods == 0) 1
+      else minPeriods
+    new GRolling(df, window, ord, partitionBy, mp)
   }
 
   /** global shift across partition boundaries (two-phase, no shuffle). */

@@ -115,11 +115,17 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
   /** dask `GroupBy.transform(func)` for decomposable aggs: the group
     * aggregate broadcast back onto every row (`_groupby.py:1033`). A
     * whole-partition window (no ORDER BY) — one shuffle on the keys, no
-    * join back.
+    * join back. Transform preserves the frame's shape: null-key rows are
+    * kept and get a null result (pandas semantics), not dropped.
     */
   def transform(c: String, fn: String, alias: String): GDF = {
+    require(fn != "nunique",
+      "transform(nunique) is not window-expressible in Spark (DISTINCT window); " +
+        "use nunique() + a join instead")
     val w = Window.partitionBy(keys.map(col): _*)
-    new GDF(base.withColumn(alias, GGroupBy.fn(fn, c).over(w)), gdf.index)
+    val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    val out = when(keysNotNull, GGroupBy.fn(fn, c).over(w)).otherwise(lit(null))
+    new GDF(gdf.df.withColumn(alias, out), gdf.index)
   }
 
   /** per-group forward-fill. */

@@ -29,33 +29,37 @@ final class GRolling(
     base.orderBy(orderBy.map(col): _*).rowsBetween(-(window - 1), Window.currentRow)
   }
 
-  private def guarded(c: Column): Column = {
-    val cnt = org.apache.spark.sql.functions.count(lit(1)).over(spec)
-    if (minPeriods <= 1) c else when(cnt >= minPeriods, c).otherwise(lit(null))
+  /** pandas min_periods counts non-null OBSERVATIONS in the window, not
+    * window rows — same contract as the global MapOverlap path.
+    */
+  private def guarded(valueCol: String, c: Column): Column = {
+    val obs = org.apache.spark.sql.functions.count(col(valueCol)).over(spec)
+    if (minPeriods <= 1) c else when(obs >= minPeriods, c).otherwise(lit(null))
   }
 
-  private def add(name: String, c: Column): DataFrame = df.withColumn(name, guarded(c))
+  private def add(name: String, valueCol: String, c: Column): DataFrame =
+    df.withColumn(name, guarded(valueCol, c))
 
   def sum(valueCol: String, out: String): DataFrame =
     if (partitionBy.isEmpty)
       MapOverlap.rollingSum(df, valueCol, window, out, minPeriods)
-    else add(out, org.apache.spark.sql.functions.sum(col(valueCol)).over(spec))
+    else add(out, valueCol, org.apache.spark.sql.functions.sum(col(valueCol)).over(spec))
 
   def mean(valueCol: String, out: String): DataFrame =
     if (partitionBy.isEmpty)
       MapOverlap.rollingMean(df, valueCol, window, out, minPeriods)
-    else add(out, avg(col(valueCol)).over(spec))
+    else add(out, valueCol, avg(col(valueCol)).over(spec))
 
   def min(valueCol: String, out: String): DataFrame =
-    add(out, org.apache.spark.sql.functions.min(col(valueCol)).over(spec))
+    add(out, valueCol, org.apache.spark.sql.functions.min(col(valueCol)).over(spec))
   def max(valueCol: String, out: String): DataFrame =
-    add(out, org.apache.spark.sql.functions.max(col(valueCol)).over(spec))
+    add(out, valueCol, org.apache.spark.sql.functions.max(col(valueCol)).over(spec))
   def count(valueCol: String, out: String): DataFrame =
-    df.withColumn(out, org.apache.spark.sql.functions.count(col(valueCol)).over(spec))
+    add(out, valueCol, org.apache.spark.sql.functions.count(col(valueCol)).over(spec))
   def std(valueCol: String, out: String): DataFrame =
-    add(out, stddev_samp(col(valueCol)).over(spec))
+    add(out, valueCol, stddev_samp(col(valueCol)).over(spec))
   def variance(valueCol: String, out: String): DataFrame =
-    add(out, var_samp(col(valueCol)).over(spec))
+    add(out, valueCol, var_samp(col(valueCol)).over(spec))
 
   /** `center=True` frame: pandas window w centered → [-w/2, w - w/2 - 1]
     * (reference `_rolling.py:114-153` splits before/after the same way).

@@ -104,6 +104,29 @@ class GDFSpec extends SparkTestBase {
     assert(total == 6)
   }
 
+  test("keyed rolling min_periods counts non-null observations, like pandas") {
+    val d = GDF(Seq(
+      (1L, "a", Some(1.0)), (2L, "a", None), (3L, "a", Some(3.0)), (4L, "a", Some(4.0))
+    ).toDF("id", "k", "v")).withIndex("id")
+    val out = d.rolling(2, partitionBy = Seq("k")).sum("v", "rs")
+      .select("id", "rs").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // windows [1], [1,null], [null,3]: <2 observations each → null;
+    // [3,4]: 2 observations → 7 (pandas rolling(2).sum() on [1,NaN,3,4])
+    assert(out(1L).isEmpty && out(2L).isEmpty && out(3L).isEmpty && out(4L).contains(7.0))
+  }
+
+  test("groupby transform keeps null-key rows with null result") {
+    val d = GDF(Seq(
+      (1L, Some("a"), 10.0), (2L, Some("a"), 20.0), (3L, None, 30.0)
+    ).toDF("id", "k", "v"))
+    val out = d.groupby("k").transform("v", "sum", "total").df
+      .select("id", "total").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out == Map(1L -> Some(30.0), 2L -> Some(30.0), 3L -> None))
+    intercept[IllegalArgumentException](d.groupby("k").transform("v", "nunique", "n"))
+  }
+
   test("mapValues substitutes from a literal dict, null for unmapped") {
     val out = df.mapValues("k", "k2", Map("a" -> "A", "b" -> "B")).df
       .select("id", "k2").collect()

@@ -25,8 +25,7 @@ class PartitionedIOSpec extends SparkTestBase {
     val read = IO.readParquet(spark, dir).filter(col("status") === "F")
     assert(read.df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
     val plan = read.df.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") &&
-      plan.contains("isnotnull(status") || plan.contains("status#"),
+    assert(plan.contains("PartitionFilters") && plan.contains("isnotnull(status"),
       s"expected partition filters in:\n$plan")
     // only the matching directory's files are planned
     val scanned = read.df.queryExecution.executedPlan.collectLeaves()
