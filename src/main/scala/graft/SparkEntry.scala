@@ -870,6 +870,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
     },
 
+    // ---- §2.11 np.gradient (central difference via ghost rows) ----------
+    "q96_gradient" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .orderBy(col("ts"), col("event_id"))
+        .select(col("event_id"), col("ts"), col("value"))
+      graft.operators.MapOverlap.gradient(ev, "value", "grad")
+        .select(col("event_id"), round(col("grad"), 4).as("grad"))
+    },
+
     // ---- §2.11 histogram2d ----------------------------------------------
     "q95_histogram2d" -> { (s, dir) =>
       graft.operators.ArrayAlgs.histogram2d(t(s, dir, "lineitem"),
@@ -1451,6 +1460,14 @@ object SparkEntry {
       """SELECT round((avg(l_quantity) - 25.5) /
         |  (stddev_samp(l_quantity) / sqrt(count(l_quantity))), 4) AS t_stat
         |FROM lineitem""".stripMargin,
+    "q96_gradient" ->
+      """SELECT event_id,
+        |  round(CASE WHEN prev IS NULL THEN next - value
+        |             WHEN next IS NULL THEN value - prev
+        |             ELSE (next - prev) / 2 END, 4) AS grad
+        |FROM (SELECT event_id, value,
+        |        lag(value) OVER w AS prev, lead(value) OVER w AS next
+        |      FROM events WINDOW w AS (ORDER BY ts, event_id))""".stripMargin,
     "q95_histogram2d" ->
       """SELECT CAST(least(floor(l_quantity / 10.0), 4) AS INTEGER) AS bin_x,
         |  CAST(least(floor(l_discount / 0.025), 3) AS INTEGER) AS bin_y,

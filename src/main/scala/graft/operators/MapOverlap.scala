@@ -147,11 +147,58 @@ object MapOverlap {
     }
   }
 
+  /** Global lead(n): each row receives the value `n` rows LATER, using
+    * `after` ghost rows from following partitions — the negative-period
+    * half of dask `Shift`.
+    */
+  def lead(df: DataFrame, valueCol: String, n: Int, outCol: String): DataFrame = {
+    require(n > 0, s"lead periods must be positive, got $n")
+    val idx = df.schema.fieldIndex(valueCol)
+    val outSchema = df.schema.add(outCol, df.schema(valueCol).dataType)
+    apply(df, outSchema, before = 0, after = n) { (_, it, ghostAfter) =>
+      val ghosts = ghostAfter.map(_.get(idx)).toIndexedSeq
+      new Iterator[Row] {
+        private val q = new scala.collection.mutable.ArrayDeque[Row]()
+        def hasNext: Boolean = it.hasNext || q.nonEmpty
+        def next(): Row = {
+          while (it.hasNext && q.size <= n) q.append(it.next())
+          if (q.size > n) {
+            val h = q.removeHead()
+            Row.fromSeq(h.toSeq :+ q.last.get(idx)) // q.last is h's n-th successor
+          } else {
+            // input exhausted: successors continue in the ghost region
+            val ghostIdx = n - q.size
+            val h = q.removeHead()
+            val lead = if (ghostIdx < ghosts.length) ghosts(ghostIdx) else null
+            Row.fromSeq(h.toSeq :+ lead)
+          }
+        }
+      }
+    }
+  }
+
+  /** `np.gradient` over the global order: central difference for interior
+    * rows, one-sided at the ends (`array/routines.py:661`). Two ghost-row
+    * passes (shift + lead), no global window.
+    */
+  def gradient(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    val withPrev = shift(df, valueCol, 1, "__prev")
+    val withNext = lead(withPrev, valueCol, 1, "__next")
+    val v = col(valueCol)
+    withNext
+      .withColumn(outCol,
+        when(col("__prev").isNull, col("__next") - v)
+          .when(col("__next").isNull, v - col("__prev"))
+          .otherwise((col("__next") - col("__prev")) / 2))
+      .drop("__prev", "__next")
+  }
+
   /** Global shift(n) across partition boundaries (dask `Shift`
     * `_expr.py:3454`): each row receives the value `n` rows earlier.
     */
   def shift(df: DataFrame, valueCol: String, n: Int, outCol: String): DataFrame = {
-    require(n >= 0, "forward shift only (use negative windows for lead)")
+    if (n < 0) return lead(df, valueCol, -n, outCol)
     val idx = df.schema.fieldIndex(valueCol)
     val outSchema = df.schema.add(outCol, df.schema(valueCol).dataType)
     apply(df, outSchema, before = n, after = 0) { (ghosts, it, _) =>

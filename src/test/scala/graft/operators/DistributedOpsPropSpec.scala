@@ -43,6 +43,24 @@ class DistributedOpsPropSpec extends SparkTestBase {
       val gotS = col2map(MapOverlap.shift(df, "v", 2, "out"), "out")
       val expS = col2map(df.withColumn("out", lag(col("v"), 2).over(Window.orderBy("idx"))), "out")
       assert(gotS == expS, s"shift seed=$seed parts=$parts")
+
+      val gotL = col2map(MapOverlap.lead(df, "v", 3, "out"), "out")
+      val expL = col2map(df.withColumn("out", lead(col("v"), 3).over(Window.orderBy("idx"))), "out")
+      assert(gotL == expL, s"lead seed=$seed parts=$parts")
+
+      val gotG = col2map(MapOverlap.gradient(df, "v", "out"), "out")
+      val w1 = Window.orderBy("idx")
+      val expG = col2map(
+        df.withColumn("p", lag(col("v"), 1).over(w1))
+          .withColumn("n", lead(col("v"), 1).over(w1))
+          .withColumn("out",
+            when(col("p").isNull, col("n") - col("v"))
+              .when(col("n").isNull, col("v") - col("p"))
+              .otherwise((col("n") - col("p")) / 2))
+          .drop("p", "n"), "out")
+      for (k <- expG.keys)
+        assert(gotG(k).zip(expG(k)).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+          s"gradient seed=$seed parts=$parts idx=$k")
     }
   }
 
