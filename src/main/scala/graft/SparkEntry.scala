@@ -133,10 +133,16 @@ object SparkEntry {
     },
     // ---- §2.5 nunique + idxmax ------------------------------------------
     "q10_nunique_idx" -> { (s, dir) =>
-      t(s, dir, "lineitem").agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        max_by(col("l_orderkey"), struct(col("l_extendedprice"), col("l_orderkey"))).as("idxmax_price"))
+      // separate single-purpose aggregates instead of one multi-DISTINCT
+      // agg: Spark's Expand plan would triple the scanned rows; three
+      // column-pruned scans each read exactly one or two columns and run
+      // partial-distinct before their exchange
+      val li = t(s, dir, "lineitem")
+      li.agg(countDistinct(col("l_partkey")).as("n_parts"))
+        .crossJoin(li.agg(countDistinct(col("l_suppkey")).as("n_supps")))
+        .crossJoin(li.agg(
+          max_by(col("l_orderkey"), struct(col("l_extendedprice"), col("l_orderkey")))
+            .as("idxmax_price")))
     },
     // ---- §2.5 var/std/skew/kurt -----------------------------------------
     "q11_moments" -> { (s, dir) =>
