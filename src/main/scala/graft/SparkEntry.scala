@@ -1088,11 +1088,11 @@ object SparkEntry {
         |FROM orders GROUP BY 1""".stripMargin,
     "q27_get_dummies" ->
       """SELECT o_orderstatus,
-        |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-        |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high,
-        |  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n_medium,
-        |  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS n_notspec,
-        |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS n_low
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
         |FROM orders GROUP BY 1""".stripMargin,
     "q28_setops" ->
       """SELECT kind, count(*) AS n FROM (
@@ -1126,8 +1126,8 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q43_group_apply" ->
       """SELECT event_id,
-        |  CAST(round(value * 100) AS BIGINT) * count(*) OVER w
-        |    - sum(CAST(round(value * 100) AS BIGINT)) OVER w AS demeaned_scaled
+        |  CAST(CAST(round(value * 100) AS BIGINT) * count(*) OVER w
+        |    - sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS demeaned_scaled
         |FROM events WINDOW w AS (PARTITION BY user_id)""".stripMargin,
     "q44_custom_udaf" ->
       """SELECT l_returnflag,
@@ -1135,9 +1135,9 @@ object SparkEntry {
         |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q45_expanding" ->
-      """SELECT event_id, sum(CAST(round(value * 100) AS BIGINT)) OVER (
+      """SELECT event_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS exp_sum
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS exp_sum
         |FROM events""".stripMargin,
     "q46_rolling_range" ->
       """SELECT event_id, round(range_sum, 4) AS range_sum FROM (
@@ -1413,9 +1413,9 @@ object SparkEntry {
         |  CAST(o_orderkey AS VARCHAR) AS key_str
         |FROM orders""".stripMargin,
     "q83_rolling_center" ->
-      """SELECT event_id, sum(CAST(round(value * 100) AS BIGINT)) OVER (
+      """SELECT event_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS roll_csum
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS roll_csum
         |FROM events""".stripMargin,
     "q84_group_prod_anyall" ->
       """SELECT l_partkey, round(product(1.0 + l_discount), 4) AS prod_factor,
@@ -1459,8 +1459,8 @@ object SparkEntry {
         |  CAST(dense_rank() OVER (ORDER BY o_orderpriority) - 1 AS INTEGER) AS prio_code
         |FROM orders""".stripMargin,
     "q89_series_dot" ->
-      """SELECT sum(CAST(round(l_discount * 100) AS BIGINT) *
-        |  CAST(l_quantity AS BIGINT)) AS dot_scaled
+      """SELECT CAST(sum(CAST(round(l_discount * 100) AS BIGINT) *
+        |  CAST(l_quantity AS BIGINT)) AS BIGINT) AS dot_scaled
         |FROM lineitem""".stripMargin,
     "q90_ttest" ->
       """SELECT round((avg(l_quantity) - 25.5) /
@@ -1483,8 +1483,8 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
     "q94_group_transform" ->
       """SELECT event_id,
-        |  sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id)
-        |    AS user_total_cents
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id)
+        |    AS BIGINT) AS user_total_cents
         |FROM events""".stripMargin,
     "q93_sql" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
@@ -1530,7 +1530,8 @@ object SparkEntry {
         |      list_filter(string_split_regex(text, '\s+'), x -> x <> '')), ' '))
         |    ORDER BY doc_id) AS rn
         |  FROM lang)
-        |SELECT lang_pred, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+        |SELECT lang_pred, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM dedup WHERE rn = 1 GROUP BY 1""".stripMargin,
     "q91_str_split_expand" ->
       """SELECT p_partkey,

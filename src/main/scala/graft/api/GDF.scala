@@ -473,12 +473,10 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
   def rolling(window: Int, partitionBy: Seq[String] = Nil, minPeriods: Int = -1): GRolling = {
     val ord = index.map(_.cols).getOrElse(
       throw new IllegalStateException("rolling requires setIndex/withIndex"))
-    // -1 sentinel → pandas fixed-window default (= window);
-    // explicit 0 behaves like 1 (pandas accepts min_periods=0)
-    val mp =
-      if (minPeriods < 0) window
-      else if (minPeriods == 0) 1
-      else minPeriods
+    // -1 sentinel → pandas fixed-window default (= window); 0 keeps pandas
+    // min_periods=0 semantics (empty-window aggregate: sum()=0, count()=0,
+    // mean/min/max of an all-null window = null)
+    val mp = if (minPeriods < 0) window else minPeriods
     new GRolling(df, window, ord, partitionBy, mp)
   }
 

@@ -43,23 +43,42 @@ final class GRolling(
   def sum(valueCol: String, out: String): DataFrame =
     if (partitionBy.isEmpty)
       MapOverlap.rollingSum(df, valueCol, window, out, minPeriods)
-    else add(out, valueCol, org.apache.spark.sql.functions.sum(col(valueCol)).over(spec))
+    else {
+      // pandas min_periods=0: an all-null window sums to 0, not null
+      val s = org.apache.spark.sql.functions.sum(col(valueCol)).over(spec)
+      add(out, valueCol, if (minPeriods == 0) coalesce(s, lit(0)) else s)
+    }
 
   def mean(valueCol: String, out: String): DataFrame =
     if (partitionBy.isEmpty)
       MapOverlap.rollingMean(df, valueCol, window, out, minPeriods)
     else add(out, valueCol, avg(col(valueCol)).over(spec))
 
+  // Every agg has the same two paths as sum/mean: keyed → native window,
+  // global → MapOverlap ghost rows (an un-partitioned SQL window is one task).
   def min(valueCol: String, out: String): DataFrame =
-    add(out, valueCol, org.apache.spark.sql.functions.min(col(valueCol)).over(spec))
+    if (partitionBy.isEmpty)
+      MapOverlap.rollingAgg(df, valueCol, window, out, minPeriods)(
+        xs => if (xs.isEmpty) null else xs.min)
+    else add(out, valueCol, org.apache.spark.sql.functions.min(col(valueCol)).over(spec))
   def max(valueCol: String, out: String): DataFrame =
-    add(out, valueCol, org.apache.spark.sql.functions.max(col(valueCol)).over(spec))
+    if (partitionBy.isEmpty)
+      MapOverlap.rollingAgg(df, valueCol, window, out, minPeriods)(
+        xs => if (xs.isEmpty) null else xs.max)
+    else add(out, valueCol, org.apache.spark.sql.functions.max(col(valueCol)).over(spec))
   def count(valueCol: String, out: String): DataFrame =
-    add(out, valueCol, org.apache.spark.sql.functions.count(col(valueCol)).over(spec))
+    if (partitionBy.isEmpty)
+      MapOverlap.rollingAgg(df, valueCol, window, out, minPeriods,
+        org.apache.spark.sql.types.LongType)(_.size.toLong)
+    else add(out, valueCol, org.apache.spark.sql.functions.count(col(valueCol)).over(spec))
   def std(valueCol: String, out: String): DataFrame =
-    add(out, valueCol, stddev_samp(col(valueCol)).over(spec))
+    if (partitionBy.isEmpty)
+      MapOverlap.rollingAgg(df, valueCol, window, out, minPeriods)(GRolling.sampleStd)
+    else add(out, valueCol, stddev_samp(col(valueCol)).over(spec))
   def variance(valueCol: String, out: String): DataFrame =
-    add(out, valueCol, var_samp(col(valueCol)).over(spec))
+    if (partitionBy.isEmpty)
+      MapOverlap.rollingAgg(df, valueCol, window, out, minPeriods)(GRolling.sampleVar)
+    else add(out, valueCol, var_samp(col(valueCol)).over(spec))
 
   /** `center=True` frame: pandas window w centered → [-w/2, w - w/2 - 1]
     * (reference `_rolling.py:114-153` splits before/after the same way).
@@ -98,6 +117,20 @@ final class GRolling(
 }
 
 object GRolling {
+  /** sample variance (ddof=1) over a window's non-null values; null for
+    * n < 2, matching `var_samp` / pandas rolling `.var()`
+    */
+  private[api] val sampleVar: Seq[Double] => Any = { xs =>
+    if (xs.size < 2) null
+    else {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+  }
+  private[api] val sampleStd: Seq[Double] => Any = { xs =>
+    sampleVar(xs) match { case null => null; case v: Double => math.sqrt(v) }
+  }
+
   /** expanding() = rolling with an unbounded-preceding frame. */
   def expanding(df: DataFrame, orderBy: Seq[String], partitionBy: Seq[String],
                 valueCol: String, out: String, agg: String): DataFrame = {

@@ -69,7 +69,10 @@ object StrFunctions {
     if (regex) regexp_replace(c, pat, rep)
     else org.apache.spark.sql.functions.replace(c, lit(pat), lit(rep))
   def rfind(c: Column, sub: String): Column =
-    length(c) - length(substring_index(c, sub, -1)) - lit(sub.length) + lit(1) - 1
+    // pandas returns -1 when absent; substring_index then yields the whole
+    // string, which would otherwise leak -sub.length
+    when(instr(c, sub) === 0, lit(-1))
+      .otherwise(length(c) - length(substring_index(c, sub, -1)) - lit(sub.length) + lit(1) - 1)
   def rjust(c: Column, width: Int, fill: String = " "): Column = lpad(c, width, fill)
   def rstrip(c: Column): Column = rtrim(c)
   def slice(c: Column, start: Int, stop: Int): Column = substring(c, start + 1, stop - start)
@@ -89,6 +92,8 @@ object StrFunctions {
   def upper_(c: Column): Column = upper(c)
   def wrap(c: Column, width: Int): Column =
     array_join(regexp_extract_all(c, lit(s".{1,$width}(\\s+|$$)"), lit(0)), "\n")
-  def zfill(c: Column, width: Int): Column = lpad(c, width, "0")
+  def zfill(c: Column, width: Int): Column =
+    // pandas leaves strings longer than `width` unchanged; lpad would truncate
+    when(length(c) >= width, c).otherwise(lpad(c, width, "0"))
   def cat(c: Column, sep: String): Column = array_join(collect_list(c), sep) // concat-reduce
 }

@@ -116,12 +116,19 @@ object MapOverlap {
 
   def rollingMean(df: DataFrame, valueCol: String, window: Int, outCol: String,
                   minPeriods: Int = 1): DataFrame =
-    rollingAgg(df, valueCol, window, outCol, minPeriods)(xs => xs.sum / xs.size)
+    rollingAgg(df, valueCol, window, outCol, minPeriods)(
+      xs => if (xs.isEmpty) null else xs.sum / xs.size)
 
+  /** @param agg may return null (e.g. sample std of a 1-row window); the
+    *            result value must match `outType` (default double)
+    */
   def rollingAgg(df: DataFrame, valueCol: String, window: Int, outCol: String,
-                 minPeriods: Int)(agg: Seq[Double] => Double): DataFrame = {
+                 minPeriods: Int,
+                 outType: org.apache.spark.sql.types.DataType =
+                   org.apache.spark.sql.types.DoubleType)
+                (agg: Seq[Double] => Any): DataFrame = {
     val idx = df.schema.fieldIndex(valueCol)
-    val outSchema = df.schema.add(outCol, "double")
+    val outSchema = df.schema.add(outCol, outType)
     apply(df, outSchema, before = window - 1, after = 0) { (ghosts, it, _) =>
       val buf = new scala.collection.mutable.ArrayDeque[Double]()
       var bufValid = new scala.collection.mutable.ArrayDeque[Boolean]()

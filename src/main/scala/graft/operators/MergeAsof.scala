@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
 /** As-of (nearest-key) join — `merge_asof` in the reference
@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   * the carry.  That is exactly the prefix-propagation the reference hand
   * rolls with `compute_tails`/`prefix_reduction`, done by Spark's native
   * window machinery.
+  *
+  * `nearest` computes the backward and the forward carry as two window
+  * columns over the SAME union (two sorts, one exchange) and picks the
+  * nearer side per row — no row-id bookkeeping or self-join, so the result
+  * is deterministic even over nondeterministic upstreams (sample, unstable
+  * shuffle order), where a join keyed on `monotonically_increasing_id`
+  * could silently misalign rows.
   *
   * Semantics implemented: direction ∈ backward / forward / nearest,
   * optional `by` grouping keys, `tolerance` (in units of `on`; for
@@ -42,8 +49,9 @@ object MergeAsof {
 
     require(left.columns.contains(on) && right.columns.contains(on), s"both sides need '$on'")
     direction match {
-      case "backward" | "forward" => joinOneDirection(left, right, on, by, direction, tolerance, allowExactMatches, rightSuffix)
-      case "nearest"              => nearest(left, right, on, by, tolerance, allowExactMatches, rightSuffix)
+      case "backward" | "forward" =>
+        joinOneDirection(left, right, on, by, direction, tolerance, allowExactMatches, rightSuffix)
+      case "nearest" => nearest(left, right, on, by, tolerance, allowExactMatches, rightSuffix)
       case other => throw new IllegalArgumentException(s"direction=$other")
     }
   }
@@ -69,15 +77,15 @@ object MergeAsof {
     }
   }
 
-  private def joinOneDirection(
-      left: DataFrame, right: DataFrame, on: String, by: Seq[String],
-      direction: String, tolerance: Option[Double], allowExact: Boolean,
-      suffix: String): DataFrame = {
-
+  /** Union schema: by ++ on-num ++ isleft ++ left payload ++ right payload,
+    * with each side null-padded for the other's columns.
+    * Returns (unioned, leftCols, outRight).
+    */
+  private def buildUnion(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
+                         suffix: String): (DataFrame, Seq[String], Seq[String]) = {
     val payload = rightPayload(left, right, on, by, suffix)
     val outRight = payload.map(_._2)
 
-    // Union schema: by ++ on-num ++ isleft ++ left payload ++ right payload
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn(OnNum, onNum(left, on))
@@ -88,31 +96,51 @@ object MergeAsof {
     var r = right.withColumn(OnNum, onNum(right, on)).withColumn(IsLeft, lit(false))
     for ((src, dst) <- payload) if (src != dst) r = r.withColumnRenamed(src, dst)
     val rPadded = leftCols.filterNot(c => by.contains(c) || outRight.contains(c))
-      .foldLeft(r) { (d, c) => if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(left.schema(c).dataType)) }
+      .foldLeft(r) { (d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+      }
 
     val cols = by ++ Seq(OnNum, IsLeft) ++ leftCols.filterNot(by.contains) ++ outRight
     val unioned = lPadded.select(cols.distinct.map(col): _*)
       .unionByName(rPadded.select(cols.distinct.map(col): _*))
+    (unioned, leftCols, outRight)
+  }
 
-    // Tag ordering decides whether an exact-timestamp right row is visible.
-    // The carry always looks backwards in ITERATION order (forward just
-    // iterates descending), so in both directions an exact-match right row
-    // is visible iff it sorts before the left row at equal `on`.
-    val backward = direction == "backward"
+  /** Carry window for one direction.  Tag ordering decides whether an
+    * exact-timestamp right row is visible: the carry always looks backwards
+    * in ITERATION order (forward just iterates descending), so in both
+    * directions an exact-match right row is visible iff it sorts before the
+    * left row at equal `on`.
+    */
+  private def carryWindow(by: Seq[String], backward: Boolean, allowExact: Boolean): WindowSpec = {
     val rightFirst = allowExact
     val tagOrd = when(col(IsLeft), lit(if (rightFirst) 1 else 0))
       .otherwise(lit(if (rightFirst) 0 else 1))
-
     val ord: Seq[Column] =
       if (backward) Seq(col(OnNum).asc, tagOrd.asc) else Seq(col(OnNum).desc, tagOrd.asc)
-    val w = (if (by.nonEmpty) Window.partitionBy(by.map(col): _*) else Window.partitionBy())
+    (if (by.nonEmpty) Window.partitionBy(by.map(col): _*) else Window.partitionBy())
       .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  }
 
-    val carried = (outRight :+ OnNum).foldLeft(unioned) { (d, c) =>
-      val src = if (c == OnNum) when(!col(IsLeft), col(OnNum)) else when(!col(IsLeft), col(c))
-      d.withColumn(s"__carry_$c", last(src, ignoreNulls = true).over(w))
+  /** add `prefix<c>` carry columns (plus `prefix__asof_on__`) for one direction */
+  private def carry(unioned: DataFrame, outRight: Seq[String], by: Seq[String],
+                    backward: Boolean, allowExact: Boolean, prefix: String): DataFrame = {
+    val w = carryWindow(by, backward, allowExact)
+    (outRight :+ OnNum).foldLeft(unioned) { (d, c) =>
+      val src = when(!col(IsLeft), col(c))
+      d.withColumn(prefix + c, last(src, ignoreNulls = true).over(w))
     }
+  }
+
+  private def joinOneDirection(
+      left: DataFrame, right: DataFrame, on: String, by: Seq[String],
+      direction: String, tolerance: Option[Double], allowExact: Boolean,
+      suffix: String): DataFrame = {
+
+    val (unioned, leftCols, outRight) = buildUnion(left, right, on, by, suffix)
+    val backward = direction == "backward"
+    val carried = carry(unioned, outRight, by, backward, allowExact, "__carry_")
 
     val withinTol: Column = tolerance match {
       case Some(t) =>
@@ -122,12 +150,11 @@ object MergeAsof {
       case None => lit(true)
     }
 
-    val result = carried
+    carried
       .filter(col(IsLeft))
       .select(
         (leftCols.map(col) ++
           outRight.map(c => when(withinTol, col(s"__carry_$c")).otherwise(lit(null)).as(c))): _*)
-    result
   }
 
   /** nearest = min(backward-dist, forward-dist); ties → backward (pandas). */
@@ -135,31 +162,28 @@ object MergeAsof {
       left: DataFrame, right: DataFrame, on: String, by: Seq[String],
       tolerance: Option[Double], allowExact: Boolean, suffix: String): DataFrame = {
 
-    val payload = rightPayload(left, right, on, by, suffix)
-    val outRight = payload.map(_._2)
-    val rowId = "__asof_rowid__"
-    val lId = left.withColumn(rowId, monotonically_increasing_id())
+    val (unioned, leftCols, outRight) = buildUnion(left, right, on, by, suffix)
+    val carried = carry(
+      carry(unioned, outRight, by, backward = true, allowExact, "__bwd_"),
+      outRight, by, backward = false, allowExact, "__fwd_")
 
-    // carry the right `on` alongside the payload so the nearer side can be
-    // chosen per row; both directional passes share one shuffled layout
-    val rWithOn = right.withColumn("__r_on", col(on))
-    val bwd2 = joinOneDirection(lId, rWithOn, on, by, "backward", tolerance, allowExact, suffix)
-    val fwd2 = joinOneDirection(lId, rWithOn, on, by, "forward", tolerance, allowExact, suffix)
-    val onN = onNum(lId, on)
-
-    val b2 = bwd2.select(
-      (Seq(col(rowId)) ++ outRight.map(c => col(c).as(c + "_bwd")) :+
-        (onN - onNum(bwd2, "__r_on")).as("__dist_bwd")): _*)
-    val f2 = fwd2.select(
-      (Seq(col(rowId)) ++ outRight.map(c => col(c).as(c + "_fwd")) :+
-        (onNum(fwd2, "__r_on") - onN).as("__dist_fwd")): _*)
-
-    val joined = lId.join(b2, Seq(rowId), "left").join(f2, Seq(rowId), "left")
-    val useBwd = col("__dist_bwd").isNotNull &&
-      (col("__dist_fwd").isNull || col("__dist_bwd") <= col("__dist_fwd"))
-    val out = outRight.foldLeft(joined) { (d, c) =>
-      d.withColumn(c, when(useBwd, col(c + "_bwd")).otherwise(col(c + "_fwd")))
+    val distBwd = col(OnNum) - col(s"__bwd_$OnNum")
+    val distFwd = col(s"__fwd_$OnNum") - col(OnNum)
+    def inTol(d: Column): Column = tolerance match {
+      case Some(t) => d.isNotNull && d <= lit(t)
+      case None    => d.isNotNull
     }
-    out.select((left.columns.toSeq ++ outRight).map(col): _*)
+    val validBwd = inTol(distBwd)
+    val validFwd = inTol(distFwd)
+    val useBwd = validBwd && (!validFwd || distBwd <= distFwd)
+
+    carried
+      .filter(col(IsLeft))
+      .select(
+        (leftCols.map(col) ++ outRight.map { c =>
+          when(useBwd, col(s"__bwd_$c"))
+            .when(validFwd, col(s"__fwd_$c"))
+            .otherwise(lit(null)).as(c)
+        }): _*)
   }
 }
