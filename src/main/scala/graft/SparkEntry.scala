@@ -625,10 +625,15 @@ object SparkEntry {
         .df
     },
 
-    // ---- §2.3 sample / random_split (seeded; rows-only check) -----------
+    // ---- §2.3 sample / random_split (deterministic hash variant) --------
     "q67_sample" -> { (s, dir) =>
-      val parts = g(s, dir, "lineitem").randomSplit(Array(0.8, 0.2), seed = 7L)
-      val sampled = g(s, dir, "lineitem").sample(0.1, seed = 7L)
+      // deterministic content-keyed split + sample (portable hash): the
+      // reproducible variant of sample()/randomSplit() a training pipeline
+      // actually wants — the kept set is a pure function of the row key,
+      // so it IS oracle-checkable (seeded RNG sampling is layout-dependent)
+      val key = col("l_orderkey") * 10 + col("l_linenumber")
+      val parts = g(s, dir, "lineitem").hashSplit(key, Array(0.8, 0.2))
+      val sampled = g(s, dir, "lineitem").hashSample(key, 0.1, seed = 1)
       parts(0).assign("split", lit("train")).select("split", "l_orderkey")
         .concat(
           parts(1).assign("split", lit("test")).select("split", "l_orderkey"),
@@ -923,6 +928,109 @@ object SparkEntry {
         .aggAliased(("x", "mean", "mean_x"), ("y", "sum", "sum_y"), ("id", "count", "n"))
         .assign("mean_x", round(col("mean_x"), 4))
         .assign("sum_y", round(col("sum_y"), 4))
+        .df
+    },
+
+    // ---- §2.5 groupby idxmin/idxmax (deterministic struct ordering) -----
+    "q97_group_idxminmax" -> { (s, dir) =>
+      val li = g(s, dir, "lineitem")
+      val mx = li.groupby("l_returnflag").idxmax("l_extendedprice", "l_orderkey", "idx_max_price")
+      val mn = li.groupby("l_returnflag").idxmin("l_extendedprice", "l_orderkey", "idx_min_price")
+      mx.merge(mn, on = Seq("l_returnflag"), how = "inner").df
+    },
+    // ---- §2.5 per-group multi-nunique (q10 lesson: two pruned
+    // single-distinct aggregates + join, not one Expand-based multi-DISTINCT)
+    "q98_group_nunique" -> { (s, dir) =>
+      val li = g(s, dir, "lineitem")
+      val a = li.groupby("l_returnflag").nunique("l_partkey", "n_parts")
+      val b = li.groupby("l_returnflag").nunique("l_suppkey", "n_supps")
+      a.merge(b, on = Seq("l_returnflag"), how = "inner").df
+    },
+    // ---- §2.5 per-group higher moments + sem ----------------------------
+    "q99_group_moments" -> { (s, dir) =>
+      g(s, dir, "lineitem").groupby("l_returnflag")
+        .aggAliased(("l_discount", "skew", "skew_disc"),
+          ("l_discount", "kurt", "kurt_disc"), ("l_quantity", "sem", "sem_qty"))
+        .assign("skew_disc", round(col("skew_disc"), 4))
+        .assign("kurt_disc", round(col("kurt_disc"), 4))
+        .assign("sem_qty", round(col("sem_qty"), 4))
+        .df
+    },
+    // ---- §2.3 index-aligned binop + combine_first (dask OpAlignPartitions)
+    "q100_align_binop" -> { (s, dir) =>
+      val cust = g(s, dir, "customer").groupby("c_nationkey")
+        .aggAliased(("c_acctbal", "sum", "bal")).rename("c_nationkey" -> "nationkey")
+        .withIndex("nationkey")
+      val supp = g(s, dir, "supplier").groupby("s_nationkey")
+        .aggAliased(("s_acctbal", "sum", "bal")).rename("s_nationkey" -> "nationkey")
+        .withIndex("nationkey")
+      cust.alignedBinop(supp, "bal", "bal", "bal_sum")(_ + _)
+        .assign("bal_sum", round(col("bal_sum"), 2))
+        .select("nationkey", "bal_sum")
+        .df
+    },
+    // ---- §2.3 clip / mask elementwise ------------------------------------
+    "q101_clip_mask" -> { (s, dir) =>
+      g(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .assign("capped", col("o_totalprice"))
+        .clip("capped", 50000, 250000)
+        .assign("masked", col("o_totalprice"))
+        .mask("masked", col("o_orderstatus") === "F", lit(-1.0))
+        .select("o_orderkey", "capped", "masked")
+        .df
+    },
+    // ---- §2.5 qcut: quantile binning (exact quartiles, one percentile
+    // pass, broadcast of the 1-row cut-point frame — no driver round trip)
+    "q102_qcut" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val qs = li.agg(percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+        .select(round(element_at(col("qs"), 1), 2).as("q1"),
+          round(element_at(col("qs"), 2), 2).as("q2"),
+          round(element_at(col("qs"), 3), 2).as("q3"))
+      li.crossJoin(broadcast(qs))
+        .select(when(col("l_extendedprice") <= col("q1"), 0)
+          .when(col("l_extendedprice") <= col("q2"), 1)
+          .when(col("l_extendedprice") <= col("q3"), 2)
+          .otherwise(3).cast("int").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    },
+    // ---- ext: exact token-set Jaccard near-dups (length-band blocking) --
+    "q103_jaccard_neardups" -> { (s, dir) =>
+      graft.operators.Dedup.jaccardNearDupPairs(t(s, dir, "documents"),
+          "doc_id", "text", blockCols = Seq("lang"), bandWidth = 64, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    },
+    // ---- ext: IVF ANN (cell assignment → probe → cell-local re-rank) ----
+    "q104_ann_ivf" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      graft.operators.Similarity.ivfTopK(emb,
+          emb.filter(col("vec_id").between(100, 104)),
+          emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", k = 3, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sim"), 4).as("sim"), col("rk"))
+    },
+    // ---- §2.6 per-key rolling median (window-able exact percentile) -----
+    "q105_rolling_median" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      new graft.api.GRolling(ev, 4, Seq("ts", "event_id"), Seq("user_id"), 1)
+        .median("value", "roll_med")
+        .select(col("event_id"), round(col("roll_med"), 4).as("roll_med"))
+    },
+    // ---- §2.8 bag product (cartesian) ------------------------------------
+    "q106_product" -> { (s, dir) =>
+      val a = g(s, dir, "region").select("r_name").rename("r_name" -> "name_a")
+      val b = g(s, dir, "region").select("r_name").rename("r_name" -> "name_b")
+      a.crossJoin(b).df
+    },
+    // ---- §2.3 pandas query()/eval() string expressions -------------------
+    "q107_eval_query" -> { (s, dir) =>
+      g(s, dir, "orders")
+        .query("o_orderstatus = 'O' and o_totalprice > 200000")
+        .eval("price_k", "floor(o_totalprice / 10 + 0.5) / 100")
+        .select("o_orderkey", "price_k")
         .df
     })
 
@@ -1310,6 +1418,26 @@ object SparkEntry {
         |  SELECT user_id, event_id,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+    // DuckDB replica of Hashing.portableBucket (multiply-xorshift rounds,
+    // buckets from the top of the 32-bit space), seeds 0 (split) / 1 (sample)
+    "q67_sample" ->
+      """WITH k AS (
+        |  SELECT (l_orderkey*10 + l_linenumber) % 100000000 AS k0,
+        |         (l_orderkey*10 + l_linenumber) % 100000000 + 7919 AS k1
+        |  FROM lineitem),
+        |a1 AS (SELECT (k0*2654435761)%4294967296 AS h1a,
+        |              (k1*2654435761)%4294967296 AS h1b FROM k),
+        |a2 AS (SELECT xor(h1a, h1a>>16) AS x1a, xor(h1b, h1b>>16) AS x1b FROM a1),
+        |a3 AS (SELECT (x1a*1597334677)%4294967296 AS h2a,
+        |              (x1b*1597334677)%4294967296 AS h2b FROM a2),
+        |a4 AS (SELECT xor(h2a, h2a>>13) AS x2a, xor(h2b, h2b>>13) AS x2b FROM a3),
+        |b AS (SELECT (x2a*10000)//4294967296 AS splitb,
+        |             (x2b*10000)//4294967296 AS sampb FROM a4),
+        |tagged AS (
+        |  SELECT CASE WHEN splitb < 8000 THEN 'train' ELSE 'test' END AS split FROM b
+        |  UNION ALL
+        |  SELECT 'sample' AS split FROM b WHERE sampb < 1000)
+        |SELECT split, count(*) AS n FROM tagged GROUP BY 1""".stripMargin,
     // the tolerance assertion is evaluated on the Spark side (approx vs
     // exact in one plan); the oracle just pins the expected verdict
     "q68_nunique_approx" ->
@@ -1546,5 +1674,116 @@ object SparkEntry {
         |  -- initcap equivalent: capitalize each space-separated word
         |  array_to_string(list_transform(string_split(lower(p_brand), ' '),
         |    w -> concat(upper(substr(w, 1, 1)), substr(w, 2))), ' ') AS brand_title
-        |FROM part""".stripMargin)
+        |FROM part""".stripMargin,
+    // struct-ordered min/max: value ties resolve by idx (max → larger idx,
+    // min → smaller idx), replicated with ordered first()
+    "q97_group_idxminmax" ->
+      """SELECT l_returnflag,
+        |  first(l_orderkey ORDER BY l_extendedprice DESC, l_orderkey DESC)
+        |    AS idx_max_price,
+        |  first(l_orderkey ORDER BY l_extendedprice ASC, l_orderkey ASC)
+        |    AS idx_min_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q98_group_nunique" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // Spark skewness/kurtosis are the biased (population) g1/g2 — compute
+    // the same centered-moment forms per group (q11 pattern, grouped)
+    "q99_group_moments" ->
+      """WITH mu AS (
+        |  SELECT l_returnflag, avg(l_discount) AS m FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  round(avg(pow(l_discount - m, 3)) / pow(avg(pow(l_discount - m, 2)), 1.5), 4)
+        |    AS skew_disc,
+        |  round(avg(pow(l_discount - m, 4)) / pow(avg(pow(l_discount - m, 2)), 2) - 3, 4)
+        |    AS kurt_disc,
+        |  round(stddev_samp(l_quantity) / sqrt(count(l_quantity)), 4) AS sem_qty
+        |FROM lineitem JOIN mu USING (l_returnflag) GROUP BY 1""".stripMargin,
+    "q100_align_binop" ->
+      """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |  round(c.bal + s.bal, 2) AS bal_sum
+        |FROM (SELECT c_nationkey AS nationkey, sum(c_acctbal) AS bal
+        |      FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS nationkey, sum(s_acctbal) AS bal
+        |           FROM supplier GROUP BY 1) s USING (nationkey)""".stripMargin,
+    "q101_clip_mask" ->
+      """SELECT o_orderkey,
+        |  least(greatest(o_totalprice, 50000), 250000) AS capped,
+        |  CASE WHEN o_orderstatus = 'F' THEN -1.0 ELSE o_totalprice END AS masked
+        |FROM orders""".stripMargin,
+    "q102_qcut" ->
+      """WITH qs AS (
+        |  SELECT round(quantile_cont(l_extendedprice, 0.25), 2) AS q1,
+        |         round(quantile_cont(l_extendedprice, 0.50), 2) AS q2,
+        |         round(quantile_cont(l_extendedprice, 0.75), 2) AS q3
+        |  FROM lineitem)
+        |SELECT CASE WHEN l_extendedprice <= q1 THEN 0
+        |            WHEN l_extendedprice <= q2 THEN 1
+        |            WHEN l_extendedprice <= q3 THEN 2
+        |            ELSE 3 END AS bin, count(*) AS n
+        |FROM lineitem, qs GROUP BY 1""".stripMargin,
+    // DuckDB replica of Dedup.jaccardNearDupPairs: same tokenization,
+    // same (lang, length-band ±1) blocking, exact set Jaccard
+    "q103_jaccard_neardups" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, CAST(floor(length(text) / 64) AS BIGINT) AS bk,
+        |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS toks
+        |  FROM documents),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb
+        |  FROM (SELECT doc_id, lang, toks, unnest([bk - 1, bk, bk + 1]) AS probe
+        |        FROM d) a
+        |  JOIN d b ON a.lang = b.lang AND a.probe = b.bk AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    len(list_intersect(ta, tb))::DOUBLE /
+        |      (len(ta) + len(tb) - len(list_intersect(ta, tb))) AS jac
+        |  FROM cand)
+        |WHERE jac >= 0.5""".stripMargin,
+    // DuckDB replica of Similarity.ivfTopK: same centroid set, same
+    // index-ordered double cosine, same nProbe=2 / k=3 / tie-breaks
+    "q104_ann_ivf" ->
+      """WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, v AS ce FROM corp WHERE vec_id < 8),
+        |ranked AS (
+        |  SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crk
+        |  FROM (SELECT c.vec_id, ct.cent_id,
+        |          list_inner_product(c.v, ct.ce) /
+        |            (sqrt(list_inner_product(c.v, c.v)) *
+        |             sqrt(list_inner_product(ct.ce, ct.ce))) AS csim
+        |        FROM corp c, cents ct)),
+        |cells AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crk = 1),
+        |probes AS (SELECT vec_id AS query_id, cent_id AS cell FROM ranked
+        |           WHERE crk <= 2 AND vec_id BETWEEN 100 AND 104),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_inner_product(q.v, n.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) *
+        |       sqrt(list_inner_product(n.v, n.v))) AS sim
+        |  FROM probes p
+        |  JOIN cells a USING (cell)
+        |  JOIN corp q ON q.vec_id = p.query_id
+        |  JOIN corp n ON n.vec_id = a.vec_id
+        |  WHERE a.vec_id <> p.query_id)
+        |SELECT query_id, neighbor_id, round(sim, 4) AS sim, CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT query_id, neighbor_id, sim, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+        |      FROM scored)
+        |WHERE rk <= 3""".stripMargin,
+    "q105_rolling_median" ->
+      """SELECT event_id, round(quantile_cont(value, 0.5) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS roll_med
+        |FROM events""".stripMargin,
+    "q106_product" ->
+      """SELECT a.r_name AS name_a, b.r_name AS name_b
+        |FROM region a, region b""".stripMargin,
+    "q107_eval_query" ->
+      """SELECT o_orderkey, floor(o_totalprice / 10 + 0.5) / 100 AS price_k
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 200000""".stripMargin)
 }

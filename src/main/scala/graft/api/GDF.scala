@@ -140,6 +140,28 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
   def randomSplit(weights: Array[Double], seed: Long = 42L): Array[GDF] =
     df.randomSplit(weights, seed).map(unordered)
 
+  /** Deterministic content-keyed Bernoulli sample: keep rows whose
+    * multiplicative hash of `key` lands in the first `fraction` of bucket
+    * space.  Unlike seeded RNG `sample()` (partition-layout dependent), the
+    * kept set is a pure function of the key values — reproducible across
+    * runs, engines, and repartitioning, which is what a training-data
+    * pipeline needs for holdout splits.  (reference `Sample`
+    * `_expr.py:1283` is RNG-based; this is the scale-friendly variant)
+    */
+  def hashSample(keyCol: Column, fraction: Double, seed: Int = 0): GDF =
+    unordered(df.filter(
+      graft.functions.Hashing.portableBucket(keyCol, 10000, seed) < (fraction * 10000).toInt))
+
+  /** Deterministic counterpart of `randomSplit`: partitions rows into
+    * `weights.length` disjoint frames by hash bucket of `keyCol`.
+    */
+  def hashSplit(keyCol: Column, weights: Array[Double], seed: Int = 0): Array[GDF] = {
+    val total = weights.sum
+    val cum = weights.scanLeft(0.0)(_ + _).map(w => math.round(w / total * 10000).toInt)
+    val b = graft.functions.Hashing.portableBucket(keyCol, 10000, seed)
+    weights.indices.map(i => unordered(df.filter(b >= cum(i) && b < cum(i + 1)))).toArray
+  }
+
   // ---- joins (SURVEY §2.4) ---------------------------------------------
 
   /** dask/pandas `merge`.  `how` ∈ inner/left/right/outer/leftsemi/leftanti/cross.

@@ -44,11 +44,16 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
   def nuniqueApprox(c: String, rsd: Double = 0.05, alias: String = "nunique_approx"): GDF =
     new GDF(grouped.agg(approx_count_distinct(col(c), rsd).as(alias)), None)
 
-  /** idxmin/idxmax — `min_by`/`max_by` (SURVEY §2.5). */
+  /** idxmin/idxmax — `min_by`/`max_by` (SURVEY §2.5), expressed as
+    * min/max over a (value, idx) struct so that value ties resolve
+    * deterministically by idx (bare min_by/max_by tie-break is arbitrary).
+    */
   def idxmin(valueCol: String, idxCol: String, alias: String = "idxmin"): GDF =
-    new GDF(grouped.agg(min_by(col(idxCol), col(valueCol)).as(alias)), None)
+    new GDF(grouped.agg(org.apache.spark.sql.functions
+      .min(struct(col(valueCol), col(idxCol))).getField(idxCol).as(alias)), None)
   def idxmax(valueCol: String, idxCol: String, alias: String = "idxmax"): GDF =
-    new GDF(grouped.agg(max_by(col(idxCol), col(valueCol)).as(alias)), None)
+    new GDF(grouped.agg(org.apache.spark.sql.functions
+      .max(struct(col(valueCol), col(idxCol))).getField(idxCol).as(alias)), None)
 
   /** Exact per-group median — holistic (sort-based `percentile`). */
   def median(c: String, alias: String = "median"): GDF =

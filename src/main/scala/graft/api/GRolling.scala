@@ -80,6 +80,25 @@ final class GRolling(
       MapOverlap.rollingAgg(df, valueCol, window, out, minPeriods)(GRolling.sampleVar)
     else add(out, valueCol, var_samp(col(valueCol)).over(spec))
 
+  /** rolling quantile (linear interpolation, pandas default) — exact
+    * `percentile` is window-able in Spark; global path interpolates inside
+    * the MapOverlap kernel with the same (n-1)·q rule.
+    */
+  def quantile(valueCol: String, q: Double, out: String): DataFrame =
+    if (partitionBy.isEmpty)
+      MapOverlap.rollingAgg(df, valueCol, window, out, minPeriods) { xs =>
+        if (xs.isEmpty) null
+        else {
+          val s = xs.sorted
+          val h = (s.size - 1) * q
+          val lo = h.toInt
+          if (lo + 1 >= s.size) s.last else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+        }
+      }
+    else add(out, valueCol, percentile(col(valueCol), lit(q)).over(spec))
+
+  def median(valueCol: String, out: String): DataFrame = quantile(valueCol, 0.5, out)
+
   /** `center=True` frame: pandas window w centered → [-w/2, w - w/2 - 1]
     * (reference `_rolling.py:114-153` splits before/after the same way).
     */

@@ -7,6 +7,30 @@ package graft.functions
   */
 object Hashing {
 
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{floor, lit, pmod, shiftright}
+
+  /** Column-level bucket hash that is a pure function of the key value and
+    * is expressible in portable SQL (multiply / xor / shift / mod only), so
+    * an external oracle (DuckDB) can replicate it bit-for-bit.  One
+    * multiply-xorshift round per multiplier, buckets taken from the TOP of
+    * the 32-bit space (low bits of a multiplicative hash are weak).
+    * Constants chosen so no intermediate exceeds int64.
+    *
+    * This backs deterministic content-keyed sampling / splits: the kept set
+    * is stable across runs, engines, partition layouts — unlike seeded RNG
+    * `sample()`, which depends on partition boundaries.
+    */
+  def portableBucket(key: Column, buckets: Int, seed: Int = 0): Column = {
+    val k = pmod(key.cast("long"), lit(100000000L)) + lit(seed.toLong * 7919L)
+    val h1 = pmod(k * lit(2654435761L), lit(4294967296L))
+    val x1 = h1.bitwiseXOR(shiftright(h1, 16))
+    val h2 = pmod(x1 * lit(1597334677L), lit(4294967296L))
+    val x2 = h2.bitwiseXOR(shiftright(h2, 13))
+    // exact: x2*buckets < 2^53 and /2^32 only shifts the exponent
+    floor(x2 * lit(buckets.toLong) / lit(4294967296L)).cast("int")
+  }
+
   /** splitmix64 finalizer — standard public-domain mixing function. */
   @inline def mix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L

@@ -125,4 +125,41 @@ object Dedup {
   /** Winnowing fingerprints (rolling-hash document signatures). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), fingerprintUdf(col(textCol)).as("fingerprint"))
+
+  /** Exact token-set (word 1-gram) Jaccard near-duplicate pairs with
+    * length-band blocking: candidates must share `blockCols` AND sit in
+    * the same-or-adjacent `bandWidth`-char length band (near-dups have
+    * near-equal lengths), so the pair space is band-local, never O(n²).
+    * Everything is native array functions — codegen, no UDF — and the
+    * whole computation is portable SQL, so unlike the MinHash/SimHash
+    * tiers (whose hash families are engine-specific) this one is
+    * oracle-checkable bit-for-bit.  For n-gram (n>1) Jaccard at scale use
+    * [[nearDuplicates]], which verifies candidates with
+    * `Hashing.ngramJaccard`.
+    */
+  def jaccardNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          blockCols: Seq[String] = Nil, bandWidth: Int = 64,
+                          threshold: Double = 0.5): DataFrame = {
+    val toks = array_distinct(
+      org.apache.spark.sql.functions.filter(
+        split(lower(col(textCol)), "\\s+"), t => t =!= lit("")))
+    val bk = floor(length(col(textCol)) / bandWidth)
+    val base = docs.select(
+      (Seq(col(idCol), toks.as("__toks"), bk.as("__bk")) ++ blockCols.map(col)): _*)
+    val a = base.select(
+      (Seq(col(idCol).as("id_a"), col("__toks").as("__ta"),
+        explode(array(col("__bk") - 1, col("__bk"), col("__bk") + 1)).as("__probe")) ++
+        blockCols.map(c => col(c).as(s"__a_$c"))): _*)
+    val b = base.select(
+      (Seq(col(idCol).as("id_b"), col("__toks").as("__tb"), col("__bk")) ++
+        blockCols.map(c => col(c).as(s"__b_$c"))): _*)
+    val blockCond = (col("__probe") === col("__bk")) +: blockCols.map(c =>
+      col(s"__a_$c") === col(s"__b_$c"))
+    val inter = size(array_intersect(col("__ta"), col("__tb"))).cast("double")
+    a.join(b, blockCond.reduce(_ && _) && col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        inter / (size(col("__ta")) + size(col("__tb")) - inter))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }

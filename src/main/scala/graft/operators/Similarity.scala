@@ -94,6 +94,62 @@ object Similarity {
     * exact re-rank).  Recall is tunable by `planes` (fewer planes → bigger
     * buckets → higher recall, more compute).
     */
+  /** IVF (inverted-file) ANN: assign every corpus vector to its nearest
+    * centroid ("cell") in ONE narrow pass (centroids ride inside the
+    * assignment function — the coarse codebook is small by construction,
+    * exactly how IVF coarse quantizers ship), probe only the `nProbe`
+    * nearest cells per query, exact cosine re-rank inside the probed
+    * cells.  The only wide operation is the per-query top-k over the
+    * probed candidates — candidate count is cell-local, never O(corpus).
+    *
+    * `centroids` stands in for a trained k-means codebook; any small
+    * deterministic vector set works (the fixture query uses the first
+    * corpus vectors), and the plumbing — assignment pass, inverted cell
+    * join, probe restriction — is independent of how centroids were fit.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
+    // tiny by contract: the coarse codebook (k ≈ √n cells at scale)
+    val cents: Array[(Long, Array[Double])] =
+      centroids.select(col(idCol).cast("long"), col(vecCol))
+        .collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).iterator.map(_.toDouble).toArray))
+        .sortBy(_._1)
+
+    def cosTo(v: Seq[Float], c: Array[Double]): Double = {
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var i = 0
+      while (i < c.length) {
+        val x = v(i).toDouble
+        dot += x * c(i); nv += x * x; nc += c(i) * c(i)
+        i += 1
+      }
+      dot / (math.sqrt(nv) * math.sqrt(nc))
+    }
+    // ties break toward the smallest centroid id (cents is id-sorted and
+    // `>` keeps the first maximum)
+    val cellsOf = (v: Seq[Float], n: Int) =>
+      cents.map { case (id, c) => (id, cosTo(v, c)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(n).map(_._1)
+    val assignUdf = udf((v: Seq[Float]) => cellsOf(v, 1).head)
+    val probeUdf = udf((v: Seq[Float], n: Int) => cellsOf(v, n))
+
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      vecNorm(col(vecCol)).as("__cn"), assignUdf(col(vecCol)).as("cell"))
+    val probes = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      vecNorm(col(vecCol)).as("__qn"),
+      explode(probeUdf(col(vecCol), lit(nProbe))).as("cell")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned.join(probes, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", vecDot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk").cast("int").as("rk"))
+  }
+
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 8): DataFrame = {
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),

@@ -198,6 +198,26 @@ class GDFSpec extends SparkTestBase {
     assert(c.df.filter(col("id") === 7).head().isNullAt(2))
   }
 
+  test("hashSample/hashSplit are deterministic, disjoint, and layout-independent") {
+    val d = GDF(spark.range(10000).toDF("id"))
+    val kept = d.hashSample(col("id"), 0.1).df.select("id").as[Long].collect().toSet
+    // pure function of the key → identical under a different partitioning
+    val kept2 = GDF(spark.range(10000).repartition(13).toDF("id"))
+      .hashSample(col("id"), 0.1).df.select("id").as[Long].collect().toSet
+    assert(kept == kept2)
+    assert(kept.size > 800 && kept.size < 1200) // ~10%
+    val Array(tr, te) = d.hashSplit(col("id"), Array(0.8, 0.2))
+    val trIds = tr.df.select("id").as[Long].collect().toSet
+    val teIds = te.df.select("id").as[Long].collect().toSet
+    assert(trIds.intersect(teIds).isEmpty)
+    assert(trIds.size + teIds.size == 10000)
+    assert(math.abs(trIds.size - 8000) < 200)
+    // a different seed is an effectively independent draw
+    val seeded = d.hashSample(col("id"), 0.1, seed = 1).df.select("id").as[Long].collect().toSet
+    val overlap = kept.intersect(seeded).size.toDouble / kept.size
+    assert(overlap < 0.2, s"seed draws too correlated: $overlap")
+  }
+
   test("timeseries generator is deterministic and index-sorted") {
     val ts = graft.sources.Timeseries(spark, 1704067200L, 1000, freqSec = 1, numPartitions = 4)
     assert(ts.index.exists(_.sorted))

@@ -36,6 +36,43 @@ class LlmOpsSpec extends SparkTestBase {
     assert(pairs.forall { case (a, b) => Set(a, b).intersect(Set(4L)).isEmpty })
   }
 
+  test("jaccardNearDupPairs: blocking finds same-band pairs, Jaccard exact") {
+    val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // identical + shuffled copies: token-set Jaccard exactly 1
+    assert(pairs((1L, 2L)) == 1.0 && pairs((1L, 3L)) == 1.0 && pairs((2L, 3L)) == 1.0)
+    // one-word-changed doc: 8 distinct tokens each, 7 shared → 7/9
+    assert(math.abs(pairs((1L, 5L)) - 7.0 / 9.0) < 1e-12)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // length-band blocking is ±1 band: a short vs very long doc never pairs
+    val longDoc = Seq((6L, ("word " * 40).trim), (7L, "word")).toDF("doc_id", "text")
+    val none = Dedup.jaccardNearDupPairs(longDoc, "doc_id", "text", threshold = 0.0)
+    assert(none.count() == 0)
+  }
+
+  test("ivfTopK matches bruteForceTopK when all cells are probed") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)),
+      (10L, Array(0.9f, 0.1f, 0.0f)), (11L, Array(0.8f, 0.2f, 0.1f)),
+      (12L, Array(0.1f, 0.9f, 0.2f)), (13L, Array(0.2f, 0.8f, 0.1f)),
+      (14L, Array(0.7f, 0.1f, 0.2f))
+    ).toDF("vec_id", "embedding").repartition(3)
+    val queries = vecs.filter(col("vec_id") === 10L)
+    val cents = vecs.filter(col("vec_id") < 2)
+    // nProbe = all cells → IVF must equal brute force exactly
+    val ivf = Similarity.ivfTopK(vecs, queries, cents, "vec_id", "embedding",
+      k = 3, nProbe = 2).select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    val bf = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rk").as[(Long, Long, Int)].collect().toSet
+    assert(ivf == bf)
+    // nProbe = 1 restricts to the query's own cell (x-axis cluster)
+    val probed = Similarity.ivfTopK(vecs, queries, cents, "vec_id", "embedding",
+      k = 5, nProbe = 1).select("neighbor_id").as[Long].collect().toSet
+    assert(probed.forall(id => Set(0L, 11L, 14L).contains(id)))
+  }
+
   test("ngramJaccard is 1 for identical, 0 for disjoint") {
     assert(Hashing.ngramJaccard("a b c", "a b c", 2) == 1.0)
     assert(Hashing.ngramJaccard("a b c", "x y z", 2) == 0.0)
