@@ -1032,6 +1032,35 @@ object SparkEntry {
         .eval("price_k", "floor(o_totalprice / 10 + 0.5) / 100")
         .select("o_orderkey", "price_k")
         .df
+    },
+    // ---- §2.6 rolling corr between two columns (per-key window) ---------
+    "q108_rolling_corr" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("sec", unix_micros(col("ts").cast("timestamp")).cast("double") / 1e6)
+      new graft.api.GRolling(ev, 8, Seq("ts", "event_id"), Seq("user_id"), 1)
+        .corrWith("value", "sec", "roll_corr")
+        .select(col("event_id"), round(col("roll_corr"), 4).as("roll_corr"))
+    },
+    // ---- §2.10 row-wise Scala UDF (df.apply axis=1 / Series.map(fn)) ----
+    "q109_rowwise_udf" -> { (s, dir) =>
+      val discPrice = udf((p: Double, d: Double) => math.floor(p * (1 - d) * 100 + 0.5) / 100)
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        discPrice(col("l_extendedprice"), col("l_discount")).as("disc_price"))
+    },
+    // ---- §2.11 chi-square goodness-of-fit (array/stats.py family) -------
+    "q110_chisquare" -> { (s, dir) =>
+      val c = t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("double").as("obs"))
+      val tot = c.agg(sum(col("obs")).as("tot"), count(lit(1)).cast("double").as("k"))
+      c.crossJoin(broadcast(tot))
+        .agg(round(sum(pow(col("obs") - col("tot") / col("k"), 2) /
+          (col("tot") / col("k"))), 4).as("chi2"))
+    },
+    // ---- §2.6 resample with holistic aggs (nunique + exact median) ------
+    "q111_resample_holistic" -> { (s, dir) =>
+      graft.operators.Resample.agg(t(s, dir, "events"), "ts", 3600,
+        Seq("n_users" -> countDistinct(col("user_id")),
+          "med_value" -> round(percentile(col("value"), lit(0.5)), 4)))
     })
 
   /** DuckDB-equivalent SQL per query (column names aligned with the Spark
@@ -1785,5 +1814,24 @@ object SparkEntry {
     "q107_eval_query" ->
       """SELECT o_orderkey, floor(o_totalprice / 10 + 0.5) / 100 AS price_k
         |FROM orders
-        |WHERE o_orderstatus = 'O' AND o_totalprice > 200000""".stripMargin)
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 200000""".stripMargin,
+    "q108_rolling_corr" ->
+      """SELECT event_id, round(corr(value, epoch(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW), 4) AS roll_corr
+        |FROM events""".stripMargin,
+    "q109_rowwise_udf" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS disc_price
+        |FROM lineitem""".stripMargin,
+    "q110_chisquare" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority, count(*)::DOUBLE AS obs FROM orders GROUP BY 1),
+        |t AS (SELECT sum(obs) AS tot, count(*)::DOUBLE AS k FROM c)
+        |SELECT round(sum(pow(obs - tot/k, 2) / (tot/k)), 4) AS chi2 FROM c, t""".stripMargin,
+    "q111_resample_holistic" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ts,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(quantile_cont(value, 0.5), 4) AS med_value
+        |FROM events GROUP BY 1""".stripMargin)
 }

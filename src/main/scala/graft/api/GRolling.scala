@@ -99,6 +99,19 @@ final class GRolling(
 
   def median(valueCol: String, out: String): DataFrame = quantile(valueCol, 0.5, out)
 
+  /** pandas rolling.cov / rolling.corr between two columns (per-key native
+    * window path; a global two-column rolling stat would need a MapOverlap
+    * kernel over both columns — partition keys required here).
+    */
+  def covWith(xCol: String, yCol: String, out: String): DataFrame = {
+    require(partitionBy.nonEmpty, "rolling cov needs partitionBy keys")
+    df.withColumn(out, covar_samp(col(xCol), col(yCol)).over(spec))
+  }
+  def corrWith(xCol: String, yCol: String, out: String): DataFrame = {
+    require(partitionBy.nonEmpty, "rolling corr needs partitionBy keys")
+    df.withColumn(out, corr(col(xCol), col(yCol)).over(spec))
+  }
+
   /** `center=True` frame: pandas window w centered → [-w/2, w - w/2 - 1]
     * (reference `_rolling.py:114-153` splits before/after the same way).
     */
