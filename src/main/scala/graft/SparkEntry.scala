@@ -996,10 +996,11 @@ object SparkEntry {
           .otherwise(3).cast("int").as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as("n"))
     },
-    // ---- ext: exact token-set Jaccard near-dups (length-band blocking) --
+    // ---- ext: exact bigram Jaccard near-dups (length-band blocking) -----
     "q103_jaccard_neardups" -> { (s, dir) =>
       graft.operators.Dedup.jaccardNearDupPairs(t(s, dir, "documents"),
-          "doc_id", "text", blockCols = Seq("lang"), bandWidth = 64, threshold = 0.5)
+          "doc_id", "text", blockCols = Seq("lang"), bandWidth = 16,
+          threshold = 0.5, ngram = 2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     },
     // ---- ext: IVF ANN (cell assignment → probe → cell-local re-rank) ----
@@ -1753,14 +1754,18 @@ object SparkEntry {
         |            WHEN l_extendedprice <= q3 THEN 2
         |            ELSE 3 END AS bin, count(*) AS n
         |FROM lineitem, qs GROUP BY 1""".stripMargin,
-    // DuckDB replica of Dedup.jaccardNearDupPairs: same tokenization,
-    // same (lang, length-band ±1) blocking, exact set Jaccard
+    // DuckDB replica of Dedup.jaccardNearDupPairs: same tokenization +
+    // bigram sets (strings here; Spark hashes grams to longs, which leaves
+    // the intersection cardinality unchanged), same (lang, band ±1) blocking
     "q103_jaccard_neardups" ->
       """WITH d AS (
-        |  SELECT doc_id, lang, CAST(floor(length(text) / 64) AS BIGINT) AS bk,
-        |    list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
-        |      x -> x <> '')) AS toks
-        |  FROM documents),
+        |  SELECT doc_id, lang, CAST(floor(length(text) / 16) AS BIGINT) AS bk,
+        |    list_distinct(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1])) AS toks
+        |  FROM (SELECT doc_id, lang, text,
+        |          list_filter(string_split_regex(lower(text), '\s+'),
+        |            x -> x <> '') AS t
+        |        FROM documents)),
         |cand AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb
         |  FROM (SELECT doc_id, lang, toks, unnest([bk - 1, bk, bk + 1]) AS probe

@@ -126,39 +126,72 @@ object Dedup {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), fingerprintUdf(col(textCol)).as("fingerprint"))
 
-  /** Exact token-set (word 1-gram) Jaccard near-duplicate pairs with
-    * length-band blocking: candidates must share `blockCols` AND sit in
-    * the same-or-adjacent `bandWidth`-char length band (near-dups have
-    * near-equal lengths), so the pair space is band-local, never O(n²).
-    * Everything is native array functions — codegen, no UDF — and the
-    * whole computation is portable SQL, so unlike the MinHash/SimHash
-    * tiers (whose hash families are engine-specific) this one is
-    * oracle-checkable bit-for-bit.  For n-gram (n>1) Jaccard at scale use
-    * [[nearDuplicates]], which verifies candidates with
-    * `Hashing.ngramJaccard`.
+  /** Exact word n-gram Jaccard near-duplicate pairs with length-band
+    * blocking: candidates must share `blockCols` AND sit in the
+    * same-or-adjacent `bandWidth`-char length band (a near-dup differs by
+    * a few edits, so lengths are near-equal), keeping the pair space
+    * band-local, never O(n²).  N-grams are hashed to 64-bit longs before
+    * the per-pair set intersection — the intersection CARDINALITY (all
+    * Jaccard needs) is unchanged up to negligible 64-bit collisions, and
+    * long intersects are far cheaper than string intersects.  The gram
+    * construction, blocking, and Jaccard are all portable relational
+    * operations, so unlike the MinHash/SimHash tiers (engine-specific
+    * hash families) this tier is oracle-checkable bit-for-bit.
+    *
+    * Default `ngram=2`: token-SET (1-gram) Jaccard degenerates on
+    * small-vocabulary corpora (unrelated docs share most of the
+    * vocabulary); bigram sets keep word order and stay discriminative.
     */
   def jaccardNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                          blockCols: Seq[String] = Nil, bandWidth: Int = 64,
-                          threshold: Double = 0.5): DataFrame = {
-    val toks = array_distinct(
-      org.apache.spark.sql.functions.filter(
-        split(lower(col(textCol)), "\\s+"), t => t =!= lit("")))
+                          blockCols: Seq[String] = Nil, bandWidth: Int = 16,
+                          threshold: Double = 0.5, ngram: Int = 2): DataFrame = {
+    require(ngram == 1 || ngram == 2, s"ngram must be 1 or 2, got $ngram")
+    val toks = org.apache.spark.sql.functions.filter(
+      split(lower(col(textCol)), "\\s+"), t => t =!= lit(""))
+    val grams =
+      if (ngram == 1) array_distinct(toks)
+      else array_distinct(org.apache.spark.sql.functions.filter(
+        // zip each token with its successor; the null-padded tail drops out
+        zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (x, y) => concat(x, lit(" "), y)),
+        g => g.isNotNull))
+    val hashed = transform(grams, g => xxhash64(g))
     val bk = floor(length(col(textCol)) / bandWidth)
     val base = docs.select(
-      (Seq(col(idCol), toks.as("__toks"), bk.as("__bk")) ++ blockCols.map(col)): _*)
-    val a = base.select(
-      (Seq(col(idCol).as("id_a"), col("__toks").as("__ta"),
-        explode(array(col("__bk") - 1, col("__bk"), col("__bk") + 1)).as("__probe")) ++
+      (Seq(col(idCol).as("__id"), hashed.as("__toks"), bk.as("__bk")) ++
+        blockCols.map(col)): _*)
+
+    // Inverted-index shape: |A∩B| is a pair COUNT over the exploded gram
+    // postings, not a per-pair array intersect — one equi-join on
+    // (blockCols, gram) + one partial→final aggregate, both codegen'd.
+    // Pairs sharing zero grams never materialize (they cannot pass any
+    // threshold > 0), and the denominator is ≥ the count, so no
+    // divide-by-zero path exists.  Skew guard at corpus scale: a gram
+    // shared by d docs contributes d² join rows — the length-band residual
+    // bounds it, and a df-cap prefilter is the standard extra guard when
+    // semantics may be approximate.
+    val sizes = base.select(col("__id"), size(col("__toks")).as("__sz"))
+    val postings = base.select(
+      (Seq(col("__id"), col("__bk")) ++ blockCols.map(col) :+
+        explode(col("__toks")).as("__gram")): _*)
+    val a = postings.select(
+      (Seq(col("__id").as("id_a"), col("__bk").as("__bka"), col("__gram")) ++
         blockCols.map(c => col(c).as(s"__a_$c"))): _*)
-    val b = base.select(
-      (Seq(col(idCol).as("id_b"), col("__toks").as("__tb"), col("__bk")) ++
+    val b = postings.select(
+      (Seq(col("__id").as("id_b"), col("__bk").as("__bkb"),
+        col("__gram").as("__gram_b")) ++
         blockCols.map(c => col(c).as(s"__b_$c"))): _*)
-    val blockCond = (col("__probe") === col("__bk")) +: blockCols.map(c =>
-      col(s"__a_$c") === col(s"__b_$c"))
-    val inter = size(array_intersect(col("__ta"), col("__tb"))).cast("double")
-    a.join(b, blockCond.reduce(_ && _) && col("id_a") < col("id_b"))
+    val joinCond = ((col("__gram") === col("__gram_b")) +: blockCols.map(c =>
+      col(s"__a_$c") === col(s"__b_$c"))).reduce(_ && _) &&
+      col("id_a") < col("id_b") &&
+      abs(col("__bka") - col("__bkb")) <= 1
+    a.join(b, joinCond)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).cast("double").as("__inter"))
+      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sa")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__sb")), Seq("id_b"))
       .withColumn("jaccard",
-        inter / (size(col("__ta")) + size(col("__tb")) - inter))
+        col("__inter") / (col("__sa") + col("__sb") - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -37,14 +37,23 @@ class LlmOpsSpec extends SparkTestBase {
   }
 
   test("jaccardNearDupPairs: blocking finds same-band pairs, Jaccard exact") {
-    val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+    // 1-gram mode: word order ignored → shuffled copy is a perfect dup
+    val uni = Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
+        threshold = 0.5, ngram = 1)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
       .map { case (a, b, j) => (a, b) -> j }.toMap
-    // identical + shuffled copies: token-set Jaccard exactly 1
-    assert(pairs((1L, 2L)) == 1.0 && pairs((1L, 3L)) == 1.0 && pairs((2L, 3L)) == 1.0)
+    assert(uni((1L, 2L)) == 1.0 && uni((1L, 3L)) == 1.0 && uni((2L, 3L)) == 1.0)
     // one-word-changed doc: 8 distinct tokens each, 7 shared → 7/9
-    assert(math.abs(pairs((1L, 5L)) - 7.0 / 9.0) < 1e-12)
-    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    assert(math.abs(uni((1L, 5L)) - 7.0 / 9.0) < 1e-12)
+    assert(!uni.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // bigram mode (default): order matters — the shuffled copy drops out,
+    // the one-word edit keeps 7 of 9 distinct bigrams
+    val bi = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(bi((1L, 2L)) == 1.0)
+    assert(!bi.contains((1L, 3L)) && !bi.contains((2L, 3L)))
+    assert(math.abs(bi((1L, 5L)) - 7.0 / 9.0) < 1e-12)
     // length-band blocking is ±1 band: a short vs very long doc never pairs
     val longDoc = Seq((6L, ("word " * 40).trim), (7L, "word")).toDF("doc_id", "text")
     val none = Dedup.jaccardNearDupPairs(longDoc, "doc_id", "text", threshold = 0.0)
