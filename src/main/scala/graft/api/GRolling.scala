@@ -123,16 +123,22 @@ final class GRolling(
       .rowsBetween(-(window / 2), window - window / 2 - 1)
   }
 
-  private def guardedCentered(c: Column): Column = {
-    val cnt = org.apache.spark.sql.functions.count(lit(1)).over(centerSpec)
-    if (minPeriods <= 1) c else when(cnt >= minPeriods, c).otherwise(lit(null))
+  /** min_periods counts non-null observations, same as the trailing path */
+  private def guardedCentered(valueCol: String, c: Column): Column = {
+    val obs = org.apache.spark.sql.functions.count(col(valueCol)).over(centerSpec)
+    if (minPeriods <= 1) c else when(obs >= minPeriods, c).otherwise(lit(null))
   }
 
   def meanCentered(valueCol: String, out: String): DataFrame =
-    df.withColumn(out, guardedCentered(avg(col(valueCol)).over(centerSpec)))
+    if (partitionBy.isEmpty)
+      MapOverlap.rollingCenteredAgg(df, valueCol, window, out, minPeriods)(
+        xs => if (xs.isEmpty) null else xs.sum / xs.size)
+    else df.withColumn(out, guardedCentered(valueCol, avg(col(valueCol)).over(centerSpec)))
   def sumCentered(valueCol: String, out: String): DataFrame =
-    df.withColumn(out,
-      guardedCentered(org.apache.spark.sql.functions.sum(col(valueCol)).over(centerSpec)))
+    if (partitionBy.isEmpty)
+      MapOverlap.rollingCenteredAgg(df, valueCol, window, out, minPeriods)(_.sum)
+    else df.withColumn(out,
+      guardedCentered(valueCol, org.apache.spark.sql.functions.sum(col(valueCol)).over(centerSpec)))
 
   /** time-range rolling (`rolling("10s")`): window is an interval on the
     * order column rather than a row count.

@@ -154,6 +154,40 @@ object MapOverlap {
     }
   }
 
+  /** Centered rolling aggregate (`center=True`): window spans
+    * `[-window/2, window - window/2 - 1]` around each row (pandas
+    * left-bias), so ghosts are needed on BOTH sides.  The partition body
+    * is buffered (the same per-partition memory contract as the
+    * reference's pandas kernels); ghosts stay O(window).
+    */
+  def rollingCenteredAgg(df: DataFrame, valueCol: String, window: Int, outCol: String,
+                         minPeriods: Int,
+                         outType: org.apache.spark.sql.types.DataType =
+                           org.apache.spark.sql.types.DoubleType)
+                        (agg: Seq[Double] => Any): DataFrame = {
+    val idx = df.schema.fieldIndex(valueCol)
+    val outSchema = df.schema.add(outCol, outType)
+    val before = window / 2
+    val after = window - window / 2 - 1
+    apply(df, outSchema, before, after) { (gb, it, ga) =>
+      def v(r: Row): Option[Double] = {
+        val x = r.get(idx)
+        if (x == null) None else Some(x.asInstanceOf[Number].doubleValue())
+      }
+      val rows = it.toIndexedSeq
+      val vals = (gb.map(v) ++ rows.map(v) ++ ga.map(v)).toIndexedSeq
+      val off = gb.size
+      rows.indices.iterator.map { i =>
+        val c = off + i
+        val lo = math.max(0, c - before)
+        val hi = math.min(vals.size - 1, c + after)
+        val valid = (lo to hi).flatMap(vals(_))
+        val out: Any = if (valid.size >= minPeriods) agg(valid) else null
+        Row.fromSeq(rows(i).toSeq :+ out)
+      }
+    }
+  }
+
   /** Global lead(n): each row receives the value `n` rows LATER, using
     * `after` ghost rows from following partitions — the negative-period
     * half of dask `Shift`.

@@ -64,6 +64,20 @@ class DistributedOpsPropSpec extends SparkTestBase {
     }
   }
 
+  test("MapOverlap centered rolling == SQL centered window, any partitioning") {
+    for (seed <- Seq(5L, 6L); parts <- Seq(1, 3, 7); window <- Seq(2, 5)) {
+      val df = frame(seed, 50, parts)
+      val got = col2map(
+        MapOverlap.rollingCenteredAgg(df, "v", window, "out", 1)(_.sum), "out")
+      val w = Window.orderBy("idx")
+        .rowsBetween(-(window / 2), window - window / 2 - 1)
+      val exp = col2map(df.withColumn("out", sum(col("v")).over(w)), "out")
+      for (k <- exp.keys)
+        assert(got(k).zip(exp(k)).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+          s"centered seed=$seed parts=$parts window=$window idx=$k")
+    }
+  }
+
   test("MapOverlap ghosts span partitions shorter than the window") {
     // partition layout [4 rows][1 row][0 rows][4 rows]: window 4 ghosts
     // for the last partition must come from BOTH preceding non-empty ones
