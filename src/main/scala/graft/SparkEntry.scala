@@ -1754,29 +1754,41 @@ object SparkEntry {
         |            WHEN l_extendedprice <= q3 THEN 2
         |            ELSE 3 END AS bin, count(*) AS n
         |FROM lineitem, qs GROUP BY 1""".stripMargin,
-    // DuckDB replica of Dedup.jaccardNearDupPairs: same tokenization +
-    // bigram sets (strings here; Spark hashes grams to longs, which leaves
-    // the intersection cardinality unchanged), same (lang, band ±1) blocking
+    // DuckDB replica of Dedup.jaccardNearDupPairs: exact-dup collapse to
+    // representatives, rep-level bigram inverted index with (lang, band ±1)
+    // blocking, then member-pair expansion (strings here; Spark hashes
+    // grams to longs, which leaves the intersection cardinality unchanged)
     "q103_jaccard_neardups" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang, CAST(floor(length(text) / 16) AS BIGINT) AS bk,
+      """WITH grp AS (
+        |  SELECT lang, text, min(doc_id) AS rep FROM documents GROUP BY 1, 2),
+        |d AS (
+        |  SELECT rep, lang, CAST(floor(length(text) / 16) AS BIGINT) AS bk,
         |    list_distinct(list_transform(range(1, len(t)),
         |      i -> t[i] || ' ' || t[i+1])) AS toks
-        |  FROM (SELECT doc_id, lang, text,
+        |  FROM (SELECT rep, lang, text,
         |          list_filter(string_split_regex(lower(text), '\s+'),
         |            x -> x <> '') AS t
-        |        FROM documents)),
-        |cand AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb
-        |  FROM (SELECT doc_id, lang, toks, unnest([bk - 1, bk, bk + 1]) AS probe
-        |        FROM d) a
-        |  JOIN d b ON a.lang = b.lang AND a.probe = b.bk AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM (
-        |  SELECT id_a, id_b,
-        |    len(list_intersect(ta, tb))::DOUBLE /
-        |      (len(ta) + len(tb) - len(list_intersect(ta, tb))) AS jac
-        |  FROM cand)
-        |WHERE jac >= 0.5""".stripMargin,
+        |        FROM grp)),
+        |g AS (SELECT rep, lang, bk, unnest(toks) AS gram FROM d),
+        |rp AS (
+        |  SELECT ra, rb, cnt / (sa + sb - cnt) AS jac FROM (
+        |    SELECT a.rep AS ra, b.rep AS rb, count(*)::DOUBLE AS cnt
+        |    FROM g a JOIN g b ON a.lang = b.lang AND a.gram = b.gram
+        |      AND a.rep < b.rep AND abs(a.bk - b.bk) <= 1
+        |    GROUP BY 1, 2)
+        |  JOIN (SELECT rep, len(toks) AS sa FROM d) xa ON xa.rep = ra
+        |  JOIN (SELECT rep, len(toks) AS sb FROM d) xb ON xb.rep = rb
+        |  WHERE cnt / (sa + sb - cnt) >= 0.5),
+        |mem AS (SELECT d2.doc_id, grp.rep FROM documents d2
+        |        JOIN grp ON d2.lang = grp.lang AND d2.text = grp.text),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1.0 AS jac
+        |  FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id
+        |  UNION ALL
+        |  SELECT least(ma.doc_id, mb.doc_id) AS id_a,
+        |         greatest(ma.doc_id, mb.doc_id) AS id_b, jac
+        |  FROM rp JOIN mem ma ON ma.rep = rp.ra JOIN mem mb ON mb.rep = rp.rb)
+        |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM pairs""".stripMargin,
     // DuckDB replica of Similarity.ivfTopK: same centroid set, same
     // index-ordered double cosine, same nProbe=2 / k=3 / tie-breaks
     "q104_ann_ivf" ->

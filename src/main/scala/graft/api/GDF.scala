@@ -121,6 +121,10 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
   def dropna(how: String = "any", subset: Seq[String] = Nil): GDF =
     keep(if (subset.isEmpty) df.na.drop(how) else df.na.drop(how, subset))
 
+  /** pandas `dropna(thresh=n)`: keep rows with ≥ n non-null values. */
+  def dropnaThresh(n: Int, subset: Seq[String] = Nil): GDF =
+    keep(if (subset.isEmpty) df.na.drop(n) else df.na.drop(n, subset))
+
   def replaceValues[T](cols: Seq[String], mapping: Map[T, T]): GDF =
     keep(df.na.replace(cols, mapping))
 

@@ -178,11 +178,14 @@ object GRolling {
     val w = base.orderBy(orderBy.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val c = agg match {
-      case "sum"  => sum(col(valueCol))
-      case "mean" => avg(col(valueCol))
-      case "min"  => org.apache.spark.sql.functions.min(col(valueCol))
-      case "max"  => org.apache.spark.sql.functions.max(col(valueCol))
-      case other  => throw new IllegalArgumentException(s"expanding agg=$other")
+      case "sum"   => sum(col(valueCol))
+      case "mean"  => avg(col(valueCol))
+      case "min"   => org.apache.spark.sql.functions.min(col(valueCol))
+      case "max"   => org.apache.spark.sql.functions.max(col(valueCol))
+      case "count" => org.apache.spark.sql.functions.count(col(valueCol))
+      case "std"   => stddev_samp(col(valueCol))
+      case "var"   => var_samp(col(valueCol))
+      case other   => throw new IllegalArgumentException(s"expanding agg=$other")
     }
     df.withColumn(out, c.over(w))
   }

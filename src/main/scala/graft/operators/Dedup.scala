@@ -126,73 +126,102 @@ object Dedup {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), fingerprintUdf(col(textCol)).as("fingerprint"))
 
-  /** Exact word n-gram Jaccard near-duplicate pairs with length-band
-    * blocking: candidates must share `blockCols` AND sit in the
-    * same-or-adjacent `bandWidth`-char length band (a near-dup differs by
-    * a few edits, so lengths are near-equal), keeping the pair space
-    * band-local, never O(n²).  N-grams are hashed to 64-bit longs before
-    * the per-pair set intersection — the intersection CARDINALITY (all
-    * Jaccard needs) is unchanged up to negligible 64-bit collisions, and
-    * long intersects are far cheaper than string intersects.  The gram
-    * construction, blocking, and Jaccard are all portable relational
-    * operations, so unlike the MinHash/SimHash tiers (engine-specific
-    * hash families) this tier is oracle-checkable bit-for-bit.
+  /** Exact word n-gram Jaccard near-duplicate pairs.  Three structural
+    * guarantees keep the pair space far below O(n²) while the OUTPUT stays
+    * exact:
+    *
+    *  1. **Exact-dup collapse first.**  Identical (blockCols, text) docs
+    *     are grouped; the quadratic candidate machinery runs on one
+    *     REPRESENTATIVE per distinct text, so the duplication factor of
+    *     the corpus (the thing that grows fastest in web crawls) drops
+    *     out of the hard part entirely.  Member pairs are expanded back
+    *     afterwards (same text ⟹ same Jaccard), output unchanged.
+    *  2. **Inverted-index pair counting.**  |A∩B| is a COUNT over the
+    *     exploded gram postings joined on (blockCols, gram, length-band),
+    *     not a per-pair array intersect — partial→final aggregate, all
+    *     codegen.  The length band rides IN the join key (side A explodes
+    *     to bands b-1,b,b+1), so band-distant docs never even hash-match.
+    *  3. **Grams hashed to int64** — intersection cardinality is
+    *     unchanged (64-bit collisions negligible) and long keys shuffle
+    *     and compare far cheaper than strings.
+    *
+    * Everything is portable relational computation, so unlike the
+    * MinHash/SimHash tiers (engine-specific hash families) this tier is
+    * oracle-checkable bit-for-bit.
     *
     * Default `ngram=2`: token-SET (1-gram) Jaccard degenerates on
     * small-vocabulary corpora (unrelated docs share most of the
     * vocabulary); bigram sets keep word order and stay discriminative.
+    * Convention: identical texts are duplicates (jaccard 1.0) even when
+    * their gram sets are empty (single-token docs).
     */
   def jaccardNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           blockCols: Seq[String] = Nil, bandWidth: Int = 16,
                           threshold: Double = 0.5, ngram: Int = 2): DataFrame = {
     require(ngram == 1 || ngram == 2, s"ngram must be 1 or 2, got $ngram")
-    val toks = org.apache.spark.sql.functions.filter(
-      split(lower(col(textCol)), "\\s+"), t => t =!= lit(""))
-    val grams =
+    def gramsOf(text: Column): Column = {
+      val toks = org.apache.spark.sql.functions.filter(
+        split(lower(text), "\\s+"), t => t =!= lit(""))
       if (ngram == 1) array_distinct(toks)
       else array_distinct(org.apache.spark.sql.functions.filter(
         // zip each token with its successor; the null-padded tail drops out
         zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
           (x, y) => concat(x, lit(" "), y)),
         g => g.isNotNull))
-    val hashed = transform(grams, g => xxhash64(g))
-    val bk = floor(length(col(textCol)) / bandWidth)
-    val base = docs.select(
-      (Seq(col(idCol).as("__id"), hashed.as("__toks"), bk.as("__bk")) ++
-        blockCols.map(col)): _*)
+    }
 
-    // Inverted-index shape: |A∩B| is a pair COUNT over the exploded gram
-    // postings, not a per-pair array intersect — one equi-join on
-    // (blockCols, gram) + one partial→final aggregate, both codegen'd.
-    // Pairs sharing zero grams never materialize (they cannot pass any
-    // threshold > 0), and the denominator is ≥ the count, so no
-    // divide-by-zero path exists.  Skew guard at corpus scale: a gram
-    // shared by d docs contributes d² join rows — the length-band residual
-    // bounds it, and a df-cap prefilter is the standard extra guard when
-    // semantics may be approximate.
-    val sizes = base.select(col("__id"), size(col("__toks")).as("__sz"))
-    val postings = base.select(
-      (Seq(col("__id"), col("__bk")) ++ blockCols.map(col) :+
-        explode(col("__toks")).as("__gram")): _*)
-    val a = postings.select(
-      (Seq(col("__id").as("id_a"), col("__bk").as("__bka"), col("__gram")) ++
-        blockCols.map(c => col(c).as(s"__a_$c"))): _*)
-    val b = postings.select(
-      (Seq(col("__id").as("id_b"), col("__bk").as("__bkb"),
-        col("__gram").as("__gram_b")) ++
-        blockCols.map(c => col(c).as(s"__b_$c"))): _*)
-    val joinCond = ((col("__gram") === col("__gram_b")) +: blockCols.map(c =>
-      col(s"__a_$c") === col(s"__b_$c"))).reduce(_ && _) &&
-      col("id_a") < col("id_b") &&
-      abs(col("__bka") - col("__bkb")) <= 1
-    a.join(b, joinCond)
-      .groupBy(col("id_a"), col("id_b"))
+    // 1) collapse exact duplicates: one representative per distinct text
+    val keyed = docs.select(
+      (Seq(col(idCol).as("__docid"), col(textCol).as("__text"),
+        xxhash64((blockCols.map(col) :+ col(textCol)): _*).as("__tkey")) ++
+        blockCols.map(col)): _*)
+    val grp = keyed.groupBy((col("__tkey") +: blockCols.map(col)): _*)
+      .agg(min(col("__docid")).as("__rep"), first(col("__text")).as("__text"))
+    val members = keyed.select(col("__docid"), col("__tkey"))
+      .join(grp.select(col("__tkey"), col("__rep")), Seq("__tkey"))
+      .select(col("__docid"), col("__rep"))
+
+    // 2) representative-level inverted index with the band in the key
+    val base = grp.select(
+      (Seq(col("__rep"),
+        transform(gramsOf(col("__text")), g => xxhash64(g)).as("__toks"),
+        floor(length(col("__text")) / bandWidth).as("__bk")) ++
+        blockCols.map(col)): _*)
+    val sizes = base.select(col("__rep"), size(col("__toks")).as("__sz"))
+    val a = base.select(
+      (Seq(col("__rep").as("__ra"),
+        explode(array(col("__bk") - 1, col("__bk"), col("__bk") + 1)).as("__probe")) ++
+        blockCols.map(c => col(c).as(s"__a_$c")) :+ col("__toks")): _*)
+      .select(
+        (Seq(col("__ra"), col("__probe")) ++ blockCols.map(c => col(s"__a_$c")) :+
+          explode(col("__toks")).as("__gram")): _*)
+    val b = base.select(
+      (Seq(col("__rep").as("__rb"), col("__bk")) ++
+        blockCols.map(c => col(c).as(s"__b_$c")) :+
+        explode(col("__toks")).as("__gram_b")): _*)
+    val joinKeys = Seq(
+      col("__gram") === col("__gram_b"), col("__probe") === col("__bk")) ++
+      blockCols.map(c => col(s"__a_$c") === col(s"__b_$c"))
+    val repPairs = a.join(b, joinKeys.reduce(_ && _) && col("__ra") < col("__rb"))
+      .groupBy(col("__ra"), col("__rb"))
       .agg(count(lit(1)).cast("double").as("__inter"))
-      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("__sa")), Seq("id_a"))
-      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("__sb")), Seq("id_b"))
+      .join(sizes.select(col("__rep").as("__ra"), col("__sz").as("__sa")), Seq("__ra"))
+      .join(sizes.select(col("__rep").as("__rb"), col("__sz").as("__sb")), Seq("__rb"))
       .withColumn("jaccard",
         col("__inter") / (col("__sa") + col("__sb") - col("__inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("__ra"), col("__rb"), col("jaccard"))
+
+    // 3) expand representatives back to member pairs (output-proportional)
+    val sameGroup = members.select(col("__rep"), col("__docid").as("id_a"))
+      .join(members.select(col("__rep"), col("__docid").as("id_b")), Seq("__rep"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+    val crossGroup = repPairs
+      .join(members.select(col("__rep").as("__ra"), col("__docid").as("__ma")), Seq("__ra"))
+      .join(members.select(col("__rep").as("__rb"), col("__docid").as("__mb")), Seq("__rb"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
+    sameGroup.unionByName(crossGroup)
   }
 }
