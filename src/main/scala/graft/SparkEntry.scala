@@ -1062,6 +1062,17 @@ object SparkEntry {
       graft.operators.Resample.agg(t(s, dir, "events"), "ts", 3600,
         Seq("n_users" -> countDistinct(col("user_id")),
           "med_value" -> round(percentile(col("value"), lit(0.5)), 4)))
+    },
+    // ---- §2.6 GLOBAL time-range rolling (value-based MapOverlap ghosts;
+    // integer cents so the moving sum is exact at any accumulation order)
+    "q112_rolling_range_global" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .orderBy(col("ts"), col("event_id"))
+        .withColumn("__ord", unix_micros(col("ts").cast("timestamp")).cast("double") / 1e6)
+        .withColumn("cents", round(col("value") * 100).cast("long").cast("double"))
+        .select(col("event_id"), col("__ord"), col("cents"))
+      graft.operators.MapOverlap.rollingRangeAgg(ev, "cents", "__ord", 600.0, "range_sum")(_.sum)
+        .select(col("event_id"), col("range_sum").cast("long").as("range_sum"))
     })
 
   /** DuckDB-equivalent SQL per query (column names aligned with the Spark
@@ -1850,5 +1861,10 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ts,
         |  count(DISTINCT user_id) AS n_users,
         |  round(quantile_cont(value, 0.5), 4) AS med_value
-        |FROM events GROUP BY 1""".stripMargin)
+        |FROM events GROUP BY 1""".stripMargin,
+    "q112_rolling_range_global" ->
+      """SELECT event_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        |    ORDER BY epoch(ts) RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+        |  AS BIGINT) AS range_sum
+        |FROM events""".stripMargin)
 }

@@ -141,16 +141,24 @@ final class GRolling(
       guardedCentered(valueCol, org.apache.spark.sql.functions.sum(col(valueCol)).over(centerSpec)))
 
   /** time-range rolling (`rolling("10s")`): window is an interval on the
-    * order column rather than a row count.
+    * order column rather than a row count.  Keyed → native range window;
+    * global → value-based MapOverlap ghosts (an un-partitioned range
+    * window is one task).
     */
   def sumRange(valueCol: String, out: String, rangeSeconds: Long): DataFrame = {
     require(orderBy.size == 1, "range rolling needs a single time order column")
-    val w =
-      (if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
-       else Window.partitionBy())
+    if (partitionBy.isEmpty) {
+      val ordNum = "__ord_num__"
+      MapOverlap.rollingRangeAgg(
+          df.withColumn(ordNum, col(orderBy.head).cast("long").cast("double")),
+          valueCol, ordNum, rangeSeconds.toDouble, out)(_.sum)
+        .drop(ordNum)
+    } else {
+      val w = Window.partitionBy(partitionBy.map(col): _*)
         .orderBy(col(orderBy.head).cast("long"))
         .rangeBetween(-rangeSeconds, 0)
-    df.withColumn(out, org.apache.spark.sql.functions.sum(col(valueCol)).over(w))
+      df.withColumn(out, org.apache.spark.sql.functions.sum(col(valueCol)).over(w))
+    }
   }
 }
 

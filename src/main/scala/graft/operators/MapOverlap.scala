@@ -188,6 +188,93 @@ object MapOverlap {
     }
   }
 
+  /** Time-range rolling aggregate over the global order (dask
+    * `rolling(window=Timedelta)` → MapOverlap with a Timedelta `before`,
+    * `_rolling.py:114-153`): each row aggregates rows whose order value
+    * lies in `[ord - range, ord]`.  Ghosts are VALUE-based: the boundary
+    * pass keeps each partition's tail rows within `range` of its max
+    * order value, and the main pass seeds each partition with previous
+    * partitions' tails that fall within `range` of its own min.  Ghost
+    * volume is the row count inside one `range` span at each boundary —
+    * the same budget the reference spends on Timedelta overlap.
+    * Requires range-partitioned + sorted input (post-`setIndex`).
+    *
+    * Tie semantics are pandas': the window holds rows at or BEFORE the
+    * current row position (SQL `RANGE BETWEEN` additionally includes
+    * later peers with an equal order value).
+    */
+  def rollingRangeAgg(df: DataFrame, valueCol: String, ordCol: String,
+                      range: Double, outCol: String, minPeriods: Int = 1,
+                      outType: org.apache.spark.sql.types.DataType =
+                        org.apache.spark.sql.types.DoubleType)
+                     (agg: Seq[Double] => Any): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.TaskContext
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val oIdx = df.schema.fieldIndex(ordCol)
+    val outSchema = df.schema.add(outCol, outType)
+    def ordOf(r: Row): Double = r.get(oIdx).asInstanceOf[Number].doubleValue()
+
+    // boundary pass: per partition (minOrd, maxOrd, tail rows within range
+    // of maxOrd) — the only rows any later partition could need
+    val bounds: Array[(Int, Double, Double, Array[(Double, Any)])] = df.rdd
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var minO = Double.PositiveInfinity
+        var maxO = Double.NegativeInfinity
+        val tail = new scala.collection.mutable.ArrayDeque[(Double, Any)]
+        it.foreach { r =>
+          val o = ordOf(r)
+          if (o < minO) minO = o
+          if (o > maxO) maxO = o
+          tail.append((o, r.get(vIdx)))
+          while (tail.nonEmpty && tail.head._1 < maxO - range) tail.removeHead()
+        }
+        if (minO.isInfinity) Iterator.empty
+        else Iterator.single((pid, minO, maxO, tail.toArray))
+      }.collect()
+    val byPid = bounds.map(b => b._1 -> b).toMap
+    val bc = spark.sparkContext.broadcast(byPid)
+
+    val outRdd = df.rdd.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      bc.value.get(pid) match {
+        case None => it.map(r => Row.fromSeq(r.toSeq :+ null))
+        case Some((_, minO, _, _)) =>
+          val ghosts = new scala.collection.mutable.ArrayBuffer[(Double, Any)]
+          var k = pid - 1
+          var continue = true
+          while (k >= 0 && continue) {
+            bc.value.get(k) match {
+              case Some((_, _, kMax, kTail)) =>
+                if (kMax < minO - range) continue = false
+                else {
+                  ghosts.prependAll(kTail.filter(_._1 >= minO - range))
+                  // this tail covers a full `range` behind kMax; anything
+                  // further back is older than minO - range
+                  if (kMax - range <= minO - range) continue = false
+                }
+              case None => ()
+            }
+            k -= 1
+          }
+          val win = new scala.collection.mutable.ArrayDeque[(Double, Any)]
+          ghosts.foreach(win.append)
+          it.map { r =>
+            val o = ordOf(r)
+            win.append((o, r.get(vIdx)))
+            while (win.nonEmpty && win.head._1 < o - range) win.removeHead()
+            val valid = win.iterator.collect {
+              case (_, v) if v != null => v.asInstanceOf[Number].doubleValue()
+            }.toIndexedSeq
+            val out: Any = if (valid.size >= minPeriods) agg(valid) else null
+            Row.fromSeq(r.toSeq :+ out)
+          }
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
   /** Global lead(n): each row receives the value `n` rows LATER, using
     * `after` ghost rows from following partitions — the negative-period
     * half of dask `Shift`.

@@ -78,6 +78,22 @@ class DistributedOpsPropSpec extends SparkTestBase {
     }
   }
 
+  test("MapOverlap range rolling == SQL range window (unique ords), any partitioning") {
+    for (seed <- Seq(9L, 10L); parts <- Seq(1, 3, 7); range <- Seq(2.0, 10.0)) {
+      // idx doubles as the (unique) order value, with irregular gaps
+      val df = frame(seed, 50, parts)
+        .withColumn("ord", (col("idx") * 3).cast("double"))
+        .repartitionByRange(parts, col("ord")).sortWithinPartitions("ord")
+      val got = col2map(
+        MapOverlap.rollingRangeAgg(df, "v", "ord", range, "out")(_.sum), "out")
+      val w = Window.orderBy(col("ord").cast("long")).rangeBetween(-range.toLong, 0)
+      val exp = col2map(df.withColumn("out", sum(col("v")).over(w)), "out")
+      for (k <- exp.keys)
+        assert(got(k).zip(exp(k)).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+          s"rangeAgg seed=$seed parts=$parts range=$range idx=$k")
+    }
+  }
+
   test("MapOverlap ghosts span partitions shorter than the window") {
     // partition layout [4 rows][1 row][0 rows][4 rows]: window 4 ghosts
     // for the last partition must come from BOTH preceding non-empty ones
