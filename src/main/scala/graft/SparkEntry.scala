@@ -261,14 +261,17 @@ object SparkEntry {
     },
     // ---- §2.5 groupby multi-key + size + nunique ------------------------
     "q23_group_multi" -> { (s, dir) =>
-      g(s, dir, "lineitem")
-        .groupby("l_returnflag", "l_linestatus")
+      // q10 lesson: a DISTINCT mixed into a plain agg plans an Expand
+      // (2× scan rows through both agg phases); two pruned single-purpose
+      // aggregates + a tiny join scale linearly instead
+      val li = g(s, dir, "lineitem")
+      val dist = li.groupby("l_returnflag", "l_linestatus").nunique("l_orderkey", "n_orders")
+      val plain = li.groupby("l_returnflag", "l_linestatus")
         .aggAliased(
-          ("l_orderkey", "nunique", "n_orders"),
           ("l_quantity", "size", "n_rows"),
           ("l_extendedprice", "max", "max_price"),
           ("l_extendedprice", "min", "min_price"))
-        .df
+      dist.merge(plain, on = Seq("l_returnflag", "l_linestatus"), how = "inner").df
     },
     // ---- §2.8 concat axis=0 (union) -------------------------------------
     "q24_concat" -> { (s, dir) =>

@@ -47,7 +47,11 @@ object StrFunctions {
   def lower_(c: Column): Column = lower(c)
   def lstrip(c: Column): Column = ltrim(c)
   def matchPrefix(c: Column, pat: String): Column = regexp_like(c, lit(s"^(?:$pat)"))
-  def normalize(c: Column): Column = c // NFC normalization: no builtin; identity for ASCII fixtures
+  private val normUdf = udf((s: String, form: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.valueOf(form)))
+  /** Unicode normalization (pandas `str.normalize`): NFC/NFD/NFKC/NFKD. */
+  def normalize(c: Column, form: String = "NFC"): Column = normUdf(c, lit(form))
   def pad(c: Column, width: Int, side: String, fill: String = " "): Column = side match {
     case "left"  => lpad(c, width, fill)
     case "right" => rpad(c, width, fill)

@@ -35,6 +35,12 @@ class StrFunctionsSpec extends SparkTestBase {
     assert(eval1(n => StrFunctions.capitalize(col(n)), "hELLO world") == "Hello world")
     assert(eval1(n => StrFunctions.swapcase(col(n)), "AbC1") == "aBc1")
     assert(eval1(n => StrFunctions.zfill(col(n), 5), "42") == "00042")
+    assert(eval1(n => StrFunctions.zfill(col(n), 3), "123456") == "123456")
+    assert(eval1(n => StrFunctions.rfind(col(n), "xyz"), "hello").toString == "-1")
+    // NFD decomposes é into e + combining acute (5 chars); NFC recomposes
+    assert(eval1(n => StrFunctions.normalize(StrFunctions.normalize(col(n), "NFD"), "NFC"),
+      "café") == "café")
+    assert(eval1(n => StrFunctions.normalize(col(n), "NFD"), "café").asInstanceOf[String].length == 5)
     assert(eval1(n => StrFunctions.removeprefix(col(n), "un"), "unhappy") == "happy")
     assert(eval1(n => StrFunctions.removeprefix(col(n), "un"), "happy") == "happy")
     assert(eval1(n => StrFunctions.removesuffix(col(n), "ly"), "quickly") == "quick")
