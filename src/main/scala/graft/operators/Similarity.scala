@@ -71,22 +71,45 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     * threshold) — the embedding leg of the dedup suite (SURVEY §7.2 M5).
-    * Exact all-pairs within the broadcastable side; at corpus scale the
-    * same call composes with [[lshBuckets]]: join on bucket first, so only
+    *
+    * Byte-identical vectors are collapsed FIRST (group on the vector
+    * value): the quadratic all-pairs verification runs on one
+    * representative per distinct vector, and duplicate-group pairs
+    * (cosine exactly 1) plus cross-group member pairs are expanded
+    * afterward — output unchanged, but the corpus duplication factor
+    * drops out of the O(n²) core.  At corpus scale the same call
+    * composes with [[lshBuckets]]: join on bucket first, so only
     * same-bucket candidates pay the cosine (see [[annTopK]]).
     */
   def exactNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame = {
-    // norms are an O(n) pre-pass; each of the O(n²) pairs then pays
+    require(threshold <= 1.0, s"cosine threshold must be <= 1, got $threshold")
+    val grp = vectors.groupBy(col(vecCol).as("__v"))
+      .agg(min(col(idCol)).as("__rep"), collect_list(col(idCol)).as("__ids"))
+    val members = grp.select(col("__rep"), explode(col("__ids")).as("__m"))
+
+    // norms are an O(n) pre-pass; each of the O(reps²) pairs then pays
     // exactly one codegen'd primitive dot loop (FloatVecDot)
-    val prepped = vectors.select(col(idCol), col(vecCol).as("__v"))
+    val prepped = grp.select(col("__rep"), col("__v"))
       .withColumn("__n", vecNorm(col("__v")))
-    val a = prepped.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
-    val b = prepped.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
+    val a = prepped.select(col("__rep").as("__ra"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = prepped.select(col("__rep").as("__rb"), col("__v").as("__vb"), col("__n").as("__nb"))
+    val repPairs = a.join(broadcast(b), col("__ra") < col("__rb"))
       .withColumn("sim", vecDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
+      .select(col("__ra"), col("__rb"), col("sim"))
+
+    val sameGroup = members.select(col("__rep"), col("__m").as("id_a"))
+      .join(members.select(col("__rep"), col("__m").as("id_b")), Seq("__rep"))
+      .filter(col("id_a") < col("id_b"))
+      // cosine of byte-identical vectors: exactly 1 up to one ulp
+      .select(col("id_a"), col("id_b"), lit(1.0).as("sim"))
+    val crossGroup = repPairs
+      .join(members.select(col("__rep").as("__ra"), col("__m").as("__ma")), Seq("__ra"))
+      .join(members.select(col("__rep").as("__rb"), col("__m").as("__mb")), Seq("__rb"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("sim"))
+    sameGroup.unionByName(crossGroup)
   }
 
   /** Bucketed ANN: candidates restricted to the query's bucket, then exact

@@ -60,6 +60,22 @@ class LlmOpsSpec extends SparkTestBase {
     assert(none.count() == 0)
   }
 
+  test("exactNearDupPairs: dup collapse emits the same pairs as all-pairs") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (5L, Array(1.0f, 0.0f)),
+      (3L, Array(0.99f, 0.14f)),   // near 1/2/5
+      (4L, Array(0.0f, 1.0f))      // far from everything
+    ).toDF("vec_id", "embedding").repartition(3)
+    val got = Similarity.exactNearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // identical trio pairs + each of them with the near vector
+    assert(got == Set((1L, 2L), (1L, 5L), (2L, 5L), (1L, 3L), (2L, 3L), (3L, 5L)))
+    val sims = Similarity.exactNearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
+      .map { case (a, b, s) => (a, b) -> s }.toMap
+    assert(sims((1L, 2L)) == 1.0 && math.abs(sims((1L, 3L)) - 0.990) < 0.01)
+  }
+
   test("ivfTopK matches bruteForceTopK when all cells are probed") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)),
