@@ -77,19 +77,57 @@ object Dedup {
       .distinct()
   }
 
+  /** Collapse byte-identical texts: returns (one-representative-per-text
+    * frame with the caller's column names, member mapping __rep → __m).
+    * Identical texts have identical signatures/hashes under every tier, so
+    * running the candidate machinery on representatives and expanding
+    * member pairs afterwards leaves the output unchanged while the corpus
+    * duplication factor drops out of the pair space.
+    */
+  private def collapseTexts(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val grp = docs.groupBy(col(textCol).as("__text"))
+      .agg(min(col(idCol)).as("__rep"), collect_list(col(idCol)).as("__ids"))
+    (grp.select(col("__rep").as(idCol), col("__text").as(textCol)),
+      grp.select(col("__rep"), explode(col("__ids")).as("__m")))
+  }
+
+  /** member-pair expansion shared by the near-dup tiers: same-group pairs
+    * carry `samePayload` (the identical-text value), cross-group pairs the
+    * representative pair's payload
+    */
+  private def expandPairs(repPairs: DataFrame, members: DataFrame,
+                          payloadCol: String, samePayload: Column): DataFrame = {
+    val sameGroup = members.select(col("__rep"), col("__m").as("doc1"))
+      .join(members.select(col("__rep"), col("__m").as("doc2")), Seq("__rep"))
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"), samePayload.as(payloadCol))
+    val crossGroup = repPairs
+      .join(members.select(col("__rep").as("doc1"), col("__m").as("__ma")), Seq("doc1"))
+      .join(members.select(col("__rep").as("doc2"), col("__m").as("__mb")), Seq("doc2"))
+      .select(least(col("__ma"), col("__mb")).as("doc1"),
+        greatest(col("__ma"), col("__mb")).as("doc2"), col(payloadCol))
+    sameGroup.unionByName(crossGroup)
+  }
+
   /** Verified near-duplicates: LSH candidates with exact n-gram Jaccard ≥
-    * threshold.  Verification cost is O(candidates), not O(n²).
+    * threshold.  Verification cost is O(candidates over DISTINCT texts),
+    * not O(n²): identical texts are collapsed first and expanded back.
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      threshold: Double, shingleSize: Int = 3,
                      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val cands = lshCandidates(docs, idCol, textCol, shingleSize, bands, rowsPerBand)
-    val t = docs.select(col(idCol), col(textCol))
-    cands
+    require(threshold <= 1.0, s"jaccard threshold must be <= 1, got $threshold")
+    val (reps, members) = collapseTexts(docs, idCol, textCol)
+    val cands = lshCandidates(reps, idCol, textCol, shingleSize, bands, rowsPerBand)
+    val t = reps.select(col(idCol), col(textCol))
+    val repPairs = cands
       .join(t.select(col(idCol).as("doc1"), col(textCol).as("__t1")), Seq("doc1"))
       .join(t.select(col(idCol).as("doc2"), col(textCol).as("__t2")), Seq("doc2"))
       .withColumn("jaccard", jaccardUdf(col("__t1"), col("__t2"), lit(shingleSize)))
       .filter(col("jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+    expandPairs(repPairs, members, "jaccard", lit(1.0))
       .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
@@ -104,7 +142,8 @@ object Dedup {
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxDistance: Int = 3, chunks: Int = 4): DataFrame = {
-    val hashed = simhash(docs, idCol, textCol)
+    val (reps, members) = collapseTexts(docs, idCol, textCol)
+    val hashed = simhash(reps, idCol, textCol)
     val bits = 64 / chunks
     val chunked = hashed.select(col(idCol), col("simhash"),
       posexplode(array((0 until chunks).map(i =>
@@ -114,12 +153,14 @@ object Dedup {
       col("chunk_idx"), col("chunk_val"))
     val b = chunked.select(col(idCol).as("doc2"), col("simhash").as("sh2"),
       col("chunk_idx"), col("chunk_val"))
-    a.join(b, Seq("chunk_idx", "chunk_val"))
+    val repPairs = a.join(b, Seq("chunk_idx", "chunk_val"))
       .filter(col("doc1") < col("doc2"))
       .select(col("doc1"), col("doc2"),
         bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDistance)
+    // identical texts hash identically → hamming 0
+    expandPairs(repPairs, members, "hamming", lit(0))
   }
 
   /** Winnowing fingerprints (rolling-hash document signatures). */
