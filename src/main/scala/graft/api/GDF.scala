@@ -577,6 +577,13 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
     * in memory at a time, not a full collect).
     */
   def iterRows(): java.util.Iterator[Row] = df.toLocalIterator()
+
+  /** dask `to_records` — driver-side row tuples (alias of compute). */
+  def toRecords(): Array[Row] = df.collect()
+
+  /** dask `to_bag` — hand the rows to the functional Bag API. */
+  def toBag[T: org.apache.spark.sql.Encoder]: GBag[T] = new GBag(df.as[T])
+
   def persist(): GDF = { df.persist(); this }
   def explainPlan(): Unit = df.explain("formatted")
 }
