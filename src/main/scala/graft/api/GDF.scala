@@ -154,7 +154,8 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
     */
   def hashSample(keyCol: Column, fraction: Double, seed: Int = 0): GDF =
     unordered(df.filter(
-      graft.functions.Hashing.portableBucket(keyCol, 10000, seed) < (fraction * 10000).toInt))
+      graft.functions.Hashing.portableBucket(keyCol, 10000, seed) <
+        math.round(fraction * 10000).toInt))
 
   /** Deterministic counterpart of `randomSplit`: partitions rows into
     * `weights.length` disjoint frames by hash bucket of `keyCol`.

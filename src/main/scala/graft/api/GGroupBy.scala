@@ -48,12 +48,17 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
     * min/max over a (value, idx) struct so that value ties resolve
     * deterministically by idx (bare min_by/max_by tie-break is arbitrary).
     */
+  // null-value rows wrap to a null struct, which min/max aggregates skip —
+  // matching pandas idxmin/idxmax skipna (a bare struct would sort a null
+  // leading field FIRST and make it the group minimum)
   def idxmin(valueCol: String, idxCol: String, alias: String = "idxmin"): GDF =
     new GDF(grouped.agg(org.apache.spark.sql.functions
-      .min(struct(col(valueCol), col(idxCol))).getField(idxCol).as(alias)), None)
+      .min(when(col(valueCol).isNotNull, struct(col(valueCol), col(idxCol))))
+      .getField(idxCol).as(alias)), None)
   def idxmax(valueCol: String, idxCol: String, alias: String = "idxmax"): GDF =
     new GDF(grouped.agg(org.apache.spark.sql.functions
-      .max(struct(col(valueCol), col(idxCol))).getField(idxCol).as(alias)), None)
+      .max(when(col(valueCol).isNotNull, struct(col(valueCol), col(idxCol))))
+      .getField(idxCol).as(alias)), None)
 
   /** Exact per-group median — holistic (sort-based `percentile`). */
   def median(c: String, alias: String = "median"): GDF =

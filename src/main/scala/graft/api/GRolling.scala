@@ -103,13 +103,19 @@ final class GRolling(
     * window path; a global two-column rolling stat would need a MapOverlap
     * kernel over both columns — partition keys required here).
     */
+  /** min_periods counts non-null PAIRS, pandas rolling cov/corr contract */
+  private def guardedPair(xCol: String, yCol: String, c: Column): Column = {
+    val obs = org.apache.spark.sql.functions
+      .count(when(col(xCol).isNotNull && col(yCol).isNotNull, lit(1))).over(spec)
+    if (minPeriods <= 1) c else when(obs >= minPeriods, c).otherwise(lit(null))
+  }
   def covWith(xCol: String, yCol: String, out: String): DataFrame = {
     require(partitionBy.nonEmpty, "rolling cov needs partitionBy keys")
-    df.withColumn(out, covar_samp(col(xCol), col(yCol)).over(spec))
+    df.withColumn(out, guardedPair(xCol, yCol, covar_samp(col(xCol), col(yCol)).over(spec)))
   }
   def corrWith(xCol: String, yCol: String, out: String): DataFrame = {
     require(partitionBy.nonEmpty, "rolling corr needs partitionBy keys")
-    df.withColumn(out, corr(col(xCol), col(yCol)).over(spec))
+    df.withColumn(out, guardedPair(xCol, yCol, corr(col(xCol), col(yCol)).over(spec)))
   }
 
   /** `center=True` frame: pandas window w centered → [-w/2, w - w/2 - 1]
@@ -137,8 +143,12 @@ final class GRolling(
   def sumCentered(valueCol: String, out: String): DataFrame =
     if (partitionBy.isEmpty)
       MapOverlap.rollingCenteredAgg(df, valueCol, window, out, minPeriods)(_.sum)
-    else df.withColumn(out,
-      guardedCentered(valueCol, org.apache.spark.sql.functions.sum(col(valueCol)).over(centerSpec)))
+    else {
+      // pandas min_periods=0: an all-null window sums to 0, not null
+      val s = org.apache.spark.sql.functions.sum(col(valueCol)).over(centerSpec)
+      df.withColumn(out,
+        guardedCentered(valueCol, if (minPeriods == 0) coalesce(s, lit(0)) else s))
+    }
 
   /** time-range rolling (`rolling("10s")`): window is an interval on the
     * order column rather than a row count.  Keyed → native range window;

@@ -54,83 +54,57 @@ object Cumulative {
     * output at a null position is null.
     */
   def apply(df: DataFrame, valueCol: String, op: Op, outCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import org.apache.spark.TaskContext
-    val vIdx = df.schema.fieldIndex(valueCol)
     val integral = df.schema(valueCol).dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _                                             => false
     }
+    if (integral)
+      scan[Long](df, valueCol, outCol, "long", op.zeroL, op.combineL, _.longValue())
+    else
+      scan[Double](df, valueCol, outCol, "double", op.zero, op.combine, _.doubleValue())
+  }
 
-    if (integral) {
-      // phase 1: per-partition totals (narrow — no shuffle)
-      val partTotals: Array[(Int, Long, Boolean)] = df.rdd.mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        var acc = op.zeroL; var any = false
-        it.foreach { r =>
-          val v = r.get(vIdx)
-          if (v != null) { acc = op.combineL(acc, v.asInstanceOf[Number].longValue()); any = true }
-        }
-        Iterator.single((pid, acc, any))
-      }.collect()
+  private def scan[T: scala.reflect.ClassTag](
+      df: DataFrame, valueCol: String, outCol: String, outType: String,
+      zero: T, combine: (T, T) => T, conv: Number => T): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.TaskContext
+    val vIdx = df.schema.fieldIndex(valueCol)
 
-      val byPid = partTotals.sortBy(_._1)
-      val prefixes = scala.collection.mutable.Map[Int, (Long, Boolean)]()
-      var run = op.zeroL; var runAny = false
-      for ((pid, tot, any) <- byPid) {
-        prefixes(pid) = (run, runAny)
-        if (any) { run = op.combineL(run, tot); runAny = true }
+    // phase 1: per-partition totals (narrow — no shuffle)
+    val partTotals: Array[(Int, T, Boolean)] = df.rdd.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      var acc = zero; var any = false
+      it.foreach { r =>
+        val v = r.get(vIdx)
+        if (v != null) { acc = combine(acc, conv(v.asInstanceOf[Number])); any = true }
       }
-      val bc = spark.sparkContext.broadcast(prefixes.toMap)
+      Iterator.single((pid, acc, any))
+    }.collect()
 
-      val outSchema = df.schema.add(outCol, "long")
-      val outRdd = df.rdd.mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        val (seed, seedAny) = bc.value.getOrElse(pid, (op.zeroL, false))
-        var acc = seed; var any = seedAny
-        it.map { r =>
-          val v = r.get(vIdx)
-          val out: Any =
-            if (v == null) null
-            else { acc = op.combineL(acc, v.asInstanceOf[Number].longValue()); any = true; acc }
-          Row.fromSeq(r.toSeq :+ out)
-        }
-      }
-      spark.createDataFrame(outRdd, outSchema)
-    } else {
-      val partTotals: Array[(Int, Double, Boolean)] = df.rdd.mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        var acc = op.zero; var any = false
-        it.foreach { r =>
-          val v = r.get(vIdx)
-          if (v != null) { acc = op.combine(acc, v.asInstanceOf[Number].doubleValue()); any = true }
-        }
-        Iterator.single((pid, acc, any))
-      }.collect()
-
-      val byPid = partTotals.sortBy(_._1)
-      val prefixes = scala.collection.mutable.Map[Int, (Double, Boolean)]()
-      var run = op.zero; var runAny = false
-      for ((pid, tot, any) <- byPid) {
-        prefixes(pid) = (run, runAny)
-        if (any) { run = op.combine(run, tot); runAny = true }
-      }
-      val bc = spark.sparkContext.broadcast(prefixes.toMap)
-
-      val outSchema = df.schema.add(outCol, "double")
-      val outRdd = df.rdd.mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        val (seed, seedAny) = bc.value.getOrElse(pid, (op.zero, false))
-        var acc = seed; var any = seedAny
-        it.map { r =>
-          val v = r.get(vIdx)
-          val out: Any =
-            if (v == null) null
-            else { acc = op.combine(acc, v.asInstanceOf[Number].doubleValue()); any = true; acc }
-          Row.fromSeq(r.toSeq :+ out)
-        }
-      }
-      spark.createDataFrame(outRdd, outSchema)
+    // driver: exclusive prefix per partition id
+    val prefixes = scala.collection.mutable.Map[Int, (T, Boolean)]()
+    var run = zero; var runAny = false
+    for ((pid, tot, any) <- partTotals.sortBy(_._1)) {
+      prefixes(pid) = (run, runAny)
+      if (any) { run = combine(run, tot); runAny = true }
     }
+    val bc = spark.sparkContext.broadcast(prefixes.toMap)
+
+    // phase 2: seeded running aggregate (narrow)
+    val outSchema = df.schema.add(outCol, outType)
+    val outRdd = df.rdd.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      val (seed, seedAny) = bc.value.getOrElse(pid, (zero, false))
+      var acc = seed; var any = seedAny
+      it.map { r =>
+        val v = r.get(vIdx)
+        val out: Any =
+          if (v == null) null
+          else { acc = combine(acc, conv(v.asInstanceOf[Number])); any = true; acc }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
   }
 }

@@ -92,21 +92,28 @@ object Dedup {
       grp.select(col("__rep"), explode(col("__ids")).as("__m")))
   }
 
-  /** member-pair expansion shared by the near-dup tiers: same-group pairs
-    * carry `samePayload` (the identical-text value), cross-group pairs the
-    * representative pair's payload
+  /** Member-pair expansion shared by the collapse-first near-dup tiers
+    * (MinHash, SimHash, Jaccard, embedding-cosine): same-group pairs carry
+    * `samePayload` (the identical-content value), cross-group pairs the
+    * representative pair's payload.  `repPairs` must have columns
+    * (aCol, bCol, payloadCol) with aCol < bCol at representative level;
+    * `members` maps __rep → __m.  `sameFilter` can exclude degenerate
+    * groups (e.g. zero-norm vectors, whose cosine is undefined).
     */
-  private def expandPairs(repPairs: DataFrame, members: DataFrame,
-                          payloadCol: String, samePayload: Column): DataFrame = {
-    val sameGroup = members.select(col("__rep"), col("__m").as("doc1"))
-      .join(members.select(col("__rep"), col("__m").as("doc2")), Seq("__rep"))
-      .filter(col("doc1") < col("doc2"))
-      .select(col("doc1"), col("doc2"), samePayload.as(payloadCol))
+  private[operators] def expandPairs(repPairs: DataFrame, members: DataFrame,
+                                     aCol: String, bCol: String,
+                                     payloadCol: String, samePayload: Column,
+                                     sameFilter: Column = lit(true)): DataFrame = {
+    val sameGroup = members.filter(sameFilter)
+      .select(col("__rep"), col("__m").as(aCol))
+      .join(members.select(col("__rep"), col("__m").as(bCol)), Seq("__rep"))
+      .filter(col(aCol) < col(bCol))
+      .select(col(aCol), col(bCol), samePayload.as(payloadCol))
     val crossGroup = repPairs
-      .join(members.select(col("__rep").as("doc1"), col("__m").as("__ma")), Seq("doc1"))
-      .join(members.select(col("__rep").as("doc2"), col("__m").as("__mb")), Seq("doc2"))
-      .select(least(col("__ma"), col("__mb")).as("doc1"),
-        greatest(col("__ma"), col("__mb")).as("doc2"), col(payloadCol))
+      .join(members.select(col("__rep").as(aCol), col("__m").as("__ma")), Seq(aCol))
+      .join(members.select(col("__rep").as(bCol), col("__m").as("__mb")), Seq(bCol))
+      .select(least(col("__ma"), col("__mb")).as(aCol),
+        greatest(col("__ma"), col("__mb")).as(bCol), col(payloadCol))
     sameGroup.unionByName(crossGroup)
   }
 
@@ -127,7 +134,7 @@ object Dedup {
       .withColumn("jaccard", jaccardUdf(col("__t1"), col("__t2"), lit(shingleSize)))
       .filter(col("jaccard") >= threshold)
       .select(col("doc1"), col("doc2"), col("jaccard"))
-    expandPairs(repPairs, members, "jaccard", lit(1.0))
+    expandPairs(repPairs, members, "doc1", "doc2", "jaccard", lit(1.0))
       .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
@@ -160,7 +167,7 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDistance)
     // identical texts hash identically → hamming 0
-    expandPairs(repPairs, members, "hamming", lit(0))
+    expandPairs(repPairs, members, "doc1", "doc2", "hamming", lit(0))
   }
 
   /** Winnowing fingerprints (rolling-hash document signatures). */
@@ -251,18 +258,11 @@ object Dedup {
       .withColumn("jaccard",
         col("__inter") / (col("__sa") + col("__sb") - col("__inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("__ra"), col("__rb"), col("jaccard"))
+      .select(col("__ra").as("id_a"), col("__rb").as("id_b"), col("jaccard"))
 
     // 3) expand representatives back to member pairs (output-proportional)
-    val sameGroup = members.select(col("__rep"), col("__docid").as("id_a"))
-      .join(members.select(col("__rep"), col("__docid").as("id_b")), Seq("__rep"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
-    val crossGroup = repPairs
-      .join(members.select(col("__rep").as("__ra"), col("__docid").as("__ma")), Seq("__ra"))
-      .join(members.select(col("__rep").as("__rb"), col("__docid").as("__mb")), Seq("__rb"))
-      .select(least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"), col("jaccard"))
-    sameGroup.unionByName(crossGroup)
+    expandPairs(repPairs,
+      members.select(col("__rep"), col("__docid").as("__m")),
+      "id_a", "id_b", "jaccard", lit(1.0))
   }
 }

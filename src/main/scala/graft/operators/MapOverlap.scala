@@ -242,17 +242,22 @@ object MapOverlap {
         case None => it.map(r => Row.fromSeq(r.toSeq :+ null))
         case Some((_, minO, _, _)) =>
           val ghosts = new scala.collection.mutable.ArrayBuffer[(Double, Any)]
+          val cutoff = minO - range
           var k = pid - 1
           var continue = true
           while (k >= 0 && continue) {
             bc.value.get(k) match {
-              case Some((_, _, kMax, kTail)) =>
-                if (kMax < minO - range) continue = false
+              case Some((_, kMin, kMax, kTail)) =>
+                if (kMax < cutoff) continue = false // whole partition too old
                 else {
-                  ghosts.prependAll(kTail.filter(_._1 >= minO - range))
-                  // this tail covers a full `range` behind kMax; anything
-                  // further back is older than minO - range
-                  if (kMax - range <= minO - range) continue = false
+                  // k's tail spans [kMax - range, kMax] ⊇ [cutoff, kMax]
+                  // (kMax <= minO under range partitioning), so it holds
+                  // every needed row of k
+                  ghosts.prependAll(kTail.filter(_._1 >= cutoff))
+                  // walk deeper only while k itself has no row below the
+                  // cutoff — a narrow partition (span < range) can sit
+                  // entirely inside the window
+                  if (kMin < cutoff) continue = false
                 }
               case None => ()
             }

@@ -123,14 +123,22 @@ object MergeAsof {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
   }
 
-  /** add `prefix<c>` carry columns (plus `prefix__asof_on__`) for one direction */
+  /** add `prefix<c>` carry columns (plus `prefix__asof_on__`) for one
+    * direction.  The WHOLE right row is carried as one struct so the match
+    * is atomic: a matched right row with null payload fields yields those
+    * nulls (pandas semantics) instead of per-column ignoreNulls carries
+    * silently mixing values from different right rows.
+    */
   private def carry(unioned: DataFrame, outRight: Seq[String], by: Seq[String],
                     backward: Boolean, allowExact: Boolean, prefix: String): DataFrame = {
     val w = carryWindow(by, backward, allowExact)
-    (outRight :+ OnNum).foldLeft(unioned) { (d, c) =>
-      val src = when(!col(IsLeft), col(c))
-      d.withColumn(prefix + c, last(src, ignoreNulls = true).over(w))
-    }
+    val fields = outRight :+ OnNum
+    val src = when(!col(IsLeft), struct(fields.map(col): _*))
+    val tmp = prefix + "__row"
+    fields.foldLeft(
+        unioned.withColumn(tmp, last(src, ignoreNulls = true).over(w))) {
+      (d, c) => d.withColumn(prefix + c, col(tmp).getField(c))
+    }.drop(tmp)
   }
 
   private def joinOneDirection(

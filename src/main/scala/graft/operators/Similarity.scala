@@ -86,30 +86,24 @@ object Similarity {
     require(threshold <= 1.0, s"cosine threshold must be <= 1, got $threshold")
     val grp = vectors.groupBy(col(vecCol).as("__v"))
       .agg(min(col(idCol)).as("__rep"), collect_list(col(idCol)).as("__ids"))
-    val members = grp.select(col("__rep"), explode(col("__ids")).as("__m"))
+      .withColumn("__n", vecNorm(col("__v")))
+    // carry the group norm onto members so degenerate (zero-norm) groups —
+    // whose cosine is undefined — can be excluded from same-group pairs
+    val members = grp.select(col("__rep"), explode(col("__ids")).as("__m"), col("__n"))
 
     // norms are an O(n) pre-pass; each of the O(reps²) pairs then pays
     // exactly one codegen'd primitive dot loop (FloatVecDot)
-    val prepped = grp.select(col("__rep"), col("__v"))
-      .withColumn("__n", vecNorm(col("__v")))
-    val a = prepped.select(col("__rep").as("__ra"), col("__v").as("__va"), col("__n").as("__na"))
-    val b = prepped.select(col("__rep").as("__rb"), col("__v").as("__vb"), col("__n").as("__nb"))
-    val repPairs = a.join(broadcast(b), col("__ra") < col("__rb"))
+    val prepped = grp.select(col("__rep"), col("__v"), col("__n"))
+    val a = prepped.select(col("__rep").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
+    val b = prepped.select(col("__rep").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
+    val repPairs = a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("sim", vecDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("sim") >= threshold)
-      .select(col("__ra"), col("__rb"), col("sim"))
+      .select(col("id_a"), col("id_b"), col("sim"))
 
-    val sameGroup = members.select(col("__rep"), col("__m").as("id_a"))
-      .join(members.select(col("__rep"), col("__m").as("id_b")), Seq("__rep"))
-      .filter(col("id_a") < col("id_b"))
-      // cosine of byte-identical vectors: exactly 1 up to one ulp
-      .select(col("id_a"), col("id_b"), lit(1.0).as("sim"))
-    val crossGroup = repPairs
-      .join(members.select(col("__rep").as("__ra"), col("__m").as("__ma")), Seq("__ra"))
-      .join(members.select(col("__rep").as("__rb"), col("__m").as("__mb")), Seq("__rb"))
-      .select(least(col("__ma"), col("__mb")).as("id_a"),
-        greatest(col("__ma"), col("__mb")).as("id_b"), col("sim"))
-    sameGroup.unionByName(crossGroup)
+    // cosine of byte-identical non-degenerate vectors: exactly 1 up to ulp
+    Dedup.expandPairs(repPairs, members, "id_a", "id_b", "sim", lit(1.0),
+      sameFilter = col("__n") > 0)
   }
 
   /** Bucketed ANN: candidates restricted to the query's bucket, then exact

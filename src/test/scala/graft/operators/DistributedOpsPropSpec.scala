@@ -79,7 +79,9 @@ class DistributedOpsPropSpec extends SparkTestBase {
   }
 
   test("MapOverlap range rolling == SQL range window (unique ords), any partitioning") {
-    for (seed <- Seq(9L, 10L); parts <- Seq(1, 3, 7); range <- Seq(2.0, 10.0)) {
+    // parts=25 over 50 rows makes partition spans narrower than the larger
+    // ranges — the ghost walk must then cross MULTIPLE partitions
+    for (seed <- Seq(9L, 10L); parts <- Seq(1, 3, 7, 25); range <- Seq(2.0, 10.0, 45.0)) {
       // idx doubles as the (unique) order value, with irregular gaps
       val df = frame(seed, 50, parts)
         .withColumn("ord", (col("idx") * 3).cast("double"))
