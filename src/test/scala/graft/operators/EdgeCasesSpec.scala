@@ -67,6 +67,32 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(d.groupbyDropna(false, "k").sum("v").count() == 2)
   }
 
+  test("idxmin/idxmax skip null values (pandas skipna)") {
+    val d = GDF(Seq(
+      ("g", Some(3.0), 2L), ("g", None, 7L), ("h", None, 9L)
+    ).toDF("k", "v", "idx"))
+    val mn = d.groupby("k").idxmin("v", "idx").df.collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(mn("g") == Some(2L)) // not the null-value row's idx 7
+    assert(mn("h").isEmpty)     // all-null group → null, not 9
+    val mx = d.groupby("k").idxmax("v", "idx").df.collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(mx("g") == Some(2L) && mx("h").isEmpty)
+  }
+
+  test("merge_asof carries the matched right row atomically (nulls included)") {
+    val l = Seq((1L, 3.0)).toDF("k", "t")
+    val r = Seq(
+      (1L, 1.0, Some(5.0), None: Option[Double]),
+      (1L, 2.0, None, Some(8.0))
+    ).toDF("k", "t", "rv1", "rv2")
+    val out = MergeAsof(l, r, on = "t", by = Seq("k")).collect().head
+    // backward match is the t=2 row: rv1 must be ITS null, not t=1's 5.0;
+    // rv2 must be its 8.0 — both from the same right row
+    assert(out.isNullAt(out.fieldIndex("rv1")))
+    assert(out.getDouble(out.fieldIndex("rv2")) == 8.0)
+  }
+
   test("merge_asof with an empty right side keeps left rows, null payload") {
     val l = Seq((1L, 1.0), (1L, 5.0)).toDF("k", "t")
     val r = Seq.empty[(Long, Double, Double)].toDF("k", "t", "rv")
