@@ -580,7 +580,7 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
   def iterRows(): java.util.Iterator[Row] = df.toLocalIterator()
 
   /** dask `to_records` — driver-side row tuples (alias of compute). */
-  def toRecords(): Array[Row] = df.collect()
+  def toRecords(): Array[Row] = compute()
 
   /** dask `to_bag` — hand the rows to the functional Bag API. */
   def toBag[T: org.apache.spark.sql.Encoder]: GBag[T] = new GBag(df.as[T])

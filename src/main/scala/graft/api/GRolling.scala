@@ -161,13 +161,16 @@ final class GRolling(
       val ordNum = "__ord_num__"
       MapOverlap.rollingRangeAgg(
           df.withColumn(ordNum, col(orderBy.head).cast("long").cast("double")),
-          valueCol, ordNum, rangeSeconds.toDouble, out)(_.sum)
+          valueCol, ordNum, rangeSeconds.toDouble, out, minPeriods)(_.sum)
         .drop(ordNum)
     } else {
       val w = Window.partitionBy(partitionBy.map(col): _*)
         .orderBy(col(orderBy.head).cast("long"))
         .rangeBetween(-rangeSeconds, 0)
-      df.withColumn(out, org.apache.spark.sql.functions.sum(col(valueCol)).over(w))
+      val s = org.apache.spark.sql.functions.sum(col(valueCol)).over(w)
+      val obs = org.apache.spark.sql.functions.count(col(valueCol)).over(w)
+      df.withColumn(out,
+        if (minPeriods <= 1) s else when(obs >= minPeriods, s).otherwise(lit(null)))
     }
   }
 }

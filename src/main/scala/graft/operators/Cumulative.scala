@@ -82,12 +82,13 @@ object Cumulative {
       Iterator.single((pid, acc, any))
     }.collect()
 
-    // driver: exclusive prefix per partition id
-    val prefixes = scala.collection.mutable.Map[Int, (T, Boolean)]()
-    var run = zero; var runAny = false
+    // driver: exclusive prefix per partition id (the `any` flag only keeps
+    // all-null prefixes at the op identity, which the combine absorbs)
+    val prefixes = scala.collection.mutable.Map[Int, T]()
+    var run = zero
     for ((pid, tot, any) <- partTotals.sortBy(_._1)) {
-      prefixes(pid) = (run, runAny)
-      if (any) { run = combine(run, tot); runAny = true }
+      prefixes(pid) = run
+      if (any) run = combine(run, tot)
     }
     val bc = spark.sparkContext.broadcast(prefixes.toMap)
 
@@ -95,13 +96,12 @@ object Cumulative {
     val outSchema = df.schema.add(outCol, outType)
     val outRdd = df.rdd.mapPartitions { it =>
       val pid = TaskContext.getPartitionId()
-      val (seed, seedAny) = bc.value.getOrElse(pid, (zero, false))
-      var acc = seed; var any = seedAny
+      var acc = bc.value.getOrElse(pid, zero)
       it.map { r =>
         val v = r.get(vIdx)
         val out: Any =
           if (v == null) null
-          else { acc = combine(acc, conv(v.asInstanceOf[Number])); any = true; acc }
+          else { acc = combine(acc, conv(v.asInstanceOf[Number])); acc }
         Row.fromSeq(r.toSeq :+ out)
       }
     }

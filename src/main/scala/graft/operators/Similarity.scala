@@ -92,8 +92,11 @@ object Similarity {
     val members = grp.select(col("__rep"), explode(col("__ids")).as("__m"), col("__n"))
 
     // norms are an O(n) pre-pass; each of the O(reps²) pairs then pays
-    // exactly one codegen'd primitive dot loop (FloatVecDot)
+    // exactly one codegen'd primitive dot loop (FloatVecDot).  Zero-norm
+    // vectors never enter the pair space at all (cosine undefined; the
+    // division would also trip ANSI divide-by-zero)
     val prepped = grp.select(col("__rep"), col("__v"), col("__n"))
+      .filter(col("__n") > 0)
     val a = prepped.select(col("__rep").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
     val b = prepped.select(col("__rep").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
     val repPairs = a.join(broadcast(b), col("id_a") < col("id_b"))

@@ -74,6 +74,11 @@ class LlmOpsSpec extends SparkTestBase {
       .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
       .map { case (a, b, s) => (a, b) -> s }.toMap
     assert(sims((1L, 2L)) == 1.0 && math.abs(sims((1L, 3L)) - 0.990) < 0.01)
+    // zero-norm vectors: cosine undefined → never paired, never thrown
+    val withZeros = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.0f, 0.0f)), (3L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    assert(Similarity.exactNearDupPairs(withZeros, "vec_id", "embedding", 0.5).count() == 0)
   }
 
   test("ivfTopK matches bruteForceTopK when all cells are probed") {
