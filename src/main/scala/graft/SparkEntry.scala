@@ -1404,22 +1404,27 @@ object SparkEntry {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
         |WHERE rk <= 5""".stripMargin,
+    // half-up rounding via floor(x*1e6+0.5)/1e6 on BOTH sides: plain
+    // round(x, 6) is half-even here and half-up in Spark, which flips on
+    // exact boundaries (a doc at sf0.001 scores exactly 0.5046875)
     "q58_quality" ->
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
-        |  round(len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE /
-        |    greatest(length(text), 1), 6) AS punct_ratio,
-        |  round(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b'))::DOUBLE /
-        |    greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 6)
-        |    AS stopword_ratio,
-        |  round(least(1.0, greatest(0.0,
+        |  floor(len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE /
+        |    greatest(length(text), 1) * 1000000 + 0.5) / 1000000 AS punct_ratio,
+        |  floor(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b'))::DOUBLE /
+        |    greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1)
+        |    * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+        |  floor(least(1.0, greatest(0.0,
         |    0.25 * least(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE / 100.0, 1.0)
-        |    + 0.25 * (1.0 - round(len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE /
-        |        greatest(length(text), 1), 6) * 10)
-        |    + 0.25 * least(round(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b'))::DOUBLE /
-        |        greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 6) * 5, 1.0)
-        |    + 0.25 * least(round((length(text) - len(regexp_extract_all(text, '\s')))::DOUBLE /
-        |        greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 6) / 8.0, 1.0))), 6)
+        |    + 0.25 * (1.0 - floor(len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE /
+        |        greatest(length(text), 1) * 1000000 + 0.5) / 1000000 * 10)
+        |    + 0.25 * least(floor(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b'))::DOUBLE /
+        |        greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1)
+        |        * 1000000 + 0.5) / 1000000 * 5, 1.0)
+        |    + 0.25 * least(floor((length(text) - len(regexp_extract_all(text, '\s')))::DOUBLE /
+        |        greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1)
+        |        * 1000000 + 0.5) / 1000000 / 8.0, 1.0))) * 1000000 + 0.5) / 1000000
         |    AS quality_score
         |FROM documents""".stripMargin,
     "q59_tokens" ->
@@ -1670,14 +1675,16 @@ object SparkEntry {
       """WITH scored AS (
         |  SELECT doc_id, text,
         |    len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tokens,
-        |    round(least(1.0, greatest(0.0,
+        |    floor(least(1.0, greatest(0.0,
         |      0.25 * least(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::DOUBLE / 100.0, 1.0)
-        |      + 0.25 * (1.0 - round(len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE /
-        |          greatest(length(text), 1), 6) * 10)
-        |      + 0.25 * least(round(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b'))::DOUBLE /
-        |          greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 6) * 5, 1.0)
-        |      + 0.25 * least(round((length(text) - len(regexp_extract_all(text, '\s')))::DOUBLE /
-        |          greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1), 6) / 8.0, 1.0))), 6)
+        |      + 0.25 * (1.0 - floor(len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE /
+        |          greatest(length(text), 1) * 1000000 + 0.5) / 1000000 * 10)
+        |      + 0.25 * least(floor(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b'))::DOUBLE /
+        |          greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1)
+        |          * 1000000 + 0.5) / 1000000 * 5, 1.0)
+        |      + 0.25 * least(floor((length(text) - len(regexp_extract_all(text, '\s')))::DOUBLE /
+        |          greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')), 1)
+        |          * 1000000 + 0.5) / 1000000 / 8.0, 1.0))) * 1000000 + 0.5) / 1000000
         |      AS quality_score
         |  FROM documents),
         |filt AS (SELECT * FROM scored WHERE quality_score >= 0.4),

@@ -48,4 +48,8 @@ object DtFunctions {
   def tzLocalize(c: Column, tz: String): Column = to_utc_timestamp(c, tz)
   def tzConvert(c: Column, tz: String): Column = from_utc_timestamp(c, tz)
   def toPeriodMonth(c: Column): Column = date_format(c, "yyyy-MM")
+
+  /** pandas `to_timedelta(seconds)` — a DayTimeIntervalType duration. */
+  def toTimedelta(seconds: Column): Column =
+    make_dt_interval(lit(0), lit(0), lit(0), seconds.cast("double"))
 }

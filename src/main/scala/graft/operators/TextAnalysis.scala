@@ -50,25 +50,32 @@ object TextAnalysis {
     * length/punctuation/stopword/word-length signals — the standard cheap
     * pre-filters in corpus cleaning pipelines.
     */
+  /** half-up 6-decimal rounding via exact float ops — `round(x, 6)` is
+    * half-even in DuckDB and half-up in Spark, which flips on exact
+    * boundaries (seen: a quality score of exactly 0.5046875); this form is
+    * bit-identical in any engine for non-negative x
+    */
+  private def r6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
   def qualityScore(docs: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
     docs
       .withColumn("n_chars_q", length(t).cast("long"))
       .withColumn("n_tokens", wsTokens(t).cast("long"))
       .withColumn("punct_ratio",
-        round(regexp_count(t, lit("[.,;:!?]")).cast("double") / greatest(length(t), lit(1)), 6))
+        r6(regexp_count(t, lit("[.,;:!?]")).cast("double") / greatest(length(t), lit(1))))
       .withColumn("stopword_ratio",
-        round(regexp_count(lower(t), lit("\\b(the|a|of|and|to|in|is)\\b")).cast("double") /
-          greatest(wsTokens(t), lit(1)), 6))
+        r6(regexp_count(lower(t), lit("\\b(the|a|of|and|to|in|is)\\b")).cast("double") /
+          greatest(wsTokens(t), lit(1))))
       .withColumn("mean_word_len",
-        round((length(t) - regexp_count(t, lit("\\s"))).cast("double") /
-          greatest(wsTokens(t), lit(1)), 6))
+        r6((length(t) - regexp_count(t, lit("\\s"))).cast("double") /
+          greatest(wsTokens(t), lit(1))))
       .withColumn("quality_score",
-        round(least(lit(1.0), greatest(lit(0.0),
+        r6(least(lit(1.0), greatest(lit(0.0),
           lit(0.25) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
             + lit(0.25) * (lit(1.0) - col("punct_ratio") * 10)
             + lit(0.25) * least(col("stopword_ratio") * 5, lit(1.0))
-            + lit(0.25) * least(col("mean_word_len") / 8.0, lit(1.0)))), 6))
+            + lit(0.25) * least(col("mean_word_len") / 8.0, lit(1.0))))))
   }
 
   /** Token counts: whitespace tokens and a BPE-ish regex segmentation
