@@ -1076,6 +1076,13 @@ object SparkEntry {
         .select(col("event_id"), col("__ord"), col("cents"))
       graft.operators.MapOverlap.rollingRangeAgg(ev, "cents", "__ord", 600.0, "range_sum")(_.sum)
         .select(col("event_id"), col("range_sum").cast("long").as("range_sum"))
+    },
+    // ---- §2.6 per-key rolling skew (pandas adjusted G1 = DuckDB skewness)
+    "q113_rolling_skew" -> { (s, dir) =>
+      new graft.api.GRolling(t(s, dir, "events"), 6, Seq("ts", "event_id"),
+          Seq("user_id"), 3)
+        .skew("value", "roll_skew")
+        .select(col("event_id"), round(col("roll_skew"), 4).as("roll_skew"))
     })
 
   /** DuckDB-equivalent SQL per query (column names aligned with the Spark
@@ -1876,5 +1883,10 @@ object SparkEntry {
       """SELECT event_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
         |    ORDER BY epoch(ts) RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
         |  AS BIGINT) AS range_sum
+        |FROM events""".stripMargin,
+    "q113_rolling_skew" ->
+      """SELECT event_id, round(skewness(value) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS roll_skew
         |FROM events""".stripMargin)
 }

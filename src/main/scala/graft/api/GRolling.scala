@@ -99,6 +99,48 @@ final class GRolling(
 
   def median(valueCol: String, out: String): DataFrame = quantile(valueCol, 0.5, out)
 
+  /** pandas rolling.skew / rolling.kurt — ADJUSTED (sample) statistics,
+    * G1 = √(n(n-1))/(n-2) · m₃/m₂^1.5 and
+    * G2 = ((n+1)(m₄/m₂² − 3) + 6)(n-1)/((n-2)(n-3)) — which differ from
+    * Spark's built-in biased `skewness`/`kurtosis`; computed from raw
+    * power sums over the window on both physical paths.
+    */
+  def skew(valueCol: String, out: String): DataFrame =
+    if (partitionBy.isEmpty)
+      MapOverlap.rollingAgg(df, valueCol, window, out, math.max(minPeriods, 3))(
+        GRolling.sampleSkew)
+    else addMoment(valueCol, out, isSkew = true)
+  def kurt(valueCol: String, out: String): DataFrame =
+    if (partitionBy.isEmpty)
+      MapOverlap.rollingAgg(df, valueCol, window, out, math.max(minPeriods, 4))(
+        GRolling.sampleKurt)
+    else addMoment(valueCol, out, isSkew = false)
+
+  private def addMoment(valueCol: String, out: String, isSkew: Boolean): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val n = org.apache.spark.sql.functions.count(x).over(spec).cast("double")
+    val s1 = org.apache.spark.sql.functions.sum(x).over(spec)
+    val s2 = org.apache.spark.sql.functions.sum(x * x).over(spec)
+    val s3 = org.apache.spark.sql.functions.sum(x * x * x).over(spec)
+    val mean = s1 / n
+    val m2 = s2 / n - mean * mean
+    val m3 = s3 / n - lit(3.0) * mean * (s2 / n) + lit(2.0) * mean * mean * mean
+    val mp = lit(math.max(minPeriods, if (isSkew) 3 else 4))
+    val stat =
+      if (isSkew)
+        when(n >= mp && m2 > 0,
+          sqrt(n * (n - 1)) / (n - 2) * m3 / pow(m2, 1.5))
+      else {
+        val s4 = org.apache.spark.sql.functions.sum(x * x * x * x).over(spec)
+        val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
+          lit(6.0) * mean * mean * (s2 / n) - lit(3.0) * mean * mean * mean * mean
+        when(n >= mp && m2 > 0,
+          ((n + 1) * (m4 / (m2 * m2) - lit(3.0)) + lit(6.0)) * (n - 1) /
+            ((n - 2) * (n - 3)))
+      }
+    df.withColumn(out, stat)
+  }
+
   /** pandas rolling.cov / rolling.corr between two columns (per-key native
     * window path; a global two-column rolling stat would need a MapOverlap
     * kernel over both columns — partition keys required here).
@@ -188,6 +230,31 @@ object GRolling {
   }
   private[api] val sampleStd: Seq[Double] => Any = { xs =>
     sampleVar(xs) match { case null => null; case v: Double => math.sqrt(v) }
+  }
+
+  private def centralMoments(xs: Seq[Double]): (Double, Double, Double, Double) = {
+    val n = xs.size.toDouble
+    val mean = xs.sum / n
+    var m2 = 0.0; var m3 = 0.0; var m4 = 0.0
+    xs.foreach { x =>
+      val d = x - mean
+      m2 += d * d; m3 += d * d * d; m4 += d * d * d * d
+    }
+    (n, m2 / n, m3 / n, m4 / n)
+  }
+
+  /** adjusted Fisher-Pearson skewness (pandas rolling.skew) */
+  private[api] val sampleSkew: Seq[Double] => Any = { xs =>
+    val (n, m2, m3, _) = centralMoments(xs)
+    if (n < 3 || m2 <= 0) null
+    else math.sqrt(n * (n - 1)) / (n - 2) * m3 / math.pow(m2, 1.5)
+  }
+
+  /** sample excess kurtosis (pandas rolling.kurt) */
+  private[api] val sampleKurt: Seq[Double] => Any = { xs =>
+    val (n, m2, _, m4) = centralMoments(xs)
+    if (n < 4 || m2 <= 0) null
+    else ((n + 1) * (m4 / (m2 * m2) - 3.0) + 6.0) * (n - 1) / ((n - 2) * (n - 3))
   }
 
   /** expanding() = rolling with an unbounded-preceding frame. */

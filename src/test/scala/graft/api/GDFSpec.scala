@@ -218,6 +218,26 @@ class GDFSpec extends SparkTestBase {
     assert(overlap < 0.2, s"seed draws too correlated: $overlap")
   }
 
+  test("rolling skew/kurt match pandas adjusted statistics on both paths") {
+    val d = Seq((0L, "k", 1.0), (1L, "k", 2.0), (2L, "k", 4.0),
+        (3L, "k", 8.0), (4L, "k", 3.0), (5L, "k", 5.0))
+      .toDF("idx", "k", "v").repartitionByRange(3, col("idx")).sortWithinPartitions("idx")
+    // pandas: Series([1,2,4,8,3,5]).rolling(4, min_periods=3).skew() / .kurt()
+    val expSkew = Map(2L -> 0.93521953, 3L -> 1.13762437, 4L -> 1.44305884, 5L -> 1.19034013)
+    val expKurt = Map(3L -> 0.75765595, 4L -> 2.23486718, 5L -> 1.5)
+    def got(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.select("idx", "out").collect()
+        .collect { case r if !r.isNullAt(1) => r.getLong(0) -> r.getDouble(1) }.toMap
+    for (keys <- Seq(Nil, Seq("k"))) {
+      val s = got(new graft.api.GRolling(d, 4, Seq("idx"), keys, 3).skew("v", "out"))
+      assert(s.keySet == expSkew.keySet, s"skew keys keys=$keys")
+      expSkew.foreach { case (k, e) => assert(math.abs(s(k) - e) < 1e-6, s"skew $k keys=$keys") }
+      val kt = got(new graft.api.GRolling(d, 4, Seq("idx"), keys, 4).kurt("v", "out"))
+      assert(kt.keySet == expKurt.keySet, s"kurt keys keys=$keys")
+      expKurt.foreach { case (k, e) => assert(math.abs(kt(k) - e) < 1e-6, s"kurt $k keys=$keys") }
+    }
+  }
+
   test("timeseries generator is deterministic and index-sorted") {
     val ts = graft.sources.Timeseries(spark, 1704067200L, 1000, freqSec = 1, numPartitions = 4)
     assert(ts.index.exists(_.sorted))
