@@ -56,10 +56,15 @@ object GraftSession {
   /** events fixture: ns-precision `ts` arrives as long (see
     * `nanosAsLong` above); convert to a µs timestamp.  Fixture timestamps
     * are unique well above µs spacing, so ordering semantics survive.
+    * ScaleGen replicas already carry a timestamp column — pass through.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val t = table(spark, sfDir, "events")
+    t.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        t.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => t
+    }
   }
 }

@@ -40,9 +40,9 @@ object ScaleGen {
     write(rep(t("part"), Seq("p_partkey")), "part")
     write(rep(t("orders"), Seq("o_orderkey", "o_custkey")), "orders")
     write(rep(t("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
-    // events: keep the fixture's ns-long `ts` physical form
-    write(rep(GraftSession.events(spark, src), Seq("event_id", "user_id"))
-      .withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000), "events")
+    // events: written as a plain µs TIMESTAMP (readable by Spark AND the
+    // DuckDB oracle; GraftSession.events adapts to either physical form)
+    write(rep(GraftSession.events(spark, src), Seq("event_id", "user_id")), "events")
     write(rep(t("documents"), Seq("doc_id")), "documents")
     write(rep(t("embeddings"), Seq("vec_id")), "embeddings")
     spark.stop()

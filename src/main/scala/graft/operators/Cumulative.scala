@@ -68,12 +68,14 @@ object Cumulative {
       df: DataFrame, valueCol: String, outCol: String, outType: String,
       zero: T, combine: (T, T) => T, conv: Number => T): DataFrame = {
     val spark = df.sparkSession
-    import org.apache.spark.TaskContext
     val vIdx = df.schema.fieldIndex(valueCol)
 
-    // phase 1: per-partition totals (narrow — no shuffle)
-    val partTotals: Array[(Int, T, Boolean)] = df.rdd.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
+    // phase 1: per-partition totals (narrow — no shuffle).  pid alignment
+    // uses the RDD's own split index (mapPartitionsWithIndex), NOT
+    // TaskContext.getPartitionId(): a downstream coalesce() collapses the
+    // narrow chain into fewer tasks and the task id would disagree with
+    // this pass, silently mis-seeding every partition's prefix
+    val partTotals: Array[(Int, T, Boolean)] = df.rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = zero; var any = false
       it.foreach { r =>
         val v = r.get(vIdx)
@@ -94,8 +96,7 @@ object Cumulative {
 
     // phase 2: seeded running aggregate (narrow)
     val outSchema = df.schema.add(outCol, outType)
-    val outRdd = df.rdd.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
+    val outRdd = df.rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = bc.value.getOrElse(pid, zero)
       it.map { r =>
         val v = r.get(vIdx)

@@ -16,11 +16,12 @@ object Fill {
 
   def ffill(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
-    import org.apache.spark.TaskContext
     val vIdx = df.schema.fieldIndex(valueCol)
 
-    val lastNonNull: Array[(Int, Any)] = df.rdd.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
+    // mapPartitionsWithIndex, not TaskContext.getPartitionId(): a
+    // downstream coalesce() collapses tasks and would misalign the carries
+    // between the two passes (see MapOverlap)
+    val lastNonNull: Array[(Int, Any)] = df.rdd.mapPartitionsWithIndex { (pid, it) =>
       var last: Any = null
       it.foreach { r => val v = r.get(vIdx); if (v != null) last = v }
       Iterator.single((pid, last))
@@ -34,8 +35,7 @@ object Fill {
     }
     val bc = spark.sparkContext.broadcast(carry.toMap)
 
-    val outRdd = df.rdd.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
+    val outRdd = df.rdd.mapPartitionsWithIndex { (pid, it) =>
       var last: Any = bc.value.getOrElse(pid, null)
       it.map { r =>
         val v = r.get(vIdx)
@@ -51,11 +51,9 @@ object Fill {
     */
   def bfill(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
-    import org.apache.spark.TaskContext
     val vIdx = df.schema.fieldIndex(valueCol)
 
-    val firstNonNull: Array[(Int, Any)] = df.rdd.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
+    val firstNonNull: Array[(Int, Any)] = df.rdd.mapPartitionsWithIndex { (pid, it) =>
       var first: Any = null
       var found = false
       it.foreach { r =>
@@ -72,8 +70,7 @@ object Fill {
     }
     val bc = spark.sparkContext.broadcast(carry.toMap)
 
-    val outRdd = df.rdd.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
+    val outRdd = df.rdd.mapPartitionsWithIndex { (pid, it) =>
       val carryFromNext: Any = bc.value.getOrElse(pid, null)
       // need the partition's own next-non-null lookahead: buffer rows until
       // a non-null is seen (bounded by the null-run length, not partition

@@ -36,12 +36,16 @@ object MapOverlap {
       f: (Seq[Row], Iterator[Row], Seq[Row]) => Iterator[Row]): DataFrame = {
 
     val spark = df.sparkSession
-    import org.apache.spark.TaskContext
+
+    // pid alignment between the two passes MUST use the RDD's own split
+    // index (mapPartitionsWithIndex), NOT TaskContext.getPartitionId():
+    // a downstream coalesce() collapses the narrow chain into fewer tasks
+    // and the task id would then disagree with the boundary pass, silently
+    // misaligning every carry (caught by the 10× oracle gate)
 
     // 1) narrow pass: per-partition head/tail boundary rows
     val boundaries: Array[(Int, Array[Row], Array[Row])] = df.rdd
-      .mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
+      .mapPartitionsWithIndex { (pid, it) =>
         val head = new scala.collection.mutable.ArrayBuffer[Row]
         val tail = new scala.collection.mutable.ArrayBuffer[Row]
         var n = 0
@@ -64,8 +68,7 @@ object MapOverlap {
     // than the ghost region (or empty) contributes ALL its rows and the
     // walk continues — a tail of size < `before` means that partition had
     // exactly that many rows, so the remainder comes from further back.
-    val outRdd = df.rdd.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
+    val outRdd = df.rdd.mapPartitionsWithIndex { (pid, it) =>
       val ghostBefore: Seq[Row] =
         if (before <= 0) Nil
         else {
@@ -209,17 +212,16 @@ object MapOverlap {
                         org.apache.spark.sql.types.DoubleType)
                      (agg: Seq[Double] => Any): DataFrame = {
     val spark = df.sparkSession
-    import org.apache.spark.TaskContext
     val vIdx = df.schema.fieldIndex(valueCol)
     val oIdx = df.schema.fieldIndex(ordCol)
     val outSchema = df.schema.add(outCol, outType)
     def ordOf(r: Row): Double = r.get(oIdx).asInstanceOf[Number].doubleValue()
 
     // boundary pass: per partition (minOrd, maxOrd, tail rows within range
-    // of maxOrd) — the only rows any later partition could need
+    // of maxOrd) — the only rows any later partition could need.
+    // mapPartitionsWithIndex, not TaskContext (see apply())
     val bounds: Array[(Int, Double, Double, Array[(Double, Any)])] = df.rdd
-      .mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
+      .mapPartitionsWithIndex { (pid, it) =>
         var minO = Double.PositiveInfinity
         var maxO = Double.NegativeInfinity
         val tail = new scala.collection.mutable.ArrayDeque[(Double, Any)]
@@ -236,8 +238,7 @@ object MapOverlap {
     val byPid = bounds.map(b => b._1 -> b).toMap
     val bc = spark.sparkContext.broadcast(byPid)
 
-    val outRdd = df.rdd.mapPartitions { it =>
-      val pid = TaskContext.getPartitionId()
+    val outRdd = df.rdd.mapPartitionsWithIndex { (pid, it) =>
       bc.value.get(pid) match {
         case None => it.map(r => Row.fromSeq(r.toSeq :+ null))
         case Some((_, minO, _, _)) =>

@@ -67,6 +67,28 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(d.groupbyDropna(false, "k").sum("v").count() == 2)
   }
 
+  test("two-pass operators survive a downstream coalesce(1)") {
+    // a coalesce collapses the narrow chain into one task; the operators'
+    // pid bookkeeping must use the RDD split index, not the task id —
+    // regression for a carry misalignment the 10× oracle gate caught
+    val df = Seq.tabulate(40)(i => (i.toLong, if (i % 7 == 0) None else Some(i * 1.5)))
+      .toDF("idx", "v").repartitionByRange(8, col("idx")).sortWithinPartitions("idx")
+    val bf = Fill.bfill(df, "v").coalesce(1)
+      .select("idx", "v").as[(Long, Option[Double])].collect().toMap
+    for (i <- 0 until 40) {
+      val nextNonNull = (i until 40).find(_ % 7 != 0).map(_ * 1.5)
+      assert(bf(i.toLong) == nextNonNull, s"bfill idx=$i")
+    }
+    val cum = Cumulative(df.drop("v").withColumn("v", col("idx").cast("double")),
+        "v", Cumulative.CumSum, "out").coalesce(1)
+      .select("idx", "out").as[(Long, Double)].collect().toMap
+    for (i <- 0 until 40) assert(cum(i.toLong) == (0 to i).sum * 1.0, s"cumsum idx=$i")
+    val roll = MapOverlap.rollingSum(
+        df.drop("v").withColumn("v", lit(1.0)), "v", 5, "out").coalesce(1)
+      .select("idx", "out").as[(Long, Double)].collect().toMap
+    for (i <- 0 until 40) assert(roll(i.toLong) == math.min(i + 1, 5).toDouble, s"roll idx=$i")
+  }
+
   test("idxmin/idxmax skip null values (pandas skipna)") {
     val d = GDF(Seq(
       ("g", Some(3.0), 2L), ("g", None, 7L), ("h", None, 9L)
