@@ -83,6 +83,35 @@ class BagLinalgStreamSpec extends SparkTestBase {
     assert(rows(1).getLong(1) == 1 && rows(1).getDouble(2) == 10.0)
   }
 
+  test("streaming: watermark drops data later than the allowed lateness") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val in = mem.toDF().toDF("ts", "value")
+    // append mode: a window only emits once the watermark passes its end,
+    // and late rows behind the watermark are dropped
+    val out = StreamOps.windowedAgg(in, "ts", "1 hour", "30 minutes")
+    val q = out.writeStream.format("memory").queryName("win_late")
+      .outputMode("append").start()
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    mem.addData((t(0, 10), 1.0), (t(0, 20), 2.0))
+    q.processAllAvailable()
+    // advance event time far enough to close the 00:00 window (wm = 02:10)
+    mem.addData((t(2, 40), 5.0))
+    q.processAllAvailable()
+    // this row is behind the watermark → must be DROPPED, not re-emitted
+    mem.addData((t(0, 40), 100.0))
+    q.processAllAvailable()
+    mem.addData((t(4, 0), 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT * FROM win_late ORDER BY ts").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+    // 00:00 window emitted with only the on-time rows; late 100.0 absent
+    assert(rows.exists { case (ts, n, s) => ts.startsWith("2024-01-01 00:00") && n == 2 && s == 3.0 },
+      s"got ${rows.mkString(",")}")
+    assert(!rows.exists(_._3 == 103.0) && !rows.exists(_._3 == 100.0))
+  }
+
   test("streaming: file-sink pipeline reads, transforms, writes exactly-once") {
     val base = "/tmp/graft_stream_test"
     val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
