@@ -925,12 +925,21 @@ object SparkEntry {
 
     // ---- §2.1 seeded demo generator (dask.datasets.timeseries) ----------
     "q69_timeseries" -> { (s, dir) =>
+      // x·2⁵² is an exact integer (x = (2k−2⁵³)/2⁵³ for the 53-bit hash
+      // value k), so summing those integers as decimals is bit-identical
+      // in any engine and any partition order — the float sums themselves
+      // would be accumulation-order sensitive.  mean/sum are recovered
+      // from the exact integer sums in one deterministic double division.
       graft.sources.Timeseries(s, startEpochSec = 946684800L, rows = 100000L,
           freqSec = 1, seed = 42L, numPartitions = 8)
+        .assign("x52" -> (col("x") * lit(4503599627370496.0)).cast("decimal(38,0)"),
+          "y52" -> (col("y") * lit(4503599627370496.0)).cast("decimal(38,0)"))
         .groupby("name")
-        .aggAliased(("x", "mean", "mean_x"), ("y", "sum", "sum_y"), ("id", "count", "n"))
-        .assign("mean_x", round(col("mean_x"), 4))
-        .assign("sum_y", round(col("sum_y"), 4))
+        .aggAliased(("x52", "sum", "sx"), ("y52", "sum", "sy"), ("id", "count", "n"))
+        .assign("mean_x" ->
+            round(col("sx").cast("double") / lit(4503599627370496.0) / col("n"), 4),
+          "sum_y" -> round(col("sy").cast("double") / lit(4503599627370496.0), 4))
+        .select("name", "mean_x", "sum_y", "n")
         .df
     },
 
@@ -1084,6 +1093,39 @@ object SparkEntry {
         .skew("value", "roll_skew")
         .select(col("event_id"), round(col("roll_skew"), 4).as("roll_skew"))
     })
+
+  /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
+    * finalizer, FNV-1a over bytes), as temp macros prepended to the oracle
+    * SQL of the hash-family-specific queries (q52/q53/q55/q56/q69).  All
+    * 64-bit values live as HUGEINT residues in [0, 2⁶⁴); `wmul64` splits
+    * the multiplicand into 32-bit halves so no intermediate exceeds the
+    * 128-bit range.  Validated bit-for-bit against Hashing.scala — this is
+    * what upgrades those queries from rows-only to full hash-checked.
+    */
+  private val duckHashMacros: String =
+    """CREATE OR REPLACE TEMP MACRO wmul64(a, b) AS
+      |  ((a % 4294967296) * b + (((a // 4294967296) * b) % 4294967296) * 4294967296)
+      |  % 18446744073709551616;
+      |CREATE OR REPLACE TEMP MACRO m64a(z) AS
+      |  wmul64(xor(z, z // 1073741824), 13787848793156543929);
+      |CREATE OR REPLACE TEMP MACRO m64b(z) AS
+      |  wmul64(xor(z, z // 134217728), 10723151780598845931);
+      |CREATE OR REPLACE TEMP MACRO mix64(z) AS
+      |  xor(m64b(m64a((z + 11400714819323198485) % 18446744073709551616)),
+      |      m64b(m64a((z + 11400714819323198485) % 18446744073709551616)) // 2147483648);
+      |CREATE OR REPLACE TEMP MACRO fnv1a(s) AS
+      |  list_reduce(list_prepend(14695981039346656037::HUGEINT,
+      |    list_transform(list_filter(string_split(s, ''), c -> c <> ''),
+      |      c -> ascii(c)::HUGEINT)),
+      |    (h, b) -> wmul64(xor(h, b), 1099511628211));
+      |CREATE OR REPLACE TEMP MACRO hash64(s) AS mix64(fnv1a(s));
+      |CREATE OR REPLACE TEMP MACRO tosigned(x) AS
+      |  CAST(CASE WHEN x >= 9223372036854775808::HUGEINT
+      |       THEN x - 18446744073709551616::HUGEINT ELSE x END AS BIGINT);
+      |CREATE OR REPLACE TEMP MACRO p2(b) AS
+      |  CASE WHEN b = 63 THEN 9223372036854775808::HUGEINT
+      |       ELSE CAST(1::BIGINT << CAST(b AS INTEGER) AS HUGEINT) END;
+      |""".stripMargin
 
   /** DuckDB-equivalent SQL per query (column names aligned with the Spark
     * side).  Omitted keys get the driver's weaker rows-only check.
@@ -1411,6 +1453,135 @@ object SparkEntry {
         |  FROM embeddings q, embeddings c
         |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
         |WHERE rk <= 5""".stripMargin,
+    // The LSH banding is a candidate generator; the OUTPUT is defined by
+    // the exact-Jaccard verification (≥ 0.8), so the independent oracle is
+    // all-pairs bigram-set Jaccard over distinct texts (size-band
+    // `5·min ≥ 4·max` is implied by jaccard ≥ 0.8, not an approximation).
+    // A recall miss by the banding would surface here as a row-count diff.
+    "q51_minhash_neardups" ->
+      """WITH grp AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY 1),
+        |d AS (SELECT rep,
+        |        CASE WHEN len(t) < 2 THEN t
+        |             ELSE list_distinct(list_transform(range(1, len(t)),
+        |                    i -> t[i] || ' ' || t[i+1])) END AS toks
+        |      FROM (SELECT rep, list_filter(string_split_regex(text, '\s+'),
+        |              x -> x <> '') AS t FROM grp)),
+        |g AS (SELECT rep, len(toks) AS sz, unnest(toks) AS gram FROM d),
+        |rp AS (
+        |  SELECT ra, rb, cnt / (sa + sb - cnt) AS jac FROM (
+        |    SELECT a.rep AS ra, b.rep AS rb, a.sz AS sa, b.sz AS sb,
+        |      count(*)::DOUBLE AS cnt
+        |    FROM g a JOIN g b ON a.gram = b.gram AND a.rep < b.rep
+        |      AND a.sz * 5 >= b.sz * 4 AND b.sz * 5 >= a.sz * 4
+        |    GROUP BY 1, 2, 3, 4)
+        |  WHERE cnt / (sa + sb - cnt) >= 0.8),
+        |mem AS (SELECT doc_id, rep FROM documents JOIN grp USING (text)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, 1.0 AS jac
+        |  FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id
+        |  UNION ALL
+        |  SELECT least(ma.doc_id, mb.doc_id) AS doc1,
+        |         greatest(ma.doc_id, mb.doc_id) AS doc2, jac
+        |  FROM rp JOIN mem ma ON ma.rep = rp.ra JOIN mem mb ON mb.rep = rp.rb)
+        |SELECT doc1, doc2, round(jac, 4) AS jaccard FROM pairs""".stripMargin,
+    // full hash-family replica (Charikar simhash over mix64∘FNV-1a token
+    // hashes) via the HUGEINT macros; the pigeonhole chunk join on the
+    // engine side is exact for distance ≤ chunks−1, so all-pairs hamming
+    // at representative level is the same result computed independently
+    "q52_simhash_neardups" -> (duckHashMacros +
+      """WITH grp AS (SELECT text, min(doc_id) AS rep FROM documents GROUP BY 1),
+        |toks AS (SELECT rep, unnest(list_filter(string_split_regex(text, '\s+'),
+        |           x -> x <> '')) AS tok FROM grp),
+        |dict AS (SELECT tok, hash64(tok) AS h FROM (SELECT DISTINCT tok FROM toks)),
+        |votes AS (SELECT rep, b,
+        |            sum(CASE WHEN (h // p2(b)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |          FROM (SELECT rep, h FROM toks JOIN dict USING (tok)),
+        |               range(64) r(b) GROUP BY 1, 2),
+        |fp AS (SELECT g.rep, coalesce(tosigned(f), 0) AS f FROM grp g LEFT JOIN
+        |       (SELECT rep, sum(CASE WHEN v > 0 THEN p2(b) ELSE 0::HUGEINT END) AS f
+        |        FROM votes GROUP BY 1) v ON g.rep = v.rep),
+        |rp AS (SELECT a.rep AS ra, b.rep AS rb, bit_count(xor(a.f, b.f)) AS hamming
+        |       FROM fp a, fp b WHERE a.rep < b.rep
+        |         AND bit_count(xor(a.f, b.f)) <= 3),
+        |mem AS (SELECT doc_id, rep FROM documents JOIN grp USING (text)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, 0 AS hamming
+        |  FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id
+        |  UNION ALL
+        |  SELECT least(ma.doc_id, mb.doc_id) AS doc1,
+        |         greatest(ma.doc_id, mb.doc_id) AS doc2, hamming
+        |  FROM rp JOIN mem ma ON ma.rep = rp.ra JOIN mem mb ON mb.rep = rp.rb)
+        |SELECT doc1, doc2, hamming FROM pairs""".stripMargin),
+    // winnowing replica: same k=8 grams, window-16 argmin with ties to the
+    // LAST (largest) position — realised as min(struct(signed_hash, -pos))
+    // over a 16-row frame; consecutive-dedup equals DISTINCT because the
+    // selected position is non-decreasing as the window slides
+    "q53_fingerprint" -> (duckHashMacros +
+      """WITH grp AS (SELECT text, min(doc_id) AS tid FROM documents GROUP BY 1),
+        |norm AS (SELECT tid, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+        |         FROM grp),
+        |gr AS (SELECT tid,
+        |         unnest(list_transform(range(0, length(s) - 7),
+        |           i -> substr(s, CAST(i+1 AS INTEGER), 8))) AS gram,
+        |         unnest(range(0, length(s) - 7)) AS pos, length(s) - 7 AS ng
+        |       FROM norm WHERE length(s) >= 8),
+        |dict AS (SELECT gram, hash64(gram) AS gh
+        |         FROM (SELECT DISTINCT gram FROM gr)),
+        |rows_ AS (SELECT tid, pos, ng, gh, tosigned(gh) AS sh
+        |          FROM gr JOIN dict USING (gram)),
+        |sel AS (SELECT tid, pos, ng,
+        |          min(struct_pack(h := sh, np := -pos)) OVER (
+        |            PARTITION BY tid ORDER BY pos
+        |            ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
+        |        FROM rows_),
+        |chosen AS (SELECT DISTINCT tid, -(m.np) AS idx FROM sel
+        |           WHERE pos <= ng - 16),
+        |fpx AS (SELECT c.tid,
+        |          bit_xor(tosigned(mix64(xor(r.gh, CAST(c.idx AS HUGEINT))))) AS fp
+        |        FROM chosen c JOIN rows_ r ON r.tid = c.tid AND r.pos = c.idx
+        |        GROUP BY 1),
+        |tfp AS (SELECT n.tid,
+        |          CASE WHEN length(n.s) < 8 THEN tosigned(hash64(n.s))
+        |               ELSE coalesce(f.fp, 0) END AS fingerprint
+        |        FROM norm n LEFT JOIN fpx f ON f.tid = n.tid)
+        |SELECT d.doc_id, t.fingerprint
+        |FROM documents d JOIN grp USING (text) JOIN tfp t ON t.tid = grp.tid"""
+        .stripMargin),
+    // sign-LSH replica: deterministic hyperplane components
+    // mix64(mix64(p) ⊕ d) / Long.MaxValue, index-ordered dot via
+    // list_inner_product (bit-equal to the engine's sequential loop)
+    "q55_ann_lsh" -> (duckHashMacros +
+      """WITH planes_tbl AS (
+        |  SELECT p, list_transform(range(0, 64), d ->
+        |    tosigned(mix64(xor(mix64(CAST(p AS HUGEINT)), CAST(d AS HUGEINT))))::DOUBLE
+        |      / 9223372036854775807) AS pv
+        |  FROM range(4) t(p)),
+        |bkt AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sum(CASE WHEN list_inner_product(embedding::DOUBLE[], pv) > 0
+        |        THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS bucket
+        |  FROM embeddings, planes_tbl GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, round(sim, 4) AS sim, CAST(rk AS INTEGER) AS rk
+        |FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_inner_product(q.v, c.v) /
+        |      (sqrt(list_inner_product(q.v, q.v)) *
+        |       sqrt(list_inner_product(c.v, c.v))) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY sim DESC, c.vec_id) AS rk
+        |  FROM bkt q JOIN bkt c ON q.bucket = c.bucket
+        |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+        |WHERE rk <= 3""".stripMargin),
+    "q56_lsh_buckets" -> (duckHashMacros +
+      """WITH planes_tbl AS (
+        |  SELECT p, list_transform(range(0, 64), d ->
+        |    tosigned(mix64(xor(mix64(CAST(p AS HUGEINT)), CAST(d AS HUGEINT))))::DOUBLE
+        |      / 9223372036854775807) AS pv
+        |  FROM range(12) t(p)),
+        |bkt AS (
+        |  SELECT vec_id, sum(CASE WHEN list_inner_product(embedding::DOUBLE[], pv) > 0
+        |                     THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS bucket
+        |  FROM embeddings, planes_tbl GROUP BY 1)
+        |SELECT bucket, count(*) AS n_vectors FROM bkt GROUP BY 1""".stripMargin),
     // half-up rounding via floor(x*1e6+0.5)/1e6 on BOTH sides: plain
     // round(x, 6) is half-even here and half-up in Spark, which flips on
     // exact boundaries (a doc at sf0.001 scores exactly 0.5046875)
@@ -1498,6 +1669,31 @@ object SparkEntry {
     // exact in one plan); the oracle just pins the expected verdict
     "q68_nunique_approx" ->
       "SELECT CAST(1 AS BOOLEAN) AS within_tolerance",
+    // full generator replica: same splitmix64-derived dyadic uniforms per
+    // logical row, exact-integer x·2⁵² sums (see the engine-side comment)
+    "q69_timeseries" -> (duckHashMacros +
+      """WITH r AS (SELECT unnest(range(0, 100000)) AS rid),
+        |h AS (SELECT rid,
+        |  (mix64(xor(CAST(rid AS HUGEINT), mix64(42::HUGEINT))) // 2048)::DOUBLE
+        |    / 9007199254740992 AS un,
+        |  (mix64(xor(CAST(rid AS HUGEINT), mix64(43::HUGEINT))) // 2048)::DOUBLE
+        |    / 9007199254740992 AS ux,
+        |  (mix64(xor(CAST(rid AS HUGEINT), mix64(44::HUGEINT))) // 2048)::DOUBLE
+        |    / 9007199254740992 AS uy
+        |  FROM r),
+        |v AS (SELECT
+        |  ['Alice','Bob','Charlie','Dan','Edith','Frank','George','Hannah',
+        |   'Ingrid','Jerry','Kevin','Laura','Michael','Norbert','Oliver',
+        |   'Patricia','Quinn','Ray','Sarah','Tim','Ursula','Victor','Wendy',
+        |   'Xavier','Yvonne','Zelda'][CAST(floor(un * 26) AS INTEGER) + 1] AS name,
+        |  CAST((ux * 2 - 1) * 4503599627370496 AS HUGEINT) AS x52,
+        |  CAST((uy * 2 - 1) * 4503599627370496 AS HUGEINT) AS y52
+        |  FROM h)
+        |SELECT name,
+        |  round(sum(x52)::DOUBLE / 4503599627370496 / count(*), 4) AS mean_x,
+        |  round(sum(y52)::DOUBLE / 4503599627370496, 4) AS sum_y,
+        |  count(*) AS n
+        |FROM v GROUP BY 1""".stripMargin),
     "q70_str_surface" ->
       """SELECT p_partkey,
         |  concat(upper(substr(p_name, 1, 1)), lower(substr(p_name, 2))) AS cap_name,

@@ -21,13 +21,20 @@ object Timeseries {
     "Oliver", "Patricia", "Quinn", "Ray", "Sarah", "Tim", "Ursula", "Victor",
     "Wendy", "Xavier", "Yvonne", "Zelda")
 
-  /** uniform(0,1) derived from xxhash64(row-id, seed): unlike `rand()`
-    * (whose stream depends on the partition layout), this is a pure
-    * function of the logical row, so the fixture is bit-identical on any
-    * cluster shape.
+  /** uniform(0,1) derived from the portable splitmix64 finalizer: unlike
+    * `rand()` (whose stream depends on the partition layout), this is a
+    * pure function of the logical row, so the fixture is bit-identical on
+    * any cluster shape — and unlike xxhash64 the mix is plain 64-bit
+    * multiply/xor/shift arithmetic, so an external oracle (DuckDB HUGEINT
+    * macros) can replicate every generated value bit-for-bit.  The top 53
+    * hash bits become an exact dyadic rational in [0, 1).
     */
+  private val uUdf = udf((id: Long, seed: Long) =>
+    (graft.functions.Hashing.mix64(id ^ graft.functions.Hashing.mix64(seed)) >>> 11).toDouble /
+      (1L << 53).toDouble)
+
   private def u(id: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column =
-    shiftrightunsigned(xxhash64(id, lit(seed)), 11).cast("double") / lit((1L << 53).toDouble)
+    uUdf(id, lit(seed))
 
   /** @param startEpochSec inclusive start (UTC seconds)
     * @param rows          number of ticks
