@@ -585,6 +585,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
     },
 
+    // corpus-scale embedding near-dups: pair space blocked on sign-LSH
+    // bucket keys (≤ 1 plane-sign difference via multi-probe), exact
+    // cosine verify — no broadcast of the corpus, no O(reps²) pair space
+    "q114_embedding_neardups_bucketed" -> { (s, dir) =>
+      graft.operators.Similarity.bucketedNearDupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.95, planes = 8)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+    },
+
     // ---- §2.1/§2.2 IO roundtrips (csv / json / orc) ---------------------
     "q62_csv_roundtrip" -> { (s, dir) =>
       val path = "/tmp/graft_io/nation_csv"
@@ -617,6 +626,65 @@ object SparkEntry {
       graft.operators.MergeAsof(ev, ord, on = "ts", by = Seq("user_id"),
           direction = "forward")
         .select(col("event_id"), col("next_price"))
+    },
+
+    // ---- §2.4 GLOBAL merge_asof (no by): range-bucketed carry -----------
+    "q115_asof_global" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+      val markers = t(s, dir, "events").filter(col("event_id") % 10 === 0)
+        .select(col("ts"), col("value").as("marker_value"))
+      graft.operators.MergeAsof(ev, markers, on = "ts", direction = "backward")
+        .select(col("event_id"), round(col("marker_value"), 4).as("marker_value"))
+    },
+
+    // ---- §2.5g cumprod / value_counts, §2.5 pivot first/last ------------
+    "q116_group_cumprod" -> { (s, dir) =>
+      // (orderkey, linenumber) is NOT unique in the fixture — the full
+      // (linenumber, partkey, suppkey) order makes the running product
+      // deterministic
+      g(s, dir, "lineitem")
+        .assign("growth", lit(1.0) + col("l_discount"))
+        .groupby("l_orderkey")
+        .cumprod("growth", Seq("l_linenumber", "l_partkey", "l_suppkey"), "cum_growth")
+        .assign("cum_growth", round(col("cum_growth"), 6))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "cum_growth")
+        .df
+    },
+    "q117_pivot_firstlast" -> { (s, dir) =>
+      val o = g(s, dir, "orders")
+      val f = o.pivotTable("o_orderpriority", "o_orderstatus", "o_totalprice",
+          "first", Seq("F", "O", "P"), Some("o_orderkey"))
+        .rename("F" -> "first_F", "O" -> "first_O", "P" -> "first_P")
+      val l = o.pivotTable("o_orderpriority", "o_orderstatus", "o_totalprice",
+          "last", Seq("F", "O", "P"), Some("o_orderkey"))
+        .rename("F" -> "last_F", "O" -> "last_O", "P" -> "last_P")
+      f.merge(l, on = Seq("o_orderpriority"), how = "inner")
+        .assign("first_F" -> round(col("first_F"), 2), "first_O" -> round(col("first_O"), 2),
+          "first_P" -> round(col("first_P"), 2), "last_F" -> round(col("last_F"), 2),
+          "last_O" -> round(col("last_O"), 2), "last_P" -> round(col("last_P"), 2))
+        .df
+    },
+    "q118_group_valuecounts" -> { (s, dir) =>
+      val ob = g(s, dir, "orders")
+      val vc = ob.groupby("o_orderpriority").valueCounts("o_orderstatus", "n")
+      val vf = ob.groupby("o_orderpriority")
+        .valueCounts("o_orderstatus", "frac", normalize = true)
+      vc.merge(vf, on = Seq("o_orderpriority", "o_orderstatus"), how = "inner")
+        .assign("frac", round(col("frac"), 6))
+        .df
+    },
+
+    // ---- §2.6 keyed rolling CUSTOM kernel (RollingApply) ----------------
+    // per-user rolling trimmed mean over 5 events: kernel runs on exact
+    // integer cents so the result is accumulation-order independent
+    "q119_rolling_apply_keyed" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      new graft.api.GRolling(ev, 5, Seq("ts", "event_id"), Seq("user_id"), 3)
+        .applyKeyed("cents", "trimmed") { obs =>
+          (obs.sum - obs.min - obs.max) / (obs.size - 2) / 100.0
+        }
+        .select(col("event_id"), round(col("trimmed"), 4).as("trimmed"))
     },
 
     // ---- §2.5 order-aware dedup (keep="first") --------------------------
@@ -665,7 +733,14 @@ object SparkEntry {
         StrFunctions.count(col("p_name"), "a").cast("long").as("n_a"),
         StrFunctions.swapcase(col("p_brand")).as("swap_brand"),
         StrFunctions.removeprefix(col("p_type"), "STANDARD").as("no_std"),
-        StrFunctions.startswith(col("p_name"), "b").as("starts_b"))
+        StrFunctions.startswith(col("p_name"), "b").as("starts_b"),
+        length(StrFunctions.encodeStr(col("p_name"))).as("enc_len"),
+        StrFunctions.decodeStr(StrFunctions.encodeStr(col("p_name")))
+          .as("dec_roundtrip"),
+        StrFunctions.index(col("p_name"), " ").cast("long").as("idx_sp"),
+        StrFunctions.rindex(col("p_name"), " ").cast("long").as("ridx_sp"),
+        StrFunctions.rpartition(col("p_type"), " ").getField("head").as("rp_head"),
+        StrFunctions.rpartition(col("p_type"), " ").getField("tail").as("rp_tail"))
     },
     // ---- §2.9 dt accessor surface (DtFunctions) -------------------------
     "q71_dt_surface" -> { (s, dir) =>
@@ -1343,8 +1418,8 @@ object SparkEntry {
     "q46_rolling_range" ->
       """SELECT event_id, round(range_sum, 4) AS range_sum FROM (
         |  SELECT event_id, sum(value) OVER (
-        |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-        |    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS range_sum
+        |    PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS range_sum
         |  FROM events)""".stripMargin,
     "q47_histogram" ->
       """SELECT bin, count(*) AS n, 0.0 + bin * 10000.0 AS bin_lo,
@@ -1624,6 +1699,40 @@ object SparkEntry {
         |  AND list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
         |    (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
         |     sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.95""".stripMargin,
+    // bucketed near-dup replica: same sign-LSH planes as q55/q56, pairs
+    // whose bucket keys differ in ≤ 1 bit, exact-duplicate groups expanded
+    "q114_embedding_neardups_bucketed" -> (duckHashMacros +
+      """WITH grp AS (
+        |  SELECT embedding AS v, min(vec_id) AS rep, list(vec_id) AS ids
+        |  FROM embeddings GROUP BY 1),
+        |mem AS (SELECT rep, unnest(ids) AS m,
+        |          sqrt(list_inner_product(v::DOUBLE[], v::DOUBLE[])) AS nrm
+        |        FROM grp),
+        |planes_tbl AS (
+        |  SELECT p, list_transform(range(0, 64), d ->
+        |    tosigned(mix64(xor(mix64(CAST(p AS HUGEINT)), CAST(d AS HUGEINT))))::DOUBLE
+        |      / 9223372036854775807) AS pv
+        |  FROM range(8) t(p)),
+        |reps AS (SELECT rep, v::DOUBLE[] AS vd,
+        |           sqrt(list_inner_product(v::DOUBLE[], v::DOUBLE[])) AS nrm
+        |         FROM grp
+        |         WHERE list_inner_product(v::DOUBLE[], v::DOUBLE[]) > 0),
+        |bkt AS (SELECT r.rep, r.vd, r.nrm,
+        |          sum(CASE WHEN list_inner_product(r.vd, pv) > 0
+        |              THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS bucket
+        |        FROM reps r, planes_tbl GROUP BY 1, 2, 3),
+        |rp AS (SELECT a.rep AS ra, b.rep AS rb,
+        |         list_inner_product(a.vd, b.vd) / (a.nrm * b.nrm) AS sim
+        |       FROM bkt a JOIN bkt b
+        |         ON bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.rep < b.rep
+        |       WHERE list_inner_product(a.vd, b.vd) / (a.nrm * b.nrm) >= 0.95),
+        |pairs AS (
+        |  SELECT a.m AS id_a, b.m AS id_b, 1.0 AS sim
+        |  FROM mem a JOIN mem b ON a.rep = b.rep AND a.m < b.m AND a.nrm > 0
+        |  UNION ALL
+        |  SELECT least(ma.m, mb.m) AS id_a, greatest(ma.m, mb.m) AS id_b, sim
+        |  FROM rp JOIN mem ma ON ma.rep = rp.ra JOIN mem mb ON mb.rep = rp.rb)
+        |SELECT id_a, id_b, round(sim, 4) AS sim FROM pairs""".stripMargin),
     "q62_csv_roundtrip" ->
       """SELECT n_regionkey, count(*) AS n_nations, max(n_name) AS max_name
         |FROM nation GROUP BY 1""".stripMargin,
@@ -1645,6 +1754,52 @@ object SparkEntry {
         |  SELECT user_id, event_id,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+    "q115_asof_global" ->
+      """SELECT e.event_id, round(m.value, 4) AS marker_value
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT ts, value FROM events WHERE event_id % 10 = 0) m
+        |ON e.ts >= m.ts""".stripMargin,
+    // product() over the running frame multiplies in window order on both
+    // engines — bit-identical for the <=7-row per-order frames
+    "q116_group_cumprod" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  round(product(1.0 + l_discount) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_growth
+        |FROM lineitem""".stripMargin,
+    "q117_pivot_firstlast" ->
+      """SELECT o_orderpriority,
+        |  round(first(o_totalprice ORDER BY o_orderkey)
+        |    FILTER (WHERE o_orderstatus = 'F'), 2) AS first_F,
+        |  round(first(o_totalprice ORDER BY o_orderkey)
+        |    FILTER (WHERE o_orderstatus = 'O'), 2) AS first_O,
+        |  round(first(o_totalprice ORDER BY o_orderkey)
+        |    FILTER (WHERE o_orderstatus = 'P'), 2) AS first_P,
+        |  round(last(o_totalprice ORDER BY o_orderkey)
+        |    FILTER (WHERE o_orderstatus = 'F'), 2) AS last_F,
+        |  round(last(o_totalprice ORDER BY o_orderkey)
+        |    FILTER (WHERE o_orderstatus = 'O'), 2) AS last_O,
+        |  round(last(o_totalprice ORDER BY o_orderkey)
+        |    FILTER (WHERE o_orderstatus = 'P'), 2) AS last_P
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q118_group_valuecounts" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  round(count(*)::DOUBLE /
+        |    sum(count(*)) OVER (PARTITION BY o_orderpriority), 6) AS frac
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    // trimmed mean = (sum - one min - one max)/(n-2), the same exact
+    // integer-cents arithmetic the engine kernel runs
+    "q119_rolling_apply_keyed" ->
+      """SELECT event_id,
+        |  CASE WHEN cnt >= 3
+        |    THEN round((s - mn - mx) / (cnt - 2) / 100.0, 4) END AS trimmed
+        |FROM (
+        |  SELECT event_id, sum(cents) OVER w AS s, min(cents) OVER w AS mn,
+        |    max(cents) OVER w AS mx, count(cents) OVER w AS cnt
+        |  FROM (SELECT event_id, user_id, ts,
+        |          CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))""".stripMargin,
     // DuckDB replica of Hashing.portableBucket (multiply-xorshift rounds,
     // buckets from the top of the 32-bit space), seeds 0 (split) / 1 (sample)
     "q67_sample" ->
@@ -1705,7 +1860,19 @@ object SparkEntry {
         |    'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz') AS swap_brand,
         |  CASE WHEN starts_with(p_type, 'STANDARD') THEN substr(p_type, 9)
         |       ELSE p_type END AS no_std,
-        |  starts_with(p_name, 'b') AS starts_b
+        |  starts_with(p_name, 'b') AS starts_b,
+        |  CAST(octet_length(encode(p_name)) AS INTEGER) AS enc_len,
+        |  p_name AS dec_roundtrip,
+        |  CAST(strpos(p_name, ' ') - 1 AS BIGINT) AS idx_sp,
+        |  CAST(length(p_name) - strpos(reverse(p_name), ' ') AS BIGINT) AS ridx_sp,
+        |  CASE WHEN strpos(p_type, ' ') > 0
+        |       THEN substr(p_type, 1,
+        |              length(p_type) - strpos(reverse(p_type), ' '))
+        |       ELSE '' END AS rp_head,
+        |  CASE WHEN strpos(p_type, ' ') > 0
+        |       THEN substr(p_type,
+        |              length(p_type) - strpos(reverse(p_type), ' ') + 2)
+        |       ELSE p_type END AS rp_tail
         |FROM part""".stripMargin,
     "q71_dt_surface" ->
       """SELECT o_orderkey,
@@ -1929,11 +2096,11 @@ object SparkEntry {
         |  array_to_string(list_transform(string_split(lower(p_brand), ' '),
         |    w -> concat(upper(substr(w, 1, 1)), substr(w, 2))), ' ') AS brand_title
         |FROM part""".stripMargin,
-    // struct-ordered min/max: value ties resolve by idx (max → larger idx,
-    // min → smaller idx), replicated with ordered first()
+    // pandas first-occurrence tie-break: BOTH idxmin and idxmax resolve
+    // value ties to the smallest index
     "q97_group_idxminmax" ->
       """SELECT l_returnflag,
-        |  first(l_orderkey ORDER BY l_extendedprice DESC, l_orderkey DESC)
+        |  first(l_orderkey ORDER BY l_extendedprice DESC, l_orderkey ASC)
         |    AS idx_max_price,
         |  first(l_orderkey ORDER BY l_extendedprice ASC, l_orderkey ASC)
         |    AS idx_min_price
@@ -1943,18 +2110,14 @@ object SparkEntry {
         |  count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps
         |FROM lineitem GROUP BY 1""".stripMargin,
-    // Spark skewness/kurtosis are the biased (population) g1/g2 — compute
-    // the same centered-moment forms per group (q11 pattern, grouped)
+    // pandas-adjusted G1/G2 — exactly DuckDB's sample skewness/kurtosis
+    // builtins, so the oracle is the independent engine's own formula
     "q99_group_moments" ->
-      """WITH mu AS (
-        |  SELECT l_returnflag, avg(l_discount) AS m FROM lineitem GROUP BY 1)
-        |SELECT l_returnflag,
-        |  round(avg(pow(l_discount - m, 3)) / pow(avg(pow(l_discount - m, 2)), 1.5), 4)
-        |    AS skew_disc,
-        |  round(avg(pow(l_discount - m, 4)) / pow(avg(pow(l_discount - m, 2)), 2) - 3, 4)
-        |    AS kurt_disc,
+      """SELECT l_returnflag,
+        |  round(skewness(l_discount), 4) AS skew_disc,
+        |  round(kurtosis(l_discount), 4) AS kurt_disc,
         |  round(stddev_samp(l_quantity) / sqrt(count(l_quantity)), 4) AS sem_qty
-        |FROM lineitem JOIN mu USING (l_returnflag) GROUP BY 1""".stripMargin,
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q100_align_binop" ->
       """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
         |  round(c.bal + s.bal, 2) AS bal_sum

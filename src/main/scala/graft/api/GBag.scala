@@ -74,6 +74,13 @@ final class GBag[T](val ds: Dataset[T]) extends Serializable {
   def toDF(cols: String*): org.apache.spark.sql.DataFrame =
     if (cols.isEmpty) ds.toDF() else ds.toDF(cols: _*)
   def compute(): Array[T] = ds.collect()
+
+  /** dask `Bag.to_textfiles` (`bag/core.py:818`): one text file per
+    * partition, elements stringified line-per-element.
+    */
+  def toTextfiles(path: String): Unit =
+    ds.map(x => String.valueOf(x))(org.apache.spark.sql.Encoders.STRING)
+      .toDF("value").write.mode("overwrite").text(path)
 }
 
 object GBag {

@@ -422,6 +422,39 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
     keep(df.repartition(n, cols.map(col): _*))
   def coalescePartitions(n: Int): GDF = keep(df.coalesce(n))
 
+  /** freq-based repartition (reference `RepartitionFreq`,
+    * `_repartition.py:471-522`): one range partition per `freq` interval
+    * of a time column.  Spark's RangePartitioner assigns equal keys to
+    * the SAME partition, so an interval never splits — the co-location a
+    * downstream resample/rolling scan expects.  One O(1)-row min/max
+    * aggregate sizes the partition count (the reference reads divisions
+    * the same way).
+    */
+  def repartitionFreq(timeCol: String, freqSeconds: Long): GDF = {
+    require(freqSeconds > 0, s"freqSeconds must be positive, got $freqSeconds")
+    val bucket = floor(
+      unix_micros(col(timeCol).cast("timestamp")) / lit(freqSeconds * 1000000L))
+    val r = df.agg(min(bucket), max(bucket)).head()
+    if (r.isNullAt(0)) this
+    else {
+      val n = math.max(1, (r.getLong(1) - r.getLong(0) + 1).toInt)
+      new GDF(df.repartitionByRange(n, bucket), index)
+    }
+  }
+
+  /** size-targeted repartition (reference `RepartitionSize`,
+    * `_repartition.py:29-120`): partition count from the optimizer's
+    * size estimate over a target bytes-per-partition — the static
+    * equivalent of AQE's advisory partition size, usable on any frame
+    * without touching session conf.
+    */
+  def repartitionTargetSize(bytesPerPartition: Long): GDF = {
+    require(bytesPerPartition > 0, s"bytesPerPartition must be positive")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = math.max(1, ((bytes + bytesPerPartition - 1) / bytesPerPartition).toInt)
+    keep(df.repartition(n))
+  }
+
   /** positional head — requires sorted index for determinism. */
   def headDF(n: Int): GDF = index match {
     case Some(ix) if ix.sorted => new GDF(df.orderBy(ix.cols.map(col): _*).limit(n), index)
@@ -459,17 +492,33 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
     new GDF(d, None)
   }
 
-  /** `pivot_table(index, columns, values, aggfunc)`. */
+  /** `pivot_table(index, columns, values, aggfunc)`.  aggfunc first/last
+    * (reference `PivotTableFirst/Last`, `_reductions.py:762-771`) take the
+    * first/last NON-NULL value by an explicit `ordCol` — dask's positional
+    * first/last is partition-layout dependent, the ordered form is the
+    * deterministic equivalent and stays one decomposable min_by/max_by
+    * aggregate (no window, no per-group sort).
+    */
   def pivotTable(indexCol: String, columnsCol: String, valuesCol: String,
-                 aggfunc: String = "sum", knownValues: Seq[Any] = Nil): GDF = {
+                 aggfunc: String = "sum", knownValues: Seq[Any] = Nil,
+                 ordCol: Option[String] = None): GDF = {
     val g = df.groupBy(col(indexCol))
     val p = if (knownValues.nonEmpty) g.pivot(columnsCol, knownValues) else g.pivot(columnsCol)
+    def ord: Column = {
+      val o = ordCol.getOrElse(throw new IllegalArgumentException(
+        s"aggfunc=$aggfunc needs an explicit ordCol (positional first/last is " +
+          "partition-layout dependent)"))
+      // null values must not win: a null ordering key is skipped by min_by/max_by
+      when(col(valuesCol).isNotNull, col(o))
+    }
     val out = aggfunc match {
       case "sum"   => p.sum(valuesCol)
       case "count" => p.count()
       case "mean"  => p.avg(valuesCol)
       case "min"   => p.min(valuesCol)
       case "max"   => p.max(valuesCol)
+      case "first" => p.agg(min_by(col(valuesCol), ord))
+      case "last"  => p.agg(max_by(col(valuesCol), ord))
       case other   => throw new IllegalArgumentException(s"aggfunc=$other")
     }
     new GDF(out, None)

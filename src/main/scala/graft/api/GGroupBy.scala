@@ -55,10 +55,15 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
     new GDF(grouped.agg(org.apache.spark.sql.functions
       .min(when(col(valueCol).isNotNull, struct(col(valueCol), col(idxCol))))
       .getField(idxCol).as(alias)), None)
+  // idxmax ties must resolve to the SMALLEST index (pandas "first
+  // occurrence"), so the struct carries the NEGATED index: max picks the
+  // largest value and, among ties, the largest negated index = smallest
+  // index; the sign is undone outside the aggregate.  Requires a numeric
+  // index column (as does the reference's RangeIndex-positional idxmax).
   def idxmax(valueCol: String, idxCol: String, alias: String = "idxmax"): GDF =
-    new GDF(grouped.agg(org.apache.spark.sql.functions
-      .max(when(col(valueCol).isNotNull, struct(col(valueCol), col(idxCol))))
-      .getField(idxCol).as(alias)), None)
+    new GDF(grouped.agg((-org.apache.spark.sql.functions
+      .max(when(col(valueCol).isNotNull, struct(col(valueCol), (-col(idxCol)).as("__neg"))))
+      .getField("__neg")).as(alias)), None)
 
   /** Exact per-group median — holistic (sort-based `percentile`). */
   def median(c: String, alias: String = "median"): GDF =
@@ -97,6 +102,22 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
   def uniqueList(c: String, alias: String = "unique"): GDF =
     new GDF(grouped.agg(array_sort(collect_set(col(c))).as(alias)), None)
 
+  /** dask `GroupBy.value_counts` (`_groupby.py:2238`): counts per
+    * (group keys, value) — ONE partial→final hash aggregate on the widened
+    * key, no second shuffle.  `normalize` divides by the group total via a
+    * whole-partition window on the group keys (group count ≪ rows, and the
+    * aggregate has already collapsed to one row per distinct value).
+    */
+  def valueCounts(c: String, alias: String = "count", normalize: Boolean = false): GDF = {
+    val counted = base.groupBy((keys :+ c).map(col): _*).agg(count(lit(1)).as(alias))
+    if (!normalize) new GDF(counted, None)
+    else {
+      val w = Window.partitionBy(keys.map(col): _*)
+      new GDF(counted.withColumn(alias,
+        col(alias) / org.apache.spark.sql.functions.sum(col(alias)).over(w)), None)
+    }
+  }
+
   // ---- windowed per-group ops (no aggregation of rows) ------------------
 
   private def w(orderBy: String) = Window.partitionBy(keys.map(col): _*).orderBy(col(orderBy))
@@ -114,6 +135,22 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
         alias,
         org.apache.spark.sql.functions.sum(col(c))
           .over(w(orderBy).rowsBetween(Window.unboundedPreceding, Window.currentRow))),
+      gdf.index)
+
+  /** per-group cumulative product (reference `GroupByCumulative`,
+    * `_groupby.py:1352-1505`): Spark's `product` aggregate over the
+    * running frame multiplies the actual values in window order — no
+    * exp∘Σlog detour, so zeros/signs/precision behave like pandas.  A
+    * null value yields null at its own row (pandas skipna) without
+    * poisoning later products.
+    */
+  def cumprod(c: String, orderBy: Seq[String], alias: String): GDF =
+    new GDF(
+      base.withColumn(
+        alias,
+        when(col(c).isNull, lit(null)).otherwise(
+          product(col(c)).over(
+            wOrd(orderBy).rowsBetween(Window.unboundedPreceding, Window.currentRow)))),
       gdf.index)
 
   def cumcount(orderBy: String, alias: String = "cumcount"): GDF =
@@ -196,8 +233,20 @@ object GGroupBy {
     case "var"            => var_samp(col(c))
     case "std"            => stddev_samp(col(c))
     case "sem"            => stddev_samp(col(c)) / sqrt(count(col(c)))
-    case "skew"           => skewness(col(c))
-    case "kurt" | "kurtosis" => kurtosis(col(c))
+    // pandas-ADJUSTED sample statistics (G1/G2), not Spark's biased
+    // population g1/g2 — same semantics as the rolling paths, derived
+    // from the builtins: G1 = g1·√(n(n−1))/(n−2),
+    // G2 = ((n+1)·g2 + 6)(n−1)/((n−2)(n−3)); n < 3 (resp. 4) → null,
+    // matching pandas NaN (the when-guard also keeps ANSI mode from
+    // tripping on the zero denominator)
+    case "skew" =>
+      val n = count(col(c)).cast("double")
+      when(n > 2, skewness(col(c)) * sqrt(n * (n - lit(1))) / (n - lit(2)))
+    case "kurt" | "kurtosis" =>
+      val n = count(col(c)).cast("double")
+      when(n > 3,
+        ((n + lit(1)) * kurtosis(col(c)) + lit(6)) * (n - lit(1)) /
+          ((n - lit(2)) * (n - lit(3))))
     case "nunique"        => countDistinct(col(c))
     case "median"         => percentile(col(c), lit(0.5))
     case "any"            => max(col(c).cast("boolean"))

@@ -117,7 +117,16 @@ final class GRolling(
     else addMoment(valueCol, out, isSkew = false)
 
   private def addMoment(valueCol: String, out: String, isSkew: Boolean): DataFrame = {
-    val x = col(valueCol).cast("double")
+    // Central moments are shift-invariant, but deriving them from RAW
+    // power sums (m2 = Σx²/n − mean², …) cancels catastrophically when
+    // |mean| ≫ std (e.g. prices ~1e5).  Shift every value by a per-group
+    // anchor (the group min — deterministic, unlike first()) before
+    // forming the power sums: the shifted mean is O(window spread), so
+    // the subtraction keeps its significant digits.
+    val anchored = df.withColumn("__anchor__",
+      org.apache.spark.sql.functions.min(col(valueCol).cast("double"))
+        .over(Window.partitionBy(partitionBy.map(col): _*)))
+    val x = col(valueCol).cast("double") - col("__anchor__")
     val n = org.apache.spark.sql.functions.count(x).over(spec).cast("double")
     val s1 = org.apache.spark.sql.functions.sum(x).over(spec)
     val s2 = org.apache.spark.sql.functions.sum(x * x).over(spec)
@@ -138,7 +147,51 @@ final class GRolling(
           ((n + 1) * (m4 / (m2 * m2) - lit(3.0)) + lit(6.0)) * (n - 1) /
             ((n - 2) * (n - 3)))
       }
-    df.withColumn(out, stat)
+    anchored.withColumn(out, stat).drop("__anchor__")
+  }
+
+  /** Keyed rolling with a CUSTOM kernel — reference `RollingApply` /
+    * `RollingAgg` (`_rolling.py:219-230`); the global-order equivalent is
+    * [[MapOverlap.rollingAgg]].  One shuffle on the keys, then a
+    * secondary-sorted per-partition scan with a sliding buffer: parallel
+    * per key, no per-group materialization beyond `window` rows, any
+    * `Seq[Double] => Any` kernel.  The kernel sees the window's non-null
+    * observations in row order and runs only when there are at least
+    * max(minPeriods, 1) of them (pandas `.apply` contract).
+    */
+  def applyKeyed(valueCol: String, out: String,
+                 resultType: org.apache.spark.sql.types.DataType =
+                   org.apache.spark.sql.types.DoubleType)
+                (kernel: Seq[Double] => Any): DataFrame = {
+    require(partitionBy.nonEmpty,
+      "applyKeyed needs partitionBy keys; use MapOverlap.rollingAgg for a global order")
+    val win = window
+    val mp = math.max(minPeriods, 1)
+    val sorted = df.repartition(partitionBy.map(col): _*)
+      .sortWithinPartitions((partitionBy ++ orderBy).map(col): _*)
+    val schema = sorted.schema
+    val kIdxs = partitionBy.map(schema.fieldIndex)
+    val vIdx = schema.fieldIndex(valueCol)
+    val outRdd = sorted.rdd.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      val buf = scala.collection.mutable.ArrayDeque.empty[Option[Double]]
+      it.map { r =>
+        val key = kIdxs.map(r.get)
+        if (key != curKey) { curKey = key; buf.clear() }
+        val v =
+          if (r.isNullAt(vIdx)) None
+          else Some(r.get(vIdx) match {
+            case d: Double           => d
+            case n: java.lang.Number => n.doubleValue()
+          })
+        buf.append(v)
+        if (buf.size > win) buf.removeHead()
+        val obs = buf.iterator.flatten.toSeq
+        val res = if (obs.size >= mp) kernel(obs) else null
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ res)
+      }
+    }
+    df.sparkSession.createDataFrame(outRdd, schema.add(out, resultType, nullable = true))
   }
 
   /** pandas rolling.cov / rolling.corr between two columns (per-key native
@@ -199,16 +252,29 @@ final class GRolling(
     */
   def sumRange(valueCol: String, out: String, rangeSeconds: Long): DataFrame = {
     require(orderBy.size == 1, "range rolling needs a single time order column")
+    // Timestamp orders keep their FULL microsecond resolution (pandas
+    // Timedelta-window semantics): truncating to whole seconds would
+    // collapse sub-second spacing into ties and change window membership.
+    // Non-timestamp (numeric) orders are used as-is.
+    val ordType = df.schema(orderBy.head).dataType
+    val isTs = ordType == org.apache.spark.sql.types.TimestampType ||
+      ordType == org.apache.spark.sql.types.TimestampNTZType
     if (partitionBy.isEmpty) {
       val ordNum = "__ord_num__"
+      val ordVal =
+        if (isTs) unix_micros(col(orderBy.head).cast("timestamp")).cast("double") / lit(1e6)
+        else col(orderBy.head).cast("double")
       MapOverlap.rollingRangeAgg(
-          df.withColumn(ordNum, col(orderBy.head).cast("long").cast("double")),
+          df.withColumn(ordNum, ordVal),
           valueCol, ordNum, rangeSeconds.toDouble, out, minPeriods)(_.sum)
         .drop(ordNum)
     } else {
+      val (ordExpr, lo) =
+        if (isTs) (unix_micros(col(orderBy.head).cast("timestamp")), -rangeSeconds * 1000000L)
+        else (col(orderBy.head).cast("long"), -rangeSeconds)
       val w = Window.partitionBy(partitionBy.map(col): _*)
-        .orderBy(col(orderBy.head).cast("long"))
-        .rangeBetween(-rangeSeconds, 0)
+        .orderBy(ordExpr)
+        .rangeBetween(lo, 0)
       val s = org.apache.spark.sql.functions.sum(col(valueCol)).over(w)
       val obs = org.apache.spark.sql.functions.count(col(valueCol)).over(w)
       df.withColumn(out,

@@ -100,4 +100,37 @@ object StrFunctions {
     // pandas leaves strings longer than `width` unchanged; lpad would truncate
     when(length(c) >= width, c).otherwise(lpad(c, width, "0"))
   def cat(c: Column, sep: String): Column = array_join(collect_list(c), sep) // concat-reduce
+
+  /** pandas `str.encode` / `str.decode`: bytes ↔ string through a named
+    * charset — Spark's codegen'd encode/decode builtins.
+    */
+  def encodeStr(c: Column, charset: String = "UTF-8"): Column =
+    org.apache.spark.sql.functions.encode(c, charset)
+  def decodeStr(c: Column, charset: String = "UTF-8"): Column =
+    org.apache.spark.sql.functions.decode(c, charset)
+
+  /** pandas `str.index` / `str.rindex` — find/rfind that RAISE when the
+    * substring is absent (pandas ValueError → Spark raise_error, surfaced
+    * as a task failure; guard with `contains` when absence is expected).
+    */
+  def index(c: Column, sub: String): Column =
+    when(instr(c, sub) === 0,
+      raise_error(concat(lit(s"substring '$sub' not found in: "), c)).cast("int"))
+      .otherwise(instr(c, sub) - 1)
+  def rindex(c: Column, sub: String): Column =
+    when(instr(c, sub) === 0,
+      raise_error(concat(lit(s"substring '$sub' not found in: "), c)).cast("int"))
+      .otherwise(rfind(c, sub))
+
+  /** pandas `str.rpartition`: split on the LAST occurrence; when the
+    * separator is absent the value lands in the TAIL (mirror of
+    * `partition`, which keeps it in the head).
+    */
+  def rpartition(c: Column, sep: String): Column = {
+    val idx1 = rfind(c, sep) + 1 // 1-based start of the last occurrence; 0 if absent
+    struct(
+      when(idx1 > 0, c.substr(lit(1), idx1 - 1)).otherwise(lit("")).as("head"),
+      when(idx1 > 0, lit(sep)).otherwise(lit("")).as("sep"),
+      when(idx1 > 0, c.substr(idx1 + sep.length, length(c))).otherwise(c).as("tail"))
+  }
 }

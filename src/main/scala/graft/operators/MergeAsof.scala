@@ -30,10 +30,13 @@ import org.apache.spark.sql.functions._
   * timestamps pass seconds), `allowExactMatches`.
   *
   * Scale note: with `by` keys the window partitions by them and the plan
-  * is fully parallel.  Without `by` Spark plans a single-partition window;
-  * for that case callers at cluster scale should pre-bucket `on` into
-  * coarse ranges and pass the bucket as a `by` key, or use
-  * [[MapOverlap]]-style ghost rows — the fixture queries all carry `by`.
+  * is fully parallel.  Without `by` the carry is still parallel: `on` is
+  * range-bucketed into a synthetic partition key (one O(1)-row min/max
+  * aggregate picks the span), the window carry runs per bucket, and the
+  * cross-bucket seed — the last right row of every earlier bucket — is a
+  * running scan over O(nBuckets) per-bucket tail rows collected to the
+  * driver, the same boundary-row pattern as the two-pass cumulative
+  * operators.  No unpartitioned window anywhere.
   */
 object MergeAsof {
 
@@ -67,6 +70,29 @@ object MergeAsof {
 
   private val IsLeft = "__asof_isleft__"
   private val OnNum = "__asof_on__"
+  private val Bucket = "__asof_bucket__"
+
+  private def numBuckets(df: DataFrame): Int =
+    math.max(1, df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  /** Synthetic `by` key for the global (no-`by`) case: equi-width range
+    * buckets over the numeric `on`.  Equal `on` values always land in the
+    * same bucket, so the within-bucket tag ordering (exact-match
+    * visibility) is preserved exactly.
+    */
+  private def withRangeBucket(unioned: DataFrame, nBuckets: Int): DataFrame = {
+    val r = unioned.agg(
+      org.apache.spark.sql.functions.min(col(OnNum)),
+      org.apache.spark.sql.functions.max(col(OnNum))).head()
+    if (r.isNullAt(0) || r.getDouble(0) == r.getDouble(1))
+      unioned.withColumn(Bucket, lit(0L))
+    else {
+      val mn = r.getDouble(0)
+      val span = (r.getDouble(1) - mn) / nBuckets
+      unioned.withColumn(Bucket,
+        least(floor((col(OnNum) - lit(mn)) / lit(span)), lit(nBuckets - 1L)).cast("long"))
+    }
+  }
 
   /** payload columns the right side contributes (renamed if clashing) */
   private def rightPayload(left: DataFrame, right: DataFrame, on: String, by: Seq[String],
@@ -112,13 +138,17 @@ object MergeAsof {
     * directions an exact-match right row is visible iff it sorts before the
     * left row at equal `on`.
     */
+  private def tagOrd(allowExact: Boolean): Column =
+    when(col(IsLeft), lit(if (allowExact) 1 else 0))
+      .otherwise(lit(if (allowExact) 0 else 1))
+
   private def carryWindow(by: Seq[String], backward: Boolean, allowExact: Boolean): WindowSpec = {
-    val rightFirst = allowExact
-    val tagOrd = when(col(IsLeft), lit(if (rightFirst) 1 else 0))
-      .otherwise(lit(if (rightFirst) 0 else 1))
+    val t = tagOrd(allowExact)
     val ord: Seq[Column] =
-      if (backward) Seq(col(OnNum).asc, tagOrd.asc) else Seq(col(OnNum).desc, tagOrd.asc)
-    (if (by.nonEmpty) Window.partitionBy(by.map(col): _*) else Window.partitionBy())
+      if (backward) Seq(col(OnNum).asc, t.asc) else Seq(col(OnNum).desc, t.asc)
+    // callers guarantee non-empty keys: real `by` columns or the synthetic
+    // range bucket — an unpartitioned window never appears in the plan
+    Window.partitionBy(by.map(col): _*)
       .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
   }
@@ -131,12 +161,47 @@ object MergeAsof {
     */
   private def carry(unioned: DataFrame, outRight: Seq[String], by: Seq[String],
                     backward: Boolean, allowExact: Boolean, prefix: String): DataFrame = {
-    val w = carryWindow(by, backward, allowExact)
     val fields = outRight :+ OnNum
     val src = when(!col(IsLeft), struct(fields.map(col): _*))
     val tmp = prefix + "__row"
-    fields.foldLeft(
-        unioned.withColumn(tmp, last(src, ignoreNulls = true).over(w))) {
+    val carried =
+      if (by.nonEmpty)
+        unioned.withColumn(tmp, last(src, ignoreNulls = true).over(
+          carryWindow(by, backward, allowExact)))
+      else {
+        // global case: per-bucket window carry (parallel), then seed each
+        // bucket with the last right row of all earlier buckets in
+        // iteration order.  The seed scan collects one tail row per
+        // bucket — O(nBuckets), the two-pass-operator boundary pattern.
+        val w = carryWindow(Seq(Bucket), backward, allowExact)
+        val withCarry = unioned.withColumn(tmp, last(src, ignoreNulls = true).over(w))
+        // the bucket's final carry = tmp at the iteration-LAST row of the
+        // bucket: max/min over (on, tag) picks that row without a sort
+        val iterKey =
+          if (backward) struct(col(OnNum), tagOrd(allowExact))
+          else struct(col(OnNum), -tagOrd(allowExact))
+        val tailAgg = if (backward) max_by(col(tmp), iterKey) else min_by(col(tmp), iterKey)
+        val tails = withCarry.groupBy(col(Bucket)).agg(tailAgg.as("__tail"))
+        val ordered = tails
+          .orderBy(if (backward) col(Bucket).asc else col(Bucket).desc)
+          .collect()
+        var run: Any = null
+        val prevRows = ordered.map { r =>
+          val out = org.apache.spark.sql.Row(r.get(0), run)
+          if (!r.isNullAt(1)) run = r.get(1)
+          out
+        }.toSeq
+        val prevSchema = org.apache.spark.sql.types.StructType(Seq(
+          tails.schema.fields(0).copy(name = Bucket),
+          tails.schema.fields(1).copy(name = "__prev", nullable = true)))
+        val spark = unioned.sparkSession
+        val prev = spark.createDataFrame(
+          spark.sparkContext.parallelize(prevRows, 1), prevSchema)
+        withCarry.join(broadcast(prev), Seq(Bucket), "left")
+          .withColumn(tmp, coalesce(col(tmp), col("__prev")))
+          .drop("__prev")
+      }
+    fields.foldLeft(carried) {
       (d, c) => d.withColumn(prefix + c, col(tmp).getField(c))
     }.drop(tmp)
   }
@@ -146,7 +211,8 @@ object MergeAsof {
       direction: String, tolerance: Option[Double], allowExact: Boolean,
       suffix: String): DataFrame = {
 
-    val (unioned, leftCols, outRight) = buildUnion(left, right, on, by, suffix)
+    val (unioned0, leftCols, outRight) = buildUnion(left, right, on, by, suffix)
+    val unioned = if (by.isEmpty) withRangeBucket(unioned0, numBuckets(unioned0)) else unioned0
     val backward = direction == "backward"
     val carried = carry(unioned, outRight, by, backward, allowExact, "__carry_")
 
@@ -170,7 +236,8 @@ object MergeAsof {
       left: DataFrame, right: DataFrame, on: String, by: Seq[String],
       tolerance: Option[Double], allowExact: Boolean, suffix: String): DataFrame = {
 
-    val (unioned, leftCols, outRight) = buildUnion(left, right, on, by, suffix)
+    val (unioned0, leftCols, outRight) = buildUnion(left, right, on, by, suffix)
+    val unioned = if (by.isEmpty) withRangeBucket(unioned0, numBuckets(unioned0)) else unioned0
     val carried = carry(
       carry(unioned, outRight, by, backward = true, allowExact, "__bwd_"),
       outRight, by, backward = false, allowExact, "__fwd_")

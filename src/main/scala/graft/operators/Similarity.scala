@@ -81,22 +81,39 @@ object Similarity {
     * composes with [[lshBuckets]]: join on bucket first, so only
     * same-bucket candidates pay the cosine (see [[annTopK]]).
     */
-  def exactNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double): DataFrame = {
-    require(threshold <= 1.0, s"cosine threshold must be <= 1, got $threshold")
+  /** (representative frame with norms, member mapping) shared by the
+    * exact and bucketed near-dup tiers: byte-identical vectors collapse to
+    * one representative; zero-norm groups (cosine undefined) are excluded
+    * from the pair space entirely.
+    */
+  private def collapseVectors(vectors: DataFrame, idCol: String, vecCol: String)
+      : (DataFrame, DataFrame) = {
     val grp = vectors.groupBy(col(vecCol).as("__v"))
       .agg(min(col(idCol)).as("__rep"), collect_list(col(idCol)).as("__ids"))
       .withColumn("__n", vecNorm(col("__v")))
     // carry the group norm onto members so degenerate (zero-norm) groups —
     // whose cosine is undefined — can be excluded from same-group pairs
     val members = grp.select(col("__rep"), explode(col("__ids")).as("__m"), col("__n"))
+    (grp.select(col("__rep"), col("__v"), col("__n")).filter(col("__n") > 0), members)
+  }
 
+  /** EXACT all-pairs baseline: O(reps²) by construction, so it refuses to
+    * run past `maxExactVectors` distinct vectors — at corpus scale use
+    * [[bucketedNearDupPairs]], which blocks the pair space on sign-LSH
+    * bucket keys instead of broadcasting the whole distinct-vector side.
+    */
+  def exactNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, maxExactVectors: Long = 2000000L): DataFrame = {
+    require(threshold <= 1.0, s"cosine threshold must be <= 1, got $threshold")
+    val (prepped, members) = collapseVectors(vectors, idCol, vecCol)
+    // corpus-size guard: the count is one cheap aggregate over the already
+    // collapsed representatives, and it bounds the broadcast below
+    val nReps = prepped.count()
+    require(nReps <= maxExactVectors,
+      s"exactNearDupPairs is the all-pairs oracle baseline ($nReps distinct vectors > " +
+        s"$maxExactVectors); use bucketedNearDupPairs at corpus scale")
     // norms are an O(n) pre-pass; each of the O(reps²) pairs then pays
-    // exactly one codegen'd primitive dot loop (FloatVecDot).  Zero-norm
-    // vectors never enter the pair space at all (cosine undefined; the
-    // division would also trip ANSI divide-by-zero)
-    val prepped = grp.select(col("__rep"), col("__v"), col("__n"))
-      .filter(col("__n") > 0)
+    // exactly one codegen'd primitive dot loop (FloatVecDot)
     val a = prepped.select(col("__rep").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
     val b = prepped.select(col("__rep").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
     val repPairs = a.join(broadcast(b), col("id_a") < col("id_b"))
@@ -105,6 +122,45 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
 
     // cosine of byte-identical non-degenerate vectors: exactly 1 up to ulp
+    Dedup.expandPairs(repPairs, members, "id_a", "id_b", "sim", lit(1.0),
+      sameFilter = col("__n") > 0)
+  }
+
+  /** Corpus-scale embedding near-dup pairs: the pair space is BLOCKED on
+    * sign-LSH bucket keys — side A probes its own bucket plus every
+    * 1-bit-flipped bucket (multi-probe), so candidate pairs are exactly
+    * those whose bucket keys differ in ≤ 1 plane sign, found by a plain
+    * shuffle equi-join on the probe key.  No broadcast of the corpus, no
+    * O(reps²) enumeration: shuffle ∝ reps × (planes+1), candidates are
+    * bucket-local.  Candidates are then verified with the same exact
+    * codegen'd cosine as the baseline, and exact-dup members expanded
+    * back, so the output is a deterministic pure function of the input
+    * (oracle-checkable) — recall relative to the all-pairs baseline is
+    * the usual LSH trade, tuned by `planes` (with planes = 1 the probe
+    * set covers both buckets and the output equals the exact baseline).
+    */
+  def bucketedNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, planes: Int = 8): DataFrame = {
+    require(threshold <= 1.0, s"cosine threshold must be <= 1, got $threshold")
+    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
+    val (prepped, members) = collapseVectors(vectors, idCol, vecCol)
+    val bucketed = prepped.withColumn("__bkt", bucketUdf(col("__v"), lit(planes)))
+    val a = bucketed.select(col("__rep").as("id_a"), col("__v").as("__va"),
+        col("__n").as("__na"),
+        explode(array((col("__bkt") +:
+          (0 until planes).map(p => col("__bkt").bitwiseXOR(lit(1L << p)))): _*))
+          .as("__probe"))
+    val b = bucketed.select(col("__rep").as("id_b"), col("__v").as("__vb"),
+      col("__n").as("__nb"), col("__bkt").as("__probe"))
+    val repPairs = a.join(b, Seq("__probe"))
+      .filter(col("id_a") < col("id_b"))
+      // a distance-0 pair meets on every shared probe — dedup BEFORE the
+      // cosine so each candidate pays the dot product exactly once
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"), col("__na"), col("__nb"))
+      .distinct()
+      .withColumn("sim", vecDot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
     Dedup.expandPairs(repPairs, members, "id_a", "id_b", "sim", lit(1.0),
       sameFilter = col("__n") > 0)
   }
@@ -128,12 +184,19 @@ object Similarity {
     * join, probe restriction — is independent of how centroids were fit.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-              idCol: String, vecCol: String, k: Int, nProbe: Int = 2): DataFrame = {
-    // tiny by contract: the coarse codebook (k ≈ √n cells at scale)
+              idCol: String, vecCol: String, k: Int, nProbe: Int = 2,
+              maxCodebook: Int = 65536): DataFrame = {
+    // The coarse codebook is driver-sized by contract (k ≈ √n cells at
+    // scale); enforce it instead of letting an oversized centroid frame
+    // OOM the driver — limit(max+1) bounds what the guard itself pulls.
+    val rows = centroids.select(col(idCol).cast("long"), col(vecCol))
+      .limit(maxCodebook + 1)
+      .collect()
+    require(rows.length <= maxCodebook,
+      s"IVF centroid codebook exceeds maxCodebook=$maxCodebook entries; " +
+        "coarse codebooks must stay driver-sized (k ≈ sqrt(corpus))")
     val cents: Array[(Long, Array[Double])] =
-      centroids.select(col(idCol).cast("long"), col(vecCol))
-        .collect()
-        .map(r => (r.getLong(0),
+      rows.map(r => (r.getLong(0),
           r.getSeq[Float](1).iterator.map(_.toDouble).toArray))
         .sortBy(_._1)
 

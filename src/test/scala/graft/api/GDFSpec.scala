@@ -33,6 +33,40 @@ class GDFSpec extends SparkTestBase {
     assert(m == Map("a" -> 100.0, "b" -> 70.0, "c" -> 40.0))
   }
 
+  test("groupby value_counts, cumprod, pivot first/last") {
+    val d = GDF(Seq(
+      ("a", "x", 1L, 2.0), ("a", "x", 2L, 3.0), ("a", "y", 3L, 4.0),
+      ("b", "x", 4L, -1.0), ("b", "x", 5L, 0.5)).toDF("k", "c", "ord", "v"))
+    // value_counts: one row per (key, value) with the count
+    val vc = d.groupby("k").valueCounts("c", "n").df
+      .as[(String, String, Long)].collect().toSet
+    assert(vc == Set(("a", "x", 2L), ("a", "y", 1L), ("b", "x", 2L)))
+    val vn = d.groupby("k").valueCounts("c", "frac", normalize = true).df
+      .as[(String, String, Double)].collect().toSet
+    assert(vn == Set(("a", "x", 2.0 / 3), ("a", "y", 1.0 / 3), ("b", "x", 1.0)))
+    // cumprod in ord order; a null value nulls its own row only
+    val withNull = GDF(Seq(
+      ("a", 1L, Some(2.0)), ("a", 2L, None), ("a", 3L, Some(3.0)))
+      .toDF("k", "ord", "v"))
+    val cp = withNull.groupby("k").cumprod("v", Seq("ord"), "cum").df
+      .select("ord", "cum").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(cp == Map(1L -> Some(2.0), 2L -> None, 3L -> Some(6.0)))
+    // pivot first/last by explicit order; missing combos stay null
+    val pf = d.pivotTable("k", "c", "v", "first", Seq("x", "y"), Some("ord")).df
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(pf == Map("a" -> (Some(2.0), Some(4.0)), "b" -> (Some(-1.0), None)))
+    val pl = d.pivotTable("k", "c", "v", "last", Seq("x", "y"), Some("ord")).df
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(pl == Map("a" -> (Some(3.0), Some(4.0)), "b" -> (Some(0.5), None)))
+    // positional first/last without ordCol is refused, not nondeterministic
+    intercept[IllegalArgumentException] {
+      d.pivotTable("k", "c", "v", "first", Seq("x", "y"))
+    }
+  }
+
   test("merge inner/left with suffixes") {
     val right = GDF(Seq((1L, 100.0), (2L, 200.0)).toDF("id", "v"))
     val m = df.merge(right, on = Seq("id"), how = "inner")
@@ -236,6 +270,43 @@ class GDFSpec extends SparkTestBase {
       assert(kt.keySet == expKurt.keySet, s"kurt keys keys=$keys")
       expKurt.foreach { case (k, e) => assert(math.abs(kt(k) - e) < 1e-6, s"kurt $k keys=$keys") }
     }
+  }
+
+  test("keyed rolling custom kernel (applyKeyed) slides per key across partitions") {
+    val d = Seq(("a", 1L, 1.0), ("a", 2L, 5.0), ("a", 3L, 3.0),
+        ("b", 4L, 10.0), ("b", 5L, 20.0))
+      .toDF("k", "ord", "v").repartition(3)
+    val out = new graft.api.GRolling(d, 2, Seq("ord"), Seq("k"), 1)
+      .applyKeyed("v", "rng")(xs => xs.max - xs.min)
+      .select("ord", "rng").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 0.0, 2L -> 4.0, 3L -> 2.0, 4L -> 0.0, 5L -> 10.0))
+    // min_periods gates on non-null observations
+    val withNull = Seq(("a", 1L, Some(1.0)), ("a", 2L, None), ("a", 3L, Some(3.0)))
+      .toDF("k", "ord", "v")
+    val mp = new graft.api.GRolling(withNull, 2, Seq("ord"), Seq("k"), 2)
+      .applyKeyed("v", "s")(_.sum)
+      .select("ord", "s").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(mp == Map(1L -> None, 2L -> None, 3L -> None))
+  }
+
+  test("keyed rolling skew/kurt survive |mean| >> std (anchor-shifted power sums)") {
+    // same shape as above but offset by 1e8: raw power sums would cancel
+    // catastrophically (m2 = s2/n - mean^2 with ~16 shared digits); the
+    // anchor shift keeps the keyed path equal to the two-pass global path
+    val off = 1e8
+    val d = Seq((0L, "k", off + 1.0), (1L, "k", off + 2.0), (2L, "k", off + 4.0),
+        (3L, "k", off + 8.0), (4L, "k", off + 3.0), (5L, "k", off + 5.0))
+      .toDF("idx", "k", "v").repartitionByRange(3, col("idx")).sortWithinPartitions("idx")
+    val expSkew = Map(2L -> 0.93521953, 3L -> 1.13762437, 4L -> 1.44305884, 5L -> 1.19034013)
+    val expKurt = Map(3L -> 0.75765595, 4L -> 2.23486718, 5L -> 1.5)
+    def got(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.select("idx", "out").collect()
+        .collect { case r if !r.isNullAt(1) => r.getLong(0) -> r.getDouble(1) }.toMap
+    val s = got(new graft.api.GRolling(d, 4, Seq("idx"), Seq("k"), 3).skew("v", "out"))
+    expSkew.foreach { case (k, e) => assert(math.abs(s(k) - e) < 1e-4, s"skew $k: ${s(k)}") }
+    val kt = got(new graft.api.GRolling(d, 4, Seq("idx"), Seq("k"), 4).kurt("v", "out"))
+    expKurt.foreach { case (k, e) => assert(math.abs(kt(k) - e) < 1e-4, s"kurt $k: ${kt(k)}") }
   }
 
   test("timeseries generator is deterministic and index-sorted") {

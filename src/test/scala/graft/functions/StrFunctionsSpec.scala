@@ -66,6 +66,26 @@ class StrFunctionsSpec extends SparkTestBase {
     assert(eval1(n => StrFunctions.get(col(n), 2), "abcdef") == "c")
   }
 
+  test("encode/decode roundtrip, index/rindex, rpartition (CPython semantics)") {
+    import org.apache.spark.sql.functions.col
+    assert(eval1(n => StrFunctions.decodeStr(StrFunctions.encodeStr(col(n))), "héllo") == "héllo")
+    // encode returns BYTES: multi-byte char widens the octet length
+    assert(eval1(n => org.apache.spark.sql.functions.length(
+      StrFunctions.encodeStr(col(n))), "héllo") == 6)
+    assert(eval1(n => StrFunctions.index(col(n), "c"), "abcabc") == 2)
+    assert(eval1(n => StrFunctions.rindex(col(n), "c"), "abcabc") == 5)
+    // absent substring raises (pandas ValueError), unlike find/rfind
+    intercept[Exception] { eval1(n => StrFunctions.index(col(n), "z"), "abc") }
+    intercept[Exception] { eval1(n => StrFunctions.rindex(col(n), "z"), "abc") }
+    val rp = eval1(n => StrFunctions.rpartition(col(n), " "), "a b c")
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(rp.getString(0) == "a b" && rp.getString(1) == " " && rp.getString(2) == "c")
+    // missing separator: value lands in the TAIL ('', '', whole)
+    val rpMiss = eval1(n => StrFunctions.rpartition(col(n), "|"), "abc")
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(rpMiss.getString(0) == "" && rpMiss.getString(1) == "" && rpMiss.getString(2) == "abc")
+  }
+
   test("is-predicates and fullmatch") {
     import org.apache.spark.sql.functions.col
     assert(eval1(n => StrFunctions.isalpha(col(n)), "abc") == true)

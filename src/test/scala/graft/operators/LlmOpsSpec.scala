@@ -81,6 +81,48 @@ class LlmOpsSpec extends SparkTestBase {
     assert(Similarity.exactNearDupPairs(withZeros, "vec_id", "embedding", 0.5).count() == 0)
   }
 
+  test("bucketedNearDupPairs: planes=1 probe set covers both buckets → equals exact") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (5L, Array(1.0f, 0.0f)),
+      (3L, Array(0.99f, 0.14f)),
+      (4L, Array(0.0f, 1.0f)),
+      (6L, Array(0.0f, 0.0f))     // zero-norm: never paired
+    ).toDF("vec_id", "embedding").repartition(3)
+    val exact = Similarity.exactNearDupPairs(vecs, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
+    val bucketed = Similarity.bucketedNearDupPairs(vecs, "vec_id", "embedding", 0.95, planes = 1)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(bucketed == exact)
+    // higher planes: output is a subset of exact (candidates restricted),
+    // and identical-vector groups always survive (distance-0 bucket)
+    val p8 = Similarity.bucketedNearDupPairs(vecs, "vec_id", "embedding", 0.95, planes = 8)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(p8.subsetOf(exact))
+    assert(p8.exists { case (a, b, s) => a == 1L && b == 2L && s == 1.0 })
+  }
+
+  test("exactNearDupPairs refuses corpora past the all-pairs guard") {
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.exactNearDupPairs(vecs, "vec_id", "embedding", 0.9, maxExactVectors = 2L)
+        .count()
+    }
+    assert(ex.getMessage.contains("bucketedNearDupPairs"))
+  }
+
+  test("ivfTopK rejects an oversized centroid codebook instead of collecting it") {
+    val vecs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val bigCents = spark.range(100).select(col("id").as("vec_id"),
+      array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(vecs, vecs, bigCents, "vec_id", "embedding",
+        k = 1, nProbe = 1, maxCodebook = 10)
+    }
+    assert(ex.getMessage.contains("maxCodebook"))
+  }
+
   test("ivfTopK matches bruteForceTopK when all cells are probed") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)),

@@ -96,6 +96,35 @@ class MergeAsofSpec extends SparkTestBase {
     assert(near == Map(1 -> 4, 2 -> 5, 3 -> 6))
   }
 
+  test("global (no-by) asof: bucket-parallel carry matches brute force in all directions") {
+    // ts values chosen so some left/right timestamps coincide exactly
+    // (exact-match visibility crosses the synthetic bucket key too)
+    val lrows = (0 until 500).map(i => (i.toLong, i * 3.0 + (i % 7) * 0.1))
+    val rrows = (0 until 80).map(j => (j.toLong, j * 15.0, j * 1.0))
+    val l = lrows.toDF("lid", "t").repartition(8)
+    val r = rrows.toDF("rid", "t", "v").repartition(5)
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val out = MergeAsof(l, r, on = "t", direction = dir).collect().map { row =>
+        row.getLong(row.fieldIndex("lid")) ->
+          (if (row.isNullAt(row.fieldIndex("v"))) None
+           else Some(row.getDouble(row.fieldIndex("v"))))
+      }.toMap
+      lrows.foreach { case (lid, t) =>
+        val bwd = rrows.filter(_._2 <= t).sortBy(_._2).lastOption
+        val fwd = rrows.filter(_._2 >= t).sortBy(_._2).headOption
+        val exp = dir match {
+          case "backward" => bwd.map(_._3)
+          case "forward"  => fwd.map(_._3)
+          case "nearest" => (bwd, fwd) match {
+            case (Some(b), Some(f)) => Some(if (t - b._2 <= f._2 - t) b._3 else f._3)
+            case (b, f)             => b.orElse(f).map(_._3)
+          }
+        }
+        assert(out(lid) == exp, s"dir=$dir lid=$lid t=$t")
+      }
+    }
+  }
+
   test("right payload column name collision gets suffixed") {
     val r2 = right.withColumnRenamed("v", "t2").withColumnRenamed("t2", "v")
     val l2 = left.withColumn("v", org.apache.spark.sql.functions.lit(-1.0))

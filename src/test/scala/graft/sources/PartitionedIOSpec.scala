@@ -33,4 +33,36 @@ class PartitionedIOSpec extends SparkTestBase {
         f.selectedPartitions.partitionCount }
     assert(scanned.contains(1), s"expected 1 pruned partition, got $scanned")
   }
+
+  test("bag to_textfiles writes line-per-element text") {
+    val dir = "/tmp/graft_io/bag_text"
+    graft.api.GBag.fromSeq(spark, Seq("alpha", "beta", "gamma"), npartitions = 2)
+      .toTextfiles(dir)
+    val back = spark.read.text(dir).collect().map(_.getString(0)).toSet
+    assert(back == Set("alpha", "beta", "gamma"))
+  }
+
+  test("repartitionFreq: one range partition per interval, no interval splits") {
+    val df = spark.range(0, 600).select(
+      col("id"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 10).as("ts"))
+    val out = graft.api.GDF(df).repartitionFreq("ts", 1000L) // 6 x 1000s intervals
+    assert(out.df.rdd.getNumPartitions == 6)
+    // RangePartitioner never splits equal bucket keys: every 1000s
+    // interval lives in exactly one partition
+    val spans = out.df
+      .select(spark_partition_id().as("p"),
+        floor(unix_micros(col("ts").cast("timestamp")) / lit(1000L * 1000000L)).as("b"))
+      .distinct().groupBy(col("b")).count().collect()
+    assert(spans.forall(_.getLong(1) == 1L))
+  }
+
+  test("repartitionTargetSize derives partition count from plan stats") {
+    val df = spark.range(0, 100000).toDF("id")
+    val tiny = graft.api.GDF(df).repartitionTargetSize(64 * 1024L)
+    val coarse = graft.api.GDF(df).repartitionTargetSize(1024L * 1024 * 1024)
+    assert(tiny.df.rdd.getNumPartitions > coarse.df.rdd.getNumPartitions)
+    assert(coarse.df.rdd.getNumPartitions == 1)
+    assert(tiny.df.count() == 100000)
+  }
 }
