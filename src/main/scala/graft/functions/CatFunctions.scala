@@ -15,14 +15,27 @@ import org.apache.spark.sql.functions._
   */
 object CatFunctions {
 
-  /** Attach a dictionary code column for `c`. The mapping table is
-    * distinct-sized (dimension scale), so the window that numbers it and
-    * the join that applies it are both cheap at any data size.
+  /** Attach a dictionary code column for `c`.  Codes are assigned in
+    * sorted order by a range-partitioned sort + `zipWithIndex` — fully
+    * parallel, so a silently high-cardinality column degrades to a wide
+    * sort instead of serializing into one window task.  The mapping is
+    * dictionary-sized by contract and broadcast back onto the data.
     */
   def categorize(df: DataFrame, c: String, codeCol: String): DataFrame = {
-    val w = Window.orderBy(col(c))
-    val mapping = df.select(col(c)).filter(col(c).isNotNull).distinct()
-      .withColumn(codeCol, (row_number().over(w) - 1).cast("int"))
+    val spark = df.sparkSession
+    val distinct = df.select(col(c)).filter(col(c).isNotNull).distinct()
+      .repartitionByRange(col(c).asc)
+      .sortWithinPartitions(col(c).asc)
+    // zipWithIndex = one partition-size count pass + a narrow map; global
+    // order is the range-partition order, matching the sorted-codes rule
+    val numbered = distinct.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), i.toInt)
+    }
+    val mapping = spark.createDataFrame(numbered,
+      org.apache.spark.sql.types.StructType(Seq(
+        distinct.schema.fields(0),
+        org.apache.spark.sql.types.StructField(codeCol,
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
     df.join(broadcast(mapping), Seq(c), "left")
       // pandas .cat.codes sentinel for missing values
       .withColumn(codeCol, coalesce(col(codeCol), lit(-1)))
