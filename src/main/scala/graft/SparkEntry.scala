@@ -1167,6 +1167,77 @@ object SparkEntry {
           Seq("user_id"), 3)
         .skew("value", "roll_skew")
         .select(col("event_id"), round(col("roll_skew"), 4).as("roll_skew"))
+    },
+    // ---- ext: near-dup pairs → transitive clusters → keep decision
+    // (alternating large-star/small-star connected components)
+    "q120_dedup_clusters" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.Dedup.jaccardNearDupPairs(docs, "doc_id", "text",
+        blockCols = Seq("lang"), bandWidth = 16, threshold = 0.5, ngram = 2)
+      graft.operators.Dedup.dedupClusters(docs, pairs, "doc_id", "id_a", "id_b")
+    },
+    // ---- ext: top-3 TF-IDF terms per document ---------------------------
+    "q121_tfidf" -> { (s, dir) =>
+      graft.operators.TextAnalysis.tfidf(t(s, dir, "documents"), "doc_id", "text", k = 3)
+    },
+    // ---- ext: PII/boilerplate scrub (typed placeholders + hit counts) ---
+    "q122_scrub" -> { (s, dir) =>
+      graft.operators.TextAnalysis.scrub(t(s, dir, "documents"), "doc_id", "text")
+    },
+    // ---- §2.9 math ufunc surface (composed numpy semantics, all codegen)
+    "q123_ufuncs" -> { (s, dir) =>
+      import graft.functions.{Ufuncs => U}
+      val a = col("l_quantity"); val b = col("l_discount")
+      val c = col("l_extendedprice"); val d = col("l_tax") - 0.04
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(U.sin(a), 6).as("sin_a"),
+        round(U.arctan2(a, b + 1.0), 6).as("atan2_ab"),
+        round(U.log1p(c), 6).as("log1p_c"),
+        round(U.expm1(b), 6).as("expm1_b"),
+        round(U.log2(c), 6).as("log2_c"),
+        round(U.cbrt(c), 6).as("cbrt_c"),
+        round(U.deg2rad(a), 6).as("rad_a"),
+        round(U.rad2deg(b), 6).as("deg_b"),
+        round(U.hypot(a, b * 10.0), 6).as("hyp"),
+        round(U.logaddexp(a / 10.0, b), 6).as("lae"),
+        U.sign(d).as("sgn"),
+        round(U.copysign(a, d), 6).as("csign"),
+        // integer-cent operand: DuckDB's fmod is a - trunc(a/b)·b, which
+        // differs from C fmod by 1 ulp when a ≈ k·b; on integer-valued
+        // doubles both forms are exact and identical
+        round(U.fmod(round(c * 100), lit(7.0)), 6).as("fm"),
+        round(U.mod(d * 100.0, lit(7.0)), 6).as("pm"),
+        U.trunc(d * 10.0).as("tr"),
+        round(U.square(b), 6).as("sq"),
+        round(U.reciprocal(b + 1.0), 6).as("recip"),
+        round(U.sinc(b), 6).as("sinc_b"),
+        U.heaviside(d, lit(0.5)).as("hv"))
+    },
+    // ---- §2.11 random distribution suite (portable hash-derived) --------
+    "q124_random" -> { (s, _) =>
+      graft.sources.RandomData.frame(s, 2000, seed = 7)
+        .select(col("id").as("rid"), col("u"),
+          round(col("gauss"), 4).as("gauss"),
+          round(col("expo"), 4).as("expo"),
+          round(col("logn"), 4).as("logn"),
+          col("ri"), col("pick"), col("bern"), col("pois"))
+    },
+    // ---- §2.8 interleaved concat (overlapping ranges) + order-dependent
+    // consumer: the global cumsum only matches the oracle if the merge
+    // actually restored one global sorted order
+    "q125_concat_interleaved" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .select(col("event_id"), col("ts"), col("cents"))
+      val a = new GDF(ev.filter(col("event_id") % 2 === 0),
+        Some(IndexMeta(Seq("ts", "event_id"), sorted = false)))
+      val b = new GDF(ev.filter(col("event_id") % 2 =!= 0),
+        Some(IndexMeta(Seq("ts", "event_id"), sorted = false)))
+      a.concatInterleaved(b)
+        .cumsum("cents", "running")
+        .select("event_id", "running")
+        .df
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -2247,5 +2318,136 @@ object SparkEntry {
       """SELECT event_id, round(skewness(value) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS roll_skew
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    // q103's pair SQL + recursive min-propagation transitive closure
+    "q120_dedup_clusters" ->
+      """WITH RECURSIVE grp AS (
+        |  SELECT lang, text, min(doc_id) AS rep FROM documents GROUP BY 1, 2),
+        |d AS (
+        |  SELECT rep, lang, CAST(floor(length(text) / 16) AS BIGINT) AS bk,
+        |    list_distinct(list_transform(range(1, len(t)),
+        |      i -> t[i] || ' ' || t[i+1])) AS toks
+        |  FROM (SELECT rep, lang, text,
+        |          list_filter(string_split_regex(lower(text), '\s+'),
+        |            x -> x <> '') AS t
+        |        FROM grp)),
+        |g AS (SELECT rep, lang, bk, unnest(toks) AS gram FROM d),
+        |rp AS (
+        |  SELECT ra, rb FROM (
+        |    SELECT a.rep AS ra, b.rep AS rb, count(*)::DOUBLE AS cnt
+        |    FROM g a JOIN g b ON a.lang = b.lang AND a.gram = b.gram
+        |      AND a.rep < b.rep AND abs(a.bk - b.bk) <= 1
+        |    GROUP BY 1, 2)
+        |  JOIN (SELECT rep, len(toks) AS sa FROM d) xa ON xa.rep = ra
+        |  JOIN (SELECT rep, len(toks) AS sb FROM d) xb ON xb.rep = rb
+        |  WHERE cnt / (sa + sb - cnt) >= 0.5),
+        |mem AS (SELECT d2.doc_id, grp.rep FROM documents d2
+        |        JOIN grp ON d2.lang = grp.lang AND d2.text = grp.text),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id
+        |  UNION
+        |  SELECT least(ma.doc_id, mb.doc_id), greatest(ma.doc_id, mb.doc_id)
+        |  FROM rp JOIN mem ma ON ma.rep = rp.ra JOIN mem mb ON mb.rep = rp.rb),
+        |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |      UNION SELECT id_b, id_a FROM pairs),
+        |r AS (
+        |  SELECT u AS node, u AS reach FROM e
+        |  UNION
+        |  SELECT e.u, r.reach FROM e JOIN r ON e.v = r.node),
+        |comp AS (SELECT node, min(reach) AS component FROM r GROUP BY node)
+        |SELECT dd.doc_id, coalesce(c.component, dd.doc_id) AS component,
+        |  (coalesce(c.component, dd.doc_id) = dd.doc_id) AS keep
+        |FROM documents dd LEFT JOIN comp c ON c.node = dd.doc_id""".stripMargin,
+    "q121_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf,
+        |    tf * (ln((nd + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+        |  FROM tf JOIN idf USING (term), n)
+        |SELECT doc_id, term, tf, round(tfidf, 6) AS tfidf,
+        |  CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |      FROM scored)
+        |WHERE rk <= 3""".stripMargin,
+    "q122_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS INTEGER)
+        |    AS n_urls,
+        |  CAST(len(regexp_extract_all(
+        |    regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |      'https?://[^ \t\n]+', '<URL>', 'g'),
+        |    '[0-9][0-9][0-9][0-9][0-9]+')) AS INTEGER) AS n_numbers,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |    'https?://[^ \t\n]+', '<URL>', 'g'),
+        |    '[0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g'),
+        |    '[ \t]+', ' ', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
+    "q123_ufuncs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sin(l_quantity), 6) AS sin_a,
+        |  round(atan2(l_quantity, l_discount + 1.0), 6) AS atan2_ab,
+        |  round(ln(1 + l_extendedprice), 6) AS log1p_c,
+        |  round(exp(l_discount) - 1, 6) AS expm1_b,
+        |  round(log2(l_extendedprice), 6) AS log2_c,
+        |  round(cbrt(l_extendedprice), 6) AS cbrt_c,
+        |  round(radians(l_quantity), 6) AS rad_a,
+        |  round(degrees(l_discount), 6) AS deg_b,
+        |  round(sqrt(l_quantity * l_quantity + (l_discount * 10) * (l_discount * 10)), 6) AS hyp,
+        |  round(greatest(l_quantity / 10.0, l_discount) +
+        |        ln(1 + exp(-abs(l_quantity / 10.0 - l_discount))), 6) AS lae,
+        |  sign(l_tax - 0.04) AS sgn,
+        |  round(CASE WHEN l_tax - 0.04 < 0 THEN -abs(l_quantity)
+        |             ELSE abs(l_quantity) END, 6) AS csign,
+        |  round(fmod(round(l_extendedprice * 100), 7.0), 6) AS fm,
+        |  round(fmod(fmod((l_tax - 0.04) * 100.0, 7.0) + 7.0, 7.0), 6) AS pm,
+        |  trunc((l_tax - 0.04) * 10.0) AS tr,
+        |  round(l_discount * l_discount, 6) AS sq,
+        |  round(1.0 / (l_discount + 1.0), 6) AS recip,
+        |  round(CASE WHEN l_discount = 0 THEN 1.0
+        |             ELSE sin(3.141592653589793 * l_discount) /
+        |                  (3.141592653589793 * l_discount) END, 6) AS sinc_b,
+        |  CASE WHEN l_tax - 0.04 < 0 THEN 0.0
+        |       WHEN l_tax - 0.04 > 0 THEN 1.0 ELSE 0.5 END AS hv
+        |FROM lineitem""".stripMargin,
+    // full distribution-suite replica over the same splitmix64 uniforms;
+    // poisson via the same left-to-right pmf recurrence (recursive CTE)
+    "q124_random" -> (duckHashMacros +
+      """CREATE OR REPLACE TEMP MACRO unif(rid, sd) AS
+        |  (mix64(xor(CAST(rid AS HUGEINT), mix64(CAST(sd AS HUGEINT)))) // 2048)::DOUBLE
+        |    / 9007199254740992;
+        |WITH RECURSIVE ids AS (SELECT unnest(range(0, 2000)) AS rid),
+        |pk(k, p, cdf) AS (
+        |  SELECT 0, exp(-4.0), exp(-4.0)
+        |  UNION ALL
+        |  SELECT k + 1, p * (4.0 / (k + 1)), cdf + p * (4.0 / (k + 1))
+        |  FROM pk WHERE k < 60)
+        |SELECT rid, unif(rid, 7) AS u,
+        |  round(sqrt(-2.0 * ln(unif(rid, 8) + 1e-300)) *
+        |        cos(6.283185307179586 * unif(rid, 1000008)), 4) AS gauss,
+        |  round(-ln(unif(rid, 9) + 1e-300) / 2.0, 4) AS expo,
+        |  round(exp(sqrt(-2.0 * ln(unif(rid, 10) + 1e-300)) *
+        |        cos(6.283185307179586 * unif(rid, 1000010)) * 0.5), 4) AS logn,
+        |  CAST(floor(unif(rid, 11) * 90) + 10 AS BIGINT) AS ri,
+        |  ['red','green','blue'][CAST(floor(unif(rid, 12) * 3) + 1 AS INTEGER)] AS pick,
+        |  CAST(unif(rid, 13) < 0.25 AS INTEGER) AS bern,
+        |  CAST((SELECT count(*) FROM pk WHERE cdf <= unif(ids.rid, 14)) AS INTEGER) AS pois
+        |FROM ids""".stripMargin),
+    "q125_concat_interleaved" ->
+      """SELECT event_id, CAST(sum(cents) OVER (
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
+        |FROM (SELECT event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM events)""".stripMargin)
 }

@@ -479,6 +479,27 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
   def concatAxis1(right: GDF, on: String): GDF =
     new GDF(df.join(right.df, Seq(on), "full_outer"), None)
 
+  /** Interleaved `concat(axis=0)` for frames with OVERLAPPING index ranges
+    * (reference `StackPartitionInterleaved`, `_concat.py:27-356`): the
+    * plain union is unordered; this one merges the inputs back into a
+    * single sorted-by-index frame, so ordered operators (rolling, shift,
+    * cumulative) keep working on the result.
+    *
+    * Spark-first: union → `repartitionByRange(index)` (sample-based range
+    * exchange, the same algorithm dask's interleave uses divisions for) →
+    * `sortWithinPartitions`.  One shuffle, fully parallel, no global sort.
+    */
+  def concatInterleaved(others: GDF*): GDF = {
+    val ix = index.getOrElse(throw new IllegalStateException(
+      "concatInterleaved requires an index (the merge key)"))
+    require(others.forall(_.index.exists(_.cols == ix.cols)),
+      "all frames must share the same index columns")
+    val unioned = others.foldLeft(df)((a, b) => a.unionByName(b.df, allowMissingColumns = true))
+    val ic = ix.cols.map(col)
+    new GDF(unioned.repartitionByRange(ic: _*).sortWithinPartitions(ic: _*),
+      Some(ix.copy(sorted = true)))
+  }
+
   /** Set ops — dask reaches these via merge+indicator workflows
     * (`_merge.py:76`); Spark has them natively (SURVEY §2.8).
     */
@@ -641,4 +662,51 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
 object GDF {
   def apply(df: DataFrame): GDF = new GDF(df, None)
   def fromParquet(spark: SparkSession, path: String): GDF = GDF(spark.read.parquet(path))
+
+  /** dask `from_array` (`_collection.py:4969`): a local 1-column array →
+    * distributed frame with the positional index materialized as a column
+    * (SURVEY §7.4 — Spark has no implicit row order).
+    */
+  def fromArray[T](spark: SparkSession, values: Seq[T], name: String = "value",
+                   numPartitions: Int = 0)(implicit enc: org.apache.spark.sql.Encoder[(Long, T)]): GDF = {
+    val indexed = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val ds = spark.createDataset(indexed)(enc).toDF("idx", name)
+    val d = if (numPartitions > 0) ds.repartitionByRange(numPartitions, col("idx")).sortWithinPartitions("idx") else ds
+    new GDF(d, Some(IndexMeta(Seq("idx"), sorted = numPartitions <= 1)))
+  }
+
+  /** dask `from_dict` (`_collection.py:5035`): column-name → values map.
+    * All columns must have equal length; rows are zipped positionally.
+    */
+  def fromDict(spark: SparkSession, columns: Seq[(String, Seq[Any])],
+               numPartitions: Int = 0): GDF = {
+    require(columns.nonEmpty, "from_dict requires at least one column")
+    val n = columns.head._2.length
+    require(columns.forall(_._2.length == n), "all columns must have the same length")
+    val rows = (0 until n).map { i =>
+      Row.fromSeq(i.toLong +: columns.map(_._2(i)))
+    }
+    val fields = org.apache.spark.sql.types.StructField("idx",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+      columns.map { case (name, vs) =>
+        val dt = vs.find(_ != null) match {
+          case Some(_: Int) | Some(_: Long) => org.apache.spark.sql.types.LongType
+          case Some(_: Double) | Some(_: Float) => org.apache.spark.sql.types.DoubleType
+          case Some(_: Boolean) => org.apache.spark.sql.types.BooleanType
+          case _ => org.apache.spark.sql.types.StringType
+        }
+        org.apache.spark.sql.types.StructField(name, dt, nullable = true)
+      }
+    val norm = rows.map { r =>
+      Row.fromSeq(r.toSeq.zipWithIndex.map {
+        case (v: Int, i) if i > 0 => v.toLong
+        case (v: Float, i) if i > 0 => v.toDouble
+        case (v, _) => v
+      })
+    }
+    val ds = spark.createDataFrame(
+      spark.sparkContext.parallelize(norm, math.max(1, numPartitions)),
+      org.apache.spark.sql.types.StructType(fields))
+    new GDF(ds, Some(IndexMeta(Seq("idx"), sorted = numPartitions <= 1)))
+  }
 }

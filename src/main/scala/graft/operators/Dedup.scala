@@ -174,6 +174,99 @@ object Dedup {
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), fingerprintUdf(col(textCol)).as("fingerprint"))
 
+  /** Connected components over an undirected pair graph — the step that
+    * turns near-duplicate PAIRS into dedup DECISIONS (one keeper per
+    * transitive duplicate cluster).
+    *
+    * Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"): every iteration is a
+    * groupBy + join over the edge set, converging in O(log n) rounds
+    * regardless of component diameter — unlike naive label propagation,
+    * whose round count is the graph diameter (fatal when a boilerplate
+    * chain links millions of docs).  No driver-side state: the only
+    * per-round action is a single-row convergence probe (edge-set
+    * checksum), and each round's shuffle is proportional to the current
+    * edge count, which contracts monotonically toward one edge per
+    * non-root node.
+    *
+    * Returns (node, component) for every node appearing in `edges`, where
+    * component = smallest node id reachable (the canonical keeper id).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    // canonical undirected edge (small, large); drop self-loops
+    var e = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+    // large-star: every node links its LARGER neighbors to the smallest
+    // node in its closed neighborhood; small-star then does the same for
+    // smaller-or-equal neighbors.  Alternating the two contracts every
+    // component to a star rooted at its minimum.
+    def largeStar(ed: DataFrame): DataFrame = {
+      // both union children re-alias every column: a union of a plan with a
+      // swapped projection of ITSELF shares attribute ids across children,
+      // which trips Catalyst's union constraint rewrite
+      val nbrs = ed.select(col("u").as("u"), col("v").as("v"))
+        .unionByName(ed.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("__m"))
+      nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(least(col("v"), col("__m")).as("u"),
+          greatest(col("v"), col("__m")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(ed: DataFrame): DataFrame = {
+      // each edge processed at its larger endpoint: u = large, v = small
+      val dir = ed.select(col("v").as("n"), col("u").as("s"))
+      val mins = dir.groupBy("n").agg(min(col("s")).as("__m"))
+      val relink = dir.join(mins, "n")
+        .select(least(col("s"), col("__m")).as("u"),
+          greatest(col("s"), col("__m")).as("v"))
+      val self = mins.select(col("__m").as("u"), col("n").as("v"))
+      relink.unionByName(self)
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var converged = false
+    var iter = 0
+    var prevSig: (Long, Long) = (-1L, -1L)
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // order-independent edge-set signature; xor-fold cannot overflow
+      val row = next.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      val sig = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+      converged = sig == prevSig
+      prevSig = sig
+      e = next
+      iter += 1
+    }
+    // star edges (root, member) + roots themselves
+    e.select(col("v").as("node"), col("u").as("component"))
+      .unionByName(e.select(col("u").as("node"), col("u").as("component")))
+      .groupBy("node").agg(min(col("component")).as("component"))
+  }
+
+  /** End-to-end dedup decision: cluster near-duplicate pairs (transitive
+    * closure) and keep the smallest id per cluster.  Docs in no pair keep
+    * themselves.  Output: (idCol, component, keep).
+    */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
+                    aCol: String, bCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .select(col("node").as(idCol), col("component"))
+    docs.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"))
+      .withColumn("keep", col(idCol) === col("component"))
+  }
+
   /** Exact word n-gram Jaccard near-duplicate pairs.  Three structural
     * guarantees keep the pair space far below O(n²) while the OUTPUT stays
     * exact:

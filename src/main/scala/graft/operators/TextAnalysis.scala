@@ -89,4 +89,67 @@ object TextAnalysis {
       .withColumn("re_tokens",
         size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long"))
   }
+
+  /** Top-k TF-IDF terms per document.
+    *
+    * tf = term count within the doc; df = number of docs containing the
+    * term; idf = ln((N + 1) / (df + 1)) + 1 (smoothed, sklearn-style).
+    *
+    * Shape at scale: one explode → two hash aggregations (per-doc tf and
+    * corpus df) → broadcast-joined doc count → per-doc top-k window.  The
+    * df aggregate is partial→final (map-side combine), so the shuffle
+    * carries one row per distinct (doc, term) / term — never the raw token
+    * stream.  The top-k window partitions by doc id (parallel, no global
+    * sort).
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= lit("")))
+        .as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // N as a broadcast 1-row frame: no separate driver action
+    val n = docs.agg(countDistinct(col(idCol)).as("__n"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * (log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf"),
+        round(col("tfidf"), 6).as("tfidf"), col("rk"))
+  }
+
+  /** PII / boilerplate scrubbing: replace emails, URLs and long digit runs
+    * with typed placeholder tokens, collapse the resulting whitespace, and
+    * report per-category hit counts.  Pure `regexp_replace`/`regexp_count`
+    * — fuses into the scan, no UDF.  Patterns avoid lookaround and
+    * backreferences so they mean the same thing in Java regex and RE2
+    * (portable to an external oracle).
+    */
+  val emailRe  = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val urlRe    = "https?://[^ \\t\\n]+"
+  val digitsRe = "[0-9][0-9][0-9][0-9][0-9]+"
+
+  def scrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      regexp_count(t, lit(emailRe)).as("n_emails"),
+      regexp_count(t, lit(urlRe)).as("n_urls"),
+      // count digit runs AFTER the email/url passes so an id inside a URL
+      // is not double-counted
+      regexp_count(
+        regexp_replace(regexp_replace(t, emailRe, "<EMAIL>"), urlRe, "<URL>"),
+        lit(digitsRe)).as("n_numbers"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, emailRe, "<EMAIL>"),
+            urlRe, "<URL>"),
+          digitsRe, "<NUM>"),
+        "[ \\t]+", " ").as("scrubbed"))
+  }
 }

@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class UfuncsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def eval1(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                    xs: Seq[Double]): Seq[Double] =
+    xs.toDF("x").select(f(col("x")).cast("double").as("y"))
+      .collect().map(_.getDouble(0)).toSeq
+
+  test("composed ufuncs match scala.math reference values") {
+    val xs = Seq(-2.5, -1.0, -0.0, 0.0, 0.5, 3.25)
+    val sinc = eval1(Ufuncs.sinc, xs)
+    xs.zip(sinc).foreach { case (x, got) =>
+      val exp = if (x == 0) 1.0 else math.sin(math.Pi * x) / (math.Pi * x)
+      assert(math.abs(got - exp) < 1e-12, s"sinc($x)")
+    }
+    val trunc = eval1(Ufuncs.trunc, xs)
+    assert(trunc == Seq(-2.0, -1.0, 0.0, 0.0, 0.0, 3.0))
+    val sgnbit = xs.toDF("x").select(Ufuncs.signbit(col("x")).as("y"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(sgnbit == Seq(true, true, false, false, false, false))
+  }
+
+  test("logaddexp is stable for far-apart operands") {
+    val got = Seq((800.0, 1.0)).toDF("a", "b")
+      .select(Ufuncs.logaddexp(col("a"), col("b")).as("y"))
+      .head().getDouble(0)
+    // naive ln(e^800 + e^1) overflows; stable form returns ~800
+    assert(math.abs(got - 800.0) < 1e-9)
+    val close = Seq((1.0, 1.0)).toDF("a", "b")
+      .select(Ufuncs.logaddexp(col("a"), col("b")).as("y"))
+      .head().getDouble(0)
+    assert(math.abs(close - (1.0 + math.log(2.0))) < 1e-12)
+  }
+
+  test("copysign / fmod / mod follow numpy conventions") {
+    val rows = Seq((5.0, -0.1), (5.0, 0.1), (-7.5, 2.0))
+    val df = rows.toDF("a", "b")
+    val cs = df.select(Ufuncs.copysign(col("a"), col("b")).as("y"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(cs == Seq(-5.0, 5.0, 7.5))
+    // fmod: sign of dividend; mod: sign of divisor
+    val fm = Seq((-7.0, 3.0)).toDF("a", "b")
+      .select(Ufuncs.fmod(col("a"), col("b")).as("f"),
+        Ufuncs.mod(col("a"), col("b")).as("m")).head()
+    assert(fm.getDouble(0) == -1.0 && fm.getDouble(1) == 2.0)
+  }
+
+  test("heaviside and isfinite/isinf") {
+    val hv = Seq(-3.0, 0.0, 2.0).toDF("x")
+      .select(Ufuncs.heaviside(col("x"), lit(0.5)).as("y"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(hv == Seq(0.0, 0.5, 1.0))
+    val xs = Seq(1.0, Double.PositiveInfinity, Double.NegativeInfinity, Double.NaN)
+    val fin = xs.toDF("x").select(Ufuncs.isfinite(col("x")).as("y"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(fin == Seq(true, false, false, false))
+    val inf = xs.toDF("x").select(Ufuncs.isinf(col("x")).as("y"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(inf == Seq(false, true, true, false))
+  }
+}
