@@ -1189,29 +1189,34 @@ object SparkEntry {
       import graft.functions.{Ufuncs => U}
       val a = col("l_quantity"); val b = col("l_discount")
       val c = col("l_extendedprice"); val d = col("l_tax") - 0.04
+      // half-up 6-decimal rounding in pure double arithmetic: Spark's
+      // round() allocates a BigDecimal PER VALUE on doubles (18 cols ×
+      // rows of them dominated this query's runtime); floor-based rounding
+      // stays inside codegen and is bit-identical in DuckDB
+      def r6(x: Column): Column = floor(x * 1e6 + 0.5) / 1e6
       t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        round(U.sin(a), 6).as("sin_a"),
-        round(U.arctan2(a, b + 1.0), 6).as("atan2_ab"),
-        round(U.log1p(c), 6).as("log1p_c"),
-        round(U.expm1(b), 6).as("expm1_b"),
-        round(U.log2(c), 6).as("log2_c"),
-        round(U.cbrt(c), 6).as("cbrt_c"),
-        round(U.deg2rad(a), 6).as("rad_a"),
-        round(U.rad2deg(b), 6).as("deg_b"),
-        round(U.hypot(a, b * 10.0), 6).as("hyp"),
-        round(U.logaddexp(a / 10.0, b), 6).as("lae"),
+        r6(U.sin(a)).as("sin_a"),
+        r6(U.arctan2(a, b + 1.0)).as("atan2_ab"),
+        r6(U.log1p(c)).as("log1p_c"),
+        r6(U.expm1(b)).as("expm1_b"),
+        r6(U.log2(c)).as("log2_c"),
+        r6(U.cbrt(c)).as("cbrt_c"),
+        r6(U.deg2rad(a)).as("rad_a"),
+        r6(U.rad2deg(b)).as("deg_b"),
+        r6(U.hypot(a, b * 10.0)).as("hyp"),
+        r6(U.logaddexp(a / 10.0, b)).as("lae"),
         U.sign(d).as("sgn"),
-        round(U.copysign(a, d), 6).as("csign"),
+        r6(U.copysign(a, d)).as("csign"),
         // integer-cent operand: DuckDB's fmod is a - trunc(a/b)·b, which
         // differs from C fmod by 1 ulp when a ≈ k·b; on integer-valued
         // doubles both forms are exact and identical
-        round(U.fmod(round(c * 100), lit(7.0)), 6).as("fm"),
-        round(U.mod(d * 100.0, lit(7.0)), 6).as("pm"),
+        r6(U.fmod(floor(c * 100 + 0.5), lit(7.0))).as("fm"),
+        r6(U.mod(d * 100.0, lit(7.0))).as("pm"),
         U.trunc(d * 10.0).as("tr"),
-        round(U.square(b), 6).as("sq"),
-        round(U.reciprocal(b + 1.0), 6).as("recip"),
-        round(U.sinc(b), 6).as("sinc_b"),
+        r6(U.square(b)).as("sq"),
+        r6(U.reciprocal(b + 1.0)).as("recip"),
+        r6(U.sinc(b)).as("sinc_b"),
         U.heaviside(d, lit(0.5)).as("hv"))
     },
     // ---- §2.11 random distribution suite (portable hash-derived) --------
@@ -2396,29 +2401,30 @@ object SparkEntry {
         |    '[ \t]+', ' ', 'g') AS scrubbed
         |FROM documents""".stripMargin,
     "q123_ufuncs" ->
-      """SELECT l_orderkey, l_linenumber,
-        |  round(sin(l_quantity), 6) AS sin_a,
-        |  round(atan2(l_quantity, l_discount + 1.0), 6) AS atan2_ab,
-        |  round(ln(1 + l_extendedprice), 6) AS log1p_c,
-        |  round(exp(l_discount) - 1, 6) AS expm1_b,
-        |  round(log2(l_extendedprice), 6) AS log2_c,
-        |  round(cbrt(l_extendedprice), 6) AS cbrt_c,
-        |  round(radians(l_quantity), 6) AS rad_a,
-        |  round(degrees(l_discount), 6) AS deg_b,
-        |  round(sqrt(l_quantity * l_quantity + (l_discount * 10) * (l_discount * 10)), 6) AS hyp,
-        |  round(greatest(l_quantity / 10.0, l_discount) +
-        |        ln(1 + exp(-abs(l_quantity / 10.0 - l_discount))), 6) AS lae,
+      """CREATE OR REPLACE TEMP MACRO r6(x) AS floor(x * 1e6 + 0.5) / 1e6;
+        |SELECT l_orderkey, l_linenumber,
+        |  r6(sin(l_quantity)) AS sin_a,
+        |  r6(atan2(l_quantity, l_discount + 1.0)) AS atan2_ab,
+        |  r6(ln(1 + l_extendedprice)) AS log1p_c,
+        |  r6(exp(l_discount) - 1) AS expm1_b,
+        |  r6(log2(l_extendedprice)) AS log2_c,
+        |  r6(cbrt(l_extendedprice)) AS cbrt_c,
+        |  r6(radians(l_quantity)) AS rad_a,
+        |  r6(degrees(l_discount)) AS deg_b,
+        |  r6(sqrt(l_quantity * l_quantity + (l_discount * 10) * (l_discount * 10))) AS hyp,
+        |  r6(greatest(l_quantity / 10.0, l_discount) +
+        |     ln(1 + exp(-abs(l_quantity / 10.0 - l_discount)))) AS lae,
         |  sign(l_tax - 0.04) AS sgn,
-        |  round(CASE WHEN l_tax - 0.04 < 0 THEN -abs(l_quantity)
-        |             ELSE abs(l_quantity) END, 6) AS csign,
-        |  round(fmod(round(l_extendedprice * 100), 7.0), 6) AS fm,
-        |  round(fmod(fmod((l_tax - 0.04) * 100.0, 7.0) + 7.0, 7.0), 6) AS pm,
+        |  r6(CASE WHEN l_tax - 0.04 < 0 THEN -abs(l_quantity)
+        |          ELSE abs(l_quantity) END) AS csign,
+        |  r6(fmod(floor(l_extendedprice * 100 + 0.5), 7.0)) AS fm,
+        |  r6(fmod(fmod((l_tax - 0.04) * 100.0, 7.0) + 7.0, 7.0)) AS pm,
         |  trunc((l_tax - 0.04) * 10.0) AS tr,
-        |  round(l_discount * l_discount, 6) AS sq,
-        |  round(1.0 / (l_discount + 1.0), 6) AS recip,
-        |  round(CASE WHEN l_discount = 0 THEN 1.0
-        |             ELSE sin(3.141592653589793 * l_discount) /
-        |                  (3.141592653589793 * l_discount) END, 6) AS sinc_b,
+        |  r6(l_discount * l_discount) AS sq,
+        |  r6(1.0 / (l_discount + 1.0)) AS recip,
+        |  r6(CASE WHEN l_discount = 0 THEN 1.0
+        |          ELSE sin(3.141592653589793 * l_discount) /
+        |               (3.141592653589793 * l_discount) END) AS sinc_b,
         |  CASE WHEN l_tax - 0.04 < 0 THEN 0.0
         |       WHEN l_tax - 0.04 > 0 THEN 1.0 ELSE 0.5 END AS hv
         |FROM lineitem""".stripMargin,

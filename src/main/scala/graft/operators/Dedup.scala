@@ -213,12 +213,13 @@ object Dedup {
         .unionByName(ed.select(col("v").as("u"), col("u").as("v")))
       val mins = nbrs.groupBy("u").agg(min(col("v")).as("__mn"))
         .select(col("u"), least(col("u"), col("__mn")).as("__m"))
+      // no distinct here: duplicates are tolerated through smallStar, whose
+      // round-final distinct dedups once — saves one shuffle per round
       nbrs.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(least(col("v"), col("__m")).as("u"),
           greatest(col("v"), col("__m")).as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
     }
     def smallStar(ed: DataFrame): DataFrame = {
       // each edge processed at its larger endpoint: u = large, v = small
