@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in ONE JVM: executor shuffle/join
+  // memory, broadcast relations and driver state all share this heap.
+  // The box has 128 GiB; 8g was tight for the 10x scale suite.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 124 queries × WholeStageCodegen classes overflow the default 240 MB
+  // code cache mid-suite, silently disabling the JIT — later queries ran
+  // 10-70x slower in-suite than standalone until this was raised.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -15,6 +15,9 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      // drop cross-query state (cached plans/broadcasts) so a long suite
+      // measures the queries, not accumulated JVM pressure
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
