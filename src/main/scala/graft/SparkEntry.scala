@@ -1243,6 +1243,11 @@ object SparkEntry {
         .cumsum("cents", "running")
         .select("event_id", "running")
         .df
+    },
+    // ---- ext: distributed Lloyd's k-means (IVF codebook training) -------
+    "q126_kmeans" -> { (s, dir) =>
+      graft.operators.Similarity.kmeans(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, iters = 2)
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -2455,5 +2460,52 @@ object SparkEntry {
       """SELECT event_id, CAST(sum(cents) OVER (
         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running
         |FROM (SELECT event_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
-        |      FROM events)""".stripMargin)
+        |      FROM events)""".stripMargin,
+    // full Lloyd replica: same init (k lowest ids), same index-ordered
+    // squared-L2 accumulation, same 1e-6 half-up centroid rounding —
+    // 2 iterations unrolled
+    "q126_kmeans" ->
+      """CREATE OR REPLACE TEMP MACRO r6m(x) AS floor(x * 1e6 + 0.5) / 1e6;
+        |WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |         v AS cv
+        |       FROM (SELECT * FROM corp ORDER BY vec_id LIMIT 4)),
+        |a1 AS (SELECT vec_id, v, cell FROM (
+        |        SELECT vec_id, v, cell, row_number() OVER (
+        |          PARTITION BY vec_id ORDER BY d, cell) AS rk
+        |        FROM (SELECT corp.vec_id, corp.v, c0.cell,
+        |          list_sum(list_transform(range(1, len(corp.v) + 1),
+        |            i -> (corp.v[i] - c0.cv[i]) * (corp.v[i] - c0.cv[i]))) AS d
+        |          FROM corp, c0)) WHERE rk = 1),
+        |u1 AS (SELECT cell, list(m ORDER BY dim) AS uv FROM (
+        |        SELECT cell, dim, r6m(avg(x)) AS m FROM (
+        |          SELECT cell, unnest(range(1, len(v) + 1)) AS dim,
+        |                 unnest(v) AS x FROM a1)
+        |        GROUP BY cell, dim) GROUP BY cell),
+        |c1 AS (SELECT c0.cell, coalesce(u1.uv, c0.cv) AS cv
+        |       FROM c0 LEFT JOIN u1 USING (cell)),
+        |a2 AS (SELECT vec_id, v, cell FROM (
+        |        SELECT vec_id, v, cell, row_number() OVER (
+        |          PARTITION BY vec_id ORDER BY d, cell) AS rk
+        |        FROM (SELECT corp.vec_id, corp.v, c1.cell,
+        |          list_sum(list_transform(range(1, len(corp.v) + 1),
+        |            i -> (corp.v[i] - c1.cv[i]) * (corp.v[i] - c1.cv[i]))) AS d
+        |          FROM corp, c1)) WHERE rk = 1),
+        |u2 AS (SELECT cell, list(m ORDER BY dim) AS uv FROM (
+        |        SELECT cell, dim, r6m(avg(x)) AS m FROM (
+        |          SELECT cell, unnest(range(1, len(v) + 1)) AS dim,
+        |                 unnest(v) AS x FROM a2)
+        |        GROUP BY cell, dim) GROUP BY cell),
+        |c2 AS (SELECT c1.cell, coalesce(u2.uv, c1.cv) AS cv
+        |       FROM c1 LEFT JOIN u2 USING (cell)),
+        |af AS (SELECT vec_id, cell FROM (
+        |        SELECT vec_id, cell, row_number() OVER (
+        |          PARTITION BY vec_id ORDER BY d, cell) AS rk
+        |        FROM (SELECT corp.vec_id, c2.cell,
+        |          list_sum(list_transform(range(1, len(corp.v) + 1),
+        |            i -> (corp.v[i] - c2.cv[i]) * (corp.v[i] - c2.cv[i]))) AS d
+        |          FROM corp, c2)) WHERE rk = 1)
+        |SELECT c2.cell, coalesce(cnt.n, 0) AS n, cv[1] AS c0, cv[2] AS c1
+        |FROM c2 LEFT JOIN (SELECT cell, count(*) AS n FROM af GROUP BY cell) cnt
+        |  USING (cell)""".stripMargin)
 }

@@ -233,6 +233,83 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk").cast("int").as("rk"))
   }
 
+  /** Distributed Lloyd's k-means over an embedding column — trains the
+    * coarse codebook [[ivfTopK]] consumes (reference concept: IVF coarse
+    * quantizer training; dask analog would be `da.linalg`-style iterated
+    * blockwise reductions).
+    *
+    * Scale shape: per iteration, ONE narrow assignment pass (centroids
+    * ride in a broadcast, k·dim doubles) and one partial→final aggregate
+    * over (cell, dim) — k·dim rows cross the shuffle, never the corpus.
+    * The only driver traffic per iteration is the k·dim updated centroid
+    * matrix, which is driver-sized by the same contract as the IVF
+    * codebook (k ≈ √corpus).
+    *
+    * Determinism contract (what makes this oracle-checkable): init = the
+    * k lowest-id vectors, cells numbered in that id order; assignment by
+    * squared L2 with ties to the smallest cell; updated centroid
+    * components are rounded half-up to 1e-6 so distributed summation
+    * order cannot leak into the next iteration's assignments.
+    *
+    * Returns one row per cell: (cell, n, c0, c1) — member count and the
+    * first two centroid components (enough to pin the whole fit, since
+    * any divergence propagates through the final assignment counts).
+    */
+  def kmeans(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+             iters: Int = 2, maxCodebook: Int = 65536): DataFrame = {
+    require(k >= 1 && k <= maxCodebook, s"k must be in [1, $maxCodebook]")
+    val spark = corpus.sparkSession
+    val init = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol).cast("long")).limit(k).collect()
+    require(init.length == k, s"corpus has fewer than k=$k vectors")
+    var cents: Array[Array[Double]] =
+      init.map(_.getSeq[Float](1).iterator.map(_.toDouble).toArray)
+
+    def assigner(c: Array[Array[Double]]) = {
+      val bc = spark.sparkContext.broadcast(c)
+      udf((v: Seq[Float]) => {
+        val cs = bc.value
+        var best = 0; var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < cs.length) {
+          val ce = cs(ci); var d = 0.0; var i = 0
+          while (i < ce.length) { val t = v(i) - ce(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = ci } // strict < keeps smallest cell on ties
+          ci += 1
+        }
+        best
+      })
+    }
+
+    for (_ <- 1 to iters) {
+      val assigned = corpus.select(assigner(cents)(col(vecCol)).as("cell"),
+        col(vecCol).as("__v"))
+      val updated = assigned
+        .select(col("cell"), posexplode(col("__v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cells keep their centroid
+      updated.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = math.floor(r.getDouble(2) * 1e6 + 0.5) / 1e6
+      }
+      cents = next
+    }
+
+    val centFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+        org.apache.spark.sql.Row(i, c(0), c(1))
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType, false),
+        org.apache.spark.sql.types.StructField("c0", org.apache.spark.sql.types.DoubleType, false),
+        org.apache.spark.sql.types.StructField("c1", org.apache.spark.sql.types.DoubleType, false))))
+    corpus.select(assigner(cents)(col(vecCol)).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .join(broadcast(centFrame), Seq("cell"), "right")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n"), col("c0"), col("c1"))
+  }
+
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 8): DataFrame = {
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),

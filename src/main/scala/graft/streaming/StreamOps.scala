@@ -53,6 +53,21 @@ object StreamOps {
         })
   }
 
+  /** Streaming exact dedup — the ingestion twin of
+    * [[graft.operators.Dedup.exact]]: drop records whose key was already
+    * seen, with state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`: a duplicate arriving within the
+    * watermark delay of the first occurrence is dropped; state for keys
+    * older than the watermark is evicted, so the operator runs forever on
+    * a firehose without unbounded key state).  `keyCols` is typically a
+    * content hash (e.g. `md5(text)`) computed upstream.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+                  keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** File-sink pipeline starter: parquet-in → transform → parquet-out with
     * checkpointing (exactly-once file sink).
     */

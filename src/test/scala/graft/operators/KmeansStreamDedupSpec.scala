@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class KmeansStreamDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecRow(id: Long, v: Array[Float]) = (id, v)
+
+  test("kmeans separates two obvious clusters") {
+    // cluster A around (0,0), cluster B around (10,10); ids interleaved so
+    // the k=2 init (ids 0 and 1) starts with one seed in each cluster
+    val rows = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      vecRow(i, Array(base + (i % 5) * 0.1f, base - (i % 3) * 0.1f))
+    }
+    val df = spark.createDataset(rows).toDF("vec_id", "embedding").repartition(4)
+    val out = Similarity.kmeans(df, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0)._1 == 20L && out(1)._1 == 20L)
+    assert(math.abs(out(0)._2 - 0.2) < 0.5)   // near cluster A mean
+    assert(math.abs(out(1)._2 - 10.2) < 0.5)  // near cluster B mean
+  }
+
+  test("kmeans result is partition-layout independent") {
+    val rows = (0L until 60L).map(i => vecRow(i, Array((i % 7).toFloat, (i % 11).toFloat)))
+    def run(parts: Int) = {
+      val df = spark.createDataset(rows).toDF("vec_id", "embedding").repartition(parts)
+      Similarity.kmeans(df, "vec_id", "embedding", k = 3, iters = 2)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    }
+    assert(run(1) == run(13))
+  }
+
+  test("kmeans rejects k larger than the corpus") {
+    val df = Seq(vecRow(1L, Array(1f, 2f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](
+      Similarity.kmeans(df, "vec_id", "embedding", k = 5, iters = 1))
+  }
+
+  test("dedupStream drops duplicate keys within the watermark") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "key", "value")
+    val out = StreamOps.dedupStream(df, "ts", "10 minutes", Seq("key"))
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    mem.addData((t(0), "a", 1.0), (t(1), "a", 2.0), (t(1), "b", 3.0))
+    q.processAllAvailable()
+    mem.addData((t(2), "a", 4.0), (t(3), "c", 5.0)) // 'a' still within watermark
+    q.processAllAvailable()
+    val got = spark.table("dedup_stream").select("key", "value")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    q.stop()
+    // one row per key, the first occurrence's value
+    assert(got == Map("a" -> 1.0, "b" -> 3.0, "c" -> 5.0))
+  }
+}
