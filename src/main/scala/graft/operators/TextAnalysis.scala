@@ -95,22 +95,27 @@ object TextAnalysis {
     * tf = term count within the doc; df = number of docs containing the
     * term; idf = ln((N + 1) / (df + 1)) + 1 (smoothed, sklearn-style).
     *
-    * Shape at scale: one explode → two hash aggregations (per-doc tf and
-    * corpus df) → broadcast-joined doc count → per-doc top-k window.  The
-    * df aggregate is partial→final (map-side combine), so the shuffle
-    * carries one row per distinct (doc, term) / term — never the raw token
-    * stream.  The top-k window partitions by doc id (parallel, no global
-    * sort).
+    * Shape at scale: the token stream is exploded and aggregated ONCE
+    * (partial→final, map-side combined, so the shuffle carries distinct
+    * (doc, term) rows, never raw tokens); document frequency is a count
+    * window over that same tf frame partitioned by term — a lazy engine
+    * cannot share subplans across a self-join, so the window form avoids
+    * re-scanning and re-exploding the corpus for df.  The doc count N is
+    * a broadcast 1-row aggregate over the id column only (column-pruned
+    * scan).  Final top-k is a per-doc window; Spark inserts
+    * WindowGroupLimit, so each partition pre-filters to its local top-k
+    * BEFORE the exchange.
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= lit("")))
         .as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val df = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("term")))
     // N as a broadcast 1-row frame: no separate driver action
     val n = docs.agg(countDistinct(col(idCol)).as("__n"))
-    val scored = tf.join(df, "term")
+    val scored = tf.withColumn("df", df)
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         col("tf") * (log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0))

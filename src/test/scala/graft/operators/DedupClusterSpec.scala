@@ -58,6 +58,18 @@ class DedupClusterSpec extends SparkTestBase {
     check(Seq((0L, 5L), (0L, 6L), (0L, 7L)))
   }
 
+  test("empty edge set: every doc keeps itself") {
+    val docs = Seq(7L, 8L).toDF("doc_id")
+    val pairs = spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(docs, pairs, "doc_id", "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((7L, 7L, true), (8L, 8L, true)))
+  }
+
+  test("connectedComponents on a single edge") {
+    check(Seq((5L, 3L)))
+  }
+
   test("dedupClusters keeps the smallest id per cluster, singletons keep themselves") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
     val pairs = Seq((2L, 3L), (3L, 4L)).toDF("id_a", "id_b")

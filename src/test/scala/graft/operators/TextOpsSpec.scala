@@ -47,6 +47,19 @@ class TextOpsSpec extends SparkTestBase {
     assert(out(3L).getString(4) == "two mails <EMAIL> <EMAIL> and <NUM> <NUM>")
   }
 
+  test("tfidf on empty and null texts yields no rows for them") {
+    val docs = Seq((1L, "real content here"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tfidf(docs, "doc_id", "text", k = 5)
+    assert(out.select("doc_id").distinct().collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("scrub passes null text through as null") {
+    val docs = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = TextAnalysis.scrub(docs, "doc_id", "text").head()
+    assert(r.isNullAt(1) && r.isNullAt(4))
+  }
+
   test("scrub does not double-count digits inside urls") {
     val docs = Seq((1L, "see https://x.io/p/1234567890 now")).toDF("doc_id", "text")
     val r = TextAnalysis.scrub(docs, "doc_id", "text").head()
