@@ -104,4 +104,30 @@ object Ufuncs {
     when(c === 0, lit(1.0)).otherwise(org.apache.spark.sql.functions.sin(px) / px)
   }
   def clip(c: Column, lo: Column, hi: Column): Column = least(greatest(c, lo), hi)
+  /** logistic sigmoid 1/(1+e⁻ˣ) (scipy.special.expit, numpy ufunc set). */
+  def expit(c: Column): Column = lit(1.0) / (lit(1.0) + exp(-c))
+  /** log-odds ln(x/(1-x)) (scipy.special.logit). */
+  def logit(c: Column): Column = log(c / (lit(1.0) - c))
+  /** fractional and integral parts (numpy modf), both with x's sign. */
+  def modf(c: Column): Column = struct((c - trunc(c)).as("frac"), trunc(c).as("int"))
+
+  // integer number theory (numpy gcd/lcm) — Euclid's loop needs real
+  // iteration, so these are the module's only UDFs; still one jitted
+  // closure per batch, no Python round trip
+  private def gcdL(a0: Long, b0: Long): Long = {
+    var a = math.abs(a0); var b = math.abs(b0)
+    while (b != 0) { val t = a % b; a = b; b = t }
+    a
+  }
+  private val gcdUdf = udf((a: Long, b: Long) => gcdL(a, b))
+  private val lcmUdf = udf((a: Long, b: Long) =>
+    if (a == 0 || b == 0) 0L else math.abs(a / gcdL(a, b) * b))
+  def gcd(a: Column, b: Column): Column = gcdUdf(a.cast("long"), b.cast("long"))
+  def lcm(a: Column, b: Column): Column = lcmUdf(a.cast("long"), b.cast("long"))
+
+  // float representation helpers (numpy nextafter/spacing)
+  private val nextafterUdf = udf((a: Double, b: Double) => Math.nextAfter(a, b))
+  private val spacingUdf = udf((a: Double) => Math.ulp(a))
+  def nextafter(a: Column, b: Column): Column = nextafterUdf(a, b)
+  def spacing(c: Column): Column = spacingUdf(c)
 }

@@ -92,4 +92,33 @@ object Multimodal {
         least(col("meta.width"), lit(maxDim)).as("width"),
         least(col("meta.height"), lit(maxDim)).as("height"),
         col("meta.format").as("format")))
+
+  /** Video-style frame sampling: one payload row → `nFrames` frame rows,
+    * each with its own stub-decoded feature vector (the frame index is
+    * mixed into the decode so frames differ deterministically).  This is
+    * the row-explosion plumbing a real frame sampler needs — partition
+    * sizing must account for the ×nFrames fan-out, which is why the
+    * explode happens AFTER any payload-level filtering.
+    */
+  def frameSample(media: DataFrame, nFrames: Int, featureDim: Int = 8): DataFrame = {
+    require(nFrames >= 1, s"nFrames must be >= 1, got $nFrames")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("features", ArrayType(FloatType))))
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payIdx)
+        if (payload == null) Iterator.empty
+        else (0 until nFrames).iterator.map { f =>
+          // frame tag prepended so each sampled frame decodes differently
+          val tagged = Array[Byte](f.toByte) ++ payload
+          Row(r.getLong(idIdx), f, decodeStub(tagged, featureDim).toSeq)
+        }
+      }
+    }
+    media.sparkSession.createDataFrame(rdd, outSchema)
+  }
 }

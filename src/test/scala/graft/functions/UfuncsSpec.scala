@@ -50,6 +50,28 @@ class UfuncsSpec extends SparkTestBase {
     assert(fm.getDouble(0) == -1.0 && fm.getDouble(1) == 2.0)
   }
 
+  test("gcd/lcm/expit/logit/modf/nextafter/spacing") {
+    val r = Seq((54L, 24L)).toDF("a", "b")
+      .select(Ufuncs.gcd(col("a"), col("b")).as("g"),
+        Ufuncs.lcm(col("a"), col("b")).as("l")).head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 216L)
+    val z = Seq((0L, 5L)).toDF("a", "b")
+      .select(Ufuncs.gcd(col("a"), col("b")), Ufuncs.lcm(col("a"), col("b"))).head()
+    assert(z.getLong(0) == 5L && z.getLong(1) == 0L)
+    val e = Seq(0.0).toDF("x").select(Ufuncs.expit(col("x"))).head().getDouble(0)
+    assert(e == 0.5)
+    val lg = Seq(0.5).toDF("x").select(Ufuncs.logit(col("x"))).head().getDouble(0)
+    assert(math.abs(lg) < 1e-12)
+    val mf = Seq(-2.75).toDF("x").select(Ufuncs.modf(col("x")).as("m")).head()
+      .getStruct(0)
+    assert(mf.getDouble(0) == -0.75 && mf.getDouble(1) == -2.0)
+    val na = Seq((1.0, 2.0)).toDF("a", "b")
+      .select(Ufuncs.nextafter(col("a"), col("b"))).head().getDouble(0)
+    assert(na == Math.nextAfter(1.0, 2.0) && na > 1.0)
+    val sp = Seq(1.0).toDF("x").select(Ufuncs.spacing(col("x"))).head().getDouble(0)
+    assert(sp == Math.ulp(1.0))
+  }
+
   test("heaviside and isfinite/isinf") {
     val hv = Seq(-3.0, 0.0, 2.0).toDF("x")
       .select(Ufuncs.heaviside(col("x"), lit(0.5)).as("y"))

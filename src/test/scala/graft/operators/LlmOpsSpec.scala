@@ -211,4 +211,20 @@ class LlmOpsSpec extends SparkTestBase {
     val doc1len = docs.filter($"doc_id" === 1).head().getString(1).length
     assert(feats.find(_.getLong(0) == 1L).get.getAs[Long]("byte_len") == doc1len)
   }
+
+  test("frameSample explodes each payload into n distinct deterministic frames") {
+    val media = Multimodal.fromDocuments(docs, "doc_id", "text")
+    val nDocs = media.filter($"payload".isNotNull).count()
+    val frames = Multimodal.frameSample(media, nFrames = 3, featureDim = 4)
+    assert(frames.count() == nDocs * 3)
+    val doc1 = frames.filter($"media_id" === 1L).collect()
+      .map(r => r.getInt(1) -> r.getSeq[Float](2)).toMap
+    assert(doc1.keySet == Set(0, 1, 2))
+    assert(doc1(0) != doc1(1)) // frame index perturbs the decode
+    // determinism: re-running yields identical features
+    val again = Multimodal.frameSample(media, nFrames = 3, featureDim = 4)
+      .filter($"media_id" === 1L).collect()
+      .map(r => r.getInt(1) -> r.getSeq[Float](2)).toMap
+    assert(again == doc1)
+  }
 }
