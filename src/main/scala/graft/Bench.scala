@@ -15,10 +15,12 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      val elapsed = (System.nanoTime() - t0) / 1e9
       // drop cross-query state (cached plans/broadcasts) so a long suite
-      // measures the queries, not accumulated JVM pressure
+      // measures the queries, not accumulated JVM pressure — outside the
+      // timed section so the cleanup isn't attributed to the query
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -672,7 +672,9 @@ object GDF {
     val indexed = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }
     val ds = spark.createDataset(indexed)(enc).toDF("idx", name)
     val d = if (numPartitions > 0) ds.repartitionByRange(numPartitions, col("idx")).sortWithinPartitions("idx") else ds
-    new GDF(d, Some(IndexMeta(Seq("idx"), sorted = numPartitions <= 1)))
+    // sorted either way: a local Seq is sliced into partitions in order,
+    // and the explicit-numPartitions path range-partitions + sorts
+    new GDF(d, Some(IndexMeta(Seq("idx"), sorted = true)))
   }
 
   /** dask `from_dict` (`_collection.py:5035`): column-name → values map.
@@ -680,33 +682,45 @@ object GDF {
     */
   def fromDict(spark: SparkSession, columns: Seq[(String, Seq[Any])],
                numPartitions: Int = 0): GDF = {
+    import org.apache.spark.sql.types._
     require(columns.nonEmpty, "from_dict requires at least one column")
     val n = columns.head._2.length
     require(columns.forall(_._2.length == n), "all columns must have the same length")
-    val rows = (0 until n).map { i =>
-      Row.fromSeq(i.toLong +: columns.map(_._2(i)))
-    }
-    val fields = org.apache.spark.sql.types.StructField("idx",
-        org.apache.spark.sql.types.LongType, nullable = false) +:
-      columns.map { case (name, vs) =>
-        val dt = vs.find(_ != null) match {
-          case Some(_: Int) | Some(_: Long) => org.apache.spark.sql.types.LongType
-          case Some(_: Double) | Some(_: Float) => org.apache.spark.sql.types.DoubleType
-          case Some(_: Boolean) => org.apache.spark.sql.types.BooleanType
-          case _ => org.apache.spark.sql.types.StringType
-        }
-        org.apache.spark.sql.types.StructField(name, dt, nullable = true)
+    // numeric columns promote like numpy: any float value → double column;
+    // mixed numeric/non-numeric is rejected up front with a clear error
+    // (the lazy alternative is a ClassCastException deep in execution)
+    def inferAndNorm(name: String, vs: Seq[Any]): (DataType, Seq[Any]) = {
+      val nonNull = vs.filter(_ != null)
+      val dt =
+        if (nonNull.isEmpty) StringType
+        else if (nonNull.forall { case _: Int | _: Long => true; case _ => false }) LongType
+        else if (nonNull.forall {
+          case _: Int | _: Long | _: Float | _: Double => true; case _ => false }) DoubleType
+        else if (nonNull.forall(_.isInstanceOf[Boolean])) BooleanType
+        else if (nonNull.forall(_.isInstanceOf[String])) StringType
+        else throw new IllegalArgumentException(
+          s"from_dict column '$name' mixes incompatible value types: " +
+            nonNull.map(_.getClass.getSimpleName).distinct.mkString(", "))
+      val normed = vs.map {
+        case null => null
+        case v: Int if dt == LongType => v.toLong
+        case v: Int => v.toDouble
+        case v: Long if dt == DoubleType => v.toDouble
+        case v: Float => v.toDouble
+        case v => v
       }
-    val norm = rows.map { r =>
-      Row.fromSeq(r.toSeq.zipWithIndex.map {
-        case (v: Int, i) if i > 0 => v.toLong
-        case (v: Float, i) if i > 0 => v.toDouble
-        case (v, _) => v
-      })
+      (dt, normed)
+    }
+    val inferred = columns.map { case (name, vs) => (name, inferAndNorm(name, vs)) }
+    val fields = StructField("idx", LongType, nullable = false) +:
+      inferred.map { case (name, (dt, _)) => StructField(name, dt, nullable = true) }
+    val rows = (0 until n).map { i =>
+      Row.fromSeq(i.toLong +: inferred.map(_._2._2(i)))
     }
     val ds = spark.createDataFrame(
-      spark.sparkContext.parallelize(norm, math.max(1, numPartitions)),
-      org.apache.spark.sql.types.StructType(fields))
-    new GDF(ds, Some(IndexMeta(Seq("idx"), sorted = numPartitions <= 1)))
+      spark.sparkContext.parallelize(rows, math.max(1, numPartitions)),
+      StructType(fields))
+    // parallelize slices the local rows in order → index-sorted layout
+    new GDF(ds, Some(IndexMeta(Seq("idx"), sorted = true)))
   }
 }

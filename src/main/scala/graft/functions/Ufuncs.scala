@@ -63,15 +63,25 @@ object Ufuncs {
   def rint(c: Column): Column = org.apache.spark.sql.functions.rint(c)
   def floor(c: Column): Column = org.apache.spark.sql.functions.floor(c)
   def ceil(c: Column): Column = org.apache.spark.sql.functions.ceil(c)
-  /** round toward zero, keeping double type (numpy trunc). */
+  /** round toward zero, keeping double type (numpy trunc).  Spark's
+    * floor/ceil return LongType (NaN → 0, saturating at ±2⁶³), so NaN/±inf
+    * and magnitudes ≥ 2⁵² — where every double is already an integer —
+    * pass through untouched.
+    */
   def trunc(c: Column): Column =
-    when(c >= 0, org.apache.spark.sql.functions.floor(c))
-      .otherwise(org.apache.spark.sql.functions.ceil(c)).cast("double")
+    when(org.apache.spark.sql.functions.isnan(c) || abs(c) >= lit(4.503599627370496e15), c)
+      .otherwise(when(c >= 0, org.apache.spark.sql.functions.floor(c))
+        .otherwise(org.apache.spark.sql.functions.ceil(c)).cast("double"))
   def fix(c: Column): Column = trunc(c)
 
   // --- sign / compare ---
   def sign(c: Column): Column = signum(c)
-  def signbit(c: Column): Column = c < 0
+  /** true iff the IEEE sign bit is set — including -0.0 (numpy signbit).
+    * The raw-bits test is the only exact form: 1/-0.0 would distinguish
+    * the zero signs but ANSI mode rejects the division.
+    */
+  private val signbitUdf = udf((x: Double) => java.lang.Double.doubleToRawLongBits(x) < 0)
+  def signbit(c: Column): Column = signbitUdf(c.cast("double"))
   def absolute(c: Column): Column = abs(c)
   def fabs(c: Column): Column = abs(c)
   def maximum(a: Column, b: Column): Column = greatest(a, b)
@@ -84,7 +94,8 @@ object Ufuncs {
   /** Python-style modulo: sign follows the DIVISOR (numpy mod/remainder). */
   def mod(a: Column, b: Column): Column = ((a % b) + b) % b
   def heaviside(c: Column, h0: Column): Column =
-    when(c < 0, lit(0.0)).when(c > 0, lit(1.0)).otherwise(h0)
+    when(org.apache.spark.sql.functions.isnan(c), c) // NaN propagates (numpy)
+      .when(c < 0, lit(0.0)).when(c > 0, lit(1.0)).otherwise(h0)
 
   // --- float predicates ---
   def isnan(c: Column): Column = org.apache.spark.sql.functions.isnan(c)

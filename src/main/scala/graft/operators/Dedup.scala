@@ -237,16 +237,34 @@ object Dedup {
     var converged = false
     var iter = 0
     var prevSig: (Long, Long) = (-1L, -1L)
+    // checkpoint via an explicitly-held RDD so the PREVIOUS round's blocks
+    // can be released deterministically (localCheckpoint on the Dataset
+    // offers no unpersist handle; 20 retained edge-set generations would
+    // crowd block storage on a big graph)
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    val spark = edges.sparkSession
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val stepped = smallStar(largeStar(e))
+      val rdd = stepped.rdd
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.localCheckpoint()
+      val next = spark.createDataFrame(rdd, stepped.schema)
       // order-independent edge-set signature; xor-fold cannot overflow
       val row = next.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
       val sig = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
       converged = sig == prevSig
       prevSig = sig
+      if (prevRdd != null) prevRdd.unpersist(blocking = false)
+      prevRdd = rdd
       e = next
       iter += 1
     }
+    // partially-contracted output would silently mark duplicates as
+    // keepers downstream — refuse instead (star contraction converges in
+    // O(log n) alternations, so hitting this means maxIter is far too low
+    // for the graph, not a marginal miss)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds; raise maxIter")
     // star edges (root, member) + roots themselves
     e.select(col("v").as("node"), col("u").as("component"))
       .unionByName(e.select(col("u").as("node"), col("u").as("component")))

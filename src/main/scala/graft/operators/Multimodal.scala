@@ -113,8 +113,10 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](payIdx)
         if (payload == null) Iterator.empty
         else (0 until nFrames).iterator.map { f =>
-          // frame tag prepended so each sampled frame decodes differently
-          val tagged = Array[Byte](f.toByte) ++ payload
+          // 4-byte frame tag prepended so each sampled frame decodes
+          // differently (a single byte would wrap at 256 frames)
+          val tagged = Array[Byte](
+            (f >>> 24).toByte, (f >>> 16).toByte, (f >>> 8).toByte, f.toByte) ++ payload
           Row(r.getLong(idIdx), f, decodeStub(tagged, featureDim).toSeq)
         }
       }

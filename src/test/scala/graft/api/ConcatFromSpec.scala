@@ -35,6 +35,22 @@ class ConcatFromSpec extends SparkTestBase {
     assert(g.index.exists(_.cols == Seq("idx")))
   }
 
+  test("multi-partition fromArray frames support ordered ops directly") {
+    val g = GDF.fromArray(spark, Seq(1.0, 2.0, 3.0, 4.0), "x", numPartitions = 3)
+    assert(g.index.exists(_.sorted))
+    val run = g.cumsum("x", "run").df.orderBy("idx")
+      .collect().map(_.getDouble(2)).toSeq
+    assert(run == Seq(1.0, 3.0, 6.0, 10.0))
+  }
+
+  test("fromDict promotes mixed numerics to double and rejects incompatible mixes") {
+    val g = GDF.fromDict(spark, Seq("m" -> Seq(1, 2.5, 3L)))
+    assert(g.df.schema("m").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(g.df.orderBy("idx").collect().map(_.getDouble(1)).toSeq == Seq(1.0, 2.5, 3.0))
+    intercept[IllegalArgumentException](
+      GDF.fromDict(spark, Seq("bad" -> Seq(1, "two"))))
+  }
+
   test("fromDict zips columns positionally with inferred types") {
     val g = GDF.fromDict(spark, Seq(
       "name" -> Seq("a", "b", "c"),

@@ -22,7 +22,8 @@ class UfuncsSpec extends SparkTestBase {
     assert(trunc == Seq(-2.0, -1.0, 0.0, 0.0, 0.0, 3.0))
     val sgnbit = xs.toDF("x").select(Ufuncs.signbit(col("x")).as("y"))
       .collect().map(_.getBoolean(0)).toSeq
-    assert(sgnbit == Seq(true, true, false, false, false, false))
+    // -0.0 carries the sign bit (numpy signbit semantics)
+    assert(sgnbit == Seq(true, true, true, false, false, false))
   }
 
   test("logaddexp is stable for far-apart operands") {
@@ -48,6 +49,18 @@ class UfuncsSpec extends SparkTestBase {
       .select(Ufuncs.fmod(col("a"), col("b")).as("f"),
         Ufuncs.mod(col("a"), col("b")).as("m")).head()
     assert(fm.getDouble(0) == -1.0 && fm.getDouble(1) == 2.0)
+  }
+
+  test("trunc/heaviside propagate NaN; trunc preserves huge magnitudes; signbit(-0)") {
+    val xs = Seq(Double.NaN, 1e20, -1e20, Double.PositiveInfinity)
+    val tr = eval1(Ufuncs.trunc, xs)
+    assert(tr(0).isNaN && tr(1) == 1e20 && tr(2) == -1e20 && tr(3).isPosInfinity)
+    val hv = Seq(Double.NaN).toDF("x")
+      .select(Ufuncs.heaviside(col("x"), lit(0.5)).as("y")).head().getDouble(0)
+    assert(hv.isNaN)
+    val sb = Seq(-0.0, 0.0, Double.NaN).toDF("x")
+      .select(Ufuncs.signbit(col("x")).as("y")).collect().map(_.getBoolean(0)).toSeq
+    assert(sb == Seq(true, false, false))
   }
 
   test("gcd/lcm/expit/logit/modf/nextafter/spacing") {

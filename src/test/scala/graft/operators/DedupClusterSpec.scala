@@ -58,6 +58,12 @@ class DedupClusterSpec extends SparkTestBase {
     check(Seq((0L, 5L), (0L, 6L), (0L, 7L)))
   }
 
+  test("refuses to return partially-contracted components at maxIter") {
+    val chain = spark.createDataset((0L until 30L).map(i => (i, i + 1))).toDF("a", "b")
+    intercept[IllegalStateException](
+      Dedup.connectedComponents(chain, "a", "b", maxIter = 1).collect())
+  }
+
   test("empty edge set: every doc keeps itself") {
     val docs = Seq(7L, 8L).toDF("doc_id")
     val pairs = spark.emptyDataset[(Long, Long)].toDF("id_a", "id_b")
