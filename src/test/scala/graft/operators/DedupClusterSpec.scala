@@ -50,6 +50,13 @@ class DedupClusterSpec extends SparkTestBase {
     check(edges)
   }
 
+  test("sparse 800-node random graph (many components) matches union-find") {
+    val rng = new scala.util.Random(41)
+    val edges = Seq.fill(500)((rng.nextInt(800).toLong, rng.nextInt(800).toLong))
+      .filter(e => e._1 != e._2)
+    check(edges, parts = 8)
+  }
+
   test("self-loops and duplicate edges are harmless") {
     check(Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (3L, 4L)))
   }

@@ -35,6 +35,48 @@ class KmeansStreamDedupSpec extends SparkTestBase {
     assert(run(1) == run(13))
   }
 
+  test("kmeans matches a driver-side reference Lloyd on random data") {
+    val rng = new scala.util.Random(11)
+    val dim = 5
+    val rows = (0L until 200L).map(i =>
+      (i, Array.fill(dim)(rng.nextFloat() * 10 - 5)))
+    val k = 4; val iters = 3
+    // reference implementation: same init, tie-break, and 1e-6 rounding
+    var cents = rows.sortBy(_._1).take(k).map(_._2.map(_.toDouble))
+    def assign(v: Array[Float], cs: Seq[Array[Double]]): Int = {
+      var best = 0; var bd = Double.MaxValue
+      cs.zipWithIndex.foreach { case (c, ci) =>
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = v(i) - c(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; best = ci }
+      }
+      best
+    }
+    for (_ <- 1 to iters) {
+      val byCell = rows.groupBy(r => assign(r._2, cents.toSeq))
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        byCell.get(ci) match {
+          case Some(members) =>
+            Array.tabulate(dim) { d =>
+              val m = members.map(_._2(d).toDouble).sum / members.size
+              math.floor(m * 1e6 + 0.5) / 1e6
+            }
+          case None => old
+        }
+      }
+    }
+    val expCounts = rows.groupBy(r => assign(r._2, cents.toSeq))
+      .map { case (c, ms) => c -> ms.size.toLong }
+    val df = spark.createDataset(rows).toDF("vec_id", "embedding").repartition(7)
+    val got = Similarity.kmeans(df, "vec_id", "embedding", k = k, iters = iters)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    (0 until k).foreach { c =>
+      assert(got(c)._1 == expCounts.getOrElse(c, 0L), s"cell $c count")
+      assert(got(c)._2 == cents(c)(0), s"cell $c c0")
+      assert(got(c)._3 == cents(c)(1), s"cell $c c1")
+    }
+  }
+
   test("kmeans rejects k larger than the corpus") {
     val df = Seq(vecRow(1L, Array(1f, 2f))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException](
