@@ -1248,6 +1248,60 @@ object SparkEntry {
     "q126_kmeans" -> { (s, dir) =>
       graft.operators.Similarity.kmeans(t(s, dir, "embeddings"),
         "vec_id", "embedding", k = 4, iters = 2)
+    },
+
+    // ---- §2.11 stats module (dask/array/stats.py:91-455 parity) ---------
+    "q127_ttest_ind" -> { (s, dir) =>
+      import graft.operators.Stats
+      val li = t(s, dir, "lineitem")
+      val pooled = Stats.ttestInd(li, "l_quantity", col("l_returnflag") === "A", equalVar = true)
+        .select(round(col("t_stat"), 4).as("t_pooled"), col("df").cast("long").as("df_pooled"))
+      val welch = Stats.ttestInd(li, "l_quantity", col("l_returnflag") === "A", equalVar = false)
+        .select(round(col("t_stat"), 4).as("t_welch"), round(col("df"), 4).as("df_welch"))
+      pooled.crossJoin(welch)
+    },
+    "q128_ttest_rel" -> { (s, dir) =>
+      import graft.operators.Stats
+      val li = t(s, dir, "lineitem")
+        .withColumn("net", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .withColumn("taxed", col("l_extendedprice") * (lit(1.0) - col("l_tax")))
+      Stats.ttestRel(li, "net", "taxed")
+        .select(round(col("t_stat"), 4).as("t_stat"), col("df").cast("long").as("df"))
+    },
+    "q129_f_oneway" -> { (s, dir) =>
+      import graft.operators.Stats
+      Stats.fOneway(t(s, dir, "lineitem"), "l_quantity", "l_returnflag")
+        .select(round(col("f_stat"), 4).as("f_stat"),
+          col("df_between").cast("long").as("df_between"),
+          col("df_within").cast("long").as("df_within"))
+    },
+    "q130_power_divergence" -> { (s, dir) =>
+      import graft.operators.Stats
+      val counts = t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("double").as("obs"))
+      def stat(lam: Double, name: String) =
+        Stats.powerDivergence(counts, "obs", lambda_ = lam)
+          .select(round(col("stat"), 4).as(name))
+      stat(0.0, "g_test")
+        .crossJoin(stat(-0.5, "freeman_tukey"))
+        .crossJoin(stat(2.0 / 3.0, "cressie_read"))
+    },
+    "q131_normaltest" -> { (s, dir) =>
+      import graft.operators.Stats
+      val li = t(s, dir, "lineitem")
+      Stats.skewtest(li, "l_quantity").select(round(col("z_stat"), 4).as("z_skew"))
+        .crossJoin(Stats.kurtosistest(li, "l_quantity")
+          .select(round(col("z_stat"), 4).as("z_kurt")))
+        .crossJoin(Stats.normaltest(li, "l_quantity")
+          .select(round(col("k2_stat"), 4).as("k2")))
+    },
+
+    // ---- ext: sketch→verify heavy hitters (exact result, narrow pass 1) --
+    "q132_heavyhitters" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("token"))
+        .filter(col("token") =!= "")
+      graft.operators.Sketches.heavyHitters(toks, "token", k = 15, budget = 512)
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -2507,5 +2561,88 @@ object SparkEntry {
         |          FROM corp, c2)) WHERE rk = 1)
         |SELECT c2.cell, coalesce(cnt.n, 0) AS n, cv[1] AS c0, cv[2] AS c1
         |FROM c2 LEFT JOIN (SELECT cell, count(*) AS n FROM af GROUP BY cell) cnt
-        |  USING (cell)""".stripMargin)
+        |  USING (cell)""".stripMargin,
+    "q127_ttest_ind" ->
+      """WITH s AS (SELECT
+        |  avg(l_quantity) FILTER (l_returnflag = 'A') AS m1,
+        |  var_samp(l_quantity) FILTER (l_returnflag = 'A') AS v1,
+        |  count(*) FILTER (l_returnflag = 'A')::DOUBLE AS n1,
+        |  avg(l_quantity) FILTER (l_returnflag <> 'A') AS m2,
+        |  var_samp(l_quantity) FILTER (l_returnflag <> 'A') AS v2,
+        |  count(*) FILTER (l_returnflag <> 'A')::DOUBLE AS n2
+        |FROM lineitem)
+        |SELECT
+        |  round((m1 - m2) / sqrt(((n1-1)*v1 + (n2-1)*v2) / (n1+n2-2)
+        |    * (1/n1 + 1/n2)), 4) AS t_pooled,
+        |  CAST(n1 + n2 - 2 AS BIGINT) AS df_pooled,
+        |  round((m1 - m2) / sqrt(v1/n1 + v2/n2), 4) AS t_welch,
+        |  round(pow(v1/n1 + v2/n2, 2) /
+        |    (pow(v1/n1, 2)/(n1-1) + pow(v2/n2, 2)/(n2-1)), 4) AS df_welch
+        |FROM s""".stripMargin,
+    "q128_ttest_rel" ->
+      """WITH d AS (SELECT l_extendedprice * (1 - l_discount)
+        |                - l_extendedprice * (1 - l_tax) AS d FROM lineitem)
+        |SELECT round(avg(d) / sqrt(var_samp(d) / count(*)), 4) AS t_stat,
+        |       CAST(count(*) - 1 AS BIGINT) AS df
+        |FROM d""".stripMargin,
+    "q129_f_oneway" ->
+      """WITH o AS (SELECT avg(l_quantity) AS off FROM lineitem),
+        |g AS (SELECT l_returnflag, sum(l_quantity - off) AS s,
+        |        sum(pow(l_quantity - off, 2)) AS ss, count(*)::DOUBLE AS n
+        |      FROM lineitem, o GROUP BY 1),
+        |f AS (SELECT sum(n) AS bign, count(*)::DOUBLE AS k, sum(ss) AS sumss,
+        |        sum(s) AS sums, sum(s * s / n) AS ssg FROM g)
+        |SELECT round(((ssg - sums*sums/bign) / (k - 1)) /
+        |         ((sumss - ssg) / (bign - k)), 4) AS f_stat,
+        |       CAST(k - 1 AS BIGINT) AS df_between,
+        |       CAST(bign - k AS BIGINT) AS df_within
+        |FROM f""".stripMargin,
+    "q130_power_divergence" ->
+      """WITH c AS (SELECT o_orderpriority, count(*)::DOUBLE AS obs
+        |           FROM orders GROUP BY 1),
+        |e AS (SELECT avg(obs) AS e FROM c)
+        |SELECT round(2 * sum(obs * ln(obs / e)), 4) AS g_test,
+        |  round(sum(obs * (pow(obs / e, -0.5) - 1)) / (0.5 * (-0.5) * 0.5), 4)
+        |    AS freeman_tukey,
+        |  round(sum(obs * (pow(obs / e, 2.0/3.0) - 1))
+        |    / (0.5 * (2.0/3.0) * (2.0/3.0 + 1)), 4) AS cressie_read
+        |FROM c, e""".stripMargin,
+    "q131_normaltest" ->
+      """WITH m AS (SELECT avg(l_quantity) AS mu, count(*)::DOUBLE AS n
+        |           FROM lineitem),
+        |mom AS (SELECT n, avg(pow(l_quantity - mu, 2)) AS m2,
+        |          avg(pow(l_quantity - mu, 3)) AS m3,
+        |          avg(pow(l_quantity - mu, 4)) AS m4
+        |        FROM lineitem, m GROUP BY n),
+        |b AS (SELECT n, m3 / pow(m2, 1.5) AS b1, m4 / pow(m2, 2) AS b2 FROM mom),
+        |s1 AS (SELECT n, b2,
+        |  b1 * sqrt((n+1)*(n+3) / (6*(n-2))) AS y0,
+        |  3.0*(n*n + 27*n - 70)*(n+1)*(n+3)
+        |    / ((n-2)*(n+5)*(n+7)*(n+9)) AS beta2 FROM b),
+        |s2 AS (SELECT n, b2, CASE WHEN y0 = 0 THEN 1 ELSE y0 END AS y,
+        |  sqrt(2*(beta2-1)) - 1 AS w2 FROM s1),
+        |s3 AS (SELECT n, b2,
+        |  (1/sqrt(0.5*ln(w2))) * ln(y/sqrt(2/(w2-1))
+        |    + sqrt(pow(y/sqrt(2/(w2-1)), 2) + 1)) AS z_skew FROM s2),
+        |k1 AS (SELECT n, b2, z_skew,
+        |  3.0*(n-1)/(n+1) AS eb2,
+        |  24.0*n*(n-2)*(n-3)/((n+1)*(n+1)*(n+3)*(n+5)) AS varb2,
+        |  6.0*(n*n - 5*n + 2)/((n+7)*(n+9))
+        |    * sqrt(6.0*(n+3)*(n+5)/(n*(n-2)*(n-3))) AS sqrtbeta1 FROM s3),
+        |k2s AS (SELECT z_skew, (b2 - eb2)/sqrt(varb2) AS x,
+        |  6.0 + 8.0/sqrtbeta1 * (2.0/sqrtbeta1
+        |    + sqrt(1 + 4.0/pow(sqrtbeta1, 2))) AS a FROM k1),
+        |k3 AS (SELECT z_skew,
+        |  CASE WHEN 1 + x*sqrt(2/(a-4)) < 0 THEN 0
+        |       ELSE ((1 - 2/(9*a)) - pow((1 - 2/a)/(1 + x*sqrt(2/(a-4))),
+        |         1.0/3.0)) / sqrt(2/(9*a)) END AS z_kurt FROM k2s)
+        |SELECT round(z_skew, 4) AS z_skew, round(z_kurt, 4) AS z_kurt,
+        |       round(z_skew*z_skew + z_kurt*z_kurt, 4) AS k2
+        |FROM k3""".stripMargin,
+    "q132_heavyhitters" ->
+      """WITH toks AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
+        |    AS token FROM documents)
+        |SELECT token, count(*) AS cnt FROM toks
+        |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 15""".stripMargin)
 }
