@@ -1302,6 +1302,19 @@ object SparkEntry {
         .select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("token"))
         .filter(col("token") =!= "")
       graft.operators.Sketches.heavyHitters(toks, "token", k = 15, budget = 512)
+    },
+
+    // ---- ext: product quantization ADC top-k (seeded codebook so the
+    // encode + lookup-table + fold pipeline is bit-replicable in DuckDB) --
+    "q133_pq_topk" -> { (s, dir) =>
+      import graft.operators.Similarity
+      val emb = t(s, dir, "embeddings")
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", numSub = 4, k = 4, iters = 0)
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", cb)
+      val queries = emb.filter(col("vec_id") < 3)
+      Similarity.pqTopK(codes, queries, cb, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("score"), 4).as("score"), col("rk"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -2644,5 +2657,42 @@ object SparkEntry {
         |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))
         |    AS token FROM documents)
         |SELECT token, count(*) AS cnt FROM toks
-        |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 15""".stripMargin)
+        |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 15""".stripMargin,
+    // seeded PQ (numSub=4, sub=16, k=4): codebook = subslices of the 4
+    // lowest-id vectors; encode = argmin over per-subspace squared L2
+    // (dim-ordered fold); ADC score = per-(query,m,code) LUT distances
+    // summed in m order (list(... ORDER BY m) keeps the fold order
+    // identical to Spark's zip_with/aggregate, so scores are bit-equal)
+    "q133_pq_topk" ->
+      """WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |           AS code, v
+        |         FROM (SELECT * FROM corp ORDER BY vec_id LIMIT 4)),
+        |ms AS (SELECT unnest(range(0, 4)) AS m),
+        |cb AS (SELECT ms.m, init.code,
+        |         list_transform(range(1, 17), i -> init.v[ms.m*16 + i]) AS cent
+        |       FROM ms, init),
+        |dists AS (SELECT corp.vec_id, cb.m, cb.code,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (corp.v[cb.m*16 + i] - cb.cent[i])
+        |         * (corp.v[cb.m*16 + i] - cb.cent[i]))) AS d
+        |  FROM corp, cb),
+        |enc AS (SELECT vec_id, m, code FROM (
+        |    SELECT vec_id, m, code, row_number() OVER (
+        |      PARTITION BY vec_id, m ORDER BY d, code) AS rk FROM dists)
+        |  WHERE rk = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < 3),
+        |lutd AS (SELECT q.query_id, cb.m, cb.code,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (q.qv[cb.m*16 + i] - cb.cent[i])
+        |         * (q.qv[cb.m*16 + i] - cb.cent[i]))) AS d
+        |  FROM q, cb),
+        |scored AS (SELECT l.query_id, e.vec_id AS neighbor_id,
+        |    list_sum(list(l.d ORDER BY l.m)) AS score
+        |  FROM enc e JOIN lutd l ON l.m = e.m AND l.code = e.code
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, round(score, 4) AS score, rk FROM (
+        |  SELECT query_id, neighbor_id, score, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score, neighbor_id) AS INT) AS rk
+        |  FROM scored) WHERE rk <= 5""".stripMargin)
 }

@@ -326,4 +326,148 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk").cast("int").as("rk"))
   }
+
+  // ---- Product quantization: the compressed-ANN path at corpus scale ----
+
+  /** Per-subspace PQ codebooks (FAISS-style IVF-PQ decomposition; the
+    * reference has no PQ — this extends the similarity tier the same way
+    * [[ivfTopK]] does).
+    *
+    * The D-dim space splits into `numSub` contiguous subspaces of D/numSub
+    * dims; each gets a k-way codebook trained by the same rounded Lloyd
+    * iterations as [[kmeans]] — but all subspaces train in ONE pass per
+    * iteration: assignment is a narrow map (full codebook broadcast,
+    * numSub·k·(D/numSub) = k·D doubles), the update one partial→final
+    * aggregate keyed (subspace, code, dim) with k·D rows crossing the
+    * shuffle — never the corpus. Centroid components are rounded half-up
+    * to 1e-6 per update (kmeans' determinism trick), so the fit is
+    * engine-independent and the `iters = 0` seeded form (subslices of the
+    * k lowest-id vectors) is bit-replicable in the DuckDB oracle (q133).
+    *
+    * Returns (m, code, cent: array<double>).
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              numSub: Int, k: Int, iters: Int = 2): DataFrame = {
+    require(numSub >= 1 && k >= 1 && k <= 256, s"bad PQ spec numSub=$numSub k=$k")
+    val spark = corpus.sparkSession
+    val init = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol).cast("long")).limit(k).collect()
+    require(init.length == k, s"corpus has fewer than k=$k vectors")
+    val dim = init(0).getSeq[Float](1).length
+    require(dim % numSub == 0, s"dim=$dim not divisible by numSub=$numSub")
+    val sub = dim / numSub
+
+    var cents: Array[Array[Array[Double]]] = Array.tabulate(numSub, k) { (mi, ci) =>
+      init(ci).getSeq[Float](1).slice(mi * sub, (mi + 1) * sub).map(_.toDouble).toArray
+    }
+
+    for (_ <- 1 to iters) {
+      val assigned = corpus.select(
+        posexplode(pqAssigner(spark, cents)(col(vecCol))).as(Seq("m", "code")),
+        col(vecCol).as("__v"))
+      val updated = assigned
+        .select(col("m"), col("code"),
+          posexplode(slice(col("__v"), col("m") * sub + 1, lit(sub))).as(Seq("dim", "x")))
+        .groupBy("m", "code", "dim")
+        .agg(avg(col("x").cast("double")).as("mu"))
+        .collect() // ≤ k·D rows — the codebook, not the corpus
+      val next = cents.map(_.map(_.clone()))
+      updated.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          math.floor(r.getDouble(3) * 1e6 + 0.5) / 1e6
+      }
+      cents = next
+    }
+
+    val rows = for { mi <- 0 until numSub; ci <- 0 until k }
+      yield org.apache.spark.sql.Row(mi, ci, cents(mi)(ci).toSeq)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("m", org.apache.spark.sql.types.IntegerType, false),
+        org.apache.spark.sql.types.StructField("code", org.apache.spark.sql.types.IntegerType, false),
+        org.apache.spark.sql.types.StructField("cent",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, false), false))))
+  }
+
+  // argmin sub-centroid per subspace; strict < keeps the lowest code on
+  // ties, matching `row_number() OVER (ORDER BY d, code)` in the oracle.
+  private def pqAssigner(spark: org.apache.spark.sql.SparkSession,
+                         cents: Array[Array[Array[Double]]]) = {
+    val bc = spark.sparkContext.broadcast(cents)
+    udf((v: Seq[Float]) => {
+      val cs = bc.value
+      val sub = cs(0)(0).length
+      val out = new Array[Int](cs.length)
+      var mi = 0
+      while (mi < cs.length) {
+        val cb = cs(mi); var best = 0; var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < cb.length) {
+          val ce = cb(ci); var d = 0.0; var i = 0
+          while (i < ce.length) { val t = v(mi * sub + i) - ce(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        out(mi) = best; mi += 1
+      }
+      out
+    })
+  }
+
+  /** Encode each vector as its per-subspace nearest-code array — a narrow
+    * map with the codebook broadcast; 100 TB of float vectors become
+    * numSub small ints per row (the compression that makes billion-scale
+    * ANN storage feasible).
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame, maxCodebook: Int = 65536): DataFrame = {
+    val spark = corpus.sparkSession
+    val rows = codebooks.select(col("m"), col("code"), col("cent")).limit(maxCodebook + 1).collect()
+    require(rows.length <= maxCodebook,
+      s"PQ codebook exceeds maxCodebook=$maxCodebook entries")
+    val numSub = rows.iterator.map(_.getInt(0)).max + 1
+    val k = rows.iterator.map(_.getInt(1)).max + 1
+    val cents = Array.ofDim[Array[Double]](numSub, k)
+    rows.foreach { r => cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray }
+    corpus.select(col(idCol), pqAssigner(spark, cents)(col(vecCol)).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes.
+    *
+    * The per-query lookup table — squared L2 from the query's subvector
+    * to every (subspace, code) centroid — is built with builtin array
+    * functions over the (small) queries × codebooks cross join, then
+    * broadcast; each corpus row is scored by numSub `element_at` lookups
+    * folded in subspace order (`zip_with` + `aggregate`, fully codegen'd —
+    * no per-row float-vector reads, no UDF in the hot path). Top-k per
+    * query is a keyed window, ties broken by neighbor id.
+    */
+  def pqTopK(encoded: DataFrame, queries: DataFrame, codebooks: DataFrame,
+             idCol: String, vecCol: String, k: Int): DataFrame = {
+    val qd = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), _.cast("double")).as("__qv"))
+    val dists = qd.crossJoin(broadcast(codebooks))
+      .select(col("query_id"), col("m"), col("code"),
+        aggregate(
+          zip_with(
+            slice(col("__qv"), col("m") * size(col("cent")) + 1, size(col("cent"))),
+            col("cent"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d"))
+    val lutPerM = dists.groupBy("query_id", "m")
+      .agg(transform(array_sort(collect_list(struct(col("code"), col("d")))),
+        s => s.getField("d")).as("row"))
+    val lut = lutPerM.groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("row")))),
+        s => s.getField("row")).as("__lut"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").asc, col("neighbor_id").asc)
+    encoded.select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(lut))
+      .withColumn("score", aggregate(
+        zip_with(col("codes"), col("__lut"), (c, l) => element_at(l, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rk").cast("int").as("rk"))
+  }
 }
