@@ -1315,6 +1315,37 @@ object SparkEntry {
       Similarity.pqTopK(codes, queries, cb, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"),
           round(col("score"), 4).as("score"), col("rk"))
+    },
+
+    // ---- ext: Gopher-style repetition filters (top-word / dup-word /
+    // dup-bigram fractions; one explode per gram size, map-side combined)
+    "q134_repetition" -> { (s, dir) =>
+      graft.operators.TextAnalysis.repetitionMetrics(
+        t(s, dir, "documents"), "doc_id", "text")
+    },
+    // ---- ext: benchmark decontamination (distinct 4-gram overlap vs the
+    // src0 "eval set"; bench grams broadcast, corpus side never shuffles)
+    "q135_decontaminate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", n = 4, minOverlap = 1)
+    },
+    // ---- §2.11 numpy nan-reduction family (NaN→NULL remap keeps the
+    // partial→final agg shape; nansum of all-NaN = 0.0)
+    "q136_nan_reductions" -> { (s, dir) =>
+      import graft.functions.{Ufuncs => U}
+      val li = t(s, dir, "lineitem").withColumn("v",
+        when(col("l_orderkey") % 7 === 0, lit(Double.NaN))
+          .otherwise(col("l_quantity")))
+      li.groupBy(col("l_returnflag")).agg(
+        round(U.nansum(col("v")), 4).as("nsum"),
+        round(U.nanmean(col("v")), 4).as("nmean"),
+        U.nanmin(col("v")).as("nmin"),
+        U.nanmax(col("v")).as("nmax"),
+        round(U.nanstd(col("v")), 4).as("nstd"),
+        sum(when(U.isnan(col("v")), 1L).otherwise(0L)).as("n_nan"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -2694,5 +2725,58 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(score, 4) AS score, rk FROM (
         |  SELECT query_id, neighbor_id, score, CAST(row_number() OVER (
         |    PARTITION BY query_id ORDER BY score, neighbor_id) AS INT) AS rk
-        |  FROM scored) WHERE rk <= 5""".stripMargin)
+        |  FROM scored) WHERE rk <= 5""".stripMargin,
+    "q134_repetition" ->
+      """WITH base AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |w AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS i
+        |  FROM base),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+        |wstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total, max(c) AS top,
+        |    count(*) AS dist FROM wc GROUP BY 1),
+        |bg AS (SELECT a.doc_id, a.w || ' ' || b.w AS g
+        |  FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bstat AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS btotal,
+        |    count(*) AS bdist FROM bc GROUP BY 1)
+        |SELECT wstat.doc_id, total AS n_words,
+        |  floor(CAST(top AS DOUBLE) / greatest(total, 1) * 1e6 + 0.5) / 1e6
+        |    AS top_word_frac,
+        |  floor((1.0 - CAST(dist AS DOUBLE) / greatest(total, 1)) * 1e6 + 0.5)
+        |    / 1e6 AS dup_word_frac,
+        |  floor(coalesce(1.0 - CAST(bdist AS DOUBLE) / greatest(btotal, 1), 0.0)
+        |    * 1e6 + 0.5) / 1e6 AS dup_bigram_frac
+        |FROM wstat LEFT JOIN bstat USING (doc_id)""".stripMargin,
+    "q135_decontaminate" ->
+      """WITH base AS (SELECT doc_id, source, list_filter(
+        |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |w AS (SELECT doc_id, source, unnest(ws) AS w,
+        |    generate_subscripts(ws, 1) AS i FROM base),
+        |g AS (SELECT doc_id, source,
+        |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+        |      || ' ' || lead(w, 3) OVER win AS gram
+        |  FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+        |  QUALIFY lead(w, 3) OVER win IS NOT NULL),
+        |tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0'),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        |  FROM tg JOIN bg USING (gram) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_overlap, 0) AS n_overlap,
+        |  coalesce(n_overlap, 0) >= 1 AS contaminated
+        |FROM (SELECT DISTINCT doc_id FROM documents WHERE source <> 'src0') d
+        |LEFT JOIN hits USING (doc_id)""".stripMargin,
+    "q136_nan_reductions" ->
+      """WITH v AS (SELECT l_returnflag,
+        |    CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_quantity END AS v,
+        |    CASE WHEN l_orderkey % 7 = 0 THEN 1 ELSE 0 END AS is_nan
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  round(coalesce(sum(v), 0.0), 4) AS nsum,
+        |  round(avg(v), 4) AS nmean,
+        |  min(v) AS nmin, max(v) AS nmax,
+        |  round(stddev_samp(v), 4) AS nstd,
+        |  CAST(sum(is_nan) AS BIGINT) AS n_nan
+        |FROM v GROUP BY 1""".stripMargin)
 }

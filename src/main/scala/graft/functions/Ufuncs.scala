@@ -141,4 +141,21 @@ object Ufuncs {
   private val spacingUdf = udf((a: Double) => Math.ulp(a))
   def nextafter(a: Column, b: Column): Column = nextafterUdf(a, b)
   def spacing(c: Column): Column = spacingUdf(c)
+
+  // --- nan-aware reductions (numpy nansum family, dask
+  // `array/reductions.py:70-960` nan-variants) -------------------------
+  // Spark aggregates SKIP null but PROPAGATE NaN, so the nan-variants are
+  // the plain aggregates over a NaN→NULL remap — all codegen, and the
+  // partial→final aggregation shape is unchanged.
+  def nanToNull(c: Column): Column =
+    when(org.apache.spark.sql.functions.isnan(c), lit(null)).otherwise(c)
+  /** numpy nansum of an all-NaN slice is 0.0, not NULL — coalesce. */
+  def nansum(c: Column): Column = coalesce(sum(nanToNull(c)), lit(0.0))
+  def nanmean(c: Column): Column = avg(nanToNull(c))
+  def nanmin(c: Column): Column = min(nanToNull(c))
+  def nanmax(c: Column): Column = max(nanToNull(c))
+  def nanstd(c: Column): Column = stddev_samp(nanToNull(c))
+  def nanvar(c: Column): Column = var_samp(nanToNull(c))
+  /** numpy nancumsum: NaN treated as 0 inside the running sum. */
+  def nancumsumTerm(c: Column): Column = coalesce(nanToNull(c), lit(0.0))
 }

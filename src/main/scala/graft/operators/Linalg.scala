@@ -54,4 +54,115 @@ object Linalg {
     */
   def principalComponents(df: DataFrame, vecCol: String, k: Int): DenseMatrix =
     rowMatrix(df, vecCol).computePrincipalComponents(k).asInstanceOf[DenseMatrix]
+
+  /** Randomized (compressed) SVD — the reference's `svd_compressed`
+    * (`dask/array/linalg.py:746`, Halko/Martinsson/Tropp 2011): project A
+    * (n×p) onto a random range sketch, orthonormalize, and take the SVD
+    * of the small projected factor.
+    *
+    * Distributed shape (all driver-side matrices are ≤ p×(k+oversample)):
+    *   1. Ω (p×l, l = k+oversample) — deterministic seeded gaussian from
+    *      `Hashing.mix64`, generated identically on every executor (no
+    *      broadcast of randomness needed, mirrors RandomData's portable
+    *      generator);
+    *   2. Y = A·Ω via `RowMatrix.multiply` — one narrow map over rows;
+    *   3. R = tsqr(Y) (tree of local QRs), B = (Y·R⁻¹)ᵀA computed as a
+    *      single gramian-style pass: Bᵀ = AᵀY·R⁻ᵀ, where AᵀY (p×l) is one
+    *      `treeAggregate` outer-product pass;
+    *   4. SVD of the l×p matrix Bᵀ on the driver (tiny), singular values
+    *      of B ≈ top singular values of A.
+    *
+    * Two distributed passes total, each narrow; nothing larger than p×l
+    * ever leaves the executors.  Power iterations (`q`) re-multiply
+    * through A twice per iteration to sharpen the spectrum, exactly as
+    * the reference's `power_iteration_algorithm='power'` path does.
+    */
+  def svdCompressed(df: DataFrame, vecCol: String, k: Int,
+                    oversample: Int = 10, powerIters: Int = 0,
+                    seed: Long = 42L): Array[Double] = {
+    import graft.functions.Hashing.mix64
+    val mat = rowMatrix(df, vecCol)
+    mat.rows.cache()
+    try {
+      val p = mat.numCols().toInt
+      val l = math.min(k + oversample, p)
+      // deterministic gaussian sketch: Box–Muller over mix64 uniforms
+      def gauss(i: Int, j: Int): Double = {
+        val h1 = mix64(seed ^ (i.toLong << 32) ^ j.toLong)
+        val h2 = mix64(h1 ^ 0x9e3779b97f4a7c15L)
+        val u1 = ((h1 >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+        val u2 = ((h2 >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+        math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+      }
+      val omega = new DenseMatrix(p, l,
+        Array.tabulate(p * l) { idx => gauss(idx % p, idx / p) }) // column-major
+      var y = mat.multiply(omega) // n×l, narrow map
+      // power iterations: Y ← A·(Aᵀ·Y), each Aᵀ·Y a treeAggregate pass
+      for (_ <- 0 until powerIters) {
+        val aty = atB(mat, y, l) // p×l driver-side
+        y = mat.multiply(new DenseMatrix(p, l, aty))
+      }
+      // orthonormalize the sketch: Q·R = Y; then B = Qᵀ·A and
+      // svd(B).s ≈ svd(A).s[0..l). Compute Bᵀ = (AᵀY)·R⁻ᵀ (p×l, driver).
+      val r = y.tallSkinnyQR(computeQ = false).R.toArray // l×l col-major
+      // rank-truncate: a rank-deficient sketch (input rank < l) leaves
+      // near-zero trailing R diagonal entries; solving through them would
+      // amplify fp noise into spurious singular values. With a random Ω
+      // the leading columns are generically well-conditioned, so cut at
+      // the first collapsed pivot.
+      val maxDiag = (0 until l).map(j => math.abs(r(j * l + j))).max
+      val leff0 = (0 until l).indexWhere(j => math.abs(r(j * l + j)) <= maxDiag * 1e-12)
+      val leff = if (leff0 < 0) l else math.max(leff0, 1)
+      val atYArr = atB(mat, y, l) // p×l col-major
+      val bt = solveRt(atYArr, r, p, l, leff) // Bᵀ = AᵀY · R⁻¹ (right-solve)
+      // singular values of Bᵀ (p×leff) == singular values of B
+      val btm = breeze.linalg.DenseMatrix.create(p, leff, bt.take(p * leff))
+      val svs = breeze.linalg.svd(btm).S.toArray
+      (svs ++ Array.fill(math.max(0, k - svs.length))(0.0)).take(k)
+    } finally { mat.rows.unpersist(false) }
+  }
+
+  /** AᵀY as one treeAggregate of per-row outer products (p×l col-major). */
+  private def atB(a: RowMatrix, y: RowMatrix, l: Int): Array[Double] = {
+    val p = a.numCols().toInt
+    val zipped = a.rows.zip(y.rows)
+    zipped.treeAggregate(new Array[Double](p * l))(
+      seqOp = { (acc, rowPair) =>
+        val av = rowPair._1.toArray; val yv = rowPair._2.toArray
+        var j = 0
+        while (j < l) {
+          val yj = yv(j); var i = 0
+          while (i < p) { acc(j * p + i) += av(i) * yj; i += 1 }
+          j += 1
+        }
+        acc
+      },
+      combOp = { (x, z) => var i = 0; while (i < x.length) { x(i) += z(i); i += 1 }; x })
+  }
+
+  /** X · R⁻¹ for upper-triangular R (l×l), X is p×l col-major; only the
+    * leading `leff` columns are solved (rank truncation).
+    */
+  private def solveRt(x: Array[Double], rColMajor: Array[Double],
+                      p: Int, l: Int, leff: Int): Array[Double] = {
+    val out = x.clone()
+    // forward column sweep: col j of X·R⁻¹ = (X_j − Σ_{m<j} out_m·R(m,j)) / R(j,j)
+    var j = 0
+    while (j < leff) {
+      var m = 0
+      while (m < j) {
+        val rmj = rColMajor(j * l + m)
+        if (rmj != 0.0) {
+          var i = 0
+          while (i < p) { out(j * p + i) -= out(m * p + i) * rmj; i += 1 }
+        }
+        m += 1
+      }
+      val rjj = rColMajor(j * l + j)
+      var i = 0
+      while (i < p) { out(j * p + i) /= rjj; i += 1 }
+      j += 1
+    }
+    out
+  }
 }

@@ -139,6 +139,103 @@ object TextAnalysis {
   val urlRe    = "https?://[^ \\t\\n]+"
   val digitsRe = "[0-9][0-9][0-9][0-9][0-9]+"
 
+  /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1,
+    * the standard "repetitious document" filters in corpus cleaning):
+    *
+    *   - `top_word_frac`   — occurrences of the most frequent word / total
+    *     words (ties resolved by taking the max count, so tie order is
+    *     irrelevant);
+    *   - `dup_word_frac`   — fraction of word occurrences that are repeats
+    *     of an earlier occurrence (1 − distinct/total);
+    *   - `dup_bigram_frac` — same over adjacent word 2-grams.
+    *
+    * Shape at scale: words and bigrams are built from ONE `split` per doc
+    * (codegen'd higher-order functions — the bigram array is a `zip_with`
+    * of the token array with its own tail, same trick as
+    * Dedup.jaccardNearDupPairs gramsOf, Dedup.scala:322).  The only wide
+    * operation is the (doc, word) partial→final count aggregation, which
+    * map-side combines so the shuffle carries distinct (doc, word) rows,
+    * never raw token occurrences.  Distinct counts come from the same
+    * aggregated frame — the corpus is exploded exactly once per gram size.
+    * Reference: dask has no equivalent; this extends the quality-filter
+    * tier (qualityScore above) the way a training-data pipeline needs.
+    */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "[^a-z0-9]+"), w => w =!= lit(""))
+    val base = docs.select(col(idCol), words.as("__ws"))
+    val bigrams = org.apache.spark.sql.functions.filter(
+      zip_with(col("__ws"), slice(col("__ws"), lit(2), greatest(size(col("__ws")) - 1, lit(0))),
+        (x, y) => concat(x, lit(" "), y)),
+      g => g.isNotNull)
+
+    // one explode per gram size; counts collapse map-side before the shuffle
+    val wordCounts = base.select(col(idCol), explode(col("__ws")).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+    val wordStats = wordCounts.groupBy(col(idCol)).agg(
+      sum(col("__c")).as("__total"),
+      max(col("__c")).as("__top"),
+      count(lit(1)).as("__distinct"))
+    val biStats = base.select(col(idCol), explode(bigrams).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("__c")).as("__btotal"),
+        count(lit(1)).as("__bdistinct"))
+
+    wordStats.join(biStats, Seq(idCol), "left").select(
+      col(idCol),
+      col("__total").as("n_words"),
+      r6(col("__top").cast("double") / greatest(col("__total"), lit(1L))).as("top_word_frac"),
+      r6(lit(1.0) - col("__distinct").cast("double") / greatest(col("__total"), lit(1L)))
+        .as("dup_word_frac"),
+      r6(coalesce(
+        lit(1.0) - col("__bdistinct").cast("double") / greatest(col("__btotal"), lit(1L)),
+        lit(0.0))).as("dup_bigram_frac"))
+  }
+
+  /** Benchmark decontamination: flag training documents that share at
+    * least `minOverlap` distinct word `n`-grams with any benchmark
+    * document — the standard n-gram-overlap eval-contamination check run
+    * before training (e.g. GPT-3 appendix C / PaLM-style 8-gram rules;
+    * `n` and the threshold are caller-tunable).
+    *
+    * Shape at scale: each side is reduced to DISTINCT (gram) /
+    * (doc, gram) rows before the join, so the shuffle carries the gram
+    * vocabulary, not token occurrences.  Grams are hashed to int64
+    * (`xxhash64`) so join keys are fixed-width — the gram text never
+    * shuffles.  The benchmark side (eval sets: thousands of docs, not
+    * billions) is broadcast, making the whole check a narrow map over the
+    * training corpus followed by one partial→final count per doc.  A
+    * 100 TB corpus therefore pays one scan + one broadcast-join — no
+    * all-pairs, no corpus-side shuffle at all.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 5, minOverlap: Int = 1): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(d: DataFrame, id: Seq[Column]): DataFrame = {
+      val ws = filter(split(lower(col(textCol)), "[^a-z0-9]+"), w => w =!= lit(""))
+      // n-gram i is words[i..i+n-1]: fold zip_with over the shifted tails
+      val joined = (2 to n).foldLeft(ws) { (acc, k) =>
+        zip_with(acc, slice(ws, lit(k), greatest(size(ws) - (k - 1), lit(0))),
+          (x, y) => concat(x, lit(" "), y))
+      }
+      val gs = org.apache.spark.sql.functions.filter(
+        if (n == 1) joined
+        else slice(joined, lit(1), greatest(size(ws) - (n - 1), lit(0))),
+        g => g.isNotNull)
+      d.select((id :+ explode(array_distinct(gs)).as("__gram")): _*)
+        .select((id :+ xxhash64(col("__gram")).as("__gh")): _*)
+    }
+    val trainGrams = grams(train, Seq(col(idCol))).distinct()
+    val benchGrams = grams(bench, Nil).distinct()
+    val hits = trainGrams.join(broadcast(benchGrams), Seq("__gh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    train.select(col(idCol)).distinct()
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
   def scrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     docs.select(col(idCol),

@@ -98,4 +98,20 @@ class UfuncsSpec extends SparkTestBase {
       .collect().map(_.getBoolean(0)).toSeq
     assert(inf == Seq(false, true, true, false))
   }
+
+  test("nan-reduction family skips NaN; nansum of all-NaN is 0") {
+    val df = Seq(1.0, Double.NaN, 3.0, Double.NaN, 5.0).toDF("x")
+    val r = df.agg(
+      Ufuncs.nansum(col("x")).as("s"), Ufuncs.nanmean(col("x")).as("m"),
+      Ufuncs.nanmin(col("x")).as("lo"), Ufuncs.nanmax(col("x")).as("hi"),
+      Ufuncs.nanstd(col("x")).as("sd")).head()
+    assert(r.getDouble(0) == 9.0 && r.getDouble(1) == 3.0)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 5.0)
+    assert(math.abs(r.getDouble(4) - 2.0) < 1e-12) // std of 1,3,5
+    // plain sum would be NaN — the remap is what makes it numpy-nansum
+    assert(df.agg(sum(col("x"))).head().getDouble(0).isNaN)
+    val allNan = Seq(Double.NaN, Double.NaN).toDF("x")
+    assert(allNan.agg(Ufuncs.nansum(col("x"))).head().getDouble(0) == 0.0)
+    assert(allNan.agg(Ufuncs.nanmean(col("x"))).head().isNullAt(0))
+  }
 }

@@ -54,6 +54,29 @@ class BagLinalgStreamSpec extends SparkTestBase {
     assert(sv.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-6 })
   }
 
+  test("svdCompressed recovers the spectrum of a low-rank matrix") {
+    // rank-2 rows: r_i = a_i·u + b_i·w with deterministic a, b — the
+    // randomized range finder with l ≥ rank is exact up to fp noise
+    val u = Array(1.0, 0.5, -0.25, 2.0, 0.0, 1.5)
+    val w = Array(0.0, 1.0, 1.0, -0.5, 2.0, 0.25)
+    val rows = (0 until 40).map { i =>
+      val a = math.sin(i * 0.7) + 1.3; val b = math.cos(i * 1.1)
+      Tuple1((0 until 6).map(j => (a * u(j) + b * w(j)).toFloat))
+    }
+    val df = rows.toDF("vec")
+    val exact = Linalg.singularValues(df, "vec", 2)
+    val approx = Linalg.svdCompressed(df, "vec", k = 2, oversample = 4)
+    assert(approx.length == 2)
+    assert(exact.zip(approx).forall { case (e, a) => math.abs(e - a) < 1e-6 * e })
+    // remaining spectrum is float32-rounding noise: k beyond the rank
+    // reports values ~1e-7 relative to the top (the vec column is Float)
+    val tail = Linalg.svdCompressed(df, "vec", k = 4, oversample = 4)
+    assert(tail(2) < 1e-5 * exact(0) && tail(3) < 1e-5 * exact(0))
+    // power iterations only sharpen — still exact on exact-rank input
+    val pi = Linalg.svdCompressed(df, "vec", k = 2, oversample = 4, powerIters = 2)
+    assert(exact.zip(pi).forall { case (e, a) => math.abs(e - a) < 1e-6 * e })
+  }
+
   test("resample aggDense emits empty buckets between min and max") {
     val df = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 1.0),

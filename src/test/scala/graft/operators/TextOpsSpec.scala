@@ -67,4 +67,44 @@ class TextOpsSpec extends SparkTestBase {
     assert(r.getInt(3) == 0)  // digits were inside the url → not counted
     assert(r.getString(4) == "see <URL> now")
   }
+
+  test("repetitionMetrics: known fractions on hand-counted docs") {
+    val docs = Seq(
+      (1L, "a a a b"),          // top=3/4, distinct=2/4, bigrams: aa,aa,ab → dup 1/3
+      (2L, "x y z"),            // no repeats at all
+      (3L, "w"),                // single word, zero bigrams
+      (4L, "go go go go")).toDF("doc_id", "text") // fully repetitious
+    val m = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def d(r: org.apache.spark.sql.Row, i: Int) = r.getDouble(i)
+    assert(m(1L).getLong(1) == 4)
+    assert(math.abs(d(m(1L), 2) - 0.75) < 1e-9)       // top_word_frac
+    assert(math.abs(d(m(1L), 3) - 0.5) < 1e-9)        // dup_word_frac
+    assert(math.abs(d(m(1L), 4) - (1.0 - 2.0 / 3)) < 1e-6) // dup_bigram_frac
+    assert(d(m(2L), 3) == 0.0 && d(m(2L), 4) == 0.0)
+    assert(d(m(3L), 4) == 0.0)                        // no bigrams → 0, not null
+    assert(math.abs(d(m(4L), 2) - 1.0) < 1e-9 && math.abs(d(m(4L), 3) - 0.75) < 1e-9)
+    assert(math.abs(d(m(4L), 4) - (1.0 - 1.0 / 3)) < 1e-6)
+  }
+
+  test("decontaminate flags n-gram overlap with the benchmark side only") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps"),   // shares 'the quick brown' with bench
+      (2L, "totally clean document text"),
+      (3L, "the quick brown fox runs away fast")).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(train, bench, "doc_id", "text",
+        n = 3, minOverlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // doc1 shares 3 trigrams (the-quick-brown, quick-brown-fox, brown-fox-jumps),
+    // doc3 shares 2, doc2 none; threshold 2 flags docs 1 and 3
+    assert(out == Set((1L, 3L, true), (2L, 0L, false), (3L, 2L, true)))
+  }
+
+  test("decontaminate counts distinct grams once per train doc") {
+    val train = Seq((1L, "a b a b a b")).toDF("doc_id", "text") // 'a b'/'b a' repeat
+    val bench = Seq((9L, "a b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.decontaminate(train, bench, "doc_id", "text", n = 2).head()
+    assert(r.getLong(1) == 1L && r.getBoolean(2)) // only 'a b' overlaps, counted once
+  }
 }
