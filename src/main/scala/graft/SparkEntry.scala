@@ -1346,6 +1346,18 @@ object SparkEntry {
         U.nanmax(col("v")).as("nmax"),
         round(U.nanstd(col("v")), 4).as("nstd"),
         sum(when(U.isnan(col("v")), 1L).otherwise(0L)).as("n_nan"))
+    },
+    // ---- §2.11 distributed least squares (lstsq/solve family): one
+    // treeAggregate builds AᵀA + Aᵀy; driver solves the tiny p×p system.
+    // Oracle: the closed-form 2-regressor OLS via covariance algebra.
+    "q137_lstsq" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(
+        array(col("l_quantity"), col("l_discount")).as("x"),
+        col("l_extendedprice").as("y"))
+      val beta = graft.operators.Linalg.lstsq(li, "x", "y", intercept = true)
+      def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+      import s.implicits._
+      Seq((r4(beta(0)), r4(beta(1)), r4(beta(2)))).toDF("b0", "b1", "b2")
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -2778,5 +2790,21 @@ object SparkEntry {
         |  min(v) AS nmin, max(v) AS nmax,
         |  round(stddev_samp(v), 4) AS nstd,
         |  CAST(sum(is_nan) AS BIGINT) AS n_nan
-        |FROM v GROUP BY 1""".stripMargin)
+        |FROM v GROUP BY 1""".stripMargin,
+    "q137_lstsq" ->
+      """WITH s AS (SELECT
+        |    covar_samp(l_quantity, l_quantity) AS s11,
+        |    covar_samp(l_quantity, l_discount) AS s12,
+        |    covar_samp(l_discount, l_discount) AS s22,
+        |    covar_samp(l_quantity, l_extendedprice) AS c1,
+        |    covar_samp(l_discount, l_extendedprice) AS c2,
+        |    avg(l_quantity) AS m1, avg(l_discount) AS m2,
+        |    avg(l_extendedprice) AS my
+        |  FROM lineitem),
+        |b AS (SELECT my, m1, m2,
+        |    (s22*c1 - s12*c2) / (s11*s22 - s12*s12) AS b1,
+        |    (s11*c2 - s12*c1) / (s11*s22 - s12*s12) AS b2 FROM s)
+        |SELECT floor((my - b1*m1 - b2*m2) * 1e4 + 0.5) / 1e4 AS b0,
+        |  floor(b1 * 1e4 + 0.5) / 1e4 AS b1,
+        |  floor(b2 * 1e4 + 0.5) / 1e4 AS b2 FROM b""".stripMargin)
 }

@@ -122,6 +122,45 @@ object Linalg {
     } finally { mat.rows.unpersist(false) }
   }
 
+  /** Distributed ordinary least squares — the reference's `lstsq`/`solve`
+    * family (`dask/array/linalg.py:1114-1476`) for the tall-skinny case
+    * that a query engine actually meets: A is n×p with p small (features),
+    * n huge (rows).
+    *
+    * One `treeAggregate` pass accumulates the normal equations AᵀA (p×p)
+    * and Aᵀy (p); the driver solves the p×p system with a breeze
+    * Cholesky/LU (`\`).  Nothing proportional to n ever reaches the
+    * driver, and the single pass is narrow — the same shape dask's lstsq
+    * lowers to (tsqr + small solve).  `intercept=true` appends a constant
+    * feature and returns it FIRST in the coefficient array.
+    */
+  def lstsq(df: DataFrame, vecCol: String, yCol: String,
+            intercept: Boolean = true): Array[Double] = {
+    val rows = df
+      .select(transform(col(vecCol), _.cast("double")).as("v"),
+        col(yCol).cast("double").as("y"))
+      .rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+    val p0 = rows.first()._1.length
+    val p = if (intercept) p0 + 1 else p0
+    // acc layout: [AᵀA p×p col-major | Aᵀy p]
+    val acc = rows.treeAggregate(new Array[Double](p * p + p))(
+      seqOp = { (a, row) =>
+        val x = if (intercept) 1.0 +: row._1 else row._1
+        var j = 0
+        while (j < p) {
+          val xj = x(j); var i = 0
+          while (i < p) { a(j * p + i) += x(i) * xj; i += 1 }
+          a(p * p + j) += xj * row._2
+          j += 1
+        }
+        a
+      },
+      combOp = { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    val ata = breeze.linalg.DenseMatrix.create(p, p, acc.take(p * p))
+    val aty = breeze.linalg.DenseVector(acc.drop(p * p))
+    (ata \ aty).toArray
+  }
+
   /** AᵀY as one treeAggregate of per-row outer products (p×l col-major). */
   private def atB(a: RowMatrix, y: RowMatrix, l: Int): Array[Double] = {
     val p = a.numCols().toInt

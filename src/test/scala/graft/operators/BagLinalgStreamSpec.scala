@@ -77,6 +77,21 @@ class BagLinalgStreamSpec extends SparkTestBase {
     assert(exact.zip(pi).forall { case (e, a) => math.abs(e - a) < 1e-6 * e })
   }
 
+  test("lstsq recovers exact coefficients of a noiseless linear model") {
+    val rows = (0 until 100).map { i =>
+      val x1 = math.sin(i * 0.3) * 10; val x2 = (i % 7).toDouble
+      (Seq(x1, x2), 2.0 + 3.0 * x1 - 1.5 * x2)
+    }
+    val df = rows.toDF("x", "y")
+    val beta = Linalg.lstsq(df, "x", "y", intercept = true)
+    assert(math.abs(beta(0) - 2.0) < 1e-9)
+    assert(math.abs(beta(1) - 3.0) < 1e-9)
+    assert(math.abs(beta(2) + 1.5) < 1e-9)
+    // no-intercept variant solves the 2×2 system only
+    val b2 = Linalg.lstsq(df, "x", "y", intercept = false)
+    assert(b2.length == 2)
+  }
+
   test("resample aggDense emits empty buckets between min and max") {
     val df = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 1.0),
