@@ -149,47 +149,57 @@ object TextAnalysis {
     *     of an earlier occurrence (1 − distinct/total);
     *   - `dup_bigram_frac` — same over adjacent word 2-grams.
     *
-    * Shape at scale: words and bigrams are built from ONE `split` per doc
+    * Shape at scale: a PURE NARROW MAP — per-doc statistics never need a
+    * shuffle.  Words and bigrams are built from ONE `split` per doc
     * (codegen'd higher-order functions — the bigram array is a `zip_with`
     * of the token array with its own tail, same trick as
-    * Dedup.jaccardNearDupPairs gramsOf, Dedup.scala:322).  The only wide
-    * operation is the (doc, word) partial→final count aggregation, which
-    * map-side combines so the shuffle carries distinct (doc, word) rows,
-    * never raw token occurrences.  Distinct counts come from the same
-    * aggregated frame — the corpus is exploded exactly once per gram size.
+    * Dedup.jaccardNearDupPairs gramsOf, Dedup.scala:322); duplicate
+    * fractions are `array_distinct` sizes, and the top-word count is an
+    * `array_max` over per-distinct-word occurrence counts.  The whole
+    * operator fuses into the parquet scan: zero exchanges at any corpus
+    * size, embarrassingly parallel on 1000 executors.  (The top-word term
+    * is O(distinct·len) per doc — right for web-scale docs of ~10³ words;
+    * a corpus of book-length texts would flip to an explode +
+    * two-level-aggregate plan, which trades the quadratic term for a
+    * gram shuffle.)  Docs with no words drop out, matching the explode
+    * formulation and the SQL oracle's unnest.
     * Reference: dask has no equivalent; this extends the quality-filter
     * tier (qualityScore above) the way a training-data pipeline needs.
     */
   def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = filter(split(lower(col(textCol)), "[^a-z0-9]+"), w => w =!= lit(""))
+    // Lambda (higher-order-function) expressions evaluate OUTSIDE
+    // whole-stage codegen, so each array is materialized exactly once in
+    // its own projection — CollapseProject keeps multi-referenced
+    // non-cheap aliases as separate operators, which is what prevents the
+    // bigram array from being recomputed per consuming expression.
     val base = docs.select(col(idCol), words.as("__ws"))
-    val bigrams = org.apache.spark.sql.functions.filter(
-      zip_with(col("__ws"), slice(col("__ws"), lit(2), greatest(size(col("__ws")) - 1, lit(0))),
-        (x, y) => concat(x, lit(" "), y)),
-      g => g.isNotNull)
-
-    // one explode per gram size; counts collapse map-side before the shuffle
-    val wordCounts = base.select(col(idCol), explode(col("__ws")).as("__w"))
-      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
-    val wordStats = wordCounts.groupBy(col(idCol)).agg(
-      sum(col("__c")).as("__total"),
-      max(col("__c")).as("__top"),
-      count(lit(1)).as("__distinct"))
-    val biStats = base.select(col(idCol), explode(bigrams).as("__g"))
-      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(idCol)).agg(
-        sum(col("__c")).as("__btotal"),
-        count(lit(1)).as("__bdistinct"))
-
-    wordStats.join(biStats, Seq(idCol), "left").select(
+      .filter(size(col("__ws")) > 0)
+    val ws = col("__ws")
+    val staged = base.select(col(idCol), ws,
+      org.apache.spark.sql.functions.filter(
+        zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+          (x, y) => concat(x, lit(" "), y)),
+        g => g.isNotNull).as("__bg"))
+    // top word count as a linear run-length scan over the sorted array
+    // (O(L log L), not the O(distinct·L) per-word filter form)
+    val top = aggregate(array_sort(ws),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    staged.select(
       col(idCol),
-      col("__total").as("n_words"),
-      r6(col("__top").cast("double") / greatest(col("__total"), lit(1L))).as("top_word_frac"),
-      r6(lit(1.0) - col("__distinct").cast("double") / greatest(col("__total"), lit(1L)))
+      size(ws).cast("long").as("n_words"),
+      r6(top.cast("double") / size(ws)).as("top_word_frac"),
+      r6(lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws))
         .as("dup_word_frac"),
-      r6(coalesce(
-        lit(1.0) - col("__bdistinct").cast("double") / greatest(col("__btotal"), lit(1L)),
-        lit(0.0))).as("dup_bigram_frac"))
+      r6(when(size(col("__bg")) > 0,
+          lit(1.0) - size(array_distinct(col("__bg"))).cast("double") / size(col("__bg")))
+        .otherwise(lit(0.0))).as("dup_bigram_frac"))
   }
 
   /** Benchmark decontamination: flag training documents that share at
@@ -225,7 +235,9 @@ object TextAnalysis {
       d.select((id :+ explode(array_distinct(gs)).as("__gram")): _*)
         .select((id :+ xxhash64(col("__gram")).as("__gh")): _*)
     }
-    val trainGrams = grams(train, Seq(col(idCol))).distinct()
+    // (doc, gram) rows are already distinct: the gram array is
+    // array_distinct'ed per doc before the explode — no extra shuffle
+    val trainGrams = grams(train, Seq(col(idCol)))
     val benchGrams = grams(bench, Nil).distinct()
     val hits = trainGrams.join(broadcast(benchGrams), Seq("__gh"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))

@@ -107,4 +107,52 @@ class TextOpsSpec extends SparkTestBase {
     val r = TextAnalysis.decontaminate(train, bench, "doc_id", "text", n = 2).head()
     assert(r.getLong(1) == 1L && r.getBoolean(2)) // only 'a b' overlaps, counted once
   }
+
+  // ---- randomized agreement with driver-side brute force ---------------
+
+  private def randWords(seed: Long, n: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+  }
+
+  test("repetitionMetrics agrees with brute force on random word streams") {
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val docs = (1L to 40L).map(i => (i, randWords(i * 31, 1 + (i % 23).toInt)))
+    val exp = docs.map { case (id, text) =>
+      val ws = text.split(" ").toSeq
+      val total = ws.length
+      val top = ws.groupBy(identity).values.map(_.size).max
+      val bgs = if (ws.length < 2) Nil else ws.sliding(2).map(_.mkString(" ")).toSeq
+      id -> ((total.toLong, r6(top.toDouble / total),
+        r6(1.0 - ws.distinct.size.toDouble / total),
+        if (bgs.isEmpty) 0.0 else r6(1.0 - bgs.distinct.size.toDouble / bgs.size)))
+    }.toMap
+    val got = TextAnalysis.repetitionMetrics(
+        docs.toDF("doc_id", "text").repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == exp)
+  }
+
+  test("decontaminate agrees with brute-force set intersection") {
+    val n = 3
+    def grams(text: String): Set[String] = {
+      val ws = text.split(" ").toSeq
+      if (ws.length < n) Set.empty
+      else ws.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val train = (1L to 30L).map(i => (i, randWords(i * 17, 2 + (i % 19).toInt)))
+    val bench = (1L to 5L).map(i => (100 + i, randWords(i * 911, 15)))
+    val benchGrams = bench.flatMap(b => grams(b._2)).toSet
+    val exp = train.map { case (id, text) =>
+      val k = (grams(text) & benchGrams).size.toLong
+      id -> ((k, k >= 2))
+    }.toMap
+    val got = TextAnalysis.decontaminate(
+        train.toDF("doc_id", "text").repartition(5),
+        bench.toDF("doc_id", "text"), "doc_id", "text", n = n, minOverlap = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == exp)
+  }
 }
