@@ -1358,6 +1358,13 @@ object SparkEntry {
       def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
       import s.implicits._
       Seq((r4(beta(0)), r4(beta(1)), r4(beta(2)))).toDF("b0", "b1", "b2")
+    },
+    // ---- §2.11 np.histogramdd: N-dim joint binning, one composite-key agg
+    "q138_histogramdd" -> { (s, dir) =>
+      graft.operators.ArrayAlgs.histogramDd(t(s, dir, "lineitem"), Seq(
+        ("l_quantity", 0.0, 50.0, 5),
+        ("l_discount", 0.0, 0.1, 5),
+        ("l_tax", 0.0, 0.08, 4)))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -2806,5 +2813,18 @@ object SparkEntry {
         |    (s11*c2 - s12*c1) / (s11*s22 - s12*s12) AS b2 FROM s)
         |SELECT floor((my - b1*m1 - b2*m2) * 1e4 + 0.5) / 1e4 AS b0,
         |  floor(b1 * 1e4 + 0.5) / 1e4 AS b1,
-        |  floor(b2 * 1e4 + 0.5) / 1e4 AS b2 FROM b""".stripMargin)
+        |  floor(b2 * 1e4 + 0.5) / 1e4 AS b2 FROM b""".stripMargin,
+    "q138_histogramdd" ->
+      """SELECT
+        |  CAST(least(floor((l_quantity - 0.0) / ((50.0 - 0.0) / 5)), 4) AS INT)
+        |    AS bin_l_quantity,
+        |  CAST(least(floor((l_discount - 0.0) / ((0.1 - 0.0) / 5)), 4) AS INT)
+        |    AS bin_l_discount,
+        |  CAST(least(floor((l_tax - 0.0) / ((0.08 - 0.0) / 4)), 3) AS INT)
+        |    AS bin_l_tax,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 0 AND 50 AND l_discount BETWEEN 0 AND 0.1
+        |  AND l_tax BETWEEN 0 AND 0.08
+        |GROUP BY 1, 2, 3""".stripMargin)
 }

@@ -51,6 +51,25 @@ object ArrayAlgs {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** `np.histogramdd` (`dask/array/routines.py:861-1517` family) — joint
+    * fixed-width binning over N columns; the same ONE partial→final
+    * aggregate as [[histogram]] with an N-part composite bucket key, so
+    * the shuffle carries at most ∏nbins rows regardless of input size.
+    */
+  def histogramDd(df: DataFrame, specs: Seq[(String, Double, Double, Int)]): DataFrame = {
+    require(specs.nonEmpty, "histogramDd needs at least one dimension")
+    specs.foreach { case (c, lo, hi, n) =>
+      require(n > 0 && hi > lo, s"bad histogramDd spec [$lo, $hi) x $n for $c") }
+    val inRange = specs.map { case (c, lo, hi, _) =>
+      col(c).cast("double") >= lo && col(c).cast("double") <= hi }.reduce(_ && _)
+    val bins = specs.map { case (c, lo, hi, n) =>
+      val w = (hi - lo) / n
+      least(floor((col(c).cast("double") - lit(lo)) / lit(w)), lit(n - 1))
+        .cast("int").as(s"bin_$c")
+    }
+    df.filter(inRange).groupBy(bins: _*).agg(count(lit(1)).as("n"))
+  }
+
   /** `np.bincount` — counts of non-negative integer values. */
   def bincount(df: DataFrame, intCol: String): DataFrame =
     df.filter(col(intCol) >= 0)

@@ -24,6 +24,21 @@ class ArrayAlgsSpec extends SparkTestBase {
     assert(row0.getDouble(2) == 0.0 && row0.getDouble(3) == 2.0)
   }
 
+  test("histogramDd: joint bins, right-closed upper edges, range filter") {
+    val df = Seq(
+      (0.5, 0.5), (0.5, 1.5), (1.5, 0.5), (1.5, 1.5),
+      (2.0, 2.0),            // both at hi → last bin each
+      (2.5, 1.0), (1.0, -1.0) // out of range → dropped
+    ).toDF("x", "y")
+    val h = ArrayAlgs.histogramDd(df, Seq(("x", 0.0, 2.0, 2), ("y", 0.0, 2.0, 2)))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(h == Map((0, 0) -> 1L, (0, 1) -> 1L, (1, 0) -> 1L, (1, 1) -> 2L))
+    // 1-dim degenerate case agrees with histogram counts
+    val h1 = ArrayAlgs.histogramDd(df, Seq(("x", 0.0, 2.0, 2)))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h1 == Map(0 -> 2L, 1 -> 4L))
+  }
+
   test("bincount counts non-negative ints") {
     val df = Seq(0, 1, 1, 2, 2, 2, -3).toDF("v")
     val got = ArrayAlgs.bincount(df, "v").orderBy("value").collect()
