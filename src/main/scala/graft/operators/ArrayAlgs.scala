@@ -90,6 +90,23 @@ object ArrayAlgs {
       .cast("int").as(out)
   }
 
+  /** `np.searchsorted(sorted, x, side)` (`dask/array/routines.py:811`) —
+    * the insertion index that keeps `sorted` sorted.  side='left' counts
+    * strictly-smaller boundaries, side='right' counts ≤ (== [[digitize]]).
+    * Same codegen'd comparison chain as digitize: the boundary list is a
+    * driver-side constant (numpy's is an in-memory array), so no join.
+    */
+  def searchsorted(valueCol: String, sorted: Seq[Double], side: String = "left",
+                   out: String = "idx"): Column = {
+    require(sorted == sorted.sorted, "searchsorted needs a sorted array")
+    require(side == "left" || side == "right", s"side must be left|right, got $side")
+    val c = col(valueCol).cast("double")
+    val cmp: Double => Column =
+      if (side == "right") b => when(c >= lit(b), 1).otherwise(0)
+      else b => when(c > lit(b), 1).otherwise(0)
+    sorted.foldLeft(lit(0)) { (acc, b) => acc + cmp(b) }.cast("int").as(out)
+  }
+
   /** Pairwise correlation matrix in long form `(var1, var2, corr)` —
     * reference `da.corrcoef` / frame-level pairwise `corr`
     * (`_collection.py:4042`). All n·(n-1)/2 coefficients come from ONE

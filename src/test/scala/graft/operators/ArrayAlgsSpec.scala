@@ -53,6 +53,17 @@ class ArrayAlgsSpec extends SparkTestBase {
     assert(got == Seq(0, 1, 1, 2, 3))
   }
 
+  test("searchsorted: left/right insertion indices match numpy") {
+    val df = Seq(0.5, 1.0, 1.5, 2.0, 3.0).toDF("x")
+    val bounds = Seq(1.0, 2.0)
+    val got = df.select(col("x"),
+        ArrayAlgs.searchsorted("x", bounds, "left", "l"),
+        ArrayAlgs.searchsorted("x", bounds, "right", "r"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1), r.getInt(2))).toSeq
+    // numpy: searchsorted([1,2], x, 'left'/'right')
+    assert(got == Seq((0.5, 0, 0), (1.0, 0, 1), (1.5, 1, 1), (2.0, 1, 2), (3.0, 2, 2)))
+  }
+
   test("corrMatrix: long-form pairwise, single pass") {
     val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0))
       .toDF("a", "b", "c")
