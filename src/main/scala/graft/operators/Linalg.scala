@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.mllib.linalg.{DenseMatrix, Matrix, Vectors}
 import org.apache.spark.mllib.linalg.distributed.RowMatrix
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed linear algebra for the array module's linalg family
@@ -136,28 +136,53 @@ object Linalg {
     */
   def lstsq(df: DataFrame, vecCol: String, yCol: String,
             intercept: Boolean = true): Array[Double] = {
-    val rows = df
-      .select(transform(col(vecCol), _.cast("double")).as("v"),
-        col(yCol).cast("double").as("y"))
-      .rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
-    val p0 = rows.first()._1.length
+    val p0 = df.select(size(col(vecCol))).first().getInt(0)
     val p = if (intercept) p0 + 1 else p0
-    // acc layout: [AᵀA p×p col-major | Aᵀy p]
-    val acc = rows.treeAggregate(new Array[Double](p * p + p))(
-      seqOp = { (a, row) =>
-        val x = if (intercept) 1.0 +: row._1 else row._1
-        var j = 0
-        while (j < p) {
-          val xj = x(j); var i = 0
-          while (i < p) { a(j * p + i) += x(i) * xj; i += 1 }
-          a(p * p + j) += xj * row._2
-          j += 1
+    val (ataArr, atyArr) =
+      if (p <= 24) {
+        // small-p fast path: the normal equations are p(p+1)/2 + p plain
+        // sum() aggregates over element_at terms — fully codegen'd, fuses
+        // into the scan (one partial→final agg, no Row deserialization)
+        def feat(i: Int): Column =
+          if (intercept && i == 0) lit(1.0)
+          else element_at(col(vecCol), i + (if (intercept) 0 else 1)).cast("double")
+        val y = col(yCol).cast("double")
+        val upper = for (j <- 0 until p; i <- 0 to j)
+          yield sum(feat(i) * feat(j)).as(s"g_${i}_$j")
+        val rhs = (0 until p).map(i => sum(feat(i) * y).as(s"b_$i"))
+        val row = df.agg((upper ++ rhs).head, (upper ++ rhs).tail: _*).first()
+        val ata = new Array[Double](p * p)
+        var idx = 0
+        for (j <- 0 until p; i <- 0 to j) {
+          ata(j * p + i) = row.getDouble(idx); ata(i * p + j) = row.getDouble(idx)
+          idx += 1
         }
-        a
-      },
-      combOp = { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
-    val ata = breeze.linalg.DenseMatrix.create(p, p, acc.take(p * p))
-    val aty = breeze.linalg.DenseVector(acc.drop(p * p))
+        (ata, (0 until p).map(i => row.getDouble(idx + i)).toArray)
+      } else {
+        // wide-feature path: one treeAggregate of per-row outer products
+        val rows = df
+          .select(transform(col(vecCol), _.cast("double")).as("v"),
+            col(yCol).cast("double").as("y"))
+          .rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
+        // acc layout: [AᵀA p×p col-major | Aᵀy p]
+        val acc = rows.treeAggregate(new Array[Double](p * p + p))(
+          seqOp = { (a, row) =>
+            val x = if (intercept) 1.0 +: row._1 else row._1
+            var j = 0
+            while (j < p) {
+              val xj = x(j); var i = 0
+              while (i < p) { a(j * p + i) += x(i) * xj; i += 1 }
+              a(p * p + j) += xj * row._2
+              j += 1
+            }
+            a
+          },
+          combOp = { (a, b) =>
+            var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+        (acc.take(p * p), acc.drop(p * p))
+      }
+    val ata = breeze.linalg.DenseMatrix.create(p, p, ataArr)
+    val aty = breeze.linalg.DenseVector(atyArr)
     (ata \ aty).toArray
   }
 

@@ -92,6 +92,21 @@ class BagLinalgStreamSpec extends SparkTestBase {
     assert(b2.length == 2)
   }
 
+  test("lstsq wide-feature path (treeAggregate) agrees with the model too") {
+    val p = 30 // > 24 → exercises the outer-product treeAggregate path
+    val coef = (0 until p).map(j => (j % 5) - 2.0)
+    // distinct frequencies → linearly independent features over 200 rows
+    // (equal-frequency phase shifts would make the design matrix rank 2)
+    val rows = (0 until 200).map { i =>
+      val x = (0 until p).map(j => math.sin(i * 0.1 * (j + 1)))
+      (x, x.zip(coef).map { case (a, b) => a * b }.sum + 4.0)
+    }
+    val beta = Linalg.lstsq(rows.toDF("x", "y"), "x", "y", intercept = true)
+    assert(math.abs(beta(0) - 4.0) < 1e-6)
+    coef.zipWithIndex.foreach { case (c, j) =>
+      assert(math.abs(beta(j + 1) - c) < 1e-6, s"coef $j: ${beta(j + 1)} vs $c") }
+  }
+
   test("resample aggDense emits empty buckets between min and max") {
     val df = Seq(
       (java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 1.0),
