@@ -68,6 +68,15 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * the (small) static dimension, broadcast so the stream side never
+    * shuffles — the standard metadata/quality-score enrichment step in an
+    * ingestion pipeline.  Left join keeps stream rows with no dimension
+    * match (nulls), mirroring `merge(how='left')`.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
+
   /** File-sink pipeline starter: parquet-in → transform → parquet-out with
     * checkpointing (exactly-once file sink).
     */

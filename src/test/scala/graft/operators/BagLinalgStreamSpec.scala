@@ -119,6 +119,22 @@ class BagLinalgStreamSpec extends SparkTestBase {
     assert(out(0).getLong(1) == 1 && out(2).getDouble(2) == 2.0)
   }
 
+  test("streaming: stream-static enrichment join broadcasts the dimension") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Int, Double)]
+    val dim = Seq((1, "gold"), (2, "silver")).toDF("uid", "tier")
+    val out = StreamOps.enrich(mem.toDF().toDF("uid", "v"), dim, Seq("uid"))
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData((1, 10.0), (2, 20.0), (3, 30.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT uid, v, tier FROM enriched ORDER BY uid").collect()
+    q.stop()
+    assert(rows.map(r => (r.getInt(0), r.getDouble(1),
+      if (r.isNullAt(2)) null else r.getString(2))).toSeq ==
+      Seq((1, 10.0, "gold"), (2, 20.0, "silver"), (3, 30.0, null)))
+  }
+
   test("streaming: tumbling windowedAgg over a memory stream") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Double)]
