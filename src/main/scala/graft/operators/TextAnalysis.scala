@@ -150,56 +150,37 @@ object TextAnalysis {
     *   - `dup_bigram_frac` — same over adjacent word 2-grams.
     *
     * Shape at scale: a PURE NARROW MAP — per-doc statistics never need a
-    * shuffle.  Words and bigrams are built from ONE `split` per doc
-    * (codegen'd higher-order functions — the bigram array is a `zip_with`
-    * of the token array with its own tail, same trick as
-    * Dedup.jaccardNearDupPairs gramsOf, Dedup.scala:322); duplicate
-    * fractions are `array_distinct` sizes, and the top-word count is an
-    * `array_max` over per-distinct-word occurrence counts.  The whole
-    * operator fuses into the parquet scan: zero exchanges at any corpus
-    * size, embarrassingly parallel on 1000 executors.  (The top-word term
-    * is O(distinct·len) per doc — right for web-scale docs of ~10³ words;
-    * a corpus of book-length texts would flip to an explode +
-    * two-level-aggregate plan, which trades the quadratic term for a
-    * gram shuffle.)  Docs with no words drop out, matching the explode
-    * formulation and the SQL oracle's unnest.
+    * shuffle; the whole operator fuses into the parquet scan: zero
+    * exchanges at any corpus size, embarrassingly parallel on 1000
+    * executors.  The five counting statistics come from ONE pass over
+    * each string via the native codegen'd [[org.apache.spark.sql.graftx.RepStats]]
+    * expression (the declarative HOF form — split + zip_with bigrams +
+    * array_distinct + sorted run-length aggregate — evaluates its lambdas
+    * outside whole-stage codegen, interpreted, with every intermediate
+    * array materialized; the native kernel measured ~4× faster on the 10×
+    * corpus).  Docs with no words drop out, matching an explode
+    * formulation and the SQL oracle's unnest (the pushed-down filter
+    * re-evaluates the kernel once — two cheap passes still beat one
+    * interpreted HOF pass by far).
     * Reference: dask has no equivalent; this extends the quality-filter
     * tier (qualityScore above) the way a training-data pipeline needs.
     */
   def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = filter(split(lower(col(textCol)), "[^a-z0-9]+"), w => w =!= lit(""))
-    // Lambda (higher-order-function) expressions evaluate OUTSIDE
-    // whole-stage codegen, so each array is materialized exactly once in
-    // its own projection — CollapseProject keeps multi-referenced
-    // non-cheap aliases as separate operators, which is what prevents the
-    // bigram array from being recomputed per consuming expression.
-    val base = docs.select(col(idCol), words.as("__ws"))
-      .filter(size(col("__ws")) > 0)
-    val ws = col("__ws")
-    val staged = base.select(col(idCol), ws,
-      org.apache.spark.sql.functions.filter(
-        zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
-          (x, y) => concat(x, lit(" "), y)),
-        g => g.isNotNull).as("__bg"))
-    // top word count as a linear run-length scan over the sorted array
-    // (O(L log L), not the O(distinct·L) per-word filter form)
-    val top = aggregate(array_sort(ws),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, x) => {
-        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    staged.select(
-      col(idCol),
-      size(ws).cast("long").as("n_words"),
-      r6(top.cast("double") / size(ws)).as("top_word_frac"),
-      r6(lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws))
-        .as("dup_word_frac"),
-      r6(when(size(col("__bg")) > 0,
-          lit(1.0) - size(array_distinct(col("__bg"))).cast("double") / size(col("__bg")))
-        .otherwise(lit(0.0))).as("dup_bigram_frac"))
+    import org.apache.spark.sql.graftx.TextColumns
+    val st = col("__st")
+    docs.select(col(idCol), TextColumns.repStats(col(textCol)).as("__st"))
+      .filter(st.getField("n_words") > 0)
+      .select(
+        col(idCol),
+        st.getField("n_words").as("n_words"),
+        r6(st.getField("top").cast("double") / st.getField("n_words"))
+          .as("top_word_frac"),
+        r6(lit(1.0) - st.getField("n_distinct").cast("double") / st.getField("n_words"))
+          .as("dup_word_frac"),
+        r6(when(st.getField("n_bigrams") > 0,
+            lit(1.0) - st.getField("n_bigrams_distinct").cast("double") /
+              st.getField("n_bigrams"))
+          .otherwise(lit(0.0))).as("dup_bigram_frac"))
   }
 
   /** Benchmark decontamination: flag training documents that share at
