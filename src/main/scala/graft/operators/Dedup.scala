@@ -319,16 +319,6 @@ object Dedup {
                           blockCols: Seq[String] = Nil, bandWidth: Int = 16,
                           threshold: Double = 0.5, ngram: Int = 2): DataFrame = {
     require(ngram == 1 || ngram == 2, s"ngram must be 1 or 2, got $ngram")
-    def gramsOf(text: Column): Column = {
-      val toks = org.apache.spark.sql.functions.filter(
-        split(lower(text), "\\s+"), t => t =!= lit(""))
-      if (ngram == 1) array_distinct(toks)
-      else array_distinct(org.apache.spark.sql.functions.filter(
-        // zip each token with its successor; the null-padded tail drops out
-        zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
-          (x, y) => concat(x, lit(" "), y)),
-        g => g.isNotNull))
-    }
 
     // 1) collapse exact duplicates: one representative per distinct text
     val keyed = docs.select(
@@ -341,10 +331,17 @@ object Dedup {
       .join(grp.select(col("__tkey"), col("__rep")), Seq("__tkey"))
       .select(col("__docid"), col("__rep"))
 
-    // 2) representative-level inverted index with the band in the key
+    // 2) representative-level inverted index with the band in the key.
+    // Gram construction + hashing is the native one-pass NgramHashes
+    // kernel (graftx/RepStatsExpr.scala) — this subplan is consumed by
+    // THREE branches (sizes, a-side, b-side) and Spark shares no
+    // subplans, so the per-doc gram cost is paid three times; keeping it
+    // a codegen'd single scan instead of an interpreted zip_with chain
+    // matters threefold here.
     val base = grp.select(
       (Seq(col("__rep"),
-        transform(gramsOf(col("__text")), g => xxhash64(g)).as("__toks"),
+        org.apache.spark.sql.graftx.TextColumns.ngramHashesWs(col("__text"), ngram)
+          .as("__toks"),
         floor(length(col("__text")) / bandWidth).as("__bk")) ++
         blockCols.map(col)): _*)
     val sizes = base.select(col("__rep"), size(col("__toks")).as("__sz"))

@@ -191,8 +191,13 @@ object TextAnalysis {
     *
     * Shape at scale: each side is reduced to DISTINCT (gram) /
     * (doc, gram) rows before the join, so the shuffle carries the gram
-    * vocabulary, not token occurrences.  Grams are hashed to int64
-    * (`xxhash64`) so join keys are fixed-width — the gram text never
+    * vocabulary, not token occurrences.  Gram construction + hashing is
+    * the native codegen'd [[org.apache.spark.sql.graftx.NgramHashes]]
+    * expression — one string scan emitting the distinct 64-bit gram
+    * hashes directly (the declarative zip_with-chain form evaluated an
+    * interpreted lambda per chain link and materialized ever-longer gram
+    * strings; output is identical because consumers only test hash
+    * equality).  Join keys are fixed-width int64 — gram text never
     * shuffles.  The benchmark side (eval sets: thousands of docs, not
     * billions) is broadcast, making the whole check a narrow map over the
     * training corpus followed by one partial→final count per doc.  A
@@ -202,22 +207,11 @@ object TextAnalysis {
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, n: Int = 5, minOverlap: Int = 1): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    def grams(d: DataFrame, id: Seq[Column]): DataFrame = {
-      val ws = filter(split(lower(col(textCol)), "[^a-z0-9]+"), w => w =!= lit(""))
-      // n-gram i is words[i..i+n-1]: fold zip_with over the shifted tails
-      val joined = (2 to n).foldLeft(ws) { (acc, k) =>
-        zip_with(acc, slice(ws, lit(k), greatest(size(ws) - (k - 1), lit(0))),
-          (x, y) => concat(x, lit(" "), y))
-      }
-      val gs = org.apache.spark.sql.functions.filter(
-        if (n == 1) joined
-        else slice(joined, lit(1), greatest(size(ws) - (n - 1), lit(0))),
-        g => g.isNotNull)
-      d.select((id :+ explode(array_distinct(gs)).as("__gram")): _*)
-        .select((id :+ xxhash64(col("__gram")).as("__gh")): _*)
-    }
-    // (doc, gram) rows are already distinct: the gram array is
-    // array_distinct'ed per doc before the explode — no extra shuffle
+    import org.apache.spark.sql.graftx.TextColumns
+    def grams(d: DataFrame, id: Seq[Column]): DataFrame =
+      d.select((id :+ explode(TextColumns.ngramHashes(col(textCol), n)).as("__gh")): _*)
+    // (doc, gram) rows are already distinct: the kernel emits each doc's
+    // gram-hash set — no extra shuffle
     val trainGrams = grams(train, Seq(col(idCol)))
     val benchGrams = grams(bench, Nil).distinct()
     val hits = trainGrams.join(broadcast(benchGrams), Seq("__gh"))
