@@ -59,6 +59,10 @@ object TextAnalysis {
 
   def qualityScore(docs: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
+    // wsTokens is an interpreted lambda expression (outside whole-stage
+    // codegen) referenced by three ratios — compute it ONCE as n_tokens
+    // and let the ratios read the column (a withColumn chain collapses to
+    // one Project, which would otherwise inline the split per consumer)
     docs
       .withColumn("n_chars_q", length(t).cast("long"))
       .withColumn("n_tokens", wsTokens(t).cast("long"))
@@ -66,10 +70,10 @@ object TextAnalysis {
         r6(regexp_count(t, lit("[.,;:!?]")).cast("double") / greatest(length(t), lit(1))))
       .withColumn("stopword_ratio",
         r6(regexp_count(lower(t), lit("\\b(the|a|of|and|to|in|is)\\b")).cast("double") /
-          greatest(wsTokens(t), lit(1))))
+          greatest(col("n_tokens"), lit(1L))))
       .withColumn("mean_word_len",
         r6((length(t) - regexp_count(t, lit("\\s"))).cast("double") /
-          greatest(wsTokens(t), lit(1))))
+          greatest(col("n_tokens"), lit(1L))))
       .withColumn("quality_score",
         r6(least(lit(1.0), greatest(lit(0.0),
           lit(0.25) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))
