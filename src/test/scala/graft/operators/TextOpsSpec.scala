@@ -108,6 +108,20 @@ class TextOpsSpec extends SparkTestBase {
     assert(r.getLong(1) == 1L && r.getBoolean(2)) // only 'a b' overlaps, counted once
   }
 
+  test("native kernels: unicode splits like the regex tokenizers") {
+    // alnum mode: 'é' is a separator (not in [a-z0-9]) — "héllo héllo"
+    // yields tokens h,llo,h,llo → 4 words, top=2, dup_word_frac=0.5
+    val m = TextAnalysis.repetitionMetrics(
+      Seq((1L, "héllo héllo")).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(m.getLong(1) == 4 && m.getDouble(2) == 0.5 && m.getDouble(3) == 0.5)
+    // ws mode (via jaccard dedup): accented tokens survive whitespace
+    // tokenization, so the identical accented texts still pair up
+    val pairs = Dedup.jaccardNearDupPairs(
+      Seq((1L, "héllo wörld one"), (2L, "héllo wörld two")).toDF("doc_id", "text"),
+      "doc_id", "text", bandWidth = 64, threshold = 0.3, ngram = 1)
+    assert(pairs.count() == 1)
+  }
+
   // ---- randomized agreement with driver-side brute force ---------------
 
   private def randWords(seed: Long, n: Int): String = {
