@@ -122,6 +122,20 @@ class TextOpsSpec extends SparkTestBase {
     assert(pairs.count() == 1)
   }
 
+  test("repetitionMetrics and decontaminate handle empty/degenerate inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.repetitionMetrics(empty, "doc_id", "text").count() == 0)
+    // null and empty texts drop out; a doc of only separators drops too
+    val weird = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "!!! ???"), (4L, "ok"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.repetitionMetrics(weird, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // empty benchmark → nothing is contaminated, every train doc present
+    val out = TextAnalysis.decontaminate(weird, empty, "doc_id", "text", n = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L) && out.values.forall(_ == false))
+  }
+
   // ---- randomized agreement with driver-side brute force ---------------
 
   private def randWords(seed: Long, n: Int): String = {
