@@ -73,7 +73,7 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
 
   def rename(mapping: (String, String)*): GDF = {
     val m = mapping.toMap
-    val d = df.select(df.columns.map(c => col(c).as(m.getOrElse(c, c))): _*)
+    val d = df.select(df.columns.toIndexedSeq.map(c => col(c).as(m.getOrElse(c, c))): _*)
     new GDF(d, index.map(ix => ix.copy(cols = ix.cols.map(c => m.getOrElse(c, c)))))
   }
   def addPrefix(p: String): GDF = rename(df.columns.map(c => c -> (p + c)).toIndexedSeq: _*)

@@ -28,7 +28,7 @@ object CatFunctions {
       .sortWithinPartitions(col(c).asc)
     // zipWithIndex = one partition-size count pass + a narrow map; global
     // order is the range-partition order, matching the sorted-codes rule
-    val numbered = distinct.rdd.zipWithIndex.map { case (r, i) =>
+    val numbered = distinct.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row(r.get(0), i.toInt)
     }
     val mapping = spark.createDataFrame(numbered,
