@@ -104,7 +104,12 @@ object ArrayAlgs {
     val cmp: Double => Column =
       if (side == "right") b => when(c >= lit(b), 1).otherwise(0)
       else b => when(c > lit(b), 1).otherwise(0)
-    sorted.foldLeft(lit(0)) { (acc, b) => acc + cmp(b) }.cast("int").as(out)
+    val idx = sorted.foldLeft(lit(0)) { (acc, b) => acc + cmp(b) }
+    // numpy: NaN sorts after everything → insertion index = len; NULL has
+    // no numpy analogue — propagate it rather than alias it to bucket 0
+    when(c.isNull, lit(null))
+      .when(isnan(c), lit(sorted.length))
+      .otherwise(idx).cast("int").as(out)
   }
 
   /** Pairwise correlation matrix in long form `(var1, var2, corr)` —

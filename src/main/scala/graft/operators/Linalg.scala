@@ -97,8 +97,14 @@ object Linalg {
       val omega = new DenseMatrix(p, l,
         Array.tabulate(p * l) { idx => gauss(idx % p, idx / p) }) // column-major
       var y = mat.multiply(omega) // n×l, narrow map
-      // power iterations: Y ← A·(Aᵀ·Y), each Aᵀ·Y a treeAggregate pass
+      // power iterations: Y ← A·(Aᵀ·Y), each Aᵀ·Y a treeAggregate pass.
+      // Re-orthonormalize Y between iterations (Q of its tsqr): without
+      // it, components along trailing singular directions shrink by
+      // (σᵢ/σ₁)^(2q) and drop below double precision for ill-conditioned
+      // inputs — the same per-iteration QR sklearn's randomized_svd and
+      // the reference's compression_matrix insert.
       for (_ <- 0 until powerIters) {
+        y = y.tallSkinnyQR(computeQ = true).Q
         val aty = atB(mat, y, l) // p×l driver-side
         y = mat.multiply(new DenseMatrix(p, l, aty))
       }
@@ -111,6 +117,9 @@ object Linalg {
       // the leading columns are generically well-conditioned, so cut at
       // the first collapsed pivot.
       val maxDiag = (0 until l).map(j => math.abs(r(j * l + j))).max
+      // an all-zero sketch means A itself is (numerically) zero: its
+      // spectrum is zero — solving through a zero pivot would yield NaNs
+      if (maxDiag == 0.0) return Array.fill(k)(0.0)
       val leff0 = (0 until l).indexWhere(j => math.abs(r(j * l + j)) <= maxDiag * 1e-12)
       val leff = if (leff0 < 0) l else math.max(leff0, 1)
       val atYArr = atB(mat, y, l) // p×l col-major
@@ -129,15 +138,27 @@ object Linalg {
     *
     * One `treeAggregate` pass accumulates the normal equations AᵀA (p×p)
     * and Aᵀy (p); the driver solves the p×p system with a breeze
-    * Cholesky/LU (`\`).  Nothing proportional to n ever reaches the
-    * driver, and the single pass is narrow — the same shape dask's lstsq
-    * lowers to (tsqr + small solve).  `intercept=true` appends a constant
+    * Cholesky/LU (`\`), falling back to the pseudo-inverse (min-norm
+    * solution, the numpy/dask lstsq contract) when the design is
+    * rank-deficient.  Nothing proportional to n ever reaches the driver,
+    * and the single pass is narrow — the same shape dask's lstsq lowers
+    * to (tsqr + small solve).  `intercept=true` appends a constant
     * feature and returns it FIRST in the coefficient array.
+    *
+    * Rows with a null y, a null vector, or any null element are DROPPED
+    * (pandas-dropna semantics) — both physical paths agree; without the
+    * filter, independent per-aggregate null-skipping would build AᵀA and
+    * Aᵀy over different row subsets.  NaN propagates (NaN in → NaN β).
     */
   def lstsq(df: DataFrame, vecCol: String, yCol: String,
             intercept: Boolean = true): Array[Double] = {
-    val p0 = df.select(size(col(vecCol))).first().getInt(0)
+    val probe = df.select(size(col(vecCol))).head(1)
+    require(probe.nonEmpty, "lstsq on an empty DataFrame")
+    val p0 = probe(0).getInt(0)
     val p = if (intercept) p0 + 1 else p0
+    val clean = df.filter(
+      col(yCol).isNotNull && col(vecCol).isNotNull &&
+        !exists(col(vecCol), _.isNull))
     val (ataArr, atyArr) =
       if (p <= 24) {
         // small-p fast path: the normal equations are p(p+1)/2 + p plain
@@ -150,7 +171,7 @@ object Linalg {
         val upper = for (j <- 0 until p; i <- 0 to j)
           yield sum(feat(i) * feat(j)).as(s"g_${i}_$j")
         val rhs = (0 until p).map(i => sum(feat(i) * y).as(s"b_$i"))
-        val row = df.agg((upper ++ rhs).head, (upper ++ rhs).tail: _*).first()
+        val row = clean.agg((upper ++ rhs).head, (upper ++ rhs).tail: _*).first()
         val ata = new Array[Double](p * p)
         var idx = 0
         for (j <- 0 until p; i <- 0 to j) {
@@ -160,7 +181,7 @@ object Linalg {
         (ata, (0 until p).map(i => row.getDouble(idx + i)).toArray)
       } else {
         // wide-feature path: one treeAggregate of per-row outer products
-        val rows = df
+        val rows = clean
           .select(transform(col(vecCol), _.cast("double")).as("v"),
             col(yCol).cast("double").as("y"))
           .rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
@@ -183,7 +204,21 @@ object Linalg {
       }
     val ata = breeze.linalg.DenseMatrix.create(p, p, ataArr)
     val aty = breeze.linalg.DenseVector(atyArr)
-    (ata \ aty).toArray
+    // Solve via a truncated-SVD pseudo-inverse unconditionally:
+    // rank-deficient designs (constant column + intercept, collinear
+    // features) make AᵀA singular, and LU "succeeds" with garbage there —
+    // fp elimination leaves a ~1e-15 pivot instead of a detectable zero
+    // (breeze pinv's default tolerance keeps that junk value too).
+    // Singular directions below 1e-12·σmax are fp noise on AᵀA (junk sits
+    // at ~eps·σmax ≈ 1e-16); dropping them yields the min-norm solution,
+    // the np.linalg.lstsq contract.  SVD of p×p is driver-trivial.
+    val dec = breeze.linalg.svd(ata)
+    val smax = if (dec.S.length == 0) 0.0 else breeze.linalg.max(dec.S)
+    val tol = smax * 1e-12
+    val utb = dec.U.t * aty
+    val coef = breeze.linalg.DenseVector.tabulate(p)(i =>
+      if (dec.S(i) > tol) utb(i) / dec.S(i) else 0.0)
+    (dec.Vt.t * coef).toArray
   }
 
   /** AᵀY as one treeAggregate of per-row outer products (p×l col-major). */

@@ -127,12 +127,9 @@ object NgramHashes {
   @inline private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  @inline private def mix64(z0: Long): Long = {
-    var z = z0
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  // the repo's one splitmix64 finalizer — consumers only test equality,
+  // so sharing the kernel beats a near-duplicate constant block here
+  @inline private def mix64(z: Long): Long = graft.functions.Hashing.mix64(z)
 
   /** FNV-1a over the chars of words [i-n+1 .. i] joined by ' ', then the
     * splitmix64 finalizer.  Called from generated code.

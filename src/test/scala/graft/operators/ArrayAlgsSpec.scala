@@ -62,6 +62,10 @@ class ArrayAlgsSpec extends SparkTestBase {
       .collect().map(r => (r.getDouble(0), r.getInt(1), r.getInt(2))).toSeq
     // numpy: searchsorted([1,2], x, 'left'/'right')
     assert(got == Seq((0.5, 0, 0), (1.0, 0, 1), (1.5, 1, 1), (2.0, 1, 2), (3.0, 2, 2)))
+    // NaN sorts last (numpy: index = len); NULL propagates
+    val edge = Seq(Some(Double.NaN), None).toDF("x")
+      .select(ArrayAlgs.searchsorted("x", bounds, "left", "i")).collect()
+    assert(edge(0).getInt(0) == 2 && edge(1).isNullAt(0))
   }
 
   test("corrMatrix: long-form pairwise, single pass") {

@@ -77,6 +77,57 @@ class BagLinalgStreamSpec extends SparkTestBase {
     assert(exact.zip(pi).forall { case (e, a) => math.abs(e - a) < 1e-6 * e })
   }
 
+  test("svdCompressed edge cases: zero matrix, huge spectral spread") {
+    val zero = (0 until 10).map(_ => Tuple1(Seq(0.0f, 0.0f, 0.0f))).toDF("vec")
+    assert(Linalg.svdCompressed(zero, "vec", k = 2).toSeq == Seq(0.0, 0.0))
+    // σ1/σ2 = 1e6: power iterations must re-orthonormalize or σ2 drowns
+    val v1 = Array(1.0, 0.0, 0.0, 0.0)
+    val v2 = Array(0.0, 1.0, 0.0, 0.0)
+    val rows = (0 until 50).map { i =>
+      val a = math.sin(i * 0.7); val b = math.cos(i * 1.3)
+      Tuple1((0 until 4).map(j => (a * 1e6 * v1(j) + b * v2(j)).toFloat))
+    }
+    val df = rows.toDF("vec")
+    val exact = Linalg.singularValues(df, "vec", 2)
+    val approx = Linalg.svdCompressed(df, "vec", k = 2, oversample = 4, powerIters = 2)
+    assert(exact.zip(approx).forall { case (e, a) => math.abs(e - a) <= 1e-4 * e },
+      s"exact=${exact.toSeq} approx=${approx.toSeq}")
+  }
+
+  test("lstsq: null rows dropped consistently, singular design, empty input") {
+    // a null y and a null element must not skew the normal equations —
+    // result equals the fit over the clean rows only
+    val cleanRows = (0 until 50).map { i =>
+      val x1 = math.sin(i * 0.9) * 5; val x2 = (i % 11).toDouble
+      (Seq(x1, x2), 1.0 + 2.0 * x1 + 0.5 * x2)
+    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("x", ArrayType(DoubleType, containsNull = true)),
+      StructField("y", DoubleType)))
+    val dirty = cleanRows.map { case (v, y) => Row(v, y) } ++ Seq(
+      Row(Seq(1.0, 2.0), null),
+      Row(Seq[Any](null, 2.0), 9.0),
+      Row(null, 9.0))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(dirty, 3), schema)
+    val beta = Linalg.lstsq(df, "x", "y")
+    assert(math.abs(beta(0) - 1.0) < 1e-9 && math.abs(beta(1) - 2.0) < 1e-9 &&
+      math.abs(beta(2) - 0.5) < 1e-9)
+    // constant feature + intercept → singular AtA → min-norm pinv solution,
+    // not an exception; fitted values must still reproduce y
+    val sing = (0 until 20).map { i =>
+      val x1 = math.sin(i * 1.1); (Seq(x1, 1.0), 3.0 * x1 + 2.0) }
+      .toDF("x", "y")
+    val bs = Linalg.lstsq(sing, "x", "y")
+    assert(math.abs(bs(1) - 3.0) < 1e-8)          // slope is identified
+    assert(math.abs(bs(0) + bs(2) - 2.0) < 1e-8)  // intercept split min-norm
+    intercept[IllegalArgumentException] {
+      Linalg.lstsq(Seq.empty[(Seq[Double], Double)].toDF("x", "y"), "x", "y")
+    }
+  }
+
   test("lstsq recovers exact coefficients of a noiseless linear model") {
     val rows = (0 until 100).map { i =>
       val x1 = math.sin(i * 0.3) * 10; val x2 = (i % 7).toDouble
