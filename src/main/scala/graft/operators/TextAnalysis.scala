@@ -220,7 +220,14 @@ object TextAnalysis {
     val benchGrams = grams(bench, Nil).distinct()
     val hits = trainGrams.join(broadcast(benchGrams), Seq("__gh"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
-    train.select(col(idCol)).distinct()
+    // idCol is unique per doc (the module-wide convention, as in Dedup):
+    // joining the raw id column — not a distinct of it — drops a wasted
+    // corpus-wide exchange.  No broadcast hint on `hits`: in the normal
+    // case (contaminated docs ≪ corpus) AQE sees its runtime size and
+    // converts to a broadcast join, keeping the train side exchange-free;
+    // in the adversarial all-contaminated case it falls back to a shuffle
+    // join instead of OOMing a forced broadcast.
+    train.select(col(idCol))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
