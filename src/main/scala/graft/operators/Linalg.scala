@@ -131,6 +131,29 @@ object Linalg {
     } finally { mat.rows.unpersist(false) }
   }
 
+  /** Cholesky factor L (p×p, lower-triangular, driver-side) of the
+    * distributed gramian AᵀA — the reference's `cholesky`
+    * (`dask/array/linalg.py:1295`) in the shape a tall-skinny engine
+    * meets: the distributed pass is the gramian; the factorization of
+    * the small p×p result is driver arithmetic.
+    */
+  def choleskyGram(df: DataFrame, vecCol: String): breeze.linalg.DenseMatrix[Double] = {
+    val g = gramian(df, vecCol)
+    val m = breeze.linalg.DenseMatrix.create(g.numRows, g.numCols, g.toArray)
+    breeze.linalg.cholesky(m)
+  }
+
+  /** Solve (AᵀA)·x = b for a driver-side right-hand side — the
+    * reference's `solve` (`dask/array/linalg.py:1114`) on the normal
+    * matrix: one distributed gramian pass + a p×p driver solve.
+    */
+  def solveGram(df: DataFrame, vecCol: String, b: Array[Double]): Array[Double] = {
+    val g = gramian(df, vecCol)
+    require(b.length == g.numCols, s"rhs length ${b.length} != ${g.numCols}")
+    val m = breeze.linalg.DenseMatrix.create(g.numRows, g.numCols, g.toArray)
+    (m \ breeze.linalg.DenseVector(b)).toArray
+  }
+
   /** Distributed ordinary least squares — the reference's `lstsq`/`solve`
     * family (`dask/array/linalg.py:1114-1476`) for the tall-skinny case
     * that a query engine actually meets: A is n×p with p small (features),

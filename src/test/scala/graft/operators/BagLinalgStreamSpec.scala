@@ -77,6 +77,19 @@ class BagLinalgStreamSpec extends SparkTestBase {
     assert(exact.zip(pi).forall { case (e, a) => math.abs(e - a) < 1e-6 * e })
   }
 
+  test("choleskyGram and solveGram work against the known gramian") {
+    // gram = [[1,1],[1,4]] (same fixture as the tsqr test): L = [[1,0],[1,√3]]
+    val df = Seq(
+      Seq(1.0f, 1.0f), Seq(0.0f, 1.0f), Seq(0.0f, 1.0f), Seq(0.0f, 1.0f)
+    ).toDF("vec")
+    val lMat = Linalg.choleskyGram(df, "vec")
+    assert(math.abs(lMat(0, 0) - 1.0) < 1e-12 && math.abs(lMat(1, 0) - 1.0) < 1e-12)
+    assert(math.abs(lMat(1, 1) - math.sqrt(3.0)) < 1e-12 && lMat(0, 1) == 0.0)
+    // solve [[1,1],[1,4]] x = [3, 9] → x = [1, 2]
+    val x = Linalg.solveGram(df, "vec", Array(3.0, 9.0))
+    assert(math.abs(x(0) - 1.0) < 1e-12 && math.abs(x(1) - 2.0) < 1e-12)
+  }
+
   test("svdCompressed edge cases: zero matrix, huge spectral spread") {
     val zero = (0 until 10).map(_ => Tuple1(Seq(0.0f, 0.0f, 0.0f))).toDF("vec")
     assert(Linalg.svdCompressed(zero, "vec", k = 2).toSeq == Seq(0.0, 0.0))
