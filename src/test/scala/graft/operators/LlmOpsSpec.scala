@@ -60,6 +60,35 @@ class LlmOpsSpec extends SparkTestBase {
     assert(none.count() == 0)
   }
 
+  test("jaccardNearDupPairs equals brute-force pairwise Jaccard (randomized)") {
+    val rnd = new scala.util.Random(271)
+    val vocab = Vector("red", "blue", "green", "gold", "onyx", "jade", "ruby")
+    val texts = (1L to 25L).map(i =>
+      (i, (0 until 6 + rnd.nextInt(4)).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    def grams(t: String, n: Int): Set[String] = {
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (n == 1) ws.toSet
+      else if (ws.length < 2) Set.empty
+      else ws.sliding(2).map(_.mkString(" ")).toSet
+    }
+    for (n <- Seq(1, 2)) {
+      val expected = (for {
+        (a, ta) <- texts; (b, tb) <- texts if a < b
+        ga = grams(ta, n); gb = grams(tb, n)
+        inter = (ga & gb).size if inter > 0
+        j = inter.toDouble / (ga ++ gb).size if j >= 0.3
+      } yield (a, b) -> j).toMap
+      // bandWidth large enough that every doc shares band 0 (no blocking)
+      val got = Dedup.jaccardNearDupPairs(texts.toDF("doc_id", "text"),
+          "doc_id", "text", bandWidth = 1000, threshold = 0.3, ngram = n)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+      assert(got.keySet == expected.keySet, s"ngram=$n pair sets differ")
+      expected.foreach { case (k, j) =>
+        assert(math.abs(got(k) - j) < 1e-12, s"ngram=$n $k: ${got(k)} vs $j") }
+    }
+  }
+
   test("exactNearDupPairs: dup collapse emits the same pairs as all-pairs") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (5L, Array(1.0f, 0.0f)),
