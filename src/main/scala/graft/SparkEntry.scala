@@ -2740,6 +2740,7 @@ object SparkEntry {
         |scored AS (SELECT l.query_id, e.vec_id AS neighbor_id,
         |    list_sum(list(l.d ORDER BY l.m)) AS score
         |  FROM enc e JOIN lutd l ON l.m = e.m AND l.code = e.code
+        |  WHERE e.vec_id <> l.query_id
         |  GROUP BY 1, 2)
         |SELECT query_id, neighbor_id, round(score, 4) AS score, rk FROM (
         |  SELECT query_id, neighbor_id, score, CAST(row_number() OVER (

@@ -59,8 +59,9 @@ object Multimodal {
         lit("fake/raw").as("format")).as("meta"))
 
   /** Batch feature extraction over the payload column: one decode call
-    * per row, batched per partition; output keeps (media_id, modality,
-    * meta, byte_len, features).
+    * per row, batched per partition; output is (media_id, modality,
+    * byte_len, features) — the `meta` struct does not pass through (join
+    * it back on media_id downstream if needed).
     */
   def extractFeatures(media: DataFrame, featureDim: Int = 8): DataFrame = {
     val outSchema = StructType(Seq(

@@ -40,14 +40,18 @@ object Similarity {
     * (rows ≤ queries × corpus-partition count after partial filtering).
     * Norms are precomputed per side (O(n)); each of the O(n·q) pairs pays
     * one codegen'd [[org.apache.spark.sql.graftx.FloatVecDot]] loop.
+    * Zero-norm rows are excluded on BOTH sides (cosine undefined — a
+    * 0/0 = NaN sim would rank FIRST under desc ordering, since Spark
+    * sorts NaN above every double); same rule in [[annTopK]]/[[ivfTopK]].
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      vecNorm(col(vecCol)).as("__qn")))
+      vecNorm(col(vecCol)).as("__qn")).filter(col("__qn") > 0))
     val scored = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
         vecNorm(col(vecCol)).as("__cn"))
+      .filter(col("__cn") > 0)
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", vecDot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
@@ -69,18 +73,6 @@ object Similarity {
                  planes: Int = 12): DataFrame =
     vectors.select(col(idCol), bucketUdf(col(vecCol), lit(planes)).as("bucket"))
 
-  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
-    * threshold) — the embedding leg of the dedup suite (SURVEY §7.2 M5).
-    *
-    * Byte-identical vectors are collapsed FIRST (group on the vector
-    * value): the quadratic all-pairs verification runs on one
-    * representative per distinct vector, and duplicate-group pairs
-    * (cosine exactly 1) plus cross-group member pairs are expanded
-    * afterward — output unchanged, but the corpus duplication factor
-    * drops out of the O(n²) core.  At corpus scale the same call
-    * composes with [[lshBuckets]]: join on bucket first, so only
-    * same-bucket candidates pay the cosine (see [[annTopK]]).
-    */
   /** (representative frame with norms, member mapping) shared by the
     * exact and bucketed near-dup tiers: byte-identical vectors collapse to
     * one representative; zero-norm groups (cosine undefined) are excluded
@@ -97,21 +89,43 @@ object Similarity {
     (grp.select(col("__rep"), col("__v"), col("__n")).filter(col("__n") > 0), members)
   }
 
-  /** EXACT all-pairs baseline: O(reps²) by construction, so it refuses to
-    * run past `maxExactVectors` distinct vectors — at corpus scale use
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    * threshold) — the embedding leg of the dedup suite (SURVEY §7.2 M5).
+    *
+    * Byte-identical vectors are collapsed FIRST (group on the vector
+    * value): the quadratic all-pairs verification runs on one
+    * representative per distinct vector, and duplicate-group pairs
+    * (cosine exactly 1) plus cross-group member pairs are expanded
+    * afterward — output unchanged, but the corpus duplication factor
+    * drops out of the O(n²) core.
+    *
+    * EXACT all-pairs baseline: O(reps²) by construction, so it refuses
+    * to run past `maxExactVectors` distinct vectors or
+    * `maxBroadcastBytes` of broadcast payload — at corpus scale use
     * [[bucketedNearDupPairs]], which blocks the pair space on sign-LSH
     * bucket keys instead of broadcasting the whole distinct-vector side.
     */
   def exactNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, maxExactVectors: Long = 2000000L): DataFrame = {
+                        threshold: Double, maxExactVectors: Long = 2000000L,
+                        maxBroadcastBytes: Long = 1L << 30): DataFrame = {
     require(threshold <= 1.0, s"cosine threshold must be <= 1, got $threshold")
-    val (prepped, members) = collapseVectors(vectors, idCol, vecCol)
-    // corpus-size guard: the count is one cheap aggregate over the already
-    // collapsed representatives, and it bounds the broadcast below
+    val (prepped0, members) = collapseVectors(vectors, idCol, vecCol)
+    // the guard count and the pair join both consume the collapse
+    // shuffle — persist so it runs once (LRU-evicted; tiny relative to
+    // the pair space this operator exists to bound)
+    val prepped = prepped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nReps = prepped.count()
     require(nReps <= maxExactVectors,
       s"exactNearDupPairs is the all-pairs oracle baseline ($nReps distinct vectors > " +
         s"$maxExactVectors); use bucketedNearDupPairs at corpus scale")
+    // the row-count guard alone does not bound broadcast BYTES — size it:
+    // ~4 bytes per float element + per-row overhead
+    val dim = prepped.select(size(col("__v"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val estBytes = nReps * (dim.toLong * 4 + 32)
+    require(estBytes <= maxBroadcastBytes,
+      s"exactNearDupPairs would broadcast ~$estBytes bytes of distinct vectors " +
+        s"($nReps x $dim dims) > $maxBroadcastBytes; use bucketedNearDupPairs")
     // norms are an O(n) pre-pass; each of the O(reps²) pairs then pays
     // exactly one codegen'd primitive dot loop (FloatVecDot)
     val a = prepped.select(col("__rep").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
@@ -165,11 +179,6 @@ object Similarity {
       sameFilter = col("__n") > 0)
   }
 
-  /** Bucketed ANN: candidates restricted to the query's bucket, then exact
-    * cosine rank within the bucket — the IVF pattern (coarse quantize →
-    * exact re-rank).  Recall is tunable by `planes` (fewer planes → bigger
-    * buckets → higher recall, more compute).
-    */
   /** IVF (inverted-file) ANN: assign every corpus vector to its nearest
     * centroid ("cell") in ONE narrow pass (centroids ride inside the
     * assignment function — the coarse codebook is small by construction,
@@ -216,14 +225,28 @@ object Similarity {
       cents.map { case (id, c) => (id, cosTo(v, c)) }
         .sortBy { case (id, s) => (-s, id) }
         .take(n).map(_._1)
-    val assignUdf = udf((v: Seq[Float]) => cellsOf(v, 1).head)
+    // corpus-side assignment is the ONE narrow pass over the whole
+    // corpus: a plain O(k) argmax scan, no tuple array / sort per row
+    // (same tie rule: strict > keeps the first = smallest centroid id)
+    val assignUdf = udf((v: Seq[Float]) => {
+      var best = cents(0)._1; var bestS = Double.NegativeInfinity
+      var ci = 0
+      while (ci < cents.length) {
+        val s = cosTo(v, cents(ci)._2)
+        if (s > bestS) { bestS = s; best = cents(ci)._1 }
+        ci += 1
+      }
+      best
+    })
+    // query-side multi-probe (tiny, broadcast side) keeps the sort form
     val probeUdf = udf((v: Seq[Float], n: Int) => cellsOf(v, n))
 
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       vecNorm(col(vecCol)).as("__cn"), assignUdf(col(vecCol)).as("cell"))
+      .filter(col("__cn") > 0) // zero-norm: cosine undefined, NaN would rank first
     val probes = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       vecNorm(col(vecCol)).as("__qn"),
-      explode(probeUdf(col(vecCol), lit(nProbe))).as("cell")))
+      explode(probeUdf(col(vecCol), lit(nProbe))).as("cell")).filter(col("__qn") > 0))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     assigned.join(probes, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -296,9 +319,11 @@ object Similarity {
       cents = next
     }
 
+    // return contract reports the first two centroid components; pad a
+    // 1-dim space with 0.0 rather than crashing on c(1)
     val centFrame = spark.createDataFrame(
       spark.sparkContext.parallelize(cents.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-        org.apache.spark.sql.Row(i, c(0), c(1))
+        org.apache.spark.sql.Row(i, c(0), if (c.length > 1) c(1) else 0.0)
       }, 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.IntegerType, false),
@@ -310,14 +335,21 @@ object Similarity {
       .select(col("cell"), coalesce(col("n"), lit(0L)).as("n"), col("c0"), col("c1"))
   }
 
+  /** Bucketed ANN: candidates restricted to the query's bucket, then exact
+    * cosine rank within the bucket — the IVF pattern (coarse quantize →
+    * exact re-rank).  Recall is tunable by `planes` (fewer planes → bigger
+    * buckets → higher recall, more compute).  Zero-norm rows excluded as
+    * in [[bruteForceTopK]].
+    */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 8): DataFrame = {
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       vecNorm(col(vecCol)).as("__cn"),
       bucketUdf(col(vecCol), lit(planes)).as("bucket"))
+      .filter(col("__cn") > 0)
     val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       vecNorm(col(vecCol)).as("__qn"),
-      bucketUdf(col(vecCol), lit(planes)).as("bucket")))
+      bucketUdf(col(vecCol), lit(planes)).as("bucket")).filter(col("__qn") > 0))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     cb.join(qb, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -463,6 +495,9 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").asc, col("neighbor_id").asc)
     encoded.select(col(idCol).as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(lut))
+      // self-match exclusion, consistent with the other top-k paths
+      // (a query drawn from the corpus has ADC distance ~0 to itself)
+      .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", aggregate(
         zip_with(col("codes"), col("__lut"), (c, l) => element_at(l, c + 1)),
         lit(0.0), (acc, x) => acc + x))

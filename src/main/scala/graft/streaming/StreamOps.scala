@@ -21,11 +21,11 @@ object StreamOps {
     * the window struct).
     */
   def windowedAgg(events: DataFrame, tsCol: String, windowDur: String,
-                  watermark: String): DataFrame =
+                  watermark: String, valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDur))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
       .select(col("window.start").as(tsCol), col("n"), col("sum_value"))
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
@@ -34,22 +34,42 @@ object StreamOps {
 
   /** Session aggregation with an inactivity gap via `mapGroupsWithState`
     * (the `KeyValueGroupedDataset` custom-state path from the brief).
+    *
+    * Micro-batch rows are sorted by event time before folding — Spark
+    * gives no intra-batch ordering, and a backwards `lastTs` would
+    * corrupt the gap detection.  Idle keys are evicted by an EVENT-time
+    * timeout at `lastTs + gapSeconds` once the watermark passes it (the
+    * key's final session is emitted as it closes), so state stays
+    * bounded on a firehose of ever-new keys.  (Event-time, not
+    * processing-time: a processing-time timeout keeps scheduling no-data
+    * batches, which livelocks `processAllAvailable` in tests and burns
+    * cluster cycles on idle streams.)
     */
   def sessionize(events: Dataset[SessionEvent], gapSeconds: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", s"$gapSeconds seconds")
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout)(
         (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) => {
-          val prev = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
-          var (n, tot, last) = (prev.nEvents, prev.total, prev.lastTs)
-          rows.foreach { e =>
-            val t = e.ts.getTime / 1000
-            if (last != Long.MinValue && t - last > gapSeconds) { n = 0; tot = 0.0 }
-            n += 1; tot += e.value; last = t
+          if (state.hasTimedOut) {
+            val prev = state.get
+            state.remove()
+            SessionOut(user, prev.nEvents, prev.total)
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+            var (n, tot, last) = (prev.nEvents, prev.total, prev.lastTs)
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime / 1000
+              if (last != Long.MinValue && t - last > gapSeconds) { n = 0; tot = 0.0 }
+              n += 1; tot += e.value; last = t
+            }
+            state.update(SessionState(n, tot, last))
+            // eviction target must sit past the current watermark
+            state.setTimeoutTimestamp(math.max(
+              (last + gapSeconds) * 1000L, state.getCurrentWatermarkMs + 1))
+            SessionOut(user, n, tot)
           }
-          state.update(SessionState(n, tot, last))
-          SessionOut(user, n, tot)
         })
   }
 

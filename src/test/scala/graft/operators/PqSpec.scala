@@ -89,7 +89,7 @@ class PqSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
       val exp = (0L until 2L).flatMap { qid =>
         val qv = vecs(qid.toInt)._2
-        val scores = vecs.map { case (id, _) =>
+        val scores = vecs.collect { case (id, _) if id != qid => // self excluded
           val s = (0 until numSub).map { mi =>
             val ci = expCodes(id)(mi)
             (0 until sub).map { i =>
