@@ -30,6 +30,13 @@ final class GBag[T](val ds: Dataset[T]) extends Serializable {
     * `comb` merges them per key. This IS the reference's ACA pattern; a
     * plain groupByKey would shuffle every raw row.
     */
+  /** dask `Bag.foldby` (`bag/core.py:1236`).  `initial` is shared across
+    * every key in a partition and `seq`/`comb` may run in any grouping —
+    * like Spark's own `aggregateByKey` zero value, `initial` must be
+    * IMMUTABLE and `seq` must return a fresh value rather than mutating
+    * its accumulator in place (a mutable shared zero would merge all
+    * keys' state into one object).
+    */
   def foldby[K: Encoder, B: Encoder](key: T => K, initial: B)(seq: (B, T) => B)(
       comb: (B, B) => B)(implicit kb: Encoder[(K, B)]): Dataset[(K, B)] = {
     val partials: Dataset[(K, B)] = ds.mapPartitions { it =>

@@ -129,7 +129,12 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
     keep(df.na.replace(cols, mapping))
 
   def clip(name: String, lo: Double, hi: Double): GDF =
-    keep(df.withColumn(name, greatest(least(col(name), lit(hi)), lit(lo))))
+    // pandas clip leaves missing values untouched; Spark least/greatest
+    // SKIP null (null → hi) and order NaN above all doubles (NaN → hi),
+    // so guard both explicitly
+    keep(df.withColumn(name,
+      when(col(name).isNull || isnan(col(name).cast("double")), col(name))
+        .otherwise(greatest(least(col(name), lit(hi)), lit(lo)))))
 
   def roundCol(name: String, scale: Int): GDF = keep(df.withColumn(name, round(col(name), scale)))
   def absCol(name: String): GDF = keep(df.withColumn(name, abs(col(name))))
@@ -152,15 +157,29 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
     * pipeline needs for holdout splits.  (reference `Sample`
     * `_expr.py:1283` is RNG-based; this is the scale-friendly variant)
     */
-  def hashSample(keyCol: Column, fraction: Double, seed: Int = 0): GDF =
+  def hashSample(keyCol: Column, fraction: Double, seed: Int = 0): GDF = {
+    requireNumericKey(keyCol, "hashSample")
     unordered(df.filter(
       graft.functions.Hashing.portableBucket(keyCol, 10000, seed) <
         math.round(fraction * 10000).toInt))
+  }
+
+  /** portableBucket hashes NUMERIC keys (cast to long); a string key
+    * would cast to null and silently select/route NOTHING — fail fast.
+    */
+  private def requireNumericKey(keyCol: Column, op: String): Unit = {
+    val dt = df.select(keyCol).schema.head.dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+      dt.isInstanceOf[org.apache.spark.sql.types.BooleanType],
+      s"$op needs a numeric key column (portable hash is over int64); got $dt — " +
+        "hash a string key to int64 first (e.g. xxhash64)")
+  }
 
   /** Deterministic counterpart of `randomSplit`: partitions rows into
     * `weights.length` disjoint frames by hash bucket of `keyCol`.
     */
   def hashSplit(keyCol: Column, weights: Array[Double], seed: Int = 0): Array[GDF] = {
+    requireNumericKey(keyCol, "hashSplit")
     val total = weights.sum
     val cum = weights.scanLeft(0.0)(_ + _).map(w => math.round(w / total * 10000).toInt)
     val b = graft.functions.Hashing.portableBucket(keyCol, 10000, seed)
@@ -305,7 +324,11 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
       case "last"  => orderCols.map(_.desc)
       case other   => throw new IllegalArgumentException(s"keep=$other")
     }
-    val w = Window.partitionBy(subset.map(col): _*).orderBy(ord: _*)
+    // pandas: no subset → dedup on ALL columns.  An empty partitionBy
+    // would instead put every row in ONE window group (single surviving
+    // row, single task) — silent data loss, so substitute the full set.
+    val keys = if (subset.nonEmpty) subset else df.columns.toSeq
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     unordered(
       df.withColumn("__rn__", row_number().over(w)).filter(col("__rn__") === 1).drop("__rn__"))
   }
@@ -437,8 +460,13 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
     val r = df.agg(min(bucket), max(bucket)).head()
     if (r.isNullAt(0)) this
     else {
-      val n = math.max(1, (r.getLong(1) - r.getLong(0) + 1).toInt)
-      new GDF(df.repartitionByRange(n, bucket), index)
+      val span = r.getLong(1) - r.getLong(0) + 1
+      // a corrupt outlier timestamp could imply billions of partitions;
+      // .toInt would silently wrap — fail fast instead
+      require(span >= 1 && span <= 10000000L,
+        s"repartitionFreq would create $span range partitions " +
+          s"(min/max bucket ${r.getLong(0)}/${r.getLong(1)}) — check the time column for outliers")
+      new GDF(df.repartitionByRange(span.toInt, bucket), index)
     }
   }
 
@@ -570,6 +598,10 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
   def rolling(window: Int, partitionBy: Seq[String] = Nil, minPeriods: Int = -1): GRolling = {
     val ord = index.map(_.cols).getOrElse(
       throw new IllegalStateException("rolling requires setIndex/withIndex"))
+    // the global path runs MapOverlap over the PHYSICAL layout — it needs
+    // the same range-partitioned sorted precondition as shift/cumsum (the
+    // keyed path sorts inside its window, so a declared index suffices)
+    if (partitionBy.isEmpty) requireSortedIndex("global rolling")
     // -1 sentinel → pandas fixed-window default (= window); 0 keeps pandas
     // min_periods=0 semantics (empty-window aggregate: sum()=0, count()=0,
     // mean/min/max of an all-null window = null)

@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   */
 final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
 
+  // windowed per-group ops exchange by the group keys, destroying any
+  // range-partitioned sorted layout — carry the index DEMOTED to
+  // sorted=false so a later order-dependent op re-sorts instead of
+  // trusting a layout that no longer exists
+  private def demotedIndex = gdf.index.map(_.copy(sorted = false))
+
   private def base: DataFrame =
     if (dropna) keys.foldLeft(gdf.df)((d, k) => d.filter(col(k).isNotNull)) else gdf.df
   private def grouped = base.groupBy(keys.map(col): _*)
@@ -108,8 +114,13 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
     * whole-partition window on the group keys (group count ≪ rows, and the
     * aggregate has already collapsed to one row per distinct value).
     */
-  def valueCounts(c: String, alias: String = "count", normalize: Boolean = false): GDF = {
-    val counted = base.groupBy((keys :+ c).map(col): _*).agg(count(lit(1)).as(alias))
+  def valueCounts(c: String, alias: String = "count", normalize: Boolean = false,
+                  dropnaValues: Boolean = true): GDF = {
+    // pandas value_counts drops null VALUES by default (independent of
+    // the groupby's key-level dropna); they would otherwise form a
+    // (key, null) row and inflate the normalize denominator
+    val rows = if (dropnaValues) base.filter(col(c).isNotNull) else base
+    val counted = rows.groupBy((keys :+ c).map(col): _*).agg(count(lit(1)).as(alias))
     if (!normalize) new GDF(counted, None)
     else {
       val w = Window.partitionBy(keys.map(col): _*)
@@ -126,7 +137,7 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
 
   /** per-group shift (lag). */
   def shift(c: String, periods: Int, orderBy: String, alias: String): GDF =
-    new GDF(base.withColumn(alias, lag(col(c), periods).over(w(orderBy))), gdf.index)
+    new GDF(base.withColumn(alias, lag(col(c), periods).over(w(orderBy))), demotedIndex)
 
   /** per-group cumulative sum. */
   def cumsum(c: String, orderBy: String, alias: String): GDF =
@@ -135,7 +146,7 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
         alias,
         org.apache.spark.sql.functions.sum(col(c))
           .over(w(orderBy).rowsBetween(Window.unboundedPreceding, Window.currentRow))),
-      gdf.index)
+      demotedIndex)
 
   /** per-group cumulative product (reference `GroupByCumulative`,
     * `_groupby.py:1352-1505`): Spark's `product` aggregate over the
@@ -151,13 +162,13 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
         when(col(c).isNull, lit(null)).otherwise(
           product(col(c)).over(
             wOrd(orderBy).rowsBetween(Window.unboundedPreceding, Window.currentRow)))),
-      gdf.index)
+      demotedIndex)
 
   def cumcount(orderBy: String, alias: String = "cumcount"): GDF =
-    new GDF(base.withColumn(alias, row_number().over(w(orderBy)) - 1), gdf.index)
+    new GDF(base.withColumn(alias, row_number().over(w(orderBy)) - 1), demotedIndex)
 
   def cumcountOrd(orderBy: Seq[String], alias: String = "cumcount"): GDF =
-    new GDF(base.withColumn(alias, row_number().over(wOrd(orderBy)) - 1), gdf.index)
+    new GDF(base.withColumn(alias, row_number().over(wOrd(orderBy)) - 1), demotedIndex)
 
   /** dask `GroupBy.transform(func)` for decomposable aggs: the group
     * aggregate broadcast back onto every row (`_groupby.py:1033`). A
@@ -171,8 +182,12 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
         "use nunique() + a join instead")
     val w = Window.partitionBy(keys.map(col): _*)
     val keysNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
-    val out = when(keysNotNull, GGroupBy.fn(fn, c).over(w)).otherwise(lit(null))
-    new GDF(gdf.df.withColumn(alias, out), gdf.index)
+    // dropna governs whether null-key rows form a real group: with
+    // dropna=false the window already groups null keys together, so the
+    // null-out guard must not apply (pandas dropna=False semantics)
+    val agg = GGroupBy.fn(fn, c).over(w)
+    val out = if (dropna) when(keysNotNull, agg).otherwise(lit(null)) else agg
+    new GDF(gdf.df.withColumn(alias, out), demotedIndex)
   }
 
   /** per-group forward-fill. */
@@ -182,7 +197,7 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
         c,
         last(col(c), ignoreNulls = true)
           .over(w(orderBy).rowsBetween(Window.unboundedPreceding, Window.currentRow))),
-      gdf.index)
+      demotedIndex)
 
   /** per-group head — first n rows by `orderBy` within each group. */
   def headPerGroup(n: Int, orderBy: String): GDF =

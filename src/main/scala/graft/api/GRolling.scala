@@ -269,9 +269,12 @@ final class GRolling(
           valueCol, ordNum, rangeSeconds.toDouble, out, minPeriods)(_.sum)
         .drop(ordNum)
     } else {
+      // numeric orders keep full double resolution on the keyed path too:
+      // cast("long") would truncate fractional spacing into ties and
+      // change window membership vs the global MapOverlap path
       val (ordExpr, lo) =
         if (isTs) (unix_micros(col(orderBy.head).cast("timestamp")), -rangeSeconds * 1000000L)
-        else (col(orderBy.head).cast("long"), -rangeSeconds)
+        else (col(orderBy.head).cast("double"), -rangeSeconds)
       val w = Window.partitionBy(partitionBy.map(col): _*)
         .orderBy(ordExpr)
         .rangeBetween(lo, 0)

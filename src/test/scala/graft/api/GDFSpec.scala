@@ -320,4 +320,62 @@ class GDFSpec extends SparkTestBase {
     assert(a == b)
     assert(ts.df.select("name").distinct().count() > 5)
   }
+
+  test("clip leaves null and NaN untouched (pandas missing-value rule)") {
+    val d = GDF(Seq(Some(-5.0), Some(5.0), Some(15.0), None, Some(Double.NaN))
+      .toDF("x"))
+    val out = d.clip("x", 0.0, 10.0).df.collect().map(r =>
+      if (r.isNullAt(0)) "null" else r.getDouble(0).toString).toSet
+    assert(out == Set("0.0", "5.0", "10.0", "null", "NaN"))
+  }
+
+  test("dropDuplicatesKeep with no subset dedups on all columns") {
+    val d = GDF(Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "k")).withIndex("id")
+    assert(d.dropDuplicatesKeep(Nil, "first").df.count() == 2)
+  }
+
+  test("group valueCounts drops null values; transform honors dropna=false") {
+    val d = GDF(Seq(("a", Some(1.0)), ("a", Some(1.0)), ("a", None), ("b", Some(2.0)))
+      .toDF("k", "v"))
+    val vc = d.groupby("k").valueCounts("v", normalize = true).df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    // the (a, null) row neither appears nor inflates a's denominator
+    assert(vc == Set(("a", 1.0, 1.0), ("b", 2.0, 1.0)))
+    val nullKey = GDF(Seq((Some("a"), 1.0), (None, 2.0), (None, 3.0))
+      .toDF("k", "v"))
+    val t = nullKey.groupbyDropna(false, "k").transform("v", "sum", "s").df
+      .collect().map(r => (if (r.isNullAt(0)) "ø" else r.getString(0)) -> r.getDouble(2)).toSet
+    assert(t == Set("a" -> 1.0, "ø" -> 5.0)) // null keys form a real group
+    val tDrop = nullKey.groupby("k").transform("v", "sum", "s").df
+      .collect().map(r => if (r.isNullAt(2)) -1.0 else r.getDouble(2)).toSet
+    assert(tDrop == Set(1.0, -1.0)) // dropna=true nulls them out, as before
+  }
+
+  test("keyed range rolling keeps fractional numeric order resolution") {
+    // rows at 0.5 and 1.6 with range 1: window at 1.6 is [0.6, 1.6] and
+    // must EXCLUDE 0.5 (a long-truncated order would include it)
+    val d = Seq(("a", 0.5, 1.0), ("a", 1.6, 10.0)).toDF("k", "t", "v")
+    val out = new graft.api.GRolling(d, 0, Seq("t"), Seq("k"), 1)
+      .sumRange("v", "s", 1L).collect().map(r => r.getDouble(1) -> r.getDouble(3)).toMap
+    assert(out(0.5) == 1.0 && out(1.6) == 10.0)
+  }
+
+  test("hashSample rejects non-numeric keys; repartitionFreq rejects outliers") {
+    val d = GDF(Seq(("u_1", 1.0)).toDF("uid", "v"))
+    intercept[IllegalArgumentException] { d.hashSample(col("uid"), 0.5) }
+    val ts2 = GDF(Seq(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("9999-01-01 00:00:00")).toDF("t"))
+    intercept[IllegalArgumentException] { ts2.repartitionFreq("t", 1L) }
+  }
+
+  test("group-windowed ops demote the sorted index (layout is destroyed)") {
+    val d = GDF(Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("id", "k", "v"))
+      .setIndex("id")
+    val shifted = d.groupby("k").shift("v", 1, "id", "prev")
+    assert(shifted.index.exists(!_.sorted))
+    // a later order-dependent op must demand a re-sort, not run MapOverlap
+    // over the hash-shuffled layout
+    intercept[IllegalArgumentException] { shifted.shift("v", 1, "out2") }
+  }
 }
