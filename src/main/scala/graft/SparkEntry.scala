@@ -1808,7 +1808,7 @@ object SparkEntry {
         |            ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
         |        FROM rows_),
         |chosen AS (SELECT DISTINCT tid, -(m.np) AS idx FROM sel
-        |           WHERE pos <= ng - 16),
+        |           WHERE pos <= ng - 16 OR (ng < 16 AND pos = 0)),
         |fpx AS (SELECT c.tid,
         |          bit_xor(tosigned(mix64(xor(r.gh, CAST(c.idx AS HUGEINT))))) AS fp
         |        FROM chosen c JOIN rows_ r ON r.tid = c.tid AND r.pos = c.idx
@@ -2001,10 +2001,14 @@ object SparkEntry {
     // DuckDB replica of Hashing.portableBucket (multiply-xorshift rounds,
     // buckets from the top of the 32-bit space), seeds 0 (split) / 1 (sample)
     "q67_sample" ->
-      """WITH k AS (
-        |  SELECT (l_orderkey*10 + l_linenumber) % 100000000 AS k0,
-        |         (l_orderkey*10 + l_linenumber) % 100000000 + 7919 AS k1
+      """WITH kf AS (
+        |  SELECT xor(l_orderkey*10 + l_linenumber,
+        |             (l_orderkey*10 + l_linenumber) >> 27) AS fk
         |  FROM lineitem),
+        |k AS (
+        |  SELECT fk % 100000000 AS k0,
+        |         fk % 100000000 + 7919 AS k1
+        |  FROM kf),
         |a1 AS (SELECT (k0*2654435761)%4294967296 AS h1a,
         |              (k1*2654435761)%4294967296 AS h1b FROM k),
         |a2 AS (SELECT xor(h1a, h1a>>16) AS x1a, xor(h1b, h1b>>16) AS x1b FROM a1),

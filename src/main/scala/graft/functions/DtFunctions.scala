@@ -15,7 +15,7 @@ object DtFunctions {
   def hour_(c: Column): Column = hour(c)
   def minute_(c: Column): Column = minute(c)
   def second_(c: Column): Column = second(c)
-  def microsecond(c: Column): Column = (unix_micros(c.cast("timestamp")) % 1000000L).cast("int")
+  def microsecond(c: Column): Column = pmod(unix_micros(c.cast("timestamp")), lit(1000000L)).cast("int") // pmod: pre-epoch stays in [0, 1e6)
   def dayofweek(c: Column): Column = weekday(c) // pandas: Monday=0
   def dayofyear(c: Column): Column = org.apache.spark.sql.functions.dayofyear(c)
   def weekofyear_(c: Column): Column = weekofyear(c)
@@ -31,13 +31,18 @@ object DtFunctions {
   // methods (`_datetime.py:18-33`)
   def floor(c: Column, unit: String): Column = date_trunc(unit, c)
   def normalize(c: Column): Column = date_trunc("day", c)
+  // exact integer floor division: `/` on longs is DOUBLE division and
+  // cast("long") truncates toward zero, which mis-rounds pre-epoch
+  // (negative) microsecond values; (a - pmod(a, b)) is exactly divisible
+  private def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
   def ceil(c: Column, seconds: Long): Column = {
     val us = lit(seconds * 1000000L)
-    timestamp_micros(((unix_micros(c.cast("timestamp")) + us - 1) / us).cast("long") * us)
+    timestamp_micros(floorDiv(unix_micros(c.cast("timestamp")) + us - 1, us) * us)
   }
   def roundTo(c: Column, seconds: Long): Column = {
     val us = lit(seconds * 1000000L)
-    timestamp_micros(((unix_micros(c.cast("timestamp")) + us / 2) / us).cast("long") * us)
+    timestamp_micros(floorDiv(unix_micros(c.cast("timestamp")) + us / 2, us) * us)
   }
   def strftime(c: Column, javaFormat: String): Column = date_format(c, javaFormat)
   def dayName(c: Column): Column = date_format(c, "EEEE")

@@ -8,7 +8,7 @@ package graft.functions
 object Hashing {
 
   import org.apache.spark.sql.Column
-  import org.apache.spark.sql.functions.{floor, lit, pmod, shiftright}
+  import org.apache.spark.sql.functions.{floor, lit, pmod, shiftright, shiftrightunsigned}
 
   /** Column-level bucket hash that is a pure function of the key value and
     * is expressible in portable SQL (multiply / xor / shift / mod only), so
@@ -22,7 +22,14 @@ object Hashing {
     * `sample()`, which depends on partition boundaries.
     */
   def portableBucket(key: Column, buckets: Int, seed: Int = 0): Column = {
-    val k = pmod(key.cast("long"), lit(100000000L)) + lit(seed.toLong * 7919L)
+    // fold the high bits in BEFORE the range reduction: a bare mod would
+    // make any two keys congruent mod 1e8 (e.g. snowflake ids 1e8 apart)
+    // collide in the same bucket under EVERY seed — a train/test-leak
+    // hazard for content-keyed splits.  xor + logical shift stays exact
+    // in both engines (no overflow, DuckDB-replicable).
+    val kl = key.cast("long")
+    val folded = kl.bitwiseXOR(shiftrightunsigned(kl, 27))
+    val k = pmod(folded, lit(100000000L)) + lit(seed.toLong * 7919L)
     val h1 = pmod(k * lit(2654435761L), lit(4294967296L))
     val x1 = h1.bitwiseXOR(shiftright(h1, 16))
     val h2 = pmod(x1 * lit(1597334677L), lit(4294967296L))
@@ -134,6 +141,16 @@ object Hashing {
     val s = text.toLowerCase.replaceAll("\\s+", " ")
     if (s.length < k) return hashString(s)
     val grams = Array.tabulate(s.length - k + 1)(i => hashString(s.substring(i, i + k)))
+    // fewer grams than one window: select the min over ALL grams (the
+    // single-window degenerate case).  Without this, every text of
+    // normalized length k..k+window-2 returned the constant 0 — all short
+    // docs collided into one false dedup cluster.
+    if (grams.length < window) {
+      var minIdx = 0
+      var j = 1
+      while (j < grams.length) { if (grams(j) <= grams(minIdx)) minIdx = j; j += 1 }
+      return mix64(grams(minIdx) ^ minIdx.toLong)
+    }
     var fp = 0L
     var lastMinIdx = -1
     var i = 0

@@ -83,7 +83,11 @@ object StrFunctions {
   def sliceReplace(c: Column, start: Int, stop: Int, rep: String): Column =
     concat(substring(c, 1, start), lit(rep), c.substr(lit(stop + 1), length(c)))
   def split(c: Column, sep: String): Column = org.apache.spark.sql.functions.split(c, sep)
-  def rsplit(c: Column, sep: String): Column = reverse(org.apache.spark.sql.functions.split(c, sep))
+  /** pandas `rsplit(sep)` WITHOUT maxsplit equals `split(sep)` — elements
+    * stay in left-to-right order (the two differ only when a maxsplit
+    * limit decides which END the unsplit remainder attaches to).
+    */
+  def rsplit(c: Column, sep: String): Column = org.apache.spark.sql.functions.split(c, sep)
   def startswith(c: Column, s: String): Column = c.startsWith(s)
   def strip(c: Column): Column = trim(c)
   def swapcase(c: Column): Column =
@@ -95,7 +99,10 @@ object StrFunctions {
   def translateStr(c: Column, from: String, to: String): Column = translate(c, from, to)
   def upper_(c: Column): Column = upper(c)
   def wrap(c: Column, width: Int): Column =
-    array_join(regexp_extract_all(c, lit(s".{1,$width}(\\s+|$$)"), lit(0)), "\n")
+    // second alternative breaks words longer than `width` (pandas
+    // break_long_words=True default) — without it their leading chunks
+    // would simply be DROPPED (unmatched by the break-at-space form)
+    array_join(regexp_extract_all(c, lit(s".{1,$width}(\\s+|$$)|.{1,$width}"), lit(0)), "\n")
   def zfill(c: Column, width: Int): Column =
     // pandas leaves strings longer than `width` unchanged; lpad would truncate
     when(length(c) >= width, c).otherwise(lpad(c, width, "0"))

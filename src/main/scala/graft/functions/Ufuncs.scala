@@ -40,10 +40,19 @@ object Ufuncs {
   def exp(c: Column): Column = org.apache.spark.sql.functions.exp(c)
   def expm1(c: Column): Column = org.apache.spark.sql.functions.expm1(c)
   def exp2(c: Column): Column = pow(lit(2.0), c)
-  def log(c: Column): Column = org.apache.spark.sql.functions.log(c)
-  def log1p(c: Column): Column = org.apache.spark.sql.functions.log1p(c)
-  def log2(c: Column): Column = org.apache.spark.sql.functions.log2(c)
-  def log10(c: Column): Column = org.apache.spark.sql.functions.log10(c)
+  // Spark's log family yields NULL at/below zero; numpy yields -inf at 0
+  // and nan below — and NULL silently vanishes from aggregates where
+  // nan poisons them, so the numpy edge values matter
+  private def logDomain(c: Column, interior: Column): Column =
+    when(c === 0, lit(Double.NegativeInfinity))
+      .when(c < 0, lit(Double.NaN)).otherwise(interior)
+  def log(c: Column): Column = logDomain(c, org.apache.spark.sql.functions.log(c))
+  def log1p(c: Column): Column =
+    when(c === -1, lit(Double.NegativeInfinity))
+      .when(c < -1, lit(Double.NaN))
+      .otherwise(org.apache.spark.sql.functions.log1p(c))
+  def log2(c: Column): Column = logDomain(c, org.apache.spark.sql.functions.log2(c))
+  def log10(c: Column): Column = logDomain(c, org.apache.spark.sql.functions.log10(c))
   /** ln(eˣ + eʸ) computed stably: max + log1p(exp(-|x-y|)). */
   def logaddexp(a: Column, b: Column): Column =
     greatest(a, b) + log1p(org.apache.spark.sql.functions.exp(-abs(a - b)))
@@ -56,7 +65,7 @@ object Ufuncs {
   def cbrt(c: Column): Column = org.apache.spark.sql.functions.cbrt(c)
   def square(c: Column): Column = c * c
   def power(a: Column, b: Column): Column = pow(a, b)
-  def reciprocal(c: Column): Column = lit(1.0) / c
+  def reciprocal(c: Column): Column = when(c === 0, lit(Double.PositiveInfinity)).otherwise(lit(1.0) / c) // numpy: 1/0 = inf, not NULL
   def ldexp(a: Column, b: Column): Column = a * pow(lit(2.0), b)
 
   // --- rounding ---
@@ -118,7 +127,11 @@ object Ufuncs {
   /** logistic sigmoid 1/(1+e⁻ˣ) (scipy.special.expit, numpy ufunc set). */
   def expit(c: Column): Column = lit(1.0) / (lit(1.0) + exp(-c))
   /** log-odds ln(x/(1-x)) (scipy.special.logit). */
-  def logit(c: Column): Column = log(c / (lit(1.0) - c))
+  def logit(c: Column): Column =
+    when(c === 0, lit(Double.NegativeInfinity))
+      .when(c === 1, lit(Double.PositiveInfinity))
+      .when(c < 0 || c > 1, lit(Double.NaN))
+      .otherwise(org.apache.spark.sql.functions.log(c / (lit(1.0) - c)))
   /** fractional and integral parts (numpy modf), both with x's sign. */
   def modf(c: Column): Column = struct((c - trunc(c)).as("frac"), trunc(c).as("int"))
 

@@ -103,13 +103,20 @@ object Stats {
     }
     val o = col("__obs")
     val e = col("__exp")
+    // zero-denominator cells: Spark division/log by zero yields NULL and
+    // sum() SKIPS null, which would silently delete the cell from the
+    // statistic; scipy returns inf there — make the divergence explicit
+    val inf = lit(Double.PositiveInfinity)
     val terms =
-      if (lambda_ == 1.0) pow(o - e, 2) / e
-      else if (lambda_ == 0.0) lit(2.0) * when(o === 0, 0.0).otherwise(o * log(o / e))
-      else if (lambda_ == -1.0) lit(2.0) * when(e === 0, 0.0).otherwise(e * log(e / o))
+      if (lambda_ == 1.0) when(e === 0, when(o === 0, 0.0).otherwise(inf))
+        .otherwise(pow(o - e, 2) / e)
+      else if (lambda_ == 0.0) lit(2.0) * when(o === 0, 0.0)
+        .otherwise(when(e === 0, inf).otherwise(o * log(o / e)))
+      else if (lambda_ == -1.0) lit(2.0) * when(e === 0, 0.0)
+        .otherwise(when(o === 0, inf).otherwise(e * log(e / o)))
       else (o * (pow(o / e, lambda_) - 1)) / lit(0.5 * lambda_ * (lambda_ + 1))
     withExp.agg(sum(terms).as("stat"),
-        (count(lit(1)).cast("double") - 1 - ddof).as("df"))
+        (count(col("__obs")).cast("double") - 1 - ddof).as("df"))
       .withColumn("p_value", chi2Sf(col("stat"), col("df")))
   }
 
@@ -128,7 +135,9 @@ object Stats {
     val x = c - col("__mean")
     df.select(c.as(valueCol))
       .crossJoin(broadcast(df.agg(avg(c).as("__mean"))))
-      .agg(count(lit(1)).cast("double").as("n"),
+      // count the VALUES, not the rows: avg() skips nulls, so a row-count
+      // n would mix populations and skew the z formulas
+      .agg(count(c).cast("double").as("n"),
         avg(pow(x, 2)).as("m2"), avg(pow(x, 3)).as("m3"), avg(pow(x, 4)).as("m4"))
   }
 
@@ -222,7 +231,7 @@ object Stats {
       .select(col("__g"), (col("__v") - col("__mean")).as("x"))
     val g = centered.groupBy(col("__g")).agg(
       sum(col("x")).as("s"), sum(col("x") * col("x")).as("ss"),
-      count(lit(1)).cast("double").as("n"))
+      count(col("x")).cast("double").as("n"))
     val fin = g.agg(
       sum(col("n")).as("bign"), count(lit(1)).cast("double").as("k"),
       sum(col("ss")).as("sumss"), sum(col("s")).as("sums"),

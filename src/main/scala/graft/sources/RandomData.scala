@@ -70,8 +70,16 @@ object RandomData {
   def bernoulli(id: Column, seed: Long, p: Double): Column =
     (uniform(id, seed) < p).cast("int")
 
-  def poisson(id: Column, seed: Long, lambda: Double): Column =
+  def poisson(id: Column, seed: Long, lambda: Double): Column = {
+    // the inverse-CDF walk degenerates for large λ: exp(-λ) underflows to
+    // 0 near λ≈745 (cdf never moves) and the k<200 cap truncates the bulk
+    // of the mass well before that — every row would silently return the
+    // cap.  Fail fast; large-λ callers should use a rounded normal.
+    require(lambda > 0 && lambda <= 100,
+      s"poisson inverse-CDF sampling supports lambda in (0, 100], got $lambda " +
+        "(approximate large lambda with round(normal(mu=lambda, sigma=sqrt(lambda))))")
     poissonUdf(uniform(id, seed), lit(lambda))
+  }
 
   /** Demo frame with one column per distribution — the `datasets.timeseries`
     * analog for the random suite.  Floats are NOT rounded here; round at
