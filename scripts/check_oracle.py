@@ -5,7 +5,11 @@ Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB over the same parquet tables,
-normalizes (sort columns by name, sort rows, stringify) and diffs.
+then compares EXACT stringified frames (columns sorted by name, rows sorted
+by stringified values). This intentionally mirrors the driver's exact-hash
+check: NO numeric tolerance and NO int/float dtype unification, so a DuckDB
+HUGEINT/TINYINT output typed differently from Spark's BIGINT/DOUBLE fails
+here exactly like it fails the driver gate (round-3 lesson: q56/q123).
 """
 import glob
 import json
@@ -13,24 +17,42 @@ import os
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
+def cell(v) -> str:
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ", ".join(cell(x) for x in v) + "]"
+    if v is None:
+        return "None"
+    try:
+        if pd.isna(v):
+            return "nan"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (float, np.floating)):
+        return str(float(v))
+    return str(v)
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # unify dtypes: ints → int64, floats → float64, timestamps → utc-naive ns
     for c in df.columns:
-        if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("float64")  # int/float unification
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-        elif pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+        # timestamps: normalize tz + unit so ns-vs-us resolution doesn't
+        # produce spurious textual diffs (both engines mean the same instant)
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            col = pd.to_datetime(df[c])
+            if getattr(col.dt, "tz", None) is not None:
+                col = col.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = col.astype("datetime64[ns]")
+    s = pd.DataFrame({c: df[c].map(cell) for c in df.columns})
+    if len(s.columns):
+        s = s.sort_values(by=list(s.columns), kind="mergesort")
+    return s.reset_index(drop=True)
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -59,7 +81,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures.append(name)
             print(f"FAIL {name}: oracle SQL error: {e}")
             continue
-        g, e = norm(got), norm(exp)
+        g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             failures.append(name)
             print(f"FAIL {name}: columns {list(g.columns)} vs oracle {list(e.columns)}")
@@ -68,14 +90,18 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures.append(name)
             print(f"FAIL {name}: rows {len(g)} vs oracle {len(e)}")
             continue
-        try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False,
-                                          rtol=0, atol=1e-9)
+        if g.equals(e):
             passed.append(name)
-        except AssertionError as ex:
+        else:
             failures.append(name)
-            msg = str(ex).split("\n")
-            print(f"FAIL {name}: " + " | ".join(msg[:6]))
+            neq = (g != e)
+            bad_cols = [c for c in g.columns if neq[c].any()]
+            msgs = []
+            for c in bad_cols[:3]:
+                i = int(neq[c].idxmax())
+                msgs.append(f"col {c} row {i}: spark={g[c][i]!r} oracle={e[c][i]!r} "
+                            f"({int(neq[c].sum())} diffs)")
+            print(f"FAIL {name}: " + " | ".join(msgs))
     print(f"\npassed={len(passed)} rows_only={len(rows_only)} failed={len(failures)}")
     if rows_only:
         print("rows-only:", ", ".join(rows_only))

@@ -1213,7 +1213,9 @@ object SparkEntry {
         // doubles both forms are exact and identical
         r6(U.fmod(floor(c * 100 + 0.5), lit(7.0))).as("fm"),
         r6(U.mod(d * 100.0, lit(7.0))).as("pm"),
-        U.trunc(d * 10.0).as("tr"),
+        // + 0.0 collapses IEEE signed zero: DuckDB trunc keeps -0.0 (numpy
+        // semantics) while Spark's emits +0.0 — normalize BOTH sides
+        (U.trunc(d * 10.0) + lit(0.0)).as("tr"),
         r6(U.square(b)).as("sq"),
         r6(U.reciprocal(b + 1.0)).as("recip"),
         r6(U.sinc(b)).as("sinc_b"),
@@ -1851,8 +1853,8 @@ object SparkEntry {
         |      / 9223372036854775807) AS pv
         |  FROM range(12) t(p)),
         |bkt AS (
-        |  SELECT vec_id, sum(CASE WHEN list_inner_product(embedding::DOUBLE[], pv) > 0
-        |                     THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS bucket
+        |  SELECT vec_id, CAST(sum(CASE WHEN list_inner_product(embedding::DOUBLE[], pv) > 0
+        |                     THEN (1::BIGINT << CAST(p AS INTEGER)) ELSE 0 END) AS BIGINT) AS bucket
         |  FROM embeddings, planes_tbl GROUP BY 1)
         |SELECT bucket, count(*) AS n_vectors FROM bkt GROUP BY 1""".stripMargin),
     // half-up rounding via floor(x*1e6+0.5)/1e6 on BOTH sides: plain
@@ -2540,12 +2542,12 @@ object SparkEntry {
         |  r6(sqrt(l_quantity * l_quantity + (l_discount * 10) * (l_discount * 10))) AS hyp,
         |  r6(greatest(l_quantity / 10.0, l_discount) +
         |     ln(1 + exp(-abs(l_quantity / 10.0 - l_discount)))) AS lae,
-        |  sign(l_tax - 0.04) AS sgn,
+        |  sign(l_tax - 0.04)::DOUBLE AS sgn,
         |  r6(CASE WHEN l_tax - 0.04 < 0 THEN -abs(l_quantity)
         |          ELSE abs(l_quantity) END) AS csign,
         |  r6(fmod(floor(l_extendedprice * 100 + 0.5), 7.0)) AS fm,
         |  r6(fmod(fmod((l_tax - 0.04) * 100.0, 7.0) + 7.0, 7.0)) AS pm,
-        |  trunc((l_tax - 0.04) * 10.0) AS tr,
+        |  trunc((l_tax - 0.04) * 10.0) + 0.0 AS tr,
         |  r6(l_discount * l_discount) AS sq,
         |  r6(1.0 / (l_discount + 1.0)) AS recip,
         |  r6(CASE WHEN l_discount = 0 THEN 1.0

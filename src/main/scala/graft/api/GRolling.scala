@@ -326,12 +326,17 @@ object GRolling {
     else ((n + 1) * (m4 / (m2 * m2) - 3.0) + 6.0) * (n - 1) / ((n - 2) * (n - 3))
   }
 
-  /** expanding() = rolling with an unbounded-preceding frame. */
+  /** expanding() = rolling with an unbounded-preceding frame.  Keyed →
+    * native SQL window (parallel per key); global → the two-phase prefix
+    * scan in [[graft.operators.Expanding]] — an un-partitioned
+    * `ROWS UNBOUNDED PRECEDING` window is a single task in Spark and
+    * would serialize the whole dataset at cluster scale.
+    */
   def expanding(df: DataFrame, orderBy: Seq[String], partitionBy: Seq[String],
                 valueCol: String, out: String, agg: String): DataFrame = {
-    val base =
-      if (partitionBy.nonEmpty) Window.partitionBy(partitionBy.map(col): _*)
-      else Window.partitionBy()
+    if (partitionBy.isEmpty)
+      return graft.operators.Expanding.agg(df, valueCol, orderBy, out, agg)
+    val base = Window.partitionBy(partitionBy.map(col): _*)
     val w = base.orderBy(orderBy.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val c = agg match {

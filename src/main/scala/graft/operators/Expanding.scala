@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed GLOBAL `expanding()` — reference `dask_expr/_rolling.py`
+  * (`Expanding` ≈ rolling with an unbounded-preceding frame).
+  *
+  * An un-partitioned `ROWS UNBOUNDED PRECEDING` SQL window is a single
+  * task in Spark — fine at 60k rows, fatal at 100 TB.  Like [[Cumulative]]
+  * this is a two-phase prefix scan, but carrying the full moment state so
+  * ONE pass serves every expanding aggregate:
+  *
+  *  phase 1 (narrow):  per-partition fold of (n, Σx as long+double,
+  *                     Welford mean/M2, min, max) → N tiny states
+  *  driver:            exclusive prefix-combine via Chan's parallel
+  *                     update (numerically stable, associative — no raw
+  *                     power sums, so mean ≫ std cannot cancel)
+  *  phase 2 (narrow):  per-partition running update seeded with the
+  *                     prefix state, emitting every requested aggregate
+  *
+  * Input must arrive in global order; `aggs` sorts by `orderBy` first
+  * (one range shuffle — the same total-order exchange `orderBy` costs),
+  * then both scan phases are narrow.
+  *
+  * Null semantics match the keyed native-window path (and pandas): a null
+  * value does not advance the state, but the row still emits the
+  * statistic of the observations so far; rows before `minPeriods`
+  * observations emit null (var/std additionally need n ≥ 2, like
+  * `var_samp`).
+  */
+object Expanding {
+
+  /** Running moment state over the non-null observations seen so far. */
+  private final class St(
+      var n: Long, var sumD: Double, var sumL: Long,
+      var mean: Double, var m2: Double,
+      var mn: Double, var mx: Double) extends Serializable {
+
+    /** Chan et al. pairwise merge: this ← this ⊕ (n=1, x). */
+    def add(x: Double, xL: Long): Unit = {
+      sumD += x; sumL += xL
+      val n1 = n; n += 1
+      val delta = x - mean
+      mean += delta / n
+      m2 += delta * (x - mean) // first obs: mean == x exactly, adds 0
+      if (n1 == 0) { mn = x; mx = x }
+      else { if (x < mn) mn = x; if (x > mx) mx = x }
+    }
+
+    /** Chan merge of two partition states (associative). */
+    def merge(b: St): St = {
+      if (b.n == 0) return this
+      if (n == 0) return b.copySt()
+      val out = new St(0, 0, 0, 0, 0, 0, 0)
+      out.n = n + b.n
+      out.sumD = sumD + b.sumD
+      out.sumL = sumL + b.sumL
+      val delta = b.mean - mean
+      out.mean = mean + delta * b.n / out.n
+      out.m2 = m2 + b.m2 + delta * delta * n.toDouble * b.n / out.n
+      out.mn = math.min(mn, b.mn)
+      out.mx = math.max(mx, b.mx)
+      out
+    }
+
+    def copySt(): St = new St(n, sumD, sumL, mean, m2, mn, mx)
+  }
+
+  val supported: Set[String] = Set("sum", "mean", "count", "min", "max", "var", "std")
+
+  /** Adds one output column per `(outName, aggName)` spec, all computed in
+    * a single two-phase scan over `valueCol` in `orderBy` order.
+    */
+  def aggs(df: DataFrame, valueCol: String, orderBy: Seq[String],
+           specs: Seq[(String, String)], minPeriods: Int = 1): DataFrame = {
+    specs.foreach { case (_, a) =>
+      require(supported(a), s"expanding agg=$a (supported: ${supported.mkString(", ")})") }
+    val spark = df.sparkSession
+    val integral = df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    val sorted = if (orderBy.nonEmpty) df.orderBy(orderBy.map(col): _*) else df
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+
+    // phase 1: per-partition state (narrow). pid from the RDD's own split
+    // index, not TaskContext — see Cumulative for the coalesce() hazard.
+    val partStates: Array[(Int, St)] = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val st = new St(0, 0.0, 0L, 0.0, 0.0, 0.0, 0.0)
+      it.foreach { r =>
+        val v = r.get(vIdx)
+        if (v != null) {
+          val num = v.asInstanceOf[Number]
+          st.add(num.doubleValue(), if (integral) num.longValue() else 0L)
+        }
+      }
+      Iterator.single((pid, st))
+    }.collect()
+
+    // driver: exclusive prefix (O(npartitions), trivially cheap)
+    val prefixes = scala.collection.mutable.Map[Int, St]()
+    var run = new St(0, 0.0, 0L, 0.0, 0.0, 0.0, 0.0)
+    for ((pid, st) <- partStates.sortBy(_._1)) {
+      prefixes(pid) = run
+      run = run.merge(st)
+    }
+    val bc = spark.sparkContext.broadcast(prefixes.toMap)
+
+    val minObs = math.max(minPeriods, 1)
+    def outType(a: String): DataType = a match {
+      case "count"                      => LongType
+      case "sum" | "min" | "max"        => if (integral) LongType else DoubleType
+      case _                            => DoubleType
+    }
+    def emit(a: String, st: St): Any = a match {
+      case _ if a != "count" && st.n < minObs => null
+      case "count" => if (st.n < minPeriods) null else st.n
+      case "sum"   => if (integral) st.sumL else st.sumD
+      case "mean"  => st.mean
+      case "min"   => if (integral) st.mn.toLong else st.mn
+      case "max"   => if (integral) st.mx.toLong else st.mx
+      case "var"   => if (st.n < 2) null else st.m2 / (st.n - 1)
+      case "std"   => if (st.n < 2) null else math.sqrt(st.m2 / (st.n - 1))
+    }
+
+    // phase 2: seeded running scan (narrow), all aggregates in one pass
+    val outSchema = specs.foldLeft(sorted.schema) { case (sc, (out, a)) =>
+      sc.add(out, outType(a), nullable = true) }
+    val specsL = specs.toArray
+    val outRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val st = bc.value.getOrElse(pid, new St(0, 0.0, 0L, 0.0, 0.0, 0.0, 0.0)).copySt()
+      it.map { r =>
+        val v = r.get(vIdx)
+        if (v != null) {
+          val num = v.asInstanceOf[Number]
+          st.add(num.doubleValue(), if (integral) num.longValue() else 0L)
+        }
+        Row.fromSeq(r.toSeq ++ specsL.map { case (_, a) => emit(a, st) })
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
+  /** Single-aggregate convenience used by [[graft.api.GRolling.expanding]]. */
+  def agg(df: DataFrame, valueCol: String, orderBy: Seq[String],
+          out: String, aggName: String, minPeriods: Int = 1): DataFrame =
+    aggs(df, valueCol, orderBy, Seq(out -> aggName), minPeriods)
+}

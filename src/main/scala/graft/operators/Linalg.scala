@@ -103,10 +103,19 @@ object Linalg {
       // (σᵢ/σ₁)^(2q) and drop below double precision for ill-conditioned
       // inputs — the same per-iteration QR sklearn's randomized_svd and
       // the reference's compression_matrix insert.
-      for (_ <- 0 until powerIters) {
-        y = y.tallSkinnyQR(computeQ = true).Q
-        val aty = atB(mat, y, l) // p×l driver-side
-        y = mat.multiply(new DenseMatrix(p, l, aty))
+      // rank-deficient input makes R singular and tallSkinnyQR's inv(R)
+      // throw; stop iterating there and let the collapsed-pivot truncation
+      // below absorb the deficiency — the same graceful degradation the
+      // powerIters = 0 path already has on identical input.
+      var degenerate = false
+      for (_ <- 0 until powerIters if !degenerate) {
+        try {
+          val q = y.tallSkinnyQR(computeQ = true).Q
+          val aty = atB(mat, q, l) // p×l driver-side
+          y = mat.multiply(new DenseMatrix(p, l, aty))
+        } catch {
+          case _: breeze.linalg.MatrixSingularException => degenerate = true
+        }
       }
       // orthonormalize the sketch: Q·R = Y; then B = Qᵀ·A and
       // svd(B).s ≈ svd(A).s[0..l). Compute Bᵀ = (AᵀY)·R⁻ᵀ (p×l, driver).
@@ -175,13 +184,23 @@ object Linalg {
     */
   def lstsq(df: DataFrame, vecCol: String, yCol: String,
             intercept: Boolean = true): Array[Double] = {
-    val probe = df.select(size(col(vecCol))).head(1)
-    require(probe.nonEmpty, "lstsq on an empty DataFrame")
+    // dimension probe must skip null vectors (a null in the first row is
+    // data, not an error) — the null-aware filter below drops them anyway
+    val probe = df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head(1)
+    require(probe.nonEmpty, "lstsq: no non-null vectors in input")
     val p0 = probe(0).getInt(0)
     val p = if (intercept) p0 + 1 else p0
     val clean = df.filter(
       col(yCol).isNotNull && col(vecCol).isNotNull &&
         !exists(col(vecCol), _.isNull))
+    // fixed-dim contract: every vector must match the probed length —
+    // element_at past the end is NULL (silently skipped per-aggregate) and
+    // the wide path would index out of bounds; fail fast instead. The
+    // check rides the same single pass (two extra agg slots / one require
+    // in the row map), so it costs no additional job.
+    def jaggedMsg(sz: Any): String =
+      s"lstsq: vector length $sz != probed dimension $p0 (fixed-dim contract)"
     val (ataArr, atyArr) =
       if (p <= 24) {
         // small-p fast path: the normal equations are p(p+1)/2 + p plain
@@ -194,7 +213,16 @@ object Linalg {
         val upper = for (j <- 0 until p; i <- 0 to j)
           yield sum(feat(i) * feat(j)).as(s"g_${i}_$j")
         val rhs = (0 until p).map(i => sum(feat(i) * y).as(s"b_$i"))
-        val row = clean.agg((upper ++ rhs).head, (upper ++ rhs).tail: _*).first()
+        val guards = Seq(count(lit(1)).as("__n"),
+          min(size(col(vecCol))).as("__mn"), max(size(col(vecCol))).as("__mx"))
+        val cols = upper ++ rhs ++ guards
+        val row = clean.agg(cols.head, cols.tail: _*).first()
+        val nIdx = upper.size + rhs.size
+        require(row.getLong(nIdx) > 0,
+          "lstsq: no rows remain after dropping null y/vector rows")
+        if (row.getInt(nIdx + 1) != p0 || row.getInt(nIdx + 2) != p0)
+          throw new IllegalArgumentException(
+            jaggedMsg(s"[${row.getInt(nIdx + 1)}..${row.getInt(nIdx + 2)}]"))
         val ata = new Array[Double](p * p)
         var idx = 0
         for (j <- 0 until p; i <- 0 to j) {
@@ -207,9 +235,13 @@ object Linalg {
         val rows = clean
           .select(transform(col(vecCol), _.cast("double")).as("v"),
             col(yCol).cast("double").as("y"))
-          .rdd.map(r => (r.getSeq[Double](0).toArray, r.getDouble(1)))
-        // acc layout: [AᵀA p×p col-major | Aᵀy p]
-        val acc = rows.treeAggregate(new Array[Double](p * p + p))(
+          .rdd.map { r =>
+            val v = r.getSeq[Double](0)
+            if (v.length != p0) throw new IllegalArgumentException(jaggedMsg(v.length))
+            (v.toArray, r.getDouble(1))
+          }
+        // acc layout: [AᵀA p×p col-major | Aᵀy p | row count]
+        val acc = rows.treeAggregate(new Array[Double](p * p + p + 1))(
           seqOp = { (a, row) =>
             val x = if (intercept) 1.0 +: row._1 else row._1
             var j = 0
@@ -219,11 +251,14 @@ object Linalg {
               a(p * p + j) += xj * row._2
               j += 1
             }
+            a(p * p + p) += 1.0
             a
           },
           combOp = { (a, b) =>
             var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
-        (acc.take(p * p), acc.drop(p * p))
+        require(acc(p * p + p) > 0,
+          "lstsq: no rows remain after dropping null y/vector rows")
+        (acc.take(p * p), acc.slice(p * p, p * p + p))
       }
     val ata = breeze.linalg.DenseMatrix.create(p, p, ataArr)
     val aty = breeze.linalg.DenseVector(atyArr)

@@ -109,19 +109,22 @@ object Similarity {
                         threshold: Double, maxExactVectors: Long = 2000000L,
                         maxBroadcastBytes: Long = 1L << 30): DataFrame = {
     require(threshold <= 1.0, s"cosine threshold must be <= 1, got $threshold")
-    val (prepped0, members) = collapseVectors(vectors, idCol, vecCol)
-    // the guard count and the pair join both consume the collapse
-    // shuffle — persist so it runs once (LRU-evicted; tiny relative to
-    // the pair space this operator exists to bound)
-    val prepped = prepped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nReps = prepped.count()
+    val (prepped, members) = collapseVectors(vectors, idCol, vecCol)
+    // ONE fused guard job: count + the LARGEST dim (jagged inputs must not
+    // underestimate the broadcast payload). No persist: the pair-join
+    // query below consumes prepped twice but shares the collapse exchange
+    // via ReuseExchange within its single plan, so the guard is the only
+    // extra pass — bounded by contract, and nothing is left pinned in the
+    // block manager for the session's lifetime.
+    val guard = prepped.agg(count(lit(1)).as("n"),
+      coalesce(max(size(col("__v"))), lit(0)).as("dim")).first()
+    val nReps = guard.getLong(0)
+    val dim = guard.getInt(1)
     require(nReps <= maxExactVectors,
       s"exactNearDupPairs is the all-pairs oracle baseline ($nReps distinct vectors > " +
         s"$maxExactVectors); use bucketedNearDupPairs at corpus scale")
     // the row-count guard alone does not bound broadcast BYTES — size it:
     // ~4 bytes per float element + per-row overhead
-    val dim = prepped.select(size(col("__v"))).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(0)
     val estBytes = nReps * (dim.toLong * 4 + 32)
     require(estBytes <= maxBroadcastBytes,
       s"exactNearDupPairs would broadcast ~$estBytes bytes of distinct vectors " +

@@ -114,7 +114,19 @@ object Stats {
         .otherwise(when(e === 0, inf).otherwise(o * log(o / e)))
       else if (lambda_ == -1.0) lit(2.0) * when(e === 0, 0.0)
         .otherwise(when(o === 0, inf).otherwise(e * log(e / o)))
-      else (o * (pow(o / e, lambda_) - 1)) / lit(0.5 * lambda_ * (lambda_ + 1))
+      else {
+        // general λ: same e=0 guard as the special branches — Spark's o/e
+        // is NULL there and sum() would silently drop the cell. numpy's
+        // limit as e→0+ with o>0: (o/e)^λ → +inf for λ>0 (term +inf, the
+        // denominator ½λ(λ+1) is >0 for λ>0), and → 0 for λ<0 (term is the
+        // FINITE −o/(½λ(λ+1)), matching numpy's inf**negative == 0.0).
+        val denom = 0.5 * lambda_ * (lambda_ + 1)
+        val atZeroE =
+          if (lambda_ > 0) when(o === 0, 0.0).otherwise(inf)
+          else when(o === 0, 0.0).otherwise(-o / lit(denom))
+        when(e === 0, atZeroE)
+          .otherwise((o * (pow(o / e, lambda_) - 1)) / lit(denom))
+      }
     withExp.agg(sum(terms).as("stat"),
         (count(col("__obs")).cast("double") - 1 - ddof).as("df"))
       .withColumn("p_value", chi2Sf(col("stat"), col("df")))
