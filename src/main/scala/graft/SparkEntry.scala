@@ -1367,6 +1367,18 @@ object SparkEntry {
         ("l_quantity", 0.0, 50.0, 5),
         ("l_discount", 0.0, 0.1, 5),
         ("l_tax", 0.0, 0.08, 4)))
+    },
+    // global (un-keyed) expanding via the two-phase prefix scan — four
+    // aggregates in ONE pass, no unpartitioned window anywhere in the plan
+    "q139_expanding_global" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
+      graft.operators.Expanding.aggs(ev, "value", Seq("ts", "event_id"),
+          Seq("exp_mean" -> "mean", "exp_var" -> "var",
+            "exp_min" -> "min", "exp_cnt" -> "count"))
+        .select(col("event_id"),
+          (floor(col("exp_mean") * 1e6 + 0.5) / 1e6).as("exp_mean"),
+          (floor(col("exp_var") * 1e6 + 0.5) / 1e6).as("exp_var"),
+          col("exp_min"), col("exp_cnt"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -2833,5 +2845,14 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_quantity BETWEEN 0 AND 50 AND l_discount BETWEEN 0 AND 0.1
         |  AND l_tax BETWEEN 0 AND 0.08
-        |GROUP BY 1, 2, 3""".stripMargin)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q139_expanding_global" ->
+      """SELECT event_id,
+        |  floor(avg(value) OVER w * 1e6 + 0.5) / 1e6 AS exp_mean,
+        |  floor(var_samp(value) OVER w * 1e6 + 0.5) / 1e6 AS exp_var,
+        |  min(value) OVER w AS exp_min,
+        |  count(value) OVER w AS exp_cnt
+        |FROM events
+        |WINDOW w AS (ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)
 }

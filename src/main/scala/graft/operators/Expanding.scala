@@ -34,9 +34,13 @@ object Expanding {
 
   /** Running moment state over the non-null observations seen so far. */
   private final class St(
-      var n: Long, var sumD: Double, var sumL: Long,
+      var rows: Long, var n: Long, var sumD: Double, var sumL: Long,
       var mean: Double, var m2: Double,
       var mn: Double, var mx: Double) extends Serializable {
+
+    /** every row advances the ROW counter — pandas counts `min_periods`
+      * for `count()` in window rows, not non-null observations. */
+    def bump(): Unit = rows += 1
 
     /** Chan et al. pairwise merge: this ← this ⊕ (n=1, x). */
     def add(x: Double, xL: Long): Unit = {
@@ -51,9 +55,10 @@ object Expanding {
 
     /** Chan merge of two partition states (associative). */
     def merge(b: St): St = {
-      if (b.n == 0) return this
-      if (n == 0) return b.copySt()
-      val out = new St(0, 0, 0, 0, 0, 0, 0)
+      if (b.n == 0) { val out = copySt(); out.rows += b.rows; return out }
+      if (n == 0) { val out = b.copySt(); out.rows += rows; return out }
+      val out = new St(0, 0, 0, 0, 0, 0, 0, 0)
+      out.rows = rows + b.rows
       out.n = n + b.n
       out.sumD = sumD + b.sumD
       out.sumL = sumL + b.sumL
@@ -65,7 +70,7 @@ object Expanding {
       out
     }
 
-    def copySt(): St = new St(n, sumD, sumL, mean, m2, mn, mx)
+    def copySt(): St = new St(rows, n, sumD, sumL, mean, m2, mn, mx)
   }
 
   val supported: Set[String] = Set("sum", "mean", "count", "min", "max", "var", "std")
@@ -88,8 +93,9 @@ object Expanding {
     // phase 1: per-partition state (narrow). pid from the RDD's own split
     // index, not TaskContext — see Cumulative for the coalesce() hazard.
     val partStates: Array[(Int, St)] = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val st = new St(0, 0.0, 0L, 0.0, 0.0, 0.0, 0.0)
+      val st = new St(0, 0, 0.0, 0L, 0.0, 0.0, 0.0, 0.0)
       it.foreach { r =>
+        st.bump()
         val v = r.get(vIdx)
         if (v != null) {
           val num = v.asInstanceOf[Number]
@@ -101,7 +107,7 @@ object Expanding {
 
     // driver: exclusive prefix (O(npartitions), trivially cheap)
     val prefixes = scala.collection.mutable.Map[Int, St]()
-    var run = new St(0, 0.0, 0L, 0.0, 0.0, 0.0, 0.0)
+    var run = new St(0, 0, 0.0, 0L, 0.0, 0.0, 0.0, 0.0)
     for ((pid, st) <- partStates.sortBy(_._1)) {
       prefixes(pid) = run
       run = run.merge(st)
@@ -116,7 +122,9 @@ object Expanding {
     }
     def emit(a: String, st: St): Any = a match {
       case _ if a != "count" && st.n < minObs => null
-      case "count" => if (st.n < minPeriods) null else st.n
+      // pandas: count's min_periods is met by window ROWS (a leading null
+      // row emits 0), every other agg needs `minObs` OBSERVATIONS
+      case "count" => if (st.rows < minPeriods) null else st.n
       case "sum"   => if (integral) st.sumL else st.sumD
       case "mean"  => st.mean
       case "min"   => if (integral) st.mn.toLong else st.mn
@@ -130,8 +138,9 @@ object Expanding {
       sc.add(out, outType(a), nullable = true) }
     val specsL = specs.toArray
     val outRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val st = bc.value.getOrElse(pid, new St(0, 0.0, 0L, 0.0, 0.0, 0.0, 0.0)).copySt()
+      val st = bc.value.getOrElse(pid, new St(0, 0, 0.0, 0L, 0.0, 0.0, 0.0, 0.0)).copySt()
       it.map { r =>
+        st.bump()
         val v = r.get(vIdx)
         if (v != null) {
           val num = v.asInstanceOf[Number]

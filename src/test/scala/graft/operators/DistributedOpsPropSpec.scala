@@ -183,4 +183,57 @@ class DistributedOpsPropSpec extends SparkTestBase {
       }
     }
   }
+
+  test("Expanding two-phase scan == SQL window, any partitioning, with nulls") {
+    for (seed <- Seq(5L, 6L); parts <- Seq(1, 3, 7)) {
+      // every 5th value null: exercises the observation-vs-row counting
+      val df = frame(seed, 60, parts)
+        .withColumn("v", when(col("idx") % 5 === 0, lit(null)).otherwise(col("v")))
+      val specs = Seq("s" -> "sum", "m" -> "mean", "lo" -> "min", "hi" -> "max",
+        "c" -> "count", "vr" -> "var", "sd" -> "std")
+      val got = Expanding.aggs(df, "v", Seq("idx"), specs)
+      val w = Window.orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val exp = df.withColumn("s", sum(col("v")).over(w))
+        .withColumn("m", avg(col("v")).over(w))
+        .withColumn("lo", min(col("v")).over(w))
+        .withColumn("hi", max(col("v")).over(w))
+        .withColumn("c", count(col("v")).over(w))
+        .withColumn("vr", var_samp(col("v")).over(w))
+        .withColumn("sd", stddev_samp(col("v")).over(w))
+      for ((out, _) <- specs if out != "c") {
+        val g = col2map(got, out); val e = col2map(exp, out)
+        for (k <- e.keys) (g(k), e(k)) match {
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a - b) < 1e-9, s"$out seed=$seed parts=$parts idx=$k: $a vs $b")
+          case (a, b) => assert(a == b, s"$out seed=$seed parts=$parts idx=$k: $a vs $b")
+        }
+      }
+      val gc = got.select(col("idx"), col("c")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val ec = exp.select(col("idx"), col("c")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gc == ec, s"count seed=$seed parts=$parts")
+    }
+  }
+
+  test("Expanding integral sum/min/max keep long outputs; minPeriods guards") {
+    import spark.implicits._
+    val df = Seq((0L, Some(3L)), (1L, None), (2L, Some(5L)), (3L, Some(1L)))
+      .toDF("idx", "v").repartitionByRange(2, col("idx"))
+    val out = Expanding.aggs(df, "v", Seq("idx"),
+      Seq("s" -> "sum", "lo" -> "min", "c" -> "count"), minPeriods = 2)
+    val rows = out.orderBy("idx").collect()
+    assert(out.schema("s").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.schema("lo").dataType == org.apache.spark.sql.types.LongType)
+    // minPeriods=2 observations: idx 0 (1 obs) and idx 1 (still 1 obs) null
+    assert(rows(0).isNullAt(rows(0).fieldIndex("s")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("s")))
+    assert(rows(2).getLong(rows(2).fieldIndex("s")) == 8L)
+    assert(rows(3).getLong(rows(3).fieldIndex("lo")) == 1L)
+    // count's min_periods counts window ROWS (pandas): idx 0 has 1 row ->
+    // null, idx 1 has 2 rows (1 obs) -> 1
+    assert(rows(0).isNullAt(rows(0).fieldIndex("c")))
+    assert(rows(1).getLong(rows(1).fieldIndex("c")) == 1L)
+  }
 }
