@@ -194,24 +194,29 @@ final class GRolling(
     df.sparkSession.createDataFrame(outRdd, schema.add(out, resultType, nullable = true))
   }
 
-  /** pandas rolling.cov / rolling.corr between two columns (per-key native
-    * window path; a global two-column rolling stat would need a MapOverlap
-    * kernel over both columns — partition keys required here).
+  /** pandas rolling.cov / rolling.corr between two columns.  Keyed →
+    * native SQL window; global → [[MapOverlap.rollingPairAgg]] ghost-row
+    * kernel over BOTH columns (an un-partitioned window is one task).
+    * min_periods counts non-null PAIRS on both paths (the population
+    * `covar_samp`/`corr` aggregate over — pandas cov/corr contract).
     */
-  /** min_periods counts non-null PAIRS, pandas rolling cov/corr contract */
   private def guardedPair(xCol: String, yCol: String, c: Column): Column = {
     val obs = org.apache.spark.sql.functions
       .count(when(col(xCol).isNotNull && col(yCol).isNotNull, lit(1))).over(spec)
     if (minPeriods <= 1) c else when(obs >= minPeriods, c).otherwise(lit(null))
   }
-  def covWith(xCol: String, yCol: String, out: String): DataFrame = {
-    require(partitionBy.nonEmpty, "rolling cov needs partitionBy keys")
-    df.withColumn(out, guardedPair(xCol, yCol, covar_samp(col(xCol), col(yCol)).over(spec)))
-  }
-  def corrWith(xCol: String, yCol: String, out: String): DataFrame = {
-    require(partitionBy.nonEmpty, "rolling corr needs partitionBy keys")
-    df.withColumn(out, guardedPair(xCol, yCol, corr(col(xCol), col(yCol)).over(spec)))
-  }
+  def covWith(xCol: String, yCol: String, out: String): DataFrame =
+    if (partitionBy.isEmpty)
+      MapOverlap.rollingPairAgg(df, xCol, yCol, window, out,
+        math.max(minPeriods, 1))(GRolling.samplePairCov)
+    else
+      df.withColumn(out, guardedPair(xCol, yCol, covar_samp(col(xCol), col(yCol)).over(spec)))
+  def corrWith(xCol: String, yCol: String, out: String): DataFrame =
+    if (partitionBy.isEmpty)
+      MapOverlap.rollingPairAgg(df, xCol, yCol, window, out,
+        math.max(minPeriods, 1))(GRolling.samplePairCorr)
+    else
+      df.withColumn(out, guardedPair(xCol, yCol, corr(col(xCol), col(yCol)).over(spec)))
 
   /** `center=True` frame: pandas window w centered → [-w/2, w - w/2 - 1]
     * (reference `_rolling.py:114-153` splits before/after the same way).
@@ -310,6 +315,37 @@ object GRolling {
       m2 += d * d; m3 += d * d * d; m4 += d * d * d * d
     }
     (n, m2 / n, m3 / n, m4 / n)
+  }
+
+  /** sample covariance over a window's valid pairs (ddof=1); null for
+    * n < 2 — `covar_samp` / pandas rolling `.cov()`
+    */
+  private[api] val samplePairCov: Seq[(Double, Double)] => Any = { ps =>
+    if (ps.size < 2) null
+    else {
+      val n = ps.size
+      val mx = ps.iterator.map(_._1).sum / n
+      val my = ps.iterator.map(_._2).sum / n
+      ps.iterator.map { case (x, y) => (x - mx) * (y - my) }.sum / (n - 1)
+    }
+  }
+
+  /** Pearson correlation over a window's valid pairs; null for n < 2 or a
+    * zero-variance side (matching SQL `corr`'s NULL, pandas' NaN)
+    */
+  private[api] val samplePairCorr: Seq[(Double, Double)] => Any = { ps =>
+    if (ps.size < 2) null
+    else {
+      val n = ps.size
+      val mx = ps.iterator.map(_._1).sum / n
+      val my = ps.iterator.map(_._2).sum / n
+      var cxy = 0.0; var cxx = 0.0; var cyy = 0.0
+      ps.foreach { case (x, y) =>
+        val dx = x - mx; val dy = y - my
+        cxy += dx * dy; cxx += dx * dx; cyy += dy * dy
+      }
+      if (cxx == 0.0 || cyy == 0.0) null else cxy / math.sqrt(cxx * cyy)
+    }
   }
 
   /** adjusted Fisher-Pearson skewness (pandas rolling.skew) */

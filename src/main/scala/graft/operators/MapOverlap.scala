@@ -157,6 +157,41 @@ object MapOverlap {
     }
   }
 
+  /** Two-column rolling aggregate over the global order — the MapOverlap
+    * lowering of pandas `rolling.cov` / `rolling.corr` between two columns
+    * (reference `_rolling.py` pairwise reductions).  The kernel sees the
+    * window's valid PAIRS (rows where BOTH columns are non-null, the same
+    * population Spark's `covar_samp`/`corr` and the keyed native-window
+    * path aggregate over); `minPeriods` counts those pairs.
+    */
+  def rollingPairAgg(df: DataFrame, xCol: String, yCol: String, window: Int,
+                     outCol: String, minPeriods: Int = 1,
+                     outType: org.apache.spark.sql.types.DataType =
+                       org.apache.spark.sql.types.DoubleType)
+                    (agg: Seq[(Double, Double)] => Any): DataFrame = {
+    val xi = df.schema.fieldIndex(xCol)
+    val yi = df.schema.fieldIndex(yCol)
+    val outSchema = df.schema.add(outCol, outType)
+    apply(df, outSchema, before = window - 1, after = 0) { (ghosts, it, _) =>
+      val buf = new scala.collection.mutable.ArrayDeque[(Double, Double, Boolean)]()
+      def push(r: Row): Unit = {
+        val xv = r.get(xi); val yv = r.get(yi)
+        val ok = xv != null && yv != null
+        buf.append((
+          if (ok) xv.asInstanceOf[Number].doubleValue() else 0.0,
+          if (ok) yv.asInstanceOf[Number].doubleValue() else 0.0, ok))
+        if (buf.size > window) buf.removeHead()
+      }
+      ghosts.foreach(push)
+      it.map { r =>
+        push(r)
+        val valid = buf.iterator.collect { case (x, y, true) => (x, y) }.toIndexedSeq
+        val out: Any = if (valid.size >= minPeriods) agg(valid) else null
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }
+  }
+
   /** Centered rolling aggregate (`center=True`): window spans
     * `[-window/2, window - window/2 - 1]` around each row (pandas
     * left-bias), so ghosts are needed on BOTH sides.  The partition body
