@@ -1379,6 +1379,20 @@ object SparkEntry {
           (floor(col("exp_mean") * 1e6 + 0.5) / 1e6).as("exp_mean"),
           (floor(col("exp_var") * 1e6 + 0.5) / 1e6).as("exp_var"),
           col("exp_min"), col("exp_cnt"))
+    },
+    // ---- §2.6 GLOBAL rolling corr between two columns (MapOverlap
+    // pair-moment ghost kernel — an un-partitioned SQL window is one task)
+    "q140_rolling_corr_global" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .orderBy(col("ts"), col("event_id"))
+        .withColumn("sec", unix_micros(col("ts").cast("timestamp")).cast("double") / 1e6)
+      // zero-variance windows are NaN in the engine (pandas / keyed-path
+      // semantics) but NULL in SQL corr — normalize for the oracle compare
+      new graft.api.GRolling(ev, 8, Seq("ts", "event_id"), Seq(), 1)
+        .corrWith("value", "sec", "roll_corr")
+        .select(col("event_id"),
+          when(isnan(col("roll_corr")), lit(null))
+            .otherwise(round(col("roll_corr"), 4)).as("roll_corr"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -2854,5 +2868,10 @@ object SparkEntry {
         |  count(value) OVER w AS exp_cnt
         |FROM events
         |WINDOW w AS (ORDER BY ts, event_id
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q140_rolling_corr_global" ->
+      """SELECT event_id, round(corr(value, epoch(ts)) OVER (
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW), 4) AS roll_corr
+        |FROM events""".stripMargin)
 }

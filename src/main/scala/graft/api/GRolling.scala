@@ -208,13 +208,19 @@ final class GRolling(
   def covWith(xCol: String, yCol: String, out: String): DataFrame =
     if (partitionBy.isEmpty)
       MapOverlap.rollingPairAgg(df, xCol, yCol, window, out,
-        math.max(minPeriods, 1))(GRolling.samplePairCov)
+        math.max(minPeriods, 1))(m => if (m.n < 2) null else m.cxy / (m.n - 1))
     else
       df.withColumn(out, guardedPair(xCol, yCol, covar_samp(col(xCol), col(yCol)).over(spec)))
   def corrWith(xCol: String, yCol: String, out: String): DataFrame =
     if (partitionBy.isEmpty)
       MapOverlap.rollingPairAgg(df, xCol, yCol, window, out,
-        math.max(minPeriods, 1))(GRolling.samplePairCorr)
+        math.max(minPeriods, 1)) { m =>
+        if (m.n < 2) null
+        // zero-variance side → NaN, matching the keyed path's Spark corr
+        // (n≥2, 0/0) and pandas rolling.corr — NOT null, which is n<2 only
+        else if (m.cxx == 0.0 || m.cyy == 0.0) Double.NaN
+        else m.cxy / math.sqrt(m.cxx * m.cyy)
+      }
     else
       df.withColumn(out, guardedPair(xCol, yCol, corr(col(xCol), col(yCol)).over(spec)))
 
@@ -315,37 +321,6 @@ object GRolling {
       m2 += d * d; m3 += d * d * d; m4 += d * d * d * d
     }
     (n, m2 / n, m3 / n, m4 / n)
-  }
-
-  /** sample covariance over a window's valid pairs (ddof=1); null for
-    * n < 2 — `covar_samp` / pandas rolling `.cov()`
-    */
-  private[api] val samplePairCov: Seq[(Double, Double)] => Any = { ps =>
-    if (ps.size < 2) null
-    else {
-      val n = ps.size
-      val mx = ps.iterator.map(_._1).sum / n
-      val my = ps.iterator.map(_._2).sum / n
-      ps.iterator.map { case (x, y) => (x - mx) * (y - my) }.sum / (n - 1)
-    }
-  }
-
-  /** Pearson correlation over a window's valid pairs; null for n < 2 or a
-    * zero-variance side (matching SQL `corr`'s NULL, pandas' NaN)
-    */
-  private[api] val samplePairCorr: Seq[(Double, Double)] => Any = { ps =>
-    if (ps.size < 2) null
-    else {
-      val n = ps.size
-      val mx = ps.iterator.map(_._1).sum / n
-      val my = ps.iterator.map(_._2).sum / n
-      var cxy = 0.0; var cxx = 0.0; var cyy = 0.0
-      ps.foreach { case (x, y) =>
-        val dx = x - mx; val dy = y - my
-        cxy += dx * dy; cxx += dx * dx; cyy += dy * dy
-      }
-      if (cxx == 0.0 || cyy == 0.0) null else cxy / math.sqrt(cxx * cyy)
-    }
   }
 
   /** adjusted Fisher-Pearson skewness (pandas rolling.skew) */

@@ -32,11 +32,16 @@ import org.apache.spark.sql.types._
   */
 object Expanding {
 
-  /** Running moment state over the non-null observations seen so far. */
+  /** Running moment state over the non-null observations seen so far.
+    * Integral inputs carry exact Long sum/min/max (`sumL`/`mnL`/`mxL`)
+    * alongside the Double moments — longs above 2⁵³ would silently round
+    * through the Double fields.
+    */
   private final class St(
       var rows: Long, var n: Long, var sumD: Double, var sumL: Long,
       var mean: Double, var m2: Double,
-      var mn: Double, var mx: Double) extends Serializable {
+      var mn: Double, var mx: Double,
+      var mnL: Long, var mxL: Long) extends Serializable {
 
     /** every row advances the ROW counter — pandas counts `min_periods`
       * for `count()` in window rows, not non-null observations. */
@@ -49,15 +54,18 @@ object Expanding {
       val delta = x - mean
       mean += delta / n
       m2 += delta * (x - mean) // first obs: mean == x exactly, adds 0
-      if (n1 == 0) { mn = x; mx = x }
-      else { if (x < mn) mn = x; if (x > mx) mx = x }
+      if (n1 == 0) { mn = x; mx = x; mnL = xL; mxL = xL }
+      else {
+        if (x < mn) mn = x; if (x > mx) mx = x
+        if (xL < mnL) mnL = xL; if (xL > mxL) mxL = xL
+      }
     }
 
     /** Chan merge of two partition states (associative). */
     def merge(b: St): St = {
       if (b.n == 0) { val out = copySt(); out.rows += b.rows; return out }
       if (n == 0) { val out = b.copySt(); out.rows += rows; return out }
-      val out = new St(0, 0, 0, 0, 0, 0, 0, 0)
+      val out = St.empty
       out.rows = rows + b.rows
       out.n = n + b.n
       out.sumD = sumD + b.sumD
@@ -67,10 +75,16 @@ object Expanding {
       out.m2 = m2 + b.m2 + delta * delta * n.toDouble * b.n / out.n
       out.mn = math.min(mn, b.mn)
       out.mx = math.max(mx, b.mx)
+      out.mnL = math.min(mnL, b.mnL)
+      out.mxL = math.max(mxL, b.mxL)
       out
     }
 
-    def copySt(): St = new St(rows, n, sumD, sumL, mean, m2, mn, mx)
+    def copySt(): St = new St(rows, n, sumD, sumL, mean, m2, mn, mx, mnL, mxL)
+  }
+
+  private object St {
+    def empty: St = new St(0, 0, 0.0, 0L, 0.0, 0.0, 0.0, 0.0, 0L, 0L)
   }
 
   val supported: Set[String] = Set("sum", "mean", "count", "min", "max", "var", "std")
@@ -90,10 +104,18 @@ object Expanding {
     val sorted = if (orderBy.nonEmpty) df.orderBy(orderBy.map(col): _*) else df
     val vIdx = sorted.schema.fieldIndex(valueCol)
 
+    // Both phases consume the same total-ordered RDD; persist it so the
+    // post-shuffle partition sort runs ONCE (phase 2 would otherwise
+    // re-fetch the reused shuffle files and re-sort every partition).
+    // Blocks are dropped by the ContextCleaner when the result's lineage
+    // is GC'd — no explicit unpersist hook exists for a lazy result.
+    val sortedRdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
     // phase 1: per-partition state (narrow). pid from the RDD's own split
     // index, not TaskContext — see Cumulative for the coalesce() hazard.
-    val partStates: Array[(Int, St)] = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val st = new St(0, 0, 0.0, 0L, 0.0, 0.0, 0.0, 0.0)
+    val partStates: Array[(Int, St)] = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      val st = St.empty
       it.foreach { r =>
         st.bump()
         val v = r.get(vIdx)
@@ -107,7 +129,7 @@ object Expanding {
 
     // driver: exclusive prefix (O(npartitions), trivially cheap)
     val prefixes = scala.collection.mutable.Map[Int, St]()
-    var run = new St(0, 0, 0.0, 0L, 0.0, 0.0, 0.0, 0.0)
+    var run = St.empty
     for ((pid, st) <- partStates.sortBy(_._1)) {
       prefixes(pid) = run
       run = run.merge(st)
@@ -127,8 +149,8 @@ object Expanding {
       case "count" => if (st.rows < minPeriods) null else st.n
       case "sum"   => if (integral) st.sumL else st.sumD
       case "mean"  => st.mean
-      case "min"   => if (integral) st.mn.toLong else st.mn
-      case "max"   => if (integral) st.mx.toLong else st.mx
+      case "min"   => if (integral) st.mnL else st.mn
+      case "max"   => if (integral) st.mxL else st.mx
       case "var"   => if (st.n < 2) null else st.m2 / (st.n - 1)
       case "std"   => if (st.n < 2) null else math.sqrt(st.m2 / (st.n - 1))
     }
@@ -137,8 +159,8 @@ object Expanding {
     val outSchema = specs.foldLeft(sorted.schema) { case (sc, (out, a)) =>
       sc.add(out, outType(a), nullable = true) }
     val specsL = specs.toArray
-    val outRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val st = bc.value.getOrElse(pid, new St(0, 0, 0.0, 0L, 0.0, 0.0, 0.0, 0.0)).copySt()
+    val outRdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+      val st = bc.value.getOrElse(pid, St.empty).copySt()
       it.map { r =>
         st.bump()
         val v = r.get(vIdx)

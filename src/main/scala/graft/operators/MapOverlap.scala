@@ -157,36 +157,87 @@ object MapOverlap {
     }
   }
 
+  /** Incrementally maintained moments of a rolling window's valid pairs:
+    * `n` pairs, means, and centered sums Σ(x−x̄)², Σ(y−ȳ)², Σ(x−x̄)(y−ȳ).
+    * Welford-style add/remove keeps the per-row cost O(1) (the scheme
+    * pandas' `roll_cov` kernel uses); [[rollingPairAgg]] additionally
+    * rebuilds the state exactly from the live window every `window`
+    * evictions, so fp drift never spans more than ~2·window updates.
+    */
+  final class PairMoments {
+    var n: Int = 0
+    var meanX = 0.0; var meanY = 0.0
+    var cxx = 0.0; var cyy = 0.0; var cxy = 0.0
+
+    def reset(): Unit = { n = 0; meanX = 0.0; meanY = 0.0; cxx = 0.0; cyy = 0.0; cxy = 0.0 }
+
+    def add(x: Double, y: Double): Unit = {
+      n += 1
+      val dx = x - meanX; val dy = y - meanY
+      meanX += dx / n; meanY += dy / n
+      cxx += dx * (x - meanX)
+      cyy += dy * (y - meanY)
+      cxy += dx * (y - meanY)
+    }
+
+    /** exact inverse of [[add]]: afterwards the state equals the fold of
+      * the remaining pairs (up to fp roundoff, bounded by the rebuilds)
+      */
+    def remove(x: Double, y: Double): Unit = {
+      if (n <= 1) reset()
+      else {
+        val n1 = n - 1
+        val mx1 = (n * meanX - x) / n1
+        val my1 = (n * meanY - y) / n1
+        cxx -= (x - mx1) * (x - meanX)
+        cyy -= (y - my1) * (y - meanY)
+        cxy -= (x - mx1) * (y - meanY)
+        meanX = mx1; meanY = my1; n = n1
+      }
+    }
+  }
+
   /** Two-column rolling aggregate over the global order — the MapOverlap
     * lowering of pandas `rolling.cov` / `rolling.corr` between two columns
-    * (reference `_rolling.py` pairwise reductions).  The kernel sees the
-    * window's valid PAIRS (rows where BOTH columns are non-null, the same
-    * population Spark's `covar_samp`/`corr` and the keyed native-window
-    * path aggregate over); `minPeriods` counts those pairs.
+    * (reference `_rolling.py` pairwise reductions).  The kernel maintains
+    * the window's valid-PAIR moments (rows where BOTH columns are
+    * non-null, the same population Spark's `covar_samp`/`corr` and the
+    * keyed native-window path aggregate over) in O(1) per row;
+    * `minPeriods` counts those pairs.
     */
   def rollingPairAgg(df: DataFrame, xCol: String, yCol: String, window: Int,
                      outCol: String, minPeriods: Int = 1,
                      outType: org.apache.spark.sql.types.DataType =
                        org.apache.spark.sql.types.DoubleType)
-                    (agg: Seq[(Double, Double)] => Any): DataFrame = {
+                    (agg: PairMoments => Any): DataFrame = {
     val xi = df.schema.fieldIndex(xCol)
     val yi = df.schema.fieldIndex(yCol)
     val outSchema = df.schema.add(outCol, outType)
     apply(df, outSchema, before = window - 1, after = 0) { (ghosts, it, _) =>
       val buf = new scala.collection.mutable.ArrayDeque[(Double, Double, Boolean)]()
+      val m = new PairMoments
+      var evictions = 0
       def push(r: Row): Unit = {
+        if (buf.size == window) {
+          val (ox, oy, ook) = buf.removeHead()
+          if (ook) { m.remove(ox, oy); evictions += 1 }
+        }
         val xv = r.get(xi); val yv = r.get(yi)
         val ok = xv != null && yv != null
-        buf.append((
-          if (ok) xv.asInstanceOf[Number].doubleValue() else 0.0,
-          if (ok) yv.asInstanceOf[Number].doubleValue() else 0.0, ok))
-        if (buf.size > window) buf.removeHead()
+        val x = if (ok) xv.asInstanceOf[Number].doubleValue() else 0.0
+        val y = if (ok) yv.asInstanceOf[Number].doubleValue() else 0.0
+        buf.append((x, y, ok))
+        if (ok) m.add(x, y)
+        if (evictions >= window) { // periodic exact rebuild bounds fp drift
+          evictions = 0
+          m.reset()
+          buf.foreach { case (bx, by, bok) => if (bok) m.add(bx, by) }
+        }
       }
       ghosts.foreach(push)
       it.map { r =>
         push(r)
-        val valid = buf.iterator.collect { case (x, y, true) => (x, y) }.toIndexedSeq
-        val out: Any = if (valid.size >= minPeriods) agg(valid) else null
+        val out: Any = if (m.n >= minPeriods) agg(m) else null
         Row.fromSeq(r.toSeq :+ out)
       }
     }

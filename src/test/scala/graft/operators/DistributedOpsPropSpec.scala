@@ -119,6 +119,47 @@ class DistributedOpsPropSpec extends SparkTestBase {
     assert(gotS == expS)
   }
 
+  test("MapOverlap rolling pair cov/corr == SQL window, any partitioning, with nulls") {
+    // NaN-aware compare: keyed Spark corr and the global kernel both emit
+    // NaN for a zero-variance side (pandas), null only for n < 2 pairs
+    def same(a: Option[Double], b: Option[Double]): Boolean = (a, b) match {
+      case (Some(x), Some(y)) => (x.isNaN && y.isNaN) || math.abs(x - y) < 1e-9
+      case _                  => a == b
+    }
+    for (seed <- Seq(11L, 12L); parts <- Seq(1, 3, 7); window <- Seq(2, 5)) {
+      // independent null masks on x and y: valid-PAIR counting is the point
+      val xs = randomDoubles(seed, 60)
+      val ys = randomDoubles(seed + 50, 60)
+      val df = xs.zip(ys).zipWithIndex.map { case ((x, y), i) =>
+          (i.toLong,
+            if (i % 4 == 0) None else Some(x),
+            if (i % 5 == 1) None else Some(y))
+        }.toDF("idx", "x", "y")
+        .repartitionByRange(parts, col("idx"))
+        .sortWithinPartitions("idx")
+      val w = Window.orderBy("idx").rowsBetween(-(window - 1), Window.currentRow)
+      val roll = new graft.api.GRolling(df, window, Seq("idx"), Seq(), 1)
+      val gotC = col2map(roll.covWith("x", "y", "out"), "out")
+      val expC = col2map(df.withColumn("out", covar_samp(col("x"), col("y")).over(w)), "out")
+      for (k <- expC.keys)
+        assert(same(gotC(k), expC(k)),
+          s"cov seed=$seed parts=$parts window=$window idx=$k: ${gotC(k)} vs ${expC(k)}")
+      val gotR = col2map(roll.corrWith("x", "y", "out"), "out")
+      val expR = col2map(df.withColumn("out", corr(col("x"), col("y")).over(w)), "out")
+      for (k <- expR.keys)
+        assert(same(gotR(k), expR(k)),
+          s"corr seed=$seed parts=$parts window=$window idx=$k: ${gotR(k)} vs ${expR(k)}")
+    }
+    // constant column → zero variance: corr must be NaN (not null) once
+    // n ≥ 2, on both physical paths
+    val cdf = (0L until 8L).map(i => (i, 1.0, i.toDouble)).toDF("idx", "x", "y")
+      .repartitionByRange(3, col("idx")).sortWithinPartitions("idx")
+    val g = col2map(new graft.api.GRolling(cdf, 4, Seq("idx"), Seq(), 1)
+      .corrWith("x", "y", "out"), "out")
+    assert(g(0L).isEmpty, "n=1 window must be null")
+    assert((1L until 8L).forall(k => g(k).exists(_.isNaN)), s"zero-variance corr must be NaN: $g")
+  }
+
   test("Cumulative two-phase scan == SQL running aggregate") {
     for (seed <- Seq(3L, 4L); parts <- Seq(1, 5)) {
       val df = frame(seed, 60, parts)
