@@ -90,15 +90,22 @@ object SparkEntry {
       val cust = g(s, dir, "customer").rename("c_nationkey" -> "n_nationkey")
       val ord = g(s, dir, "orders").rename("o_custkey" -> "c_custkey")
       val li = g(s, dir, "lineitem").rename("l_orderkey" -> "o_orderkey")
+      // revenue in exact integer ten-thousandths (price has 2 decimals,
+      // discount 2): the BIGINT sum is order-independent, so ANY
+      // partitioning/AQE plan yields the bit-identical total — the
+      // round-then-hash float-sum ceiling does not exist in this form
       region
         .merge(nation, on = Seq("r_regionkey"))
         .merge(cust, on = Seq("n_nationkey"))
         .merge(ord, on = Seq("c_custkey"))
         .merge(li, on = Seq("o_orderkey"))
-        .assign("rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .assign("rev", round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
         .groupby("n_name")
-        .aggAliased(("rev", "sum", "revenue"))
-        .assign("revenue", round(col("revenue"), 2))
+        .aggAliased(("rev", "sum", "rev_e4"))
+        // half-up to cents in the integer domain, then one exact division
+        .assign("revenue", expr("(rev_e4 + 50) div 100") / 100.0)
+        .drop("rev_e4")
         .df
     },
     // ---- §2.4 leftsemi / leftanti ---------------------------------------
@@ -349,11 +356,16 @@ object SparkEntry {
     },
     // distributed two-phase global cumsum
     "q32_cumsum" -> { (s, dir) =>
+      // integer-cents contract: the long accumulator is exact at any
+      // accumulation order, so the running sum is bit-identical at any
+      // scale (a rounded double cumsum flips its last decimal once the
+      // prefix grows enough that engine-vs-oracle sum order matters)
       val ev = t(s, dir, "events")
         .orderBy(col("ts"), col("event_id"))
-        .select(col("event_id"), col("ts"), col("value"))
-      graft.operators.Cumulative(ev, "value", graft.operators.Cumulative.CumSum, "cum_value")
-        .select(col("event_id"), round(col("cum_value"), 4).as("cum_value"))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .select(col("event_id"), col("ts"), col("cents"))
+      graft.operators.Cumulative(ev, "cents", graft.operators.Cumulative.CumSum, "cum_cents")
+        .select(col("event_id"), col("cum_cents"))
     },
     // global shift/diff across partition boundaries
     "q33_shift_diff" -> { (s, dir) =>
@@ -614,7 +626,9 @@ object SparkEntry {
       graft.sources.IO.toOrc(t(s, dir, "orders"), path)
       graft.sources.IO.readOrc(s, path).df
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        // exact integer-cents sum → one exact division; order-independent
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("sum_price"))
     },
 
     // ---- §2.4 merge_asof forward / nearest ------------------------------
@@ -1291,10 +1305,13 @@ object SparkEntry {
     "q131_normaltest" -> { (s, dir) =>
       import graft.operators.Stats
       val li = t(s, dir, "lineitem")
-      Stats.skewtest(li, "l_quantity").select(round(col("z_stat"), 4).as("z_skew"))
-        .crossJoin(Stats.kurtosistest(li, "l_quantity")
+      // l_quantity is integer-valued → exact BIGINT power-sum moments:
+      // order-independent accumulation, bit-identical at any scale
+      Stats.skewtest(li, "l_quantity", exactIntegral = true)
+        .select(round(col("z_stat"), 4).as("z_skew"))
+        .crossJoin(Stats.kurtosistest(li, "l_quantity", exactIntegral = true)
           .select(round(col("z_stat"), 4).as("z_kurt")))
-        .crossJoin(Stats.normaltest(li, "l_quantity")
+        .crossJoin(Stats.normaltest(li, "l_quantity", exactIntegral = true)
           .select(round(col("k2_stat"), 4).as("k2")))
     },
 
@@ -1353,10 +1370,15 @@ object SparkEntry {
     // treeAggregate builds AᵀA + Aᵀy; driver solves the tiny p×p system.
     // Oracle: the closed-form 2-regressor OLS via covariance algebra.
     "q137_lstsq" -> { (s, dir) =>
+      // integer-scaled model (quantity units, discount cents, price
+      // cents): the normal equations accumulate as exact BIGINTs —
+      // order-independent, so β is reproducible at any scale; the float
+      // form drifted at the 4th decimal once sums grew 40×
       val li = t(s, dir, "lineitem").select(
-        array(col("l_quantity"), col("l_discount")).as("x"),
-        col("l_extendedprice").as("y"))
-      val beta = graft.operators.Linalg.lstsq(li, "x", "y", intercept = true)
+        array(col("l_quantity"), round(col("l_discount") * 100)).as("x"),
+        round(col("l_extendedprice") * 100).as("y"))
+      val beta = graft.operators.Linalg.lstsq(li, "x", "y", intercept = true,
+        exactIntegral = true)
       def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
       import s.implicits._
       Seq((r4(beta(0)), r4(beta(1)), r4(beta(2)))).toDF("b0", "b1", "b2")
@@ -1461,7 +1483,9 @@ object SparkEntry {
         |GROUP BY p_brand""".stripMargin,
     "q05_join5way" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  ((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |    + 50) // 100) / 100.0 AS revenue
         |FROM region, nation, customer, orders, lineitem
         |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
         |  AND c_nationkey = n_nationkey AND o_custkey = c_custkey
@@ -1681,10 +1705,10 @@ object SparkEntry {
         |    ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
         |  ) AS roll_mean FROM events)""".stripMargin,
     "q32_cumsum" ->
-      """SELECT event_id, round(cum_value, 4) AS cum_value FROM (
-        |  SELECT event_id, sum(value) OVER (
+      """SELECT event_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
         |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        |  ) AS cum_value FROM events)""".stripMargin,
+        |  ) AS BIGINT) AS cum_cents
+        |FROM events""".stripMargin,
     "q33_shift_diff" ->
       """SELECT event_id, round(prev_value, 4) AS prev_value,
         |  round(value - prev_value, 4) AS diff_value FROM (
@@ -1966,7 +1990,9 @@ object SparkEntry {
       """SELECT s_nationkey, count(*) AS n_supp, round(sum(s_acctbal), 2) AS sum_bal
         |FROM supplier GROUP BY 1""".stripMargin,
     "q64_orc_roundtrip" ->
-      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+        |    AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
     "q65_asof_forward" ->
       """SELECT e.event_id, o.next_price
@@ -2703,12 +2729,23 @@ object SparkEntry {
         |    / (0.5 * (2.0/3.0) * (2.0/3.0 + 1)), 4) AS cressie_read
         |FROM c, e""".stripMargin,
     "q131_normaltest" ->
-      """WITH m AS (SELECT avg(l_quantity) AS mu, count(*)::DOUBLE AS n
-        |           FROM lineitem),
-        |mom AS (SELECT n, avg(pow(l_quantity - mu, 2)) AS m2,
-        |          avg(pow(l_quantity - mu, 3)) AS m3,
-        |          avg(pow(l_quantity - mu, 4)) AS m4
-        |        FROM lineitem, m GROUP BY n),
+      """WITH s AS (SELECT count(l_quantity)::DOUBLE AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS BIGINT) AS s2,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+        |    CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+        |      AS BIGINT) AS s4
+        |  FROM lineitem),
+        |mm AS (SELECT n, s1 / n AS mean, s2, s3, s4 FROM s),
+        |mom AS (SELECT n,
+        |    s2 / n - mean * mean AS m2,
+        |    s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean AS m3,
+        |    s4 / n - 4.0 * mean * (s3 / n) + 6.0 * mean * mean * (s2 / n)
+        |      - 3.0 * mean * mean * mean * mean AS m4
+        |  FROM mm),
         |b AS (SELECT n, m3 / pow(m2, 1.5) AS b1, m4 / pow(m2, 2) AS b2 FROM mom),
         |s1 AS (SELECT n, b2,
         |  b1 * sqrt((n+1)*(n+3) / (6*(n-2))) AS y0,
@@ -2832,19 +2869,28 @@ object SparkEntry {
         |  CAST(sum(is_nan) AS BIGINT) AS n_nan
         |FROM v GROUP BY 1""".stripMargin,
     "q137_lstsq" ->
-      """WITH s AS (SELECT
-        |    covar_samp(l_quantity, l_quantity) AS s11,
-        |    covar_samp(l_quantity, l_discount) AS s12,
-        |    covar_samp(l_discount, l_discount) AS s22,
-        |    covar_samp(l_quantity, l_extendedprice) AS c1,
-        |    covar_samp(l_discount, l_extendedprice) AS c2,
-        |    avg(l_quantity) AS m1, avg(l_discount) AS m2,
-        |    avg(l_extendedprice) AS my
+      """WITH r AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS d,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS yv
         |  FROM lineitem),
-        |b AS (SELECT my, m1, m2,
+        |t AS (SELECT count(*)::DOUBLE AS n,
+        |    CAST(sum(q) AS BIGINT) AS t1, CAST(sum(d) AS BIGINT) AS t2,
+        |    CAST(sum(q*q) AS BIGINT) AS t11, CAST(sum(q*d) AS BIGINT) AS t12,
+        |    CAST(sum(d*d) AS BIGINT) AS t22,
+        |    CAST(sum(yv) AS BIGINT) AS ty, CAST(sum(q*yv) AS BIGINT) AS g1,
+        |    CAST(sum(d*yv) AS BIGINT) AS g2
+        |  FROM r),
+        |s AS (SELECT n, t1, t2, ty,
+        |    t11 - t1::DOUBLE * t1 / n AS s11,
+        |    t12 - t1::DOUBLE * t2 / n AS s12,
+        |    t22 - t2::DOUBLE * t2 / n AS s22,
+        |    g1 - t1::DOUBLE * ty / n AS c1,
+        |    g2 - t2::DOUBLE * ty / n AS c2
+        |  FROM t),
+        |b AS (SELECT n, t1, t2, ty,
         |    (s22*c1 - s12*c2) / (s11*s22 - s12*s12) AS b1,
         |    (s11*c2 - s12*c1) / (s11*s22 - s12*s12) AS b2 FROM s)
-        |SELECT floor((my - b1*m1 - b2*m2) * 1e4 + 0.5) / 1e4 AS b0,
+        |SELECT floor((ty/n - b1*(t1/n) - b2*(t2/n)) * 1e4 + 0.5) / 1e4 AS b0,
         |  floor(b1 * 1e4 + 0.5) / 1e4 AS b1,
         |  floor(b2 * 1e4 + 0.5) / 1e4 AS b2 FROM b""".stripMargin,
     "q138_histogramdd" ->

@@ -181,9 +181,18 @@ object Linalg {
     * (pandas-dropna semantics) — both physical paths agree; without the
     * filter, independent per-aggregate null-skipping would build AᵀA and
     * Aᵀy over different row subsets.  NaN propagates (NaN in → NaN β).
+    *
+    * `exactIntegral=true` (small-p path only): features and y are
+    * integer-valued, so every normal-equation term is an exact integer —
+    * accumulate them as BIGINTs.  Long sums are order-independent: any
+    * partitioning or combine order yields bit-identical AᵀA/Aᵀy, which is
+    * what makes β reproducible at any scale (float sums drift with n).
+    * Caller contract: per-row products must stay within 2⁵³ (they are
+    * formed as doubles before the cast) and totals within 2⁶³.
     */
   def lstsq(df: DataFrame, vecCol: String, yCol: String,
-            intercept: Boolean = true): Array[Double] = {
+            intercept: Boolean = true,
+            exactIntegral: Boolean = false): Array[Double] = {
     // dimension probe must skip null vectors (a null in the first row is
     // data, not an error) — the null-aware filter below drops them anyway
     val probe = df.filter(col(vecCol).isNotNull)
@@ -210,9 +219,11 @@ object Linalg {
           if (intercept && i == 0) lit(1.0)
           else element_at(col(vecCol), i + (if (intercept) 0 else 1)).cast("double")
         val y = col(yCol).cast("double")
+        def s(term: Column): Column =
+          if (exactIntegral) sum(term.cast("long")) else sum(term)
         val upper = for (j <- 0 until p; i <- 0 to j)
-          yield sum(feat(i) * feat(j)).as(s"g_${i}_$j")
-        val rhs = (0 until p).map(i => sum(feat(i) * y).as(s"b_$i"))
+          yield s(feat(i) * feat(j)).as(s"g_${i}_$j")
+        val rhs = (0 until p).map(i => s(feat(i) * y).as(s"b_$i"))
         val guards = Seq(count(lit(1)).as("__n"),
           min(size(col(vecCol))).as("__mn"), max(size(col(vecCol))).as("__mx"))
         val cols = upper ++ rhs ++ guards
@@ -223,13 +234,14 @@ object Linalg {
         if (row.getInt(nIdx + 1) != p0 || row.getInt(nIdx + 2) != p0)
           throw new IllegalArgumentException(
             jaggedMsg(s"[${row.getInt(nIdx + 1)}..${row.getInt(nIdx + 2)}]"))
+        def v(i: Int): Double = row.get(i).asInstanceOf[Number].doubleValue()
         val ata = new Array[Double](p * p)
         var idx = 0
         for (j <- 0 until p; i <- 0 to j) {
-          ata(j * p + i) = row.getDouble(idx); ata(i * p + j) = row.getDouble(idx)
+          ata(j * p + i) = v(idx); ata(i * p + j) = v(idx)
           idx += 1
         }
-        (ata, (0 until p).map(i => row.getDouble(idx + i)).toArray)
+        (ata, (0 until p).map(i => v(idx + i)).toArray)
       } else {
         // wide-feature path: one treeAggregate of per-row outer products
         val rows = clean

@@ -153,6 +153,36 @@ object Stats {
         avg(pow(x, 2)).as("m2"), avg(pow(x, 3)).as("m3"), avg(pow(x, 4)).as("m4"))
   }
 
+  /** Exact-moment variant for INTEGER-VALUED columns: raw power sums
+    * Σx..Σx⁴ accumulate as BIGINTs, which are order-independent — any
+    * partitioning, AQE plan, or combine order yields the bit-identical
+    * moments (the scale-proof accumulation a float sum cannot give).
+    * Central moments then derive in ONE fixed double-op sequence, so an
+    * oracle computing the same sequence from the same sums matches
+    * bit-for-bit.  Raw-power-sum cancellation is not a concern here:
+    * callers opt in only for small-magnitude integer domains (|x| ≲ 10⁴,
+    * where Σx⁴ also stays far from the 2⁶³ BIGINT edge).
+    */
+  private def centralMomentsExactIntegral(df: DataFrame, valueCol: String): DataFrame = {
+    val xl = col(valueCol).cast("long")
+    df.agg(count(xl).cast("double").as("n"),
+        sum(xl).as("s1"), sum(xl * xl).as("s2"),
+        sum(xl * xl * xl).as("s3"), sum(xl * xl * xl * xl).as("s4"))
+      .select(col("n"), (col("s1") / col("n")).as("mean"),
+        col("s2"), col("s3"), col("s4"))
+      .select(col("n"),
+        (col("s2") / col("n") - col("mean") * col("mean")).as("m2"),
+        (col("s3") / col("n") - lit(3.0) * col("mean") * (col("s2") / col("n"))
+          + lit(2.0) * col("mean") * col("mean") * col("mean")).as("m3"),
+        (col("s4") / col("n") - lit(4.0) * col("mean") * (col("s3") / col("n"))
+          + lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n"))
+          - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean")).as("m4"))
+  }
+
+  private def momentsOf(df: DataFrame, valueCol: String, exactIntegral: Boolean): DataFrame =
+    if (exactIntegral) centralMomentsExactIntegral(df, valueCol)
+    else centralMoments(df, valueCol)
+
   /** `moment(a, n)` (stats.py:410): biased n-th central moment. */
   def moment(df: DataFrame, valueCol: String, n: Int): DataFrame = {
     val c = col(valueCol).cast("double")
@@ -212,22 +242,25 @@ object Stats {
     * the statistic is simply undefined (NaN) below that, since n is not
     * known without running the job.
     */
-  def skewtest(df: DataFrame, valueCol: String): DataFrame =
-    centralMoments(df, valueCol)
+  def skewtest(df: DataFrame, valueCol: String,
+               exactIntegral: Boolean = false): DataFrame =
+    momentsOf(df, valueCol, exactIntegral)
       .select(skewZ.as("z_stat"))
       .select(col("z_stat"), zSf2(col("z_stat")).as("p_value"))
 
   /** `kurtosistest(a)` (stats.py:325). */
-  def kurtosistest(df: DataFrame, valueCol: String): DataFrame =
-    centralMoments(df, valueCol)
+  def kurtosistest(df: DataFrame, valueCol: String,
+                   exactIntegral: Boolean = false): DataFrame =
+    momentsOf(df, valueCol, exactIntegral)
       .select(kurtZ.as("z_stat"))
       .select(col("z_stat"), zSf2(col("z_stat")).as("p_value"))
 
   /** `normaltest(a)` (stats.py:362): K² = Z_skew² + Z_kurt², χ²(2) —
     * both Z's come off the same single moments row.
     */
-  def normaltest(df: DataFrame, valueCol: String): DataFrame =
-    centralMoments(df, valueCol)
+  def normaltest(df: DataFrame, valueCol: String,
+                 exactIntegral: Boolean = false): DataFrame =
+    momentsOf(df, valueCol, exactIntegral)
       .select((pow(skewZ, 2) + pow(kurtZ, 2)).as("k2_stat"))
       .select(col("k2_stat"), chi2Sf(col("k2_stat"), lit(2.0)).as("p_value"))
 
