@@ -1415,6 +1415,79 @@ object SparkEntry {
         .select(col("event_id"),
           when(isnan(col("roll_corr")), lit(null))
             .otherwise(round(col("roll_corr"), 4)).as("roll_corr"))
+    },
+    // ---- ext: REAL multimodal decode — per doc, a 15x8 24-bit BMP and a
+    // 200-sample PCM16 WAV are ENCODED from an id-derived byte pattern
+    // and DECODED back with the pure-JVM parsers (bottom-up rows, BGR,
+    // row padding, RIFF chunk walk); the oracle computes the same pixel/
+    // sample statistics directly from the pattern, so any decode error
+    // (row order, channel order, padding, chunk offsets) breaks the hash.
+    // All stats are exact integer sums; means are one final division.
+    "q141_multimodal_decode" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val ids = t(s, dir, "documents").select(col("doc_id").cast("long").as("media_id"))
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType), StructField("w", IntegerType),
+        StructField("h", IntegerType), StructField("mean_r", DoubleType),
+        StructField("mean_g", DoubleType), StructField("mean_b", DoubleType),
+        StructField("wsum", LongType), StructField("n_samp", LongType),
+        StructField("mean_s", DoubleType), StructField("ssq", LongType)))
+      val rdd = ids.rdd.map { r =>
+        // module accessed by full path INSIDE the lambda: an outer alias
+        // val would capture the (non-serializable) module instance
+        val mm = graft.operators.Multimodal
+        val id = r.getLong(0)
+        val rgb = Array.tabulate(360)(k => ((id * 7 + k * 13) % 256).toByte)
+        val samples = Array.tabulate(200)(k => ((id * 31 + k * 17) % 65536 - 32768).toShort)
+        val (w, h, px) = mm.decodeBmp24(mm.encodeBmp24(15, 8, rgb))
+        val (_, samp) = mm.decodeWavPcm16(mm.encodeWavPcm16(8000, samples))
+        var sr = 0L; var sg = 0L; var sb = 0L; var ws = 0L
+        var k = 0
+        while (k < px.length) {
+          val v = px(k) & 0xFF
+          (k % 3) match { case 0 => sr += v; case 1 => sg += v; case _ => sb += v }
+          ws += k.toLong * v
+          k += 1
+        }
+        var sm = 0L; var ssq = 0L
+        var i = 0
+        while (i < samp.length) { sm += samp(i); ssq += samp(i).toLong * samp(i); i += 1 }
+        org.apache.spark.sql.Row(id, w, h, sr / 120.0, sg / 120.0, sb / 120.0,
+          ws, samp.length.toLong, sm / 200.0, ssq)
+      }
+      s.createDataFrame(rdd, outSchema)
+    },
+    // ---- streaming: sessionize batch-replay — the REAL streaming
+    // pipeline (file source → mapGroupsWithState → memory sink) runs over
+    // the events table as one micro-batch; each user's emitted row is the
+    // state after the fold = its LAST session, which the oracle replays
+    // as gaps-and-islands SQL.  value travels as integer cents so the
+    // session total is exact under any fold order; the engine truncates
+    // event time to whole seconds (getTime/1000), mirrored by floor().
+    "q142_sessionize_replay" -> { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "events").select(
+        col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        round(col("value") * 100).as("value"))
+      val run = java.util.UUID.randomUUID.toString.replace("-", "")
+      val inPath = s"/tmp/graft_stream/sess_in_$run"
+      src.write.mode("overwrite").parquet(inPath)
+      val stream = s.readStream.schema(src.schema).parquet(inPath)
+        .as[graft.streaming.StreamOps.SessionEvent]
+      val qn = s"q142_sessions_$run"
+      val query = graft.streaming.StreamOps.sessionize(stream, gapSeconds = 43200L)
+        .writeStream.format("memory").queryName(qn).outputMode("update")
+        .option("checkpointLocation", s"/tmp/graft_stream/sess_ck_$run")
+        .start()
+      query.processAllAvailable()
+      query.stop()
+      // the post-batch watermark advance fires event-time timeouts, which
+      // re-emit a user's final session unchanged (same state snapshot) —
+      // the update-mode memory sink appends both, so dedupe exactly
+      s.table(qn).select(col("user_id"), col("n_events"),
+          col("total").cast("long").as("total_cents"))
+        .distinct()
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -2494,11 +2567,25 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users,
         |  round(quantile_cont(value, 0.5), 4) AS med_value
         |FROM events GROUP BY 1""".stripMargin,
+    // pandas-POSITIONAL time-range window, not the SQL RANGE frame: the
+    // window of row i (ordered by ts, event_id) is the rows AT OR BEFORE
+    // position i with o >= o_i - 600 — a RANGE frame would additionally
+    // include LATER peers sharing the exact timestamp, which diverges on
+    // replicated ties.  o is nondecreasing in rn order, so the window is
+    // the rn-interval (mrn(o < o_i-600), rn_i] and one prefix-sum
+    // difference computes it exactly in integer cents.
     "q112_rolling_range_global" ->
-      """SELECT event_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
-        |    ORDER BY epoch(ts) RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
-        |  AS BIGINT) AS range_sum
-        |FROM events""".stripMargin,
+      """WITH e AS (SELECT event_id, epoch(ts) AS o,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |c AS (SELECT event_id, o, rn,
+        |    CAST(sum(cents) OVER (ORDER BY rn) AS BIGINT) AS cum FROM e),
+        |lk AS (SELECT o, max(rn) AS mrn FROM e GROUP BY o)
+        |SELECT a.event_id, a.cum - coalesce(p.cum, 0) AS range_sum
+        |FROM c a
+        |ASOF LEFT JOIN lk ON lk.o < a.o - 600
+        |LEFT JOIN c p ON p.rn = lk.mrn""".stripMargin,
     "q113_rolling_skew" ->
       """SELECT event_id, round(skewness(value) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
@@ -2919,5 +3006,45 @@ object SparkEntry {
       """SELECT event_id, round(corr(value, epoch(ts)) OVER (
         |    ORDER BY ts, event_id
         |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW), 4) AS roll_corr
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    "q141_multimodal_decode" ->
+      """WITH pk AS (SELECT unnest(range(360)) AS k),
+        |sk AS (SELECT unnest(range(200)) AS k),
+        |img AS (SELECT doc_id AS media_id,
+        |    CAST(sum(CASE WHEN k % 3 = 0 THEN (doc_id*7 + k*13) % 256 END)
+        |      AS BIGINT) AS sr,
+        |    CAST(sum(CASE WHEN k % 3 = 1 THEN (doc_id*7 + k*13) % 256 END)
+        |      AS BIGINT) AS sg,
+        |    CAST(sum(CASE WHEN k % 3 = 2 THEN (doc_id*7 + k*13) % 256 END)
+        |      AS BIGINT) AS sb,
+        |    CAST(sum(k * ((doc_id*7 + k*13) % 256)) AS BIGINT) AS wsum
+        |  FROM documents, pk GROUP BY 1),
+        |aud AS (SELECT doc_id AS media_id,
+        |    CAST(sum((doc_id*31 + k*17) % 65536 - 32768) AS BIGINT) AS sm,
+        |    CAST(sum(((doc_id*31 + k*17) % 65536 - 32768)
+        |           * ((doc_id*31 + k*17) % 65536 - 32768)) AS BIGINT) AS ssq
+        |  FROM documents, sk GROUP BY 1)
+        |SELECT img.media_id, CAST(15 AS INT) AS w, CAST(8 AS INT) AS h,
+        |  sr / 120.0 AS mean_r, sg / 120.0 AS mean_g, sb / 120.0 AS mean_b,
+        |  wsum, CAST(200 AS BIGINT) AS n_samp, sm / 200.0 AS mean_s, ssq
+        |FROM img JOIN aud ON img.media_id = aud.media_id""".stripMargin,
+    "q142_sessionize_replay" ->
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |l AS (SELECT user_id, ts, event_id, t, cents,
+        |    lag(t) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt
+        |  FROM e),
+        |g AS (SELECT user_id, cents,
+        |    sum(CASE WHEN pt IS NULL OR t - pt > 43200 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM l),
+        |ses AS (SELECT user_id, grp, count(*) AS n_events,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents
+        |  FROM g GROUP BY 1, 2),
+        |sel AS (SELECT user_id, n_events, total_cents,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY grp DESC) AS rk
+        |  FROM ses)
+        |SELECT user_id, n_events, total_cents FROM sel WHERE rk = 1""".stripMargin)
 }

@@ -241,6 +241,72 @@ class LlmOpsSpec extends SparkTestBase {
     assert(feats.find(_.getLong(0) == 1L).get.getAs[Long]("byte_len") == doc1len)
   }
 
+  test("BMP24 codec: encode/decode round-trips, padding and both row orders") {
+    // w=15 → 45-byte rows padded to 48: the padding path is exercised
+    val rgb = Array.tabulate(15 * 8 * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val bmp = Multimodal.encodeBmp24(15, 8, rgb)
+    assert(bmp.length == 54 + 48 * 8)
+    val (w, h, back) = Multimodal.decodeBmp24(bmp)
+    assert(w == 15 && h == 8)
+    assert(back.toSeq == rgb.toSeq) // exact pixel round-trip, top-down RGB
+    // top-down variant (negative biHeight): same pixels, rows stored
+    // first-to-last — decoder must NOT flip them again
+    val td = bmp.clone()
+    val bb = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -8)
+    val rowSize = 48
+    for (row <- 0 until 8; b <- 0 until rowSize) // re-store rows top-down
+      td(54 + row * rowSize + b) = bmp(54 + (7 - row) * rowSize + b)
+    val (_, h2, back2) = Multimodal.decodeBmp24(td)
+    assert(h2 == 8 && back2.toSeq == rgb.toSeq)
+    // rejects wrong magic / unsupported bpp
+    val bad = bmp.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.decodeBmp24(bad))
+    val bpp8 = bmp.clone()
+    java.nio.ByteBuffer.wrap(bpp8).order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(28, 8)
+    intercept[IllegalArgumentException](Multimodal.decodeBmp24(bpp8))
+  }
+
+  test("WAV PCM16 codec: round-trip, chunk walking, format validation") {
+    val samples = Array.tabulate(257)(i => ((i * 523 - 31000) % 32768).toShort)
+    val wav = Multimodal.encodeWavPcm16(8000, samples)
+    val (rate, back) = Multimodal.decodeWavPcm16(wav)
+    assert(rate == 8000 && back.toSeq == samples.toSeq)
+    // an extra unknown chunk BEFORE fmt/data must be skipped (odd size →
+    // pad byte honored)
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5, 0)
+    val withChunk = wav.take(12) ++ extra ++ wav.drop(12)
+    java.nio.ByteBuffer.wrap(withChunk).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, withChunk.length - 8)
+    val (rate2, back2) = Multimodal.decodeWavPcm16(withChunk)
+    assert(rate2 == 8000 && back2.toSeq == samples.toSeq)
+    // stereo rejected
+    val stereo = wav.clone()
+    java.nio.ByteBuffer.wrap(stereo).order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(22, 2)
+    intercept[IllegalArgumentException](Multimodal.decodeWavPcm16(stereo))
+  }
+
+  test("extractFeatures dispatches on meta.format: real BMP decode vs byte fallback") {
+    val rgb = Array.tabulate(15 * 8 * 3)(i => (i % 256).toByte)
+    val bmp = Multimodal.encodeBmp24(15, 8, rgb)
+    val rows = Seq(
+      (1L, "image", bmp, (15, 8, "bmp/rgb24")),
+      (2L, "image", bmp, (15, 8, "opaque/unknown")))
+      .toDF("media_id", "modality", "payload", "meta")
+      .withColumn("meta", struct(
+        col("meta._1").as("width"), col("meta._2").as("height"),
+        col("meta._3").as("format")))
+    val feats = Multimodal.extractFeatures(rows, featureDim = 6).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](r.fieldIndex("features"))).toMap
+    // decoded path: features lead with true dimensions and channel means
+    assert(feats(1L)(0) == 15.0f && feats(1L)(1) == 8.0f)
+    val meanR = (0 until 120).map(p => (rgb(p * 3) & 0xFF)).sum / 120.0
+    assert(math.abs(feats(1L)(2) - meanR) < 1e-3)
+    // same payload through the opaque fallback gives different features
+    assert(feats(2L) != feats(1L))
+  }
+
   test("frameSample explodes each payload into n distinct deterministic frames") {
     val media = Multimodal.fromDocuments(docs, "doc_id", "text")
     val nDocs = media.filter($"payload".isNotNull).count()
