@@ -225,6 +225,45 @@ class DistributedOpsPropSpec extends SparkTestBase {
     }
   }
 
+  test("MergeAsof GLOBAL (no by) == driver reference: direction × tolerance × partitioning") {
+    for (seed <- Seq(21L, 22L); parts <- Seq(1, 3, 7)) {
+      val lv = randomDoubles(seed, 60).map(v => math.floor(math.abs(v) % 50))
+      // unique right on-values (shifted off the integer grid) so backward/
+      // forward tie-breaking is never ambiguous in the reference
+      val rv = randomDoubles(seed + 7, 20).map(v => math.floor(math.abs(v) % 50) + 0.5)
+        .distinct
+      val left = lv.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("lid", "t").repartition(parts)
+      val right = rv.zipWithIndex.map { case (t, i) =>
+          (t, if (i % 5 == 0) None else Some(i * 10.0)) // null payloads ride along
+        }.toDF("t", "payload").repartition(2)
+      val rRows = rv.zipWithIndex.map { case (t, i) =>
+        (t, if (i % 5 == 0) None else Some(i * 10.0)) }
+
+      for (dir <- Seq("backward", "forward", "nearest");
+           tol <- Seq(None, Some(5.0))) {
+        val got = MergeAsof(left, right, on = "t", by = Nil, direction = dir,
+            tolerance = tol)
+          .select("lid", "payload").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+        for ((t, lid) <- lv.zipWithIndex) {
+          val within = rRows.filter { case (rt, _) =>
+            tol.forall(x => math.abs(rt - t) <= x) }
+          val cand = dir match {
+            case "backward" => within.filter(_._1 <= t).sortBy(_._1).lastOption
+            case "forward"  => within.filter(_._1 >= t).sortBy(_._1).headOption
+            case "nearest"  =>
+              within.sortBy(c => (math.abs(c._1 - t), if (c._1 <= t) 0 else 1)).headOption
+          }
+          val exp = cand.flatMap(_._2)
+          assert(got(lid.toLong) == exp,
+            s"global asof $dir tol=$tol seed=$seed parts=$parts lid=$lid t=$t: " +
+              s"${got(lid.toLong)} vs $exp")
+        }
+      }
+    }
+  }
+
   test("Expanding two-phase scan == SQL window, any partitioning, with nulls") {
     for (seed <- Seq(5L, 6L); parts <- Seq(1, 3, 7)) {
       // every 5th value null: exercises the observation-vs-row counting

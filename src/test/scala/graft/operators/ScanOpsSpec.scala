@@ -15,6 +15,15 @@ class ScanOpsSpec extends SparkTestBase {
       .repartitionByRange(8, col("id"))
       .sortWithinPartitions("id")
 
+  test("bag read_text round-trips lines written as text files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_read_text").toString
+    val lines = (0 until 257).map(i => s"line $i: payload ${"x" * (i % 13)}")
+    graft.api.GBag.fromSeq(spark, lines, npartitions = 5).toTextfiles(dir)
+    val back = graft.sources.IO.readText(spark, dir)
+    assert(back.df.count() == 257)
+    assert(back.df.collect().map(_.getString(0)).toSet == lines.toSet)
+  }
+
   test("MapOverlap.rollingSum equals single-partition window result") {
     val got = MapOverlap.rollingSum(df8, "v", 5, "rs")
       .select("id", "rs").as[(Long, Double)].collect().toMap
