@@ -4,6 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // per-query repeats: the reported figure is the MINIMUM over `runs`
+    // executions — the warm plan time.  A single mid-suite shot measures
+    // whatever JIT/GC pressure the previous 100 queries left behind (the
+    // documented 2-3x swings on untouched queries); the min of two runs
+    // tracks standalone graft.Time to within ~20%.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
     val spark = GraftSession.getOrCreate(cpus)
     // warmup: exercise codegen/JIT + file listing outside the timings
     try SparkEntry.queries("q01_agg")(spark, sfDir)
@@ -12,20 +18,23 @@ object Bench {
     // noop sink executes the complete plan (count() would let Catalyst
     // prune the projections away and under-measure scan-heavy queries)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // drop cross-query state (cached plans/broadcasts) so a long suite
-      // measures the queries, not accumulated JVM pressure — outside the
-      // timed section so the cleanup isn't attributed to the query
-      spark.catalog.clearCache()
-      name -> elapsed
+      val times = (0 until runs).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // drop cross-query state (cached plans/broadcasts) so a long suite
+        // measures the queries, not accumulated JVM pressure — outside the
+        // timed section so the cleanup isn't attributed to the query
+        spark.catalog.clearCache()
+        elapsed
+      }
+      name -> times.min
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
     spark.stop()
   }
 }

@@ -1141,7 +1141,9 @@ object SparkEntry {
         .withColumn("sec", unix_micros(col("ts").cast("timestamp")).cast("double") / 1e6)
       new graft.api.GRolling(ev, 8, Seq("ts", "event_id"), Seq("user_id"), 1)
         .corrWith("value", "sec", "roll_corr")
-        .select(col("event_id"), round(col("roll_corr"), 4).as("roll_corr"))
+        // + 0.0 folds IEEE −0.0 to +0.0 (DuckDB's round yields −0.0 on
+        // tiny negative corr, Spark's BigDecimal round does not)
+        .select(col("event_id"), (round(col("roll_corr"), 4) + 0.0).as("roll_corr"))
     },
     // ---- §2.10 row-wise Scala UDF (df.apply axis=1 / Series.map(fn)) ----
     "q109_rowwise_udf" -> { (s, dir) =>
@@ -1393,8 +1395,14 @@ object SparkEntry {
     // global (un-keyed) expanding via the two-phase prefix scan — four
     // aggregates in ONE pass, no unpartitioned window anywhere in the plan
     "q139_expanding_global" -> { (s, dir) =>
-      val ev = t(s, dir, "events").select(col("event_id"), col("ts"), col("value"))
-      graft.operators.Expanding.aggs(ev, "value", Seq("ts", "event_id"),
+      // integer-cents contract (value is an exact 2-decimal column): the
+      // expanding mean/var derive from exact Long power sums, which are
+      // order-independent — the Chan-merged double path varies in the
+      // last ulps with partition boundaries, visible at 10⁶+ rows
+      val ev = t(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .select(col("event_id"), col("ts"), col("cents"))
+      graft.operators.Expanding.aggs(ev, "cents", Seq("ts", "event_id"),
           Seq("exp_mean" -> "mean", "exp_var" -> "var",
             "exp_min" -> "min", "exp_cnt" -> "count"))
         .select(col("event_id"),
@@ -1403,18 +1411,23 @@ object SparkEntry {
           col("exp_min"), col("exp_cnt"))
     },
     // ---- §2.6 GLOBAL rolling corr between two columns (MapOverlap
-    // pair-moment ghost kernel — an un-partitioned SQL window is one task)
+    // pair-moment ghost kernel — an un-partitioned SQL window is one
+    // task).  corr of value vs its global lag-1, in integer cents: every
+    // window sum is an exact integer on both sides, so the oracle can
+    // state zero variance EXACTLY (n·Σx² = (Σx)², matching the kernel's
+    // deque extrema check → NaN) — DuckDB's own incremental corr wobbles
+    // past ±1 on collinear windows, so the oracle computes from explicit
+    // sums instead.  Two ghost-row narrow passes (shift, then the pair
+    // kernel), no unpartitioned window anywhere.
     "q140_rolling_corr_global" -> { (s, dir) =>
       val ev = t(s, dir, "events")
         .orderBy(col("ts"), col("event_id"))
-        .withColumn("sec", unix_micros(col("ts").cast("timestamp")).cast("double") / 1e6)
-      // zero-variance windows are NaN in the engine (pandas / keyed-path
-      // semantics) but NULL in SQL corr — normalize for the oracle compare
-      new graft.api.GRolling(ev, 8, Seq("ts", "event_id"), Seq(), 1)
-        .corrWith("value", "sec", "roll_corr")
-        .select(col("event_id"),
-          when(isnan(col("roll_corr")), lit(null))
-            .otherwise(round(col("roll_corr"), 4)).as("roll_corr"))
+        .withColumn("cents", round(col("value") * 100))
+        .select(col("event_id"), col("ts"), col("cents"))
+      val withPrev = graft.operators.MapOverlap.shift(ev, "cents", 1, "prev_cents")
+      new graft.api.GRolling(withPrev, 8, Seq("ts", "event_id"), Seq(), 1)
+        .corrWith("cents", "prev_cents", "roll_corr")
+        .select(col("event_id"), (round(col("roll_corr"), 4) + 0.0).as("roll_corr"))
     },
     // ---- ext: REAL multimodal decode — per doc, a 15x8 24-bit BMP and a
     // 200-sample PCM16 WAV are ENCODED from an id-derived byte pattern
@@ -2551,7 +2564,7 @@ object SparkEntry {
     "q108_rolling_corr" ->
       """SELECT event_id, round(corr(value, epoch(ts)) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW), 4) AS roll_corr
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW), 4) + 0.0 AS roll_corr
         |FROM events""".stripMargin,
     "q109_rowwise_udf" ->
       """SELECT l_orderkey, l_linenumber,
@@ -2994,19 +3007,47 @@ object SparkEntry {
         |  AND l_tax BETWEEN 0 AND 0.08
         |GROUP BY 1, 2, 3""".stripMargin,
     "q139_expanding_global" ->
-      """SELECT event_id,
-        |  floor(avg(value) OVER w * 1e6 + 0.5) / 1e6 AS exp_mean,
-        |  floor(var_samp(value) OVER w * 1e6 + 0.5) / 1e6 AS exp_var,
-        |  min(value) OVER w AS exp_min,
-        |  count(value) OVER w AS exp_cnt
-        |FROM events
-        |WINDOW w AS (ORDER BY ts, event_id
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+      """WITH e AS (SELECT event_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |s AS (SELECT event_id,
+        |    CAST(sum(cents) OVER w AS BIGINT) AS s1,
+        |    CAST(sum(cents * cents) OVER w AS BIGINT) AS s2,
+        |    count(cents) OVER w AS n,
+        |    CAST(min(cents) OVER w AS BIGINT) AS exp_min
+        |  FROM e
+        |  WINDOW w AS (ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id,
+        |  floor((s1::DOUBLE / n) * 1e6 + 0.5) / 1e6 AS exp_mean,
+        |  CASE WHEN n < 2 THEN NULL ELSE
+        |    floor(((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n) / (n - 1))
+        |          * 1e6 + 0.5) / 1e6 END AS exp_var,
+        |  exp_min, n AS exp_cnt
+        |FROM s""".stripMargin,
     "q140_rolling_corr_global" ->
-      """SELECT event_id, round(corr(value, epoch(ts)) OVER (
-        |    ORDER BY ts, event_id
-        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW), 4) AS roll_corr
-        |FROM events""".stripMargin,
+      """WITH e AS (SELECT event_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |l AS (SELECT event_id, ts, x,
+        |    lag(x) OVER (ORDER BY ts, event_id) AS y FROM e),
+        |s AS (SELECT event_id,
+        |    count(CASE WHEN y IS NOT NULL THEN 1 END) OVER w AS n,
+        |    CAST(sum(CASE WHEN y IS NOT NULL THEN x END) OVER w AS BIGINT) AS sx,
+        |    CAST(sum(y) OVER w AS BIGINT) AS sy,
+        |    CAST(sum(CASE WHEN y IS NOT NULL THEN x * x END) OVER w AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+        |    CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+        |  FROM l
+        |  WINDOW w AS (ORDER BY ts, event_id
+        |               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+        |SELECT event_id,
+        |  CASE WHEN n < 2 THEN NULL
+        |    WHEN n * sxx = sx * sx OR n * syy = sy * sy THEN 'NaN'::DOUBLE
+        |    ELSE round(least(greatest(
+        |      (sxy::DOUBLE - sx::DOUBLE * sy / n) /
+        |        sqrt((sxx::DOUBLE - sx::DOUBLE * sx / n)
+        |           * (syy::DOUBLE - sy::DOUBLE * sy / n)), -1.0), 1.0), 4) + 0.0
+        |  END AS roll_corr
+        |FROM s""".stripMargin,
     "q141_multimodal_decode" ->
       """WITH pk AS (SELECT unnest(range(360)) AS k),
         |sk AS (SELECT unnest(range(200)) AS k),

@@ -217,9 +217,15 @@ final class GRolling(
         math.max(minPeriods, 1)) { m =>
         if (m.n < 2) null
         // zero-variance side → NaN, matching the keyed path's Spark corr
-        // (n≥2, 0/0) and pandas rolling.corr — NOT null, which is n<2 only
-        else if (m.cxx == 0.0 || m.cyy == 0.0) Double.NaN
-        else m.cxy / math.sqrt(m.cxx * m.cyy)
+        // (n≥2, 0/0), pandas rolling.corr AND DuckDB's window corr.  The
+        // deque extrema make this EXACT (all window values identical),
+        // the same answer a per-window recompute gives — an fp threshold
+        // on the incrementally-maintained cxx would misclassify near the
+        // boundary.  cxx<=0 stays as a drift belt-and-braces guard.
+        else if (m.constX || m.constY) Double.NaN
+        else if (m.cxx <= 0.0 || m.cyy <= 0.0) Double.NaN
+        // Cauchy–Schwarz clamp: fp can land a hair outside [-1, 1]
+        else math.max(-1.0, math.min(1.0, m.cxy / math.sqrt(m.cxx * m.cyy)))
       }
     else
       df.withColumn(out, guardedPair(xCol, yCol, corr(col(xCol), col(yCol)).over(spec)))

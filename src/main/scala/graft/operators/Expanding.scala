@@ -33,12 +33,17 @@ import org.apache.spark.sql.types._
 object Expanding {
 
   /** Running moment state over the non-null observations seen so far.
-    * Integral inputs carry exact Long sum/min/max (`sumL`/`mnL`/`mxL`)
-    * alongside the Double moments — longs above 2⁵³ would silently round
-    * through the Double fields.
+    * Integral inputs carry exact Long accumulators (`sumL`/`sum2L`/
+    * `mnL`/`mxL`) alongside the Double moments: longs above 2⁵³ would
+    * silently round through the Double fields, and — decisive at scale —
+    * Long sums are order-independent, so integral mean/var/std are
+    * bit-identical under ANY partitioning (the Welford/Chan double path
+    * varies in the last ulps with partition boundaries, which a
+    * round-then-hash oracle gate sees at 10⁶+ rows).
     */
   private final class St(
       var rows: Long, var n: Long, var sumD: Double, var sumL: Long,
+      var sum2L: Long,
       var mean: Double, var m2: Double,
       var mn: Double, var mx: Double,
       var mnL: Long, var mxL: Long) extends Serializable {
@@ -49,7 +54,7 @@ object Expanding {
 
     /** Chan et al. pairwise merge: this ← this ⊕ (n=1, x). */
     def add(x: Double, xL: Long): Unit = {
-      sumD += x; sumL += xL
+      sumD += x; sumL += xL; sum2L += xL * xL
       val n1 = n; n += 1
       val delta = x - mean
       mean += delta / n
@@ -70,6 +75,7 @@ object Expanding {
       out.n = n + b.n
       out.sumD = sumD + b.sumD
       out.sumL = sumL + b.sumL
+      out.sum2L = sum2L + b.sum2L
       val delta = b.mean - mean
       out.mean = mean + delta * b.n / out.n
       out.m2 = m2 + b.m2 + delta * delta * n.toDouble * b.n / out.n
@@ -80,11 +86,12 @@ object Expanding {
       out
     }
 
-    def copySt(): St = new St(rows, n, sumD, sumL, mean, m2, mn, mx, mnL, mxL)
+    def copySt(): St =
+      new St(rows, n, sumD, sumL, sum2L, mean, m2, mn, mx, mnL, mxL)
   }
 
   private object St {
-    def empty: St = new St(0, 0, 0.0, 0L, 0.0, 0.0, 0.0, 0.0, 0L, 0L)
+    def empty: St = new St(0, 0, 0.0, 0L, 0L, 0.0, 0.0, 0.0, 0.0, 0L, 0L)
   }
 
   val supported: Set[String] = Set("sum", "mean", "count", "min", "max", "var", "std")
@@ -142,17 +149,26 @@ object Expanding {
       case "sum" | "min" | "max"        => if (integral) LongType else DoubleType
       case _                            => DoubleType
     }
+    // integral var from the exact Long power sums, in ONE fixed double-op
+    // sequence (order-independent; an oracle computing the same sequence
+    // from the same sums matches bit-for-bit).  Cancellation is bounded:
+    // callers hold |x| small enough that Σx² fits a Long anyway.
+    def intVar(st: St): Double =
+      (st.sum2L.toDouble - st.sumL.toDouble * st.sumL.toDouble / st.n) / (st.n - 1)
     def emit(a: String, st: St): Any = a match {
       case _ if a != "count" && st.n < minObs => null
       // pandas: count's min_periods is met by window ROWS (a leading null
       // row emits 0), every other agg needs `minObs` OBSERVATIONS
       case "count" => if (st.rows < minPeriods) null else st.n
       case "sum"   => if (integral) st.sumL else st.sumD
-      case "mean"  => st.mean
+      case "mean"  => if (integral) st.sumL.toDouble / st.n else st.mean
       case "min"   => if (integral) st.mnL else st.mn
       case "max"   => if (integral) st.mxL else st.mx
-      case "var"   => if (st.n < 2) null else st.m2 / (st.n - 1)
-      case "std"   => if (st.n < 2) null else math.sqrt(st.m2 / (st.n - 1))
+      case "var" =>
+        if (st.n < 2) null else if (integral) intVar(st) else st.m2 / (st.n - 1)
+      case "std" =>
+        if (st.n < 2) null
+        else if (integral) math.sqrt(intVar(st)) else math.sqrt(st.m2 / (st.n - 1))
     }
 
     // phase 2: seeded running scan (narrow), all aggregates in one pass

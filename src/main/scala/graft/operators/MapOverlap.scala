@@ -157,44 +157,100 @@ object MapOverlap {
     }
   }
 
-  /** Incrementally maintained moments of a rolling window's valid pairs:
-    * `n` pairs, means, and centered sums Σ(x−x̄)², Σ(y−ȳ)², Σ(x−x̄)(y−ȳ).
-    * Welford-style add/remove keeps the per-row cost O(1) (the scheme
-    * pandas' `roll_cov` kernel uses); [[rollingPairAgg]] additionally
-    * rebuilds the state exactly from the live window every `window`
-    * evictions, so fp drift never spans more than ~2·window updates.
+  /** Incrementally maintained moments of a rolling window's valid pairs,
+    * O(1) per add/remove: raw sums of (x−ax), (y−ay) around a FIXED
+    * anchor (ax, ay), re-anchored at every periodic rebuild.  Centered
+    * sums derive as Cxx = Sxx − Sx²/n etc.
+    *
+    * Why anchored raw sums and not Welford add/remove (pandas'
+    * `roll_cov` scheme): removal drift is relative to the VALUE
+    * magnitude there, and a window of replicated identical pairs has
+    * true variance exactly 0 — any drift then explodes corr (observed
+    * |corr| > 1 on ScaleGen's replicated ties).  With an in-window
+    * anchor, identical values contribute exact zeros (Sxx stays 0.0
+    * bit-exactly through constant runs) and drift scales with the
+    * window SPREAD — the same scale as the variance itself.
+    * [[rollingPairAgg]] rebuilds exactly from the live window every
+    * `window` evictions, so drift never spans more than ~2·window
+    * updates.
     */
   final class PairMoments {
     var n: Int = 0
-    var meanX = 0.0; var meanY = 0.0
-    var cxx = 0.0; var cyy = 0.0; var cxy = 0.0
+    private var ax = 0.0; private var ay = 0.0
+    private var anchored = false
+    private var sx = 0.0; private var sy = 0.0
+    private var sxx = 0.0; private var syy = 0.0; private var sxy = 0.0
+    // monotonic min/max deques of (seq, value): O(1) amortized sliding
+    // extrema, so "is this window EXACTLY constant" — the zero-variance
+    // NaN case an exact per-window recompute (SQL corr, pandas) sees —
+    // is answered without tolerances.  FIFO contract: remove() always
+    // evicts the oldest pair.
+    private var seq = 0L
+    private var oldest = 0L
+    private val mnX = new scala.collection.mutable.ArrayDeque[(Long, Double)]()
+    private val mxX = new scala.collection.mutable.ArrayDeque[(Long, Double)]()
+    private val mnY = new scala.collection.mutable.ArrayDeque[(Long, Double)]()
+    private val mxY = new scala.collection.mutable.ArrayDeque[(Long, Double)]()
 
-    def reset(): Unit = { n = 0; meanX = 0.0; meanY = 0.0; cxx = 0.0; cyy = 0.0; cxy = 0.0 }
+    def reset(): Unit = {
+      n = 0; anchored = false; ax = 0.0; ay = 0.0
+      sx = 0.0; sy = 0.0; sxx = 0.0; syy = 0.0; sxy = 0.0
+      // seq/oldest survive: eviction order continues across rebuilds
+      mnX.clear(); mxX.clear(); mnY.clear(); mxY.clear()
+    }
 
     def add(x: Double, y: Double): Unit = {
+      if (!anchored) { ax = x; ay = y; anchored = true }
+      val dx = x - ax; val dy = y - ay
       n += 1
-      val dx = x - meanX; val dy = y - meanY
-      meanX += dx / n; meanY += dy / n
-      cxx += dx * (x - meanX)
-      cyy += dy * (y - meanY)
-      cxy += dx * (y - meanY)
+      sx += dx; sy += dy
+      sxx += dx * dx; syy += dy * dy; sxy += dx * dy
+      while (mnX.nonEmpty && mnX.last._2 >= x) mnX.removeLast()
+      mnX.append((seq, x))
+      while (mxX.nonEmpty && mxX.last._2 <= x) mxX.removeLast()
+      mxX.append((seq, x))
+      while (mnY.nonEmpty && mnY.last._2 >= y) mnY.removeLast()
+      mnY.append((seq, y))
+      while (mxY.nonEmpty && mxY.last._2 <= y) mxY.removeLast()
+      mxY.append((seq, y))
+      seq += 1
     }
 
-    /** exact inverse of [[add]]: afterwards the state equals the fold of
-      * the remaining pairs (up to fp roundoff, bounded by the rebuilds)
-      */
+    /** exact inverse of [[add]] for the OLDEST live pair (FIFO) */
     def remove(x: Double, y: Double): Unit = {
-      if (n <= 1) reset()
-      else {
-        val n1 = n - 1
-        val mx1 = (n * meanX - x) / n1
-        val my1 = (n * meanY - y) / n1
-        cxx -= (x - mx1) * (x - meanX)
-        cyy -= (y - my1) * (y - meanY)
-        cxy -= (x - mx1) * (y - meanY)
-        meanX = mx1; meanY = my1; n = n1
+      if (n <= 1) { n = 0; anchored = false
+        sx = 0.0; sy = 0.0; sxx = 0.0; syy = 0.0; sxy = 0.0
+        mnX.clear(); mxX.clear(); mnY.clear(); mxY.clear()
+      } else {
+        val dx = x - ax; val dy = y - ay
+        n -= 1
+        sx -= dx; sy -= dy
+        sxx -= dx * dx; syy -= dy * dy; sxy -= dx * dy
+        if (mnX.nonEmpty && mnX.head._1 == oldest) mnX.removeHead()
+        if (mxX.nonEmpty && mxX.head._1 == oldest) mxX.removeHead()
+        if (mnY.nonEmpty && mnY.head._1 == oldest) mnY.removeHead()
+        if (mxY.nonEmpty && mxY.head._1 == oldest) mxY.removeHead()
       }
+      oldest += 1
     }
+
+    /** exact rebuild from the live window (oldest first): re-anchors and
+      * re-numbers the eviction sequence so FIFO removal stays aligned
+      */
+    def rebuildFrom(pairs: Iterator[(Double, Double)]): Unit = {
+      reset()
+      oldest = seq // re-added pairs take seqs oldest, oldest+1, … in FIFO order
+      pairs.foreach { case (x, y) => add(x, y) }
+    }
+
+    /** all live x (resp. y) values identical — variance EXACTLY zero */
+    def constX: Boolean = n > 0 && mnX.head._2 == mxX.head._2
+    def constY: Boolean = n > 0 && mnY.head._2 == mxY.head._2
+
+    /** centered second moments (anchor-invariant up to fp) */
+    def cxx: Double = sxx - sx * sx / n
+    def cyy: Double = syy - sy * sy / n
+    def cxy: Double = sxy - sx * sy / n
   }
 
   /** Two-column rolling aggregate over the global order — the MapOverlap
@@ -230,8 +286,7 @@ object MapOverlap {
         if (ok) m.add(x, y)
         if (evictions >= window) { // periodic exact rebuild bounds fp drift
           evictions = 0
-          m.reset()
-          buf.foreach { case (bx, by, bok) => if (bok) m.add(bx, by) }
+          m.rebuildFrom(buf.iterator.collect { case (bx, by, true) => (bx, by) })
         }
       }
       ghosts.foreach(push)
