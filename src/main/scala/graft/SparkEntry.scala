@@ -1182,7 +1182,8 @@ object SparkEntry {
       new graft.api.GRolling(t(s, dir, "events"), 6, Seq("ts", "event_id"),
           Seq("user_id"), 3)
         .skew("value", "roll_skew")
-        .select(col("event_id"), round(col("roll_skew"), 4).as("roll_skew"))
+        // + 0.0 folds IEEE −0.0 to +0.0 (DuckDB round on tiny negatives)
+        .select(col("event_id"), (round(col("roll_skew"), 4) + 0.0).as("roll_skew"))
     },
     // ---- ext: near-dup pairs → transitive clusters → keep decision
     // (alternating large-star/small-star connected components)
@@ -2602,7 +2603,7 @@ object SparkEntry {
     "q113_rolling_skew" ->
       """SELECT event_id, round(skewness(value) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS roll_skew
+        |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 4) + 0.0 AS roll_skew
         |FROM events""".stripMargin,
     // q103's pair SQL + recursive min-propagation transitive closure
     "q120_dedup_clusters" ->

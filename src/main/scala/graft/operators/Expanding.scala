@@ -48,12 +48,17 @@ object Expanding {
       var mn: Double, var mx: Double,
       var mnL: Long, var mxL: Long) extends Serializable {
 
+    /** set once any |x| exceeds √(2⁶³): x² would overflow sum2L, so the
+      * exact-var path must yield to the Welford moments */
+    var big: Boolean = false
+
     /** every row advances the ROW counter — pandas counts `min_periods`
       * for `count()` in window rows, not non-null observations. */
     def bump(): Unit = rows += 1
 
     /** Chan et al. pairwise merge: this ← this ⊕ (n=1, x). */
     def add(x: Double, xL: Long): Unit = {
+      if (math.abs(xL) > 3037000499L) big = true
       sumD += x; sumL += xL; sum2L += xL * xL
       val n1 = n; n += 1
       val delta = x - mean
@@ -76,6 +81,7 @@ object Expanding {
       out.sumD = sumD + b.sumD
       out.sumL = sumL + b.sumL
       out.sum2L = sum2L + b.sum2L
+      out.big = big || b.big
       val delta = b.mean - mean
       out.mean = mean + delta * b.n / out.n
       out.m2 = m2 + b.m2 + delta * delta * n.toDouble * b.n / out.n
@@ -86,8 +92,11 @@ object Expanding {
       out
     }
 
-    def copySt(): St =
-      new St(rows, n, sumD, sumL, sum2L, mean, m2, mn, mx, mnL, mxL)
+    def copySt(): St = {
+      val c = new St(rows, n, sumD, sumL, sum2L, mean, m2, mn, mx, mnL, mxL)
+      c.big = big
+      c
+    }
   }
 
   private object St {
@@ -165,10 +174,12 @@ object Expanding {
       case "min"   => if (integral) st.mnL else st.mn
       case "max"   => if (integral) st.mxL else st.mx
       case "var" =>
-        if (st.n < 2) null else if (integral) intVar(st) else st.m2 / (st.n - 1)
+        if (st.n < 2) null
+        else if (integral && !st.big) intVar(st) else st.m2 / (st.n - 1)
       case "std" =>
         if (st.n < 2) null
-        else if (integral) math.sqrt(intVar(st)) else math.sqrt(st.m2 / (st.n - 1))
+        else if (integral && !st.big) math.sqrt(intVar(st))
+        else math.sqrt(st.m2 / (st.n - 1))
     }
 
     // phase 2: seeded running scan (narrow), all aggregates in one pass

@@ -316,4 +316,24 @@ class DistributedOpsPropSpec extends SparkTestBase {
     assert(rows(0).isNullAt(rows(0).fieldIndex("c")))
     assert(rows(1).getLong(rows(1).fieldIndex("c")) == 1L)
   }
+
+  test("Expanding longs above 2^53 keep exact min/max/sum; huge x^2 falls back for var") {
+    import spark.implicits._
+    val big = (1L << 53) + 1 // not representable as a double
+    val df = Seq((0L, big), (1L, big + 2), (2L, big + 1))
+      .toDF("idx", "v").repartitionByRange(2, col("idx"))
+    val out = Expanding.aggs(df, "v", Seq("idx"),
+      Seq("s" -> "sum", "lo" -> "min", "hi" -> "max", "vr" -> "var"))
+      .orderBy("idx").collect()
+    // double-tracked accumulators would round these to the 2^53 grid
+    assert(out(2).getLong(out(2).fieldIndex("lo")) == big)
+    assert(out(1).getLong(out(1).fieldIndex("hi")) == big + 2)
+    assert(out(2).getLong(out(2).fieldIndex("s")) == 3 * big + 3)
+    // |x| > sqrt(2^63): x*x would overflow the exact path, so var falls
+    // back to the Welford doubles — bounded by double REPRESENTATION of
+    // the inputs (adjacent 2^53-scale longs collapse to the same double),
+    // not garbage from a silent long overflow (which lands anywhere)
+    val vr = out(2).getDouble(out(2).fieldIndex("vr"))
+    assert(vr >= 0.0 && vr <= 4.0, s"var=$vr")
+  }
 }
