@@ -96,6 +96,32 @@ class DistributedOpsPropSpec extends SparkTestBase {
     }
   }
 
+  test("MapOverlap range rolling is pandas-POSITIONAL on replicated ties") {
+    // ScaleGen-style replication: every ord value appears `reps` times.
+    // A SQL RANGE frame would include LATER peers at the same ord; the
+    // positional window holds rows at or before the current position
+    // with ord >= ord_i - range — the divergence only ties expose.
+    for (seed <- Seq(15L, 16L); parts <- Seq(1, 3, 7); reps <- Seq(2, 5)) {
+      val base = randomDoubles(seed, 20).map(v => math.floor(math.abs(v) % 30))
+      val rows = for {
+        (o, i) <- base.zipWithIndex
+        r <- 0 until reps
+      } yield ((i.toLong * reps + r), o, (i * 31 + r * 7).toDouble)
+      val df = rows.toDF("idx", "ord", "v")
+        .repartitionByRange(parts, col("ord"), col("idx"))
+        .sortWithinPartitions("ord", "idx")
+      val got = col2map(MapOverlap.rollingRangeAgg(df, "v", "ord", 5.0, "out")(_.sum), "out")
+      // driver reference over the same (ord, idx) total order
+      val seq = rows.sortBy(r => (r._2, r._1))
+      val exp = seq.zipWithIndex.map { case ((idx, o, _), i) =>
+        idx -> seq.take(i + 1).collect { case (_, oj, vj) if oj >= o - 5.0 => vj }.sum
+      }.toMap
+      for ((idx, e) <- exp)
+        assert(got(idx).exists(a => math.abs(a - e) < 1e-9),
+          s"positional range seed=$seed parts=$parts reps=$reps idx=$idx: ${got(idx)} vs $e")
+    }
+  }
+
   test("MapOverlap ghosts span partitions shorter than the window") {
     // partition layout [4 rows][1 row][0 rows][4 rows]: window 4 ghosts
     // for the last partition must come from BOTH preceding non-empty ones
