@@ -1502,6 +1502,15 @@ object SparkEntry {
       s.table(qn).select(col("user_id"), col("n_events"),
           col("total").cast("long").as("total_cents"))
         .distinct()
+    },
+    // ---- ext: exact duplicated-span scrub (Lee et al. substring dedup):
+    // tokens whose surrounding 8-gram occurs in >= 2 distinct docs are
+    // dropped and the text re-joined.  One gram-hash shuffle + per-doc
+    // positional filter; the oracle replays it on string grams (hash vs
+    // string equality observationally equivalent, as in q135).
+    "q143_dedup_spans" -> { (s, dir) =>
+      graft.operators.TextAnalysis.dedupSpans(
+        t(s, dir, "documents"), "doc_id", "text", k = 8)
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -3088,5 +3097,28 @@ object SparkEntry {
         |sel AS (SELECT user_id, n_events, total_cents,
         |    row_number() OVER (PARTITION BY user_id ORDER BY grp DESC) AS rk
         |  FROM ses)
-        |SELECT user_id, n_events, total_cents FROM sel WHERE rk = 1""".stripMargin)
+        |SELECT user_id, n_events, total_cents FROM sel WHERE rk = 1""".stripMargin,
+    "q143_dedup_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, s,
+        |    array_to_string(toks[s:s+7], ' ') AS gram
+        |  FROM t, unnest(range(1, greatest(len(toks) - 6, 1))) AS u(s)),
+        |d AS (SELECT gram FROM g GROUP BY gram
+        |      HAVING count(DISTINCT doc_id) >= 2),
+        |f AS (SELECT g.doc_id, g.s FROM g JOIN d USING (gram)),
+        |cp AS (SELECT DISTINCT f.doc_id, f.s + x AS p
+        |       FROM f, unnest(range(8)) AS ux(x)),
+        |tok AS (SELECT doc_id, CAST(up.p AS BIGINT) AS p, toks[CAST(up.p AS INT)] AS tk
+        |        FROM t, unnest(range(1, len(toks) + 1)) AS up(p))
+        |SELECT t.doc_id,
+        |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(count(cp.p) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN cp.p IS NULL THEN tok.tk END, ' '
+        |                      ORDER BY tok.p), '') AS clean_text
+        |FROM t
+        |LEFT JOIN tok ON tok.doc_id = t.doc_id
+        |LEFT JOIN cp ON cp.doc_id = tok.doc_id AND cp.p = tok.p
+        |GROUP BY t.doc_id, len(t.toks)""".stripMargin)
 }

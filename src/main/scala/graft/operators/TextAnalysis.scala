@@ -234,6 +234,55 @@ object TextAnalysis {
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** Exact duplicated-SPAN scrub — the token-level companion of document
+    * dedup (the "exact substring deduplication" of Lee et al.,
+    * *Deduplicating Training Data Makes Language Models Better*;
+    * reference-adjacent to `Dedup.exact`, which only removes whole
+    * documents): any token whose surrounding `k`-gram occurs in ≥ 2
+    * DISTINCT documents is dropped, and the cleaned text re-joined.
+    *
+    * Plan shape at corpus scale: one narrow pass builds positional
+    * `k`-gram keys (64-bit hashes — grams themselves never shuffle; as
+    * with `decontaminate`, any collision-free hash family is
+    * observationally equivalent to gram-string equality), ONE shuffle
+    * groups them by gram to find cross-doc duplicates, a leftsemi join
+    * flags the duplicated gram STARTS, and a per-doc aggregate +
+    * index-aware `filter` HOF drops covered positions — parallel per
+    * doc, no all-pairs anywhere.  Coverage is evaluated as
+    * `exists(starts, s ≤ p < s+k)` per token (O(T·S) per doc; S =
+    * duplicated starts, typically ≪ T — a sorted-interval kernel is the
+    * upgrade path if a corpus proves span-dense).
+    */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(col(idCol),
+      filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
+    // positional gram hashes: start s (0-based) → hash of tokens [s, s+k)
+    val gramArr = when(size(col("__toks")) < k, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(1), size(col("__toks")) - (k - 1)),
+        s => xxhash64(concat_ws(" ", slice(col("__toks"), s, lit(k))))))
+    val grams = toks.select(col(idCol), posexplode(gramArr).as(Seq("__s", "__gh")))
+    // grams occurring in >= 2 distinct docs (partial→final agg on the hash)
+    val dup = grams.groupBy(col("__gh"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("__gh"))
+    val dupStarts = grams.join(dup, Seq("__gh"), "leftsemi")
+      .groupBy(col(idCol)).agg(collect_list(col("__s")).as("__starts"))
+    toks.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol), col("__toks"),
+        coalesce(col("__starts"), array().cast("array<int>")).as("__starts"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        filter(col("__toks"), (t, p) =>
+          !exists(col("__starts"), s => s <= p && p < s + k)).as("__clean"))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("__clean"))).cast("long").as("n_dropped"),
+        concat_ws(" ", col("__clean")).as("clean_text"))
+  }
+
   def scrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     docs.select(col(idCol),

@@ -241,6 +241,29 @@ class LlmOpsSpec extends SparkTestBase {
     assert(feats.find(_.getLong(0) == 1L).get.getAs[Long]("byte_len") == doc1len)
   }
 
+  test("dedupSpans drops exactly the tokens covered by cross-doc duplicate k-grams") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta unique one tail a"),
+      (2L, "alpha beta gamma delta unique two tail b"),  // shares a 4-gram prefix with 1
+      (3L, "totally different words without any overlap here"),
+      (4L, "short doc"),                                  // < k tokens: untouched
+      (5L, "copy copy copy copy copy copy"),
+      (6L, "copy copy copy copy copy copy")               // exact dup of 5: fully scrubbed
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSpans(d, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // docs 1/2 share the 4-grams starting at 0 ("alpha beta gamma
+    // delta") and 1 ("beta gamma delta unique") → positions 0-4 covered
+    assert(out(1L) == ((8L, 5L, "one tail a")), out(1L))
+    assert(out(2L) == ((8L, 5L, "two tail b")), out(2L))
+    assert(out(3L) == ((7L, 0L, "totally different words without any overlap here")))
+    assert(out(4L) == ((2L, 0L, "short doc")))
+    // exact dup docs: every position covered → empty clean text
+    assert(out(5L) == ((6L, 6L, "")))
+    assert(out(6L) == ((6L, 6L, "")))
+  }
+
   test("BMP24 codec: encode/decode round-trips, padding and both row orders") {
     // w=15 → 45-byte rows padded to 48: the padding path is exercised
     val rgb = Array.tabulate(15 * 8 * 3)(i => ((i * 37 + 11) % 256).toByte)
