@@ -70,6 +70,85 @@ object IO {
     GDF(spark.read.jdbc(url, table, partitionColumn, lowerBound, upperBound,
       numPartitions, props))
 
+  /** `from_delayed` (reference `io/_delayed.py`): build a frame from
+    * driver-defined DELAYED partition thunks — each thunk materializes
+    * one partition's rows lazily ON AN EXECUTOR, Spark's scheduler
+    * replacing the dask graph (laziness, per-partition placement, and
+    * re-execution on failure all come from the RDD contract).  Thunks
+    * must be serializable closures (pure functions over driver data).
+    */
+  def fromDelayed[U: org.apache.spark.sql.Encoder: scala.reflect.ClassTag](
+      spark: SparkSession, thunks: Seq[() => IterableOnce[U]]): GDF = {
+    val rdd = spark.sparkContext
+      .parallelize(thunks, math.max(thunks.size, 1))
+      .flatMap(_().iterator)
+    GDF(spark.createDataset(rdd).toDF())
+  }
+
+  /** bag `read_avro` (reference `dask/bag/avro.py`): Avro CONTAINER files
+    * decoded with the core Avro reader (present on every Spark classpath)
+    * over `binaryFiles` — one task per file, records surfaced as JSON
+    * strings (the Scala analog of the reference's dicts; feed
+    * `spark.read.json` / `from_json` for a typed frame).  The spark-avro
+    * DataSource would replace this with a vectorized splittable scan when
+    * the connector jar is deployed; per-FILE parallelism is the same unit
+    * the reference uses (it splits on avro BLOCKS within a file — the
+    * upgrade path here, via FileSystem range reads).
+    */
+  def readAvro(spark: SparkSession, path: String): GDF = {
+    import org.apache.avro.file.DataFileStream
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val rows = spark.sparkContext.binaryFiles(path + "/*.avro")
+      .flatMap { case (_, pds) =>
+        val in = pds.open()
+        val reader = new DataFileStream[GenericRecord](
+          in, new GenericDatumReader[GenericRecord]())
+        new Iterator[String] {
+          def hasNext: Boolean = {
+            val h = reader.hasNext
+            if (!h) { reader.close(); in.close() }
+            h
+          }
+          def next(): String = reader.next().toString // Avro's canonical JSON
+        }
+      }
+    import spark.implicits._
+    GDF(rows.toDF("value"))
+  }
+
+  /** bag `to_avro`: writes one Avro container file per partition with the
+    * core Avro writer (records = `{"value": <string>}`), the mirror of
+    * [[readAvro]]'s per-file unit.
+    */
+  def toAvro(df: DataFrame, path: String): Unit = {
+    val schemaJson =
+      """{"type":"record","name":"line","fields":[{"name":"value","type":"string"}]}"""
+    val col0 = df.columns.head
+    df.select(org.apache.spark.sql.functions.col(col0).cast("string").as("value"))
+      .rdd.map(_.getString(0))
+      .mapPartitionsWithIndex { (pid, it) =>
+        import org.apache.avro.Schema
+        import org.apache.avro.file.DataFileWriter
+        import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+        val schema = new Schema.Parser().parse(schemaJson)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          java.net.URI.create(path), new org.apache.hadoop.conf.Configuration())
+        val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
+        val out = fs.create(file, true)
+        val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+        w.create(schema, out)
+        var n = 0L
+        it.foreach { s =>
+          val rec = new GenericData.Record(schema)
+          rec.put("value", s)
+          w.append(rec)
+          n += 1
+        }
+        w.close()
+        Iterator.single(n)
+      }.count(): Unit
+  }
+
   /** `from_map`-style source: one row-group per input item, function
     * applied distributively (reference `io/io.py:237`).
     */
