@@ -274,9 +274,18 @@ object MapOverlap {
       val m = new PairMoments
       var evictions = 0
       def push(r: Row): Unit = {
+        var dirty = false
         if (buf.size == window) {
           val (ox, oy, ook) = buf.removeHead()
-          if (ook) { m.remove(ox, oy); evictions += 1 }
+          if (ook) {
+            m.remove(ox, oy); evictions += 1
+            // a non-finite evictee poisons the running sums irreversibly
+            // (NaN − NaN = NaN): rebuild NOW, not at the periodic point,
+            // or up to `window` further windows report NaN where an exact
+            // per-window recompute (SQL window, keyed path) would not
+            if (!java.lang.Double.isFinite(ox) || !java.lang.Double.isFinite(oy))
+              dirty = true
+          }
         }
         val xv = r.get(xi); val yv = r.get(yi)
         val ok = xv != null && yv != null
@@ -284,7 +293,7 @@ object MapOverlap {
         val y = if (ok) yv.asInstanceOf[Number].doubleValue() else 0.0
         buf.append((x, y, ok))
         if (ok) m.add(x, y)
-        if (evictions >= window) { // periodic exact rebuild bounds fp drift
+        if (dirty || evictions >= window) { // periodic exact rebuild bounds fp drift
           evictions = 0
           m.rebuildFrom(buf.iterator.collect { case (bx, by, true) => (bx, by) })
         }

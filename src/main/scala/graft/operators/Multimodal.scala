@@ -36,9 +36,24 @@ object Multimodal {
     * features from the raw bytes (FNV fold → mixed per-dimension).  Not a
     * media decode; the real decoders below handle the supported formats.
     */
-  def byteFeatures(payload: Array[Byte], featureDim: Int): Array[Float] = {
-    val out = new Array[Float](featureDim)
+  def byteFeatures(payload: Array[Byte], featureDim: Int): Array[Float] =
+    fnvFeatures(0xCBF29CE484222325L, payload, featureDim)
+
+  /** [[byteFeatures]] with a 4-byte big-endian `tag` folded into the FNV
+    * state FIRST — bit-identical to hashing `[tag bytes] ++ payload`
+    * without materializing the concatenation (so a per-frame caller does
+    * zero payload copies).
+    */
+  def taggedByteFeatures(payload: Array[Byte], featureDim: Int, tag: Int): Array[Float] = {
     var h = 0xCBF29CE484222325L
+    var t = 24
+    while (t >= 0) { h = (h ^ ((tag >>> t) & 0xFF).toLong) * 0x100000001B3L; t -= 8 }
+    fnvFeatures(h, payload, featureDim)
+  }
+
+  private def fnvFeatures(seed: Long, payload: Array[Byte], featureDim: Int): Array[Float] = {
+    val out = new Array[Float](featureDim)
+    var h = seed
     var i = 0
     while (i < payload.length) { h = (h ^ (payload(i) & 0xFFL)) * 0x100000001B3L; i += 1 }
     var d = 0
@@ -322,11 +337,11 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]](payIdx)
         if (payload == null) Iterator.empty
         else (0 until nFrames).iterator.map { f =>
-          // 4-byte frame tag prepended so each sampled frame decodes
-          // differently (a single byte would wrap at 256 frames)
-          val tagged = Array[Byte](
-            (f >>> 24).toByte, (f >>> 16).toByte, (f >>> 8).toByte, f.toByte) ++ payload
-          Row(r.getLong(idIdx), f, byteFeatures(tagged, featureDim).toSeq)
+          // 4-byte frame tag seeds the FNV state so each sampled frame
+          // decodes differently (a single byte would wrap at 256 frames);
+          // seeding instead of prepending avoids copying the payload
+          // once per frame
+          Row(r.getLong(idIdx), f, taggedByteFeatures(payload, featureDim, f).toSeq)
         }
       }
     }

@@ -159,9 +159,13 @@ object Stats {
     * moments (the scale-proof accumulation a float sum cannot give).
     * Central moments then derive in ONE fixed double-op sequence, so an
     * oracle computing the same sequence from the same sums matches
-    * bit-for-bit.  Raw-power-sum cancellation is not a concern here:
-    * callers opt in only for small-magnitude integer domains (|x| ≲ 10⁴,
-    * where Σx⁴ also stays far from the 2⁶³ BIGINT edge).
+    * bit-for-bit.  Raw-power-sum cancellation is not a concern for the
+    * small-magnitude domains callers opt into.  CONTRACT — the bound
+    * must account for row count, not just |x|: Spark's non-ANSI Long
+    * `sum` wraps silently, so callers must hold n·max|x|⁴ < 2⁶³.
+    * E.g. |x| ≤ 50 (l_quantity) is safe to ~1.4×10¹² rows, but |x| ≤ 10⁴
+    * overflows Σx⁴ past ~922 rows.  Verify the domain statically before
+    * reusing; otherwise call [[centralMoments]].
     */
   private def centralMomentsExactIntegral(df: DataFrame, valueCol: String): DataFrame = {
     val xl = col(valueCol).cast("long")

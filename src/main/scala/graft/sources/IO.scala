@@ -85,29 +85,79 @@ object IO {
     GDF(spark.createDataset(rdd).toDF())
   }
 
-  /** bag `read_avro` (reference `dask/bag/avro.py`): Avro CONTAINER files
-    * decoded with the core Avro reader (present on every Spark classpath)
-    * over `binaryFiles` — one task per file, records surfaced as JSON
-    * strings (the Scala analog of the reference's dicts; feed
-    * `spark.read.json` / `from_json` for a typed frame).  The spark-avro
-    * DataSource would replace this with a vectorized splittable scan when
-    * the connector jar is deployed; per-FILE parallelism is the same unit
-    * the reference uses (it splits on avro BLOCKS within a file — the
-    * upgrade path here, via FileSystem range reads).
+  /** The session's Hadoop configuration as a serializable key-value
+    * array (`Configuration` itself is Writable, not Serializable) — ship
+    * to tasks so executor-side FileSystem access sees the session's
+    * filesystem credentials and settings, not bare defaults.
     */
-  def readAvro(spark: SparkSession, path: String): GDF = {
-    import org.apache.avro.file.DataFileStream
-    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
-    val rows = spark.sparkContext.binaryFiles(path + "/*.avro")
-      .flatMap { case (_, pds) =>
-        val in = pds.open()
-        val reader = new DataFileStream[GenericRecord](
-          in, new GenericDatumReader[GenericRecord]())
+  private def hadoopConfKVs(spark: SparkSession): Array[(String, String)] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+    buf.toArray
+  }
+
+  private def rebuildConf(kvs: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    kvs.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  /** bag `read_avro` (reference `dask/bag/avro.py`): Avro CONTAINER files
+    * decoded with the core Avro reader (present on every Spark classpath),
+    * records surfaced as JSON strings (the Scala analog of the
+    * reference's dicts; feed `spark.read.json` / `from_json` for a typed
+    * frame).
+    *
+    * Splitting is BLOCK-level, like the reference (`avro.py`'s
+    * sync-marker block ranges): each file is cut into byte ranges of
+    * `maxSplitBytes` (default `spark.sql.files.maxPartitionBytes`), and
+    * each task `sync()`s its range start to the next 16-byte sync marker
+    * and reads whole blocks until `pastSync(end)` — so one multi-GB
+    * container parallelizes across the cluster instead of serializing
+    * into a single task.  A block belongs to the split containing its
+    * leading sync, the same ownership rule Avro's Hadoop input format
+    * uses, so every record is read exactly once.
+    */
+  def readAvro(spark: SparkSession, path: String, maxSplitBytes: Long = 0L): GDF = {
+    val target =
+      if (maxSplitBytes > 0) maxSplitBytes
+      else org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+    val sc = spark.sparkContext
+    val kvs = hadoopConfKVs(spark)
+    val glob = new org.apache.hadoop.fs.Path(path, "*.avro")
+    val fs = glob.getFileSystem(sc.hadoopConfiguration)
+    val files = Option(fs.globStatus(glob)).getOrElse(Array.empty)
+      .map(s => (s.getPath.toString, s.getLen)).toSeq
+    val splits = files.flatMap { case (f, len) =>
+      (0L until math.max(len, 1L) by target).map(st => (f, st, math.min(st + target, len)))
+    }
+    val rows = sc.parallelize(splits, math.max(splits.size, 1))
+      .flatMap { case (f, start, end) =>
+        import org.apache.avro.file.DataFileReader
+        import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+        val p = new org.apache.hadoop.fs.Path(f)
+        val pfs = p.getFileSystem(rebuildConf(kvs))
+        val len = pfs.getFileStatus(p).getLen
+        val in = pfs.open(p)
+        val sin = new org.apache.avro.file.SeekableInput {
+          def seek(pos: Long): Unit = in.seek(pos)
+          def tell(): Long = in.getPos
+          def length(): Long = len
+          def read(b: Array[Byte], off: Int, n: Int): Int = in.read(b, off, n)
+          def close(): Unit = in.close()
+        }
+        val reader = new DataFileReader[GenericRecord](
+          sin, new GenericDatumReader[GenericRecord]())
+        reader.sync(start) // next sync marker at/after start (0 → first block)
         new Iterator[String] {
+          private var done = false
           def hasNext: Boolean = {
-            val h = reader.hasNext
-            if (!h) { reader.close(); in.close() }
-            h
+            if (!done) {
+              val h = reader.hasNext && !reader.pastSync(end)
+              if (!h) { done = true; reader.close() }
+            }
+            !done
           }
           def next(): String = reader.next().toString // Avro's canonical JSON
         }
@@ -119,11 +169,19 @@ object IO {
   /** bag `to_avro`: writes one Avro container file per partition with the
     * core Avro writer (records = `{"value": <string>}`), the mirror of
     * [[readAvro]]'s per-file unit.
+    *
+    * Tasks see the SESSION's Hadoop configuration (filesystem creds /
+    * settings travel as a broadcast key-value map — `Configuration` is
+    * not Serializable), and each task commits via write-to-temp +
+    * rename: a failed or speculative attempt leaves only an orphaned
+    * hidden `.…tmp` file, never a partial visible part file (the
+    * last successful attempt's rename wins).
     */
   def toAvro(df: DataFrame, path: String): Unit = {
     val schemaJson =
       """{"type":"record","name":"line","fields":[{"name":"value","type":"string"}]}"""
     val col0 = df.columns.head
+    val hadoopKVs = hadoopConfKVs(df.sparkSession)
     df.select(org.apache.spark.sql.functions.col(col0).cast("string").as("value"))
       .rdd.map(_.getString(0))
       .mapPartitionsWithIndex { (pid, it) =>
@@ -132,9 +190,12 @@ object IO {
         import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
         val schema = new Schema.Parser().parse(schemaJson)
         val fs = org.apache.hadoop.fs.FileSystem.get(
-          java.net.URI.create(path), new org.apache.hadoop.conf.Configuration())
-        val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
-        val out = fs.create(file, true)
+          java.net.URI.create(path), rebuildConf(hadoopKVs))
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = new org.apache.hadoop.fs.Path(path, f".part-$pid%05d.avro.$attempt.tmp")
+        val dest = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
+        val out = fs.create(tmp, true)
         val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
         w.create(schema, out)
         var n = 0L
@@ -145,6 +206,9 @@ object IO {
           n += 1
         }
         w.close()
+        if (fs.exists(dest)) fs.delete(dest, false)
+        if (!fs.rename(tmp, dest))
+          throw new java.io.IOException(s"to_avro: commit rename $tmp -> $dest failed")
         Iterator.single(n)
       }.count(): Unit
   }

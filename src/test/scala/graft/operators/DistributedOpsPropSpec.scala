@@ -362,4 +362,83 @@ class DistributedOpsPropSpec extends SparkTestBase {
     val vr = out(2).getDouble(out(2).fieldIndex("vr"))
     assert(vr >= 0.0 && vr <= 4.0, s"var=$vr")
   }
+
+  test("Expanding RUNNING Σx² overflow falls back to Welford though every x² fits") {
+    import spark.implicits._
+    // |x| = 2×10⁹ → x² = 4×10¹⁸ fits a Long, but the running Σx² wraps
+    // 2⁶³ on the third row — the case a per-value magnitude guard misses.
+    // Constant series: the Welford fallback must give mean exactly x and
+    // var exactly 0 (delta = 0 after the first add); the wrapped intVar
+    // would return garbage.
+    val x = 2000000000L
+    val df = Seq.tabulate(6)(i => (i.toLong, x)).toDF("idx", "v")
+      .repartitionByRange(2, col("idx")).sortWithinPartitions("idx")
+    val out = Expanding.aggs(df, "v", Seq("idx"),
+      Seq("s" -> "sum", "m" -> "mean", "vr" -> "var", "sd" -> "std"))
+      .orderBy("idx").collect()
+    assert(out(5).getLong(out(5).fieldIndex("s")) == 6 * x) // Σx itself still exact
+    for (i <- 0 until 6)
+      assert(out(i).getDouble(out(i).fieldIndex("m")) == x.toDouble, s"mean at $i")
+    for (i <- 1 until 6) {
+      assert(out(i).getDouble(out(i).fieldIndex("vr")) == 0.0, s"var at $i")
+      assert(out(i).getDouble(out(i).fieldIndex("sd")) == 0.0, s"std at $i")
+    }
+  }
+
+  test("rollingPairAgg: NaN evictee recovers immediately; constant runs exact across rebuilds") {
+    import spark.implicits._
+    // Reference: a FRESH PairMoments per window — the from-scratch
+    // recompute the incremental kernel (anchored sums + periodic rebuild)
+    // must agree with.  Replicates covWith/corrWith's agg lambdas.
+    def ref(wx: Seq[Double], wy: Seq[Double], corrMode: Boolean): Option[Double] = {
+      val m = new MapOverlap.PairMoments
+      wx.zip(wy).foreach { case (a, b) => m.add(a, b) }
+      if (m.n < 2) None
+      else if (!corrMode) Some(m.cxy / (m.n - 1))
+      else if (m.constX || m.constY) Some(Double.NaN)
+      else if (m.cxx <= 0.0 || m.cyy <= 0.0) Some(Double.NaN)
+      else Some(math.max(-1.0, math.min(1.0, m.cxy / math.sqrt(m.cxx * m.cyy))))
+    }
+    val n = 80
+    val xs = randomDoubles(31L, n).toArray
+    val ys = randomDoubles(81L, n).toArray
+    for (i <- 20 until 33) { xs(i) = 7.5; ys(i) = -2.25 } // both constant: run ≫ window,
+    for (i <- 50 until 58) { xs(i) = 3.0 }                // so windows straddle rebuilds
+    xs(65) = Double.NaN // poisons the running sums until evicted
+    for (parts <- Seq(1, 3); window <- Seq(4, 6)) {
+      val df = (0 until n).map(i => (i.toLong, xs(i), ys(i)))
+        .toDF("idx", "x", "y")
+        .repartitionByRange(parts, col("idx")).sortWithinPartitions("idx")
+      val roll = new graft.api.GRolling(df, window, Seq("idx"), Seq(), 1)
+      val gotC = col2map(roll.covWith("x", "y", "out"), "out")
+      val gotR = col2map(roll.corrWith("x", "y", "out"), "out")
+      for (i <- 0 until n) {
+        val lo = math.max(0, i - window + 1)
+        val expC = ref((lo to i).map(xs), (lo to i).map(ys), corrMode = false)
+        val expR = ref((lo to i).map(xs), (lo to i).map(ys), corrMode = true)
+        val inConstRun = lo >= 20 && i < 33
+        def same(g: Option[Double], e: Option[Double]): Boolean = (g, e) match {
+          case (Some(a), Some(b)) =>
+            (a.isNaN && b.isNaN) || math.abs(a - b) < 1e-9
+          case _ => g == e
+        }
+        assert(same(gotC(i.toLong), expC),
+          s"cov parts=$parts window=$window idx=$i: ${gotC(i.toLong)} vs $expC")
+        assert(same(gotR(i.toLong), expR),
+          s"corr parts=$parts window=$window idx=$i: ${gotR(i.toLong)} vs $expR")
+        // the kernel's hard guarantee on constant windows is EXACT (deque
+        // extrema, not an fp threshold): corr must be bit-NaN even when
+        // the window straddles a periodic rebuild boundary
+        if (inConstRun)
+          assert(gotR(i.toLong).exists(_.isNaN),
+            s"const-run corr must be exactly NaN at idx=$i (parts=$parts window=$window)")
+        // the row after the NaN pair leaves the window must be finite
+        // again IMMEDIATELY (pre-fix: NaN persisted until the periodic
+        // rebuild, up to `window` rows later)
+        if (lo > 65)
+          assert(gotC(i.toLong).exists(v => !v.isNaN) && gotR(i.toLong).exists(v => !v.isNaN),
+            s"post-NaN window at idx=$i must be finite: ${gotC(i.toLong)} ${gotR(i.toLong)}")
+      }
+    }
+  }
 }

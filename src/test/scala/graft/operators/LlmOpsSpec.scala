@@ -330,6 +330,59 @@ class LlmOpsSpec extends SparkTestBase {
     assert(feats(2L) != feats(1L))
   }
 
+  test("decoders accept third-party files not produced by our encoders") {
+    // Hand-assembled top-down BMP with a pixel-data gap (pixelOffset 64 >
+    // 54) — two quirks encodeBmp24 never emits, so a symmetric
+    // encode/decode bug cannot cancel here.  2×2 pixels, rows top-down:
+    // (255,0,0) (0,255,0) / (0,0,255) (255,255,255), rowSize 8 (2 pad).
+    val bmp = java.nio.ByteBuffer.allocate(64 + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bmp.put('B'.toByte).put('M'.toByte).putInt(64 + 16)
+      .putShort(0).putShort(0).putInt(64)      // pixelOffset past a gap
+      .putInt(40).putInt(2).putInt(-2)          // NEGATIVE height: top-down
+      .putShort(1).putShort(24).putInt(0)
+      .putInt(16).putInt(0).putInt(0).putInt(0).putInt(0)
+    bmp.put(Array.fill[Byte](10)(0x7F.toByte))  // gap bytes (ignored)
+    bmp.put(Array[Byte](0, 0, -1, 0, -1, 0, 0, 0))          // row0 BGR + pad
+    bmp.put(Array[Byte](-1, 0, 0, -1, -1, -1, 0, 0))        // row1 BGR + pad
+    val (w, h, rgb) = Multimodal.decodeBmp24(bmp.array())
+    assert(w == 2 && h == 2)
+    assert(rgb.toSeq == Seq[Byte](-1, 0, 0, 0, -1, 0, 0, 0, -1, -1, -1, -1))
+
+    // Hand-assembled WAV with a LIST/INFO chunk between fmt and data —
+    // encodeWavPcm16 never writes one.  5 samples at 11025 Hz.
+    val samples = Array[Short](1000, -1000, 2000, -2000, 0)
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](5, 0, 0, 0) ++
+      Array[Byte]('I', 'N', 'F', 'O', 'x', 0) // odd size → pad byte
+    val wav = java.nio.ByteBuffer.allocate(12 + 24 + list.length + 8 + 10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes("US-ASCII")).putInt(4 + 24 + list.length + 18)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(11025).putInt(22050).putShort(2).putShort(16)
+      .put(list)
+      .put("data".getBytes("US-ASCII")).putInt(10)
+    samples.foreach(wav.putShort)
+
+    // end-to-end through the dispatched batch path with known statistics
+    val rows = Seq(
+      (1L, "image", bmp.array(), (2, 2, "bmp/rgb24")),
+      (2L, "audio", wav.array(), (0, 0, "wav/pcm16")))
+      .toDF("media_id", "modality", "payload", "meta")
+      .withColumn("meta", struct(
+        col("meta._1").as("width"), col("meta._2").as("height"),
+        col("meta._3").as("format")))
+    val feats = Multimodal.extractFeatures(rows, featureDim = 6).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](r.fieldIndex("features"))).toMap
+    // image: [w, h, meanR, meanG, meanB, std] — all channels mean 127.5,
+    // six 255s over 12 channel-values → std exactly 127.5
+    assert(feats(1L) == Seq(2f, 2f, 127.5f, 127.5f, 127.5f, 127.5f), feats(1L))
+    // audio: [n, rate, mean, rms, min, max]
+    assert(feats(2L)(0) == 5f && feats(2L)(1) == 11025f && feats(2L)(2) == 0f)
+    assert(math.abs(feats(2L)(3) - 1414.2136f) < 1e-2)
+    assert(feats(2L)(4) == -2000f && feats(2L)(5) == 2000f)
+  }
+
   test("frameSample explodes each payload into n distinct deterministic frames") {
     val media = Multimodal.fromDocuments(docs, "doc_id", "text")
     val nDocs = media.filter($"payload".isNotNull).count()
@@ -344,5 +397,14 @@ class LlmOpsSpec extends SparkTestBase {
       .filter($"media_id" === 1L).collect()
       .map(r => r.getInt(1) -> r.getSeq[Float](2)).toMap
     assert(again == doc1)
+    // the zero-copy tag-seeded featurizer is bit-identical to hashing
+    // the materialized [tag ++ payload] concatenation it replaced
+    val payload = "some payload bytes".getBytes("UTF-8")
+    for (tag <- Seq(0, 1, 255, 256, 65537)) {
+      val tagged = Array[Byte](
+        (tag >>> 24).toByte, (tag >>> 16).toByte, (tag >>> 8).toByte, tag.toByte) ++ payload
+      assert(Multimodal.taggedByteFeatures(payload, 4, tag).toSeq ==
+        Multimodal.byteFeatures(tagged, 4).toSeq, s"tag=$tag")
+    }
   }
 }

@@ -39,6 +39,20 @@ class ScanOpsSpec extends SparkTestBase {
     assert(parsed.select("value").collect().map(_.getString(0)).toSet == lines.toSet)
   }
 
+  test("read_avro splits one multi-block container at sync markers, rows exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_split").toString
+    val lines = (0 until 20000).map(i => f"rec $i%06d ${"z" * 40}")
+    graft.sources.IO.toAvro(lines.toDF("value").coalesce(1), dir)
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".avro")) == 1)
+    // ~1.2 MB single container, default 64 KB sync interval → many blocks;
+    // a 64 KB split target must yield many partitions with no dup/loss
+    val back = graft.sources.IO.readAvro(spark, dir, maxSplitBytes = 64 * 1024)
+    assert(back.df.rdd.getNumPartitions > 4)
+    val parsed = spark.read.json(back.df.as[String](org.apache.spark.sql.Encoders.STRING))
+    val got = parsed.select("value").collect().map(_.getString(0))
+    assert(got.length == 20000 && got.toSet == lines.toSet)
+  }
+
   test("bag read_text round-trips lines written as text files") {
     val dir = java.nio.file.Files.createTempDirectory("graft_read_text").toString
     val lines = (0 until 257).map(i => s"line $i: payload ${"x" * (i % 13)}")
