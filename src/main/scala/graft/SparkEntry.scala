@@ -22,6 +22,30 @@ object SparkEntry {
   private def g(s: SparkSession, dir: String, name: String): GDF =
     GDF(t(s, dir, name))
 
+  /** Write `df` as ONE parquet file `<name>.parquet` inside `watchDir`
+    * with a controlled modification time.  The streaming file source
+    * orders files by mod time (oldest first), so distinct mtimes plus
+    * `maxFilesPerTrigger=1` make the micro-batch ORDER deterministic —
+    * the replay harness for testing watermark/late-data semantics
+    * against a batch oracle.
+    */
+  private def writeStreamFile(df: DataFrame, watchDir: String, name: String,
+                              mtime: Long): Unit = {
+    val tmp = s"${watchDir}_tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val tmpDir = new java.io.File(tmp)
+    val part = tmpDir.listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written under $tmp"))
+    val destDir = new java.io.File(watchDir)
+    destDir.mkdirs()
+    val dest = new java.io.File(destDir, s"$name.parquet")
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tmpDir.listFiles().foreach(_.delete()); tmpDir.delete()
+    dest.setLastModified(mtime): Unit
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_agg")(spark, "/root/testdata/sf0.001")
@@ -1511,6 +1535,112 @@ object SparkEntry {
     "q143_dedup_spans" -> { (s, dir) =>
       graft.operators.TextAnalysis.dedupSpans(
         t(s, dir, "documents"), "doc_id", "text", k = 8)
+    },
+    // ---- ext: streaming windowed agg with REAL late-data handling.
+    // Four deterministic micro-batches (file mtime order +
+    // maxFilesPerTrigger=1): on-time events; one "advancer" row pinned
+    // AT the global max event time; the event_id%4==0 slice arriving
+    // two batches LATE; one far-future flush row so the final watermark
+    // closes every real window and append mode emits each exactly once.
+    // The engine drops a late row iff its window's END has passed the
+    // watermark the stateful operator sees during the late batch —
+    // empirically the watermark committed one batch EARLIER than the
+    // progress report, which is why the advancer is pinned at maxTs
+    // (not beyond) and the max-ts row is forced into batch 1: both
+    // conventions then agree the cutoff is exactly max(ts) − 2 h, and
+    // the oracle replays `window_end > max(ts) − 2h` literally.  The
+    // flush row's own window never closes, so it never reaches the
+    // sink; the advancer row is mirrored in the oracle's kept set.
+    "q144_windowed_agg_late" -> { (s, dir) =>
+      import s.implicits._
+      val src = t(s, dir, "events").select(
+        col("event_id").cast("long").as("event_id"),
+        col("ts").cast("timestamp").as("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val run = java.util.UUID.randomUUID.toString.replace("-", "")
+      val watch = s"/tmp/graft_stream/wagg_in_$run"
+      val maxTs = src.agg(max(col("ts"))).head.getTimestamp(0)
+      def syn(id: Long, offMs: Long) =
+        Seq((id, new java.sql.Timestamp(maxTs.getTime + offMs), 0L))
+          .toDF("event_id", "ts", "cents")
+      val base = java.lang.System.currentTimeMillis()
+      writeStreamFile(src.filter(col("event_id") % 4 =!= 0 || col("ts") === lit(maxTs)),
+        watch, "b1", base - 40000)
+      writeStreamFile(syn(-1L, 0L), watch, "b2", base - 30000)
+      writeStreamFile(src.filter(col("event_id") % 4 === 0 && col("ts") < lit(maxTs)),
+        watch, "b3", base - 20000)
+      writeStreamFile(syn(-2L, 90L * 24 * 3600 * 1000), watch, "b4", base - 10000)
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch)
+      val qn = s"q144_wagg_$run"
+      val query = graft.streaming.StreamOps
+        .windowedAgg(stream, "ts", "1 hour", "2 hours", "cents")
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation", s"/tmp/graft_stream/wagg_ck_$run")
+        .start()
+      query.processAllAvailable()
+      query.stop()
+      s.table(qn).filter(col("ts") <= lit(maxTs))
+        .select(col("ts"), col("n"), col("sum_value"))
+    },
+    // ---- ext: streaming exact dedup replayed through the REAL
+    // dropDuplicatesWithinWatermark operator across two micro-batches
+    // (cross-batch state hits: every b2 row whose key appeared in b1
+    // must be dropped by the state store, not a batch-local distinct).
+    // The 90-day delay exceeds the fixture's span, so no state is
+    // evicted and no row is late → exactly one output row per distinct
+    // key, which a batch DISTINCT oracles.  (Watermark EVICTION — a
+    // re-emit after state expiry — is pinned by a unit test with
+    // controlled timestamps; it is batch-boundary-dependent and has no
+    // deterministic batch replica.)
+    "q145_dedup_replay" -> { (s, dir) =>
+      val src = t(s, dir, "events").select(
+        col("event_id").cast("long").as("event_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("user_id").cast("long").as("user_id"),
+        col("event_type"))
+      val run = java.util.UUID.randomUUID.toString.replace("-", "")
+      val watch = s"/tmp/graft_stream/dedup_in_$run"
+      val base = java.lang.System.currentTimeMillis()
+      writeStreamFile(src.filter(col("event_id") % 5 =!= 0), watch, "b1", base - 10000)
+      writeStreamFile(src.filter(col("event_id") % 5 === 0), watch, "b2", base)
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch)
+      val qn = s"q145_dedup_$run"
+      val query = graft.streaming.StreamOps
+        .dedupStream(stream, "ts", "90 days", Seq("user_id", "event_type"))
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation", s"/tmp/graft_stream/dedup_ck_$run")
+        .start()
+      query.processAllAvailable()
+      query.stop()
+      s.table(qn).select(col("user_id"), col("event_type"))
+    },
+    // ---- ext: stream-static broadcast enrichment (left join keeps
+    // stream rows with no dimension match), replayed through the real
+    // engine; the memory-sink rows are then aggregated per segment so
+    // the oracle is a plain LEFT JOIN + GROUP BY.  cents are exact.
+    "q146_enrich_replay" -> { (s, dir) =>
+      val src = t(s, dir, "events").select(
+        col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val dim = t(s, dir, "customer")
+        .filter(col("c_custkey") % 3 =!= 0) // 1/3 of stream rows miss → nulls
+        .select(col("c_custkey").cast("long").as("user_id"), col("c_mktsegment"))
+      val run = java.util.UUID.randomUUID.toString.replace("-", "")
+      val watch = s"/tmp/graft_stream/enrich_in_$run"
+      writeStreamFile(src, watch, "b1", java.lang.System.currentTimeMillis())
+      val stream = s.readStream.schema(src.schema).parquet(watch)
+      val qn = s"q146_enrich_$run"
+      val query = graft.streaming.StreamOps.enrich(stream, dim, Seq("user_id"))
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation", s"/tmp/graft_stream/enrich_ck_$run")
+        .start()
+      query.processAllAvailable()
+      query.stop()
+      s.table(qn).groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -3120,5 +3250,37 @@ object SparkEntry {
         |FROM t
         |LEFT JOIN tok ON tok.doc_id = t.doc_id
         |LEFT JOIN cp ON cp.doc_id = tok.doc_id AND cp.p = tok.p
-        |GROUP BY t.doc_id, len(t.toks)""".stripMargin)
+        |GROUP BY t.doc_id, len(t.toks)""".stripMargin,
+    // literal replay of the engine's late rule: during the late batch
+    // the watermark is max(ts, ms floor) - 2h; a late row survives iff
+    // its 1h window's END is still past that watermark.  The kept set
+    // also mirrors the harness's advancer row (cents 0 at max ts).
+    "q144_windowed_agg_late" ->
+      """WITH e AS (SELECT event_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |mx AS (SELECT max(ts) AS mts FROM e),
+        |kept AS (
+        |  SELECT ts, cents FROM e, mx
+        |  WHERE event_id % 4 != 0 OR ts = mts
+        |  UNION ALL
+        |  SELECT mts AS ts, CAST(0 AS BIGINT) AS cents FROM mx
+        |  UNION ALL
+        |  SELECT e.ts, e.cents FROM e, mx
+        |  WHERE event_id % 4 = 0 AND e.ts < mts
+        |    AND epoch_ms(time_bucket(INTERVAL '1 hour', e.ts)
+        |                 + INTERVAL '1 hour') > epoch_ms(mts) - 7200000)
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS ts,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_value
+        |FROM kept GROUP BY 1""".stripMargin,
+    "q145_dedup_replay" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q146_enrich_replay" ->
+      """WITH d AS (SELECT c_custkey AS user_id, c_mktsegment
+        |           FROM customer WHERE c_custkey % 3 != 0),
+        |e AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+        |      FROM events)
+        |SELECT d.c_mktsegment, count(*) AS n,
+        |  CAST(sum(e.cents) AS BIGINT) AS sum_cents
+        |FROM e LEFT JOIN d USING (user_id)
+        |GROUP BY 1""".stripMargin)
 }

@@ -101,4 +101,35 @@ class KmeansStreamDedupSpec extends SparkTestBase {
     // one row per key, the first occurrence's value
     assert(got == Map("a" -> 1.0, "b" -> 3.0, "c" -> 5.0))
   }
+
+  test("dedupStream: eviction past the watermark re-admits a key; late rows dropped") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "key", "value")
+    val out = StreamOps.dedupStream(df, "ts", "100 seconds", Seq("key"))
+    val q = out.writeStream.format("memory").queryName("dedup_evict")
+      .outputMode("append").start()
+    def t(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // batch 0: two short-lived keys + one far-future row that will pull
+    // the watermark to t(9900), far past a/b's state expiry at t(100)
+    mem.addData((t(0), "a", 1.0), (t(0), "b", 2.0), (t(10000), "m", 3.0))
+    q.processAllAvailable()
+    // two advancer batches: the stateful operator's effective watermark
+    // lags the progress-reported one by a batch, so give the eviction
+    // two boundaries to land before the probes arrive
+    mem.addData((t(10000), "n1", 0.0)); q.processAllAvailable()
+    mem.addData((t(10000), "n2", 0.0)); q.processAllAvailable()
+    // probes: 'a' re-arrives ABOVE the watermark after its state was
+    // evicted → re-emitted (a fresh dedup epoch, the documented
+    // dropDuplicatesWithinWatermark contract); 'b' re-arrives BELOW the
+    // watermark → dropped as late data, no re-emission
+    mem.addData((t(9950), "a", 4.0), (t(5000), "b", 5.0))
+    q.processAllAvailable()
+    val got = spark.table("dedup_evict").select("key", "value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).toSet).toMap
+    q.stop()
+    assert(got("a") == Set(1.0, 4.0), s"evicted key must re-emit: $got")
+    assert(got("b") == Set(2.0), s"late duplicate below the watermark must be dropped: $got")
+    assert(got("m") == Set(3.0))
+  }
 }
