@@ -246,15 +246,17 @@ object TextAnalysis {
     * with `decontaminate`, any collision-free hash family is
     * observationally equivalent to gram-string equality), ONE shuffle
     * groups them by gram to find cross-doc duplicates, a leftsemi join
-    * flags the duplicated gram STARTS, and a per-doc aggregate +
-    * index-aware `filter` HOF drops covered positions — parallel per
-    * doc, no all-pairs anywhere.  Coverage is evaluated as
-    * `exists(starts, s ≤ p < s+k)` per token (O(T·S) per doc; S =
-    * duplicated starts, typically ≪ T — a sorted-interval kernel is the
-    * upgrade path if a corpus proves span-dense).
+    * flags the duplicated gram STARTS, and a per-doc native
+    * [[org.apache.spark.sql.graftx.SpanScrub]] kernel drops covered
+    * positions with a sorted-interval merge — O(T + S log S) per doc
+    * (S = duplicated starts), parallel per doc, no all-pairs anywhere.
+    * `hof = true` selects the declarative `exists(starts, s ≤ p < s+k)`
+    * filter-HOF form instead (O(T·S), interpreted lambdas) — kept as the
+    * independently-written reference the property suite checks the
+    * kernel against.
     */
   def dedupSpans(docs: DataFrame, idCol: String, textCol: String,
-                 k: Int = 8): DataFrame = {
+                 k: Int = 8, hof: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val toks = docs.select(col(idCol),
       filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
@@ -271,16 +273,25 @@ object TextAnalysis {
       .select(col("__gh"))
     val dupStarts = grams.join(dup, Seq("__gh"), "leftsemi")
       .groupBy(col(idCol)).agg(collect_list(col("__s")).as("__starts"))
-    toks.join(dupStarts, Seq(idCol), "left")
+    val joined = toks.join(dupStarts, Seq(idCol), "left")
       .select(col(idCol), col("__toks"),
         coalesce(col("__starts"), array().cast("array<int>")).as("__starts"))
-      .select(col(idCol),
-        size(col("__toks")).cast("long").as("n_tokens"),
-        filter(col("__toks"), (t, p) =>
-          !exists(col("__starts"), s => s <= p && p < s + k)).as("__clean"))
-      .select(col(idCol), col("n_tokens"),
-        (col("n_tokens") - size(col("__clean"))).cast("long").as("n_dropped"),
-        concat_ws(" ", col("__clean")).as("clean_text"))
+    if (hof)
+      joined
+        .select(col(idCol),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          filter(col("__toks"), (t, p) =>
+            !exists(col("__starts"), s => s <= p && p < s + k)).as("__clean"))
+        .select(col(idCol), col("n_tokens"),
+          (col("n_tokens") - size(col("__clean"))).cast("long").as("n_dropped"),
+          concat_ws(" ", col("__clean")).as("clean_text"))
+    else
+      joined
+        .select(col(idCol), org.apache.spark.sql.graftx.TextColumns
+          .spanScrub(col("__toks"), col("__starts"), k).as("__sc"))
+        .select(col(idCol), col("__sc.n_tokens").as("n_tokens"),
+          col("__sc.n_dropped").as("n_dropped"),
+          col("__sc.clean_text").as("clean_text"))
   }
 
   def scrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -179,6 +179,87 @@ object NgramHashes {
   }
 }
 
+/** Span-coverage scrub kernel for TextAnalysis.dedupSpans: given a doc's
+  * tokens and the 0-based START positions of duplicated `k`-grams, drop
+  * every token covered by any interval `[s, s+k)` and re-join the rest.
+  *
+  * The declarative form was a per-token `exists(starts, s ≤ p < s+k)`
+  * HOF — O(T·S) per doc with two interpreted lambdas per token, which
+  * degrades exactly on span-DENSE corpora (S → T) where dedup matters
+  * most.  This kernel sorts the starts (S log S, S ≤ T) and merges
+  * intervals with the positions in ONE forward pass: a cursor absorbs
+  * each start as the scan reaches it, extending the covered horizon
+  * `max(s + k)` — O(T + S log S) total, no intermediate arrays, inside
+  * whole-stage codegen via a static call.
+  */
+case class SpanScrub(toks: Expression, starts: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def left: Expression = toks
+  override def right: Expression = starts
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), ArrayType(IntegerType))
+  override def dataType: DataType = SpanScrub.schema
+  override def prettyName: String = "span_scrub"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(t: Any, s: Any): Any =
+    SpanScrub.kernel(
+      t.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      s.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = org.apache.spark.sql.graftx.SpanScrub.kernel($t, $s, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SpanScrub =
+    copy(toks = newLeft, starts = newRight)
+}
+
+object SpanScrub {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_dropped", LongType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+
+  /** Sorted-interval merge: one pass over positions, absorbing each start
+    * when the scan reaches it.  Called from generated code.
+    */
+  def kernel(toksData: org.apache.spark.sql.catalyst.util.ArrayData,
+             startsData: org.apache.spark.sql.catalyst.util.ArrayData,
+             k: Int): InternalRow = {
+    val nTok = toksData.numElements()
+    val nS = startsData.numElements()
+    val starts = new Array[Int](nS)
+    var i = 0
+    while (i < nS) { starts(i) = startsData.getInt(i); i += 1 }
+    java.util.Arrays.sort(starts)
+    val sb = new java.lang.StringBuilder()
+    var dropped = 0L
+    var ptr = 0
+    var coverEnd = 0
+    var p = 0
+    while (p < nTok) {
+      while (ptr < nS && starts(ptr) <= p) {
+        val e = starts(ptr) + k
+        if (e > coverEnd) coverEnd = e
+        ptr += 1
+      }
+      if (p < coverEnd) dropped += 1L
+      else {
+        if (sb.length() > 0) sb.append(' ')
+        sb.append(toksData.getUTF8String(p).toString)
+      }
+      p += 1
+    }
+    new GenericInternalRow(Array[Any](
+      nTok.toLong, dropped, UTF8String.fromString(sb.toString)))
+  }
+}
+
 /** Column API for the text-statistics native expressions. */
 object TextColumns {
   /** struct(n_words, top, n_distinct, n_bigrams, n_bigrams_distinct). */
@@ -192,4 +273,11 @@ object TextColumns {
   /** same, with the whitespace tokenizer (punctuation preserved). */
   def ngramHashesWs(text: Column, n: Int): Column =
     ExpressionUtils.column(NgramHashes(ExpressionUtils.expression(text), n, ws = true))
+
+  /** struct(n_tokens, n_dropped, clean_text): drop tokens covered by any
+    * duplicated-gram interval [s, s+k), sorted-interval merge in O(T+S log S).
+    */
+  def spanScrub(toks: Column, starts: Column, k: Int): Column =
+    ExpressionUtils.column(SpanScrub(
+      ExpressionUtils.expression(toks), ExpressionUtils.expression(starts), k))
 }

@@ -264,6 +264,31 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out(6L) == ((6L, 6L, "")))
   }
 
+  test("dedupSpans native interval kernel == HOF reference, incl. span-dense docs") {
+    val rnd = new scala.util.Random(7)
+    // tiny vocabulary → heavy cross-doc gram duplication; plus a pair of
+    // identical 300-token docs where EVERY gram is duplicated (S → T,
+    // the span-dense regime the sorted-interval merge exists for)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val dense = doc(300)
+    val docs = ((1 to 30).map(i => (i.toLong, doc(20 + rnd.nextInt(60)))) ++
+      Seq((100L, dense), (101L, dense), (102L, ""), (103L, "one"))) // sub-k edges
+      .toDF("doc_id", "text").repartition(5)
+    for (k <- Seq(2, 5)) {
+      val a = TextAnalysis.dedupSpans(docs, "doc_id", "text", k)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      val b = TextAnalysis.dedupSpans(docs, "doc_id", "text", k, hof = true)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(a == b, s"k=$k")
+    }
+    // the identical pair must be fully scrubbed
+    val full = TextAnalysis.dedupSpans(docs, "doc_id", "text", 5)
+      .filter($"doc_id" === 100L).head()
+    assert(full.getLong(full.fieldIndex("n_dropped")) == 300L &&
+      full.getString(full.fieldIndex("clean_text")).isEmpty)
+  }
+
   test("BMP24 codec: encode/decode round-trips, padding and both row orders") {
     // w=15 → 45-byte rows padded to 48: the padding path is exercised
     val rgb = Array.tabulate(15 * 8 * 3)(i => ((i * 37 + 11) % 256).toByte)
