@@ -64,6 +64,12 @@ object GraftSession {
     t.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         t.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // µs-precision fixture (round-6 regeneration) loads as NTZ; the
+        // session timezone is UTC, so the cast is an instant-identity —
+        // it just restores the TIMESTAMP type the ts-arithmetic
+        // (unix_micros etc.) and the ns-era fixture path produce
+        t.withColumn("ts", col("ts").cast("timestamp"))
       case _ => t
     }
   }

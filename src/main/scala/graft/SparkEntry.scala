@@ -1641,6 +1641,30 @@ object SparkEntry {
       query.stop()
       s.table(qn).groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    },
+    // ---- §2.11 blocked LU (`dask/array/linalg.py:978` — the last linalg
+    // descope, lifted): a 4×4 integer matrix from lineitem aggregates,
+    // factored by the DISTRIBUTED blocked kernel (2×2 blocks → two
+    // elimination rounds exercise the panel solves + trailing update),
+    // determinant read off the U diagonal.  Entries < 200 keep the det
+    // ≪ 2⁵³, so the double arithmetic rounds back to the exact integer
+    // the oracle computes by BIGINT cofactor expansion — exact at any
+    // scale because the matrix entries are mod-97 BIGINT sums.
+    "q147_lu_det" -> { (s, dir) =>
+      val cells = t(s, dir, "lineitem")
+        .groupBy((col("l_orderkey") % 4).cast("int").as("i"),
+          (col("l_suppkey") % 4).cast("int").as("j"))
+        .agg((sum(col("l_quantity").cast("long")) % 97).as("v"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val n = 4
+      val dense = Array.tabulate(n * n) { idx =>
+        val c = idx / n; val r = idx % n
+        (cells.getOrElse((r, c), 0L) + (if (r == c) 100L else 0L)).toDouble
+      }
+      val luR = graft.operators.Linalg.lu(
+        graft.operators.Linalg.denseToBlocks(s, dense, n, 2), 2)
+      import s.implicits._
+      Seq(math.round(luR.det())).toDF("det4")
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -3282,5 +3306,35 @@ object SparkEntry {
         |SELECT d.c_mktsegment, count(*) AS n,
         |  CAST(sum(e.cents) AS BIGINT) AS sum_cents
         |FROM e LEFT JOIN d USING (user_id)
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    "q147_lu_det" ->
+      """WITH g AS (SELECT CAST(l_orderkey % 4 AS INT) AS i,
+        |    CAST(l_suppkey % 4 AS INT) AS j,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) % 97 AS BIGINT) AS s
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT
+        |  coalesce(max(CASE WHEN i=0 AND j=0 THEN s END), 0) + 100 AS a00,
+        |  coalesce(max(CASE WHEN i=0 AND j=1 THEN s END), 0) AS a01,
+        |  coalesce(max(CASE WHEN i=0 AND j=2 THEN s END), 0) AS a02,
+        |  coalesce(max(CASE WHEN i=0 AND j=3 THEN s END), 0) AS a03,
+        |  coalesce(max(CASE WHEN i=1 AND j=0 THEN s END), 0) AS a10,
+        |  coalesce(max(CASE WHEN i=1 AND j=1 THEN s END), 0) + 100 AS a11,
+        |  coalesce(max(CASE WHEN i=1 AND j=2 THEN s END), 0) AS a12,
+        |  coalesce(max(CASE WHEN i=1 AND j=3 THEN s END), 0) AS a13,
+        |  coalesce(max(CASE WHEN i=2 AND j=0 THEN s END), 0) AS a20,
+        |  coalesce(max(CASE WHEN i=2 AND j=1 THEN s END), 0) AS a21,
+        |  coalesce(max(CASE WHEN i=2 AND j=2 THEN s END), 0) + 100 AS a22,
+        |  coalesce(max(CASE WHEN i=2 AND j=3 THEN s END), 0) AS a23,
+        |  coalesce(max(CASE WHEN i=3 AND j=0 THEN s END), 0) AS a30,
+        |  coalesce(max(CASE WHEN i=3 AND j=1 THEN s END), 0) AS a31,
+        |  coalesce(max(CASE WHEN i=3 AND j=2 THEN s END), 0) AS a32,
+        |  coalesce(max(CASE WHEN i=3 AND j=3 THEN s END), 0) + 100 AS a33
+        |  FROM g)
+        |SELECT CAST(
+        |    a00*(a11*(a22*a33-a23*a32) - a12*(a21*a33-a23*a31) + a13*(a21*a32-a22*a31))
+        |  - a01*(a10*(a22*a33-a23*a32) - a12*(a20*a33-a23*a30) + a13*(a20*a32-a22*a30))
+        |  + a02*(a10*(a21*a33-a23*a31) - a11*(a20*a33-a23*a30) + a13*(a20*a31-a21*a30))
+        |  - a03*(a10*(a21*a32-a22*a31) - a11*(a20*a32-a22*a30) + a12*(a20*a31-a21*a30))
+        |  AS BIGINT) AS det4
+        |FROM m""".stripMargin)
 }

@@ -291,6 +291,293 @@ object Linalg {
     (dec.Vt.t * coef).toArray
   }
 
+  // ---- blocked LU (reference `dask/array/linalg.py:978` `lu`) ----------
+
+  /** Result of [[lu]]: `A = P · L · U` where `P` is BLOCK-DIAGONAL
+    * (per-diagonal-block partial pivoting — the reference's exact
+    * contract: scipy pivots inside each diagonal block, never across
+    * block rows), `L` is block-lower with unit-diagonal diagonal blocks,
+    * `U` is block-upper.
+    *
+    * `perms(i)(k)` = the original row (within block row `i`) that pivot
+    * position `k` selected, i.e. the diagonal permutation satisfies
+    * `(Pᵢᵀ·x)[k] = x[perms(i)(k)]`.  `l`/`u` hold only their non-zero
+    * blocks (`bi ≥ bj` / `bi ≤ bj`), as `(bi, bj, data)` rows with
+    * `data` column-major `b×b`.
+    */
+  case class BlockLU(perms: Array[Array[Int]], l: DataFrame, u: DataFrame,
+                     blockSize: Int, nBlocks: Int) {
+
+    /** det(A) = Π sign(σᵢ) · Π diag(Uᵢᵢ) — collects only the nBlocks
+      * diagonal U blocks (b² doubles each), never the matrix.
+      */
+    def det(): Double = {
+      val b = blockSize
+      val diags = u.where(col("bi") === col("bj"))
+        .select(col("bi"), col("data")).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      var d = 1.0
+      for (i <- 0 until nBlocks) {
+        d *= permSign(perms(i))
+        val blk = diags(i)
+        for (k <- 0 until b) d *= blk(k * b + k)
+      }
+      d
+    }
+  }
+
+  private def permSign(p: Array[Int]): Double = {
+    val seen = new Array[Boolean](p.length)
+    var sign = 1.0
+    for (s <- p.indices if !seen(s)) {
+      var len = 0; var j = s
+      while (!seen(j)) { seen(j) = true; j = p(j); len += 1 }
+      if (len % 2 == 0) sign = -sign
+    }
+    sign
+  }
+
+  /** Blocked LU decomposition of a square block matrix — lifts the last
+    * linalg descope (reference `lu`, `dask/array/linalg.py:978`).
+    *
+    * Input: `(bi, bj, data)` rows, `data` a column-major `b×b` block; the
+    * grid must be complete (`nb×nb` blocks, square blocks — the same
+    * uniform-chunk precondition the reference raises on).
+    *
+    * Shape: right-looking elimination, algebraically identical to the
+    * reference's left-looking task graph (its per-block accumulated sums
+    * `Σₚ lu_kp·u_pj` are exactly what the trailing blocks carry here).
+    * Per round `i` (nb rounds, mirroring the reference's graph depth):
+    *   1. collect the b×b diagonal block, factor it on the driver with
+    *      partial pivoting (tiny — b² doubles);
+    *   2. one narrow map finalizes the round's row panel
+    *      (`u_ij = Lᵢᵢ⁻¹·Pᵢᵀ·â_ij`) and column panel
+    *      (`raw_ki = â_ki·Uᵢᵢ⁻¹`) under the broadcast diagonal factor;
+    *   3. collect + broadcast the two panels (O(nb·b²) bytes — one block
+    *      row/column, the ScaLAPACK row+column broadcast) and update the
+    *      trailing submatrix `â_kj −= raw_ki·u_ij` in one narrow map.
+    * Nothing proportional to the full matrix ever reaches the driver, and
+    * no round shuffles — every distributed step is a narrow map over the
+    * block RDD.  `localCheckpoint` every 8 rounds truncates the lineage
+    * (same guard as the connected-components loop in Dedup).
+    *
+    * Off-diagonal L blocks are un-permuted at the end (`L_ki = Pₖᵀ·raw_ki`)
+    * once every block row's pivot order is known — the reference's
+    * `p_inv·lu` edges.
+    */
+  def lu(blocks: DataFrame, blockSize: Int): BlockLU = {
+    val spark = blocks.sparkSession
+    val b = blockSize
+    val nb = {
+      val mx = blocks.agg(max(col("bi")), max(col("bj")), count(lit(1))).first()
+      val n = math.max(mx.getInt(0), mx.getInt(1)) + 1
+      require(mx.getLong(2) == n.toLong * n,
+        s"lu: block grid must be complete ${n}x$n, got ${mx.getLong(2)} blocks")
+      n
+    }
+    var state: RDD[((Int, Int), Array[Double])] = blocks
+      .select(col("bi"), col("bj"), col("data")).rdd
+      .map { r =>
+        val d = r.getSeq[Double](2).toArray
+        require(d.length == b * b, s"lu: block must be ${b}x$b, got ${d.length}")
+        ((r.getInt(0), r.getInt(1)), d)
+      }
+    state.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perms = new Array[Array[Int]](nb)
+    val sc = spark.sparkContext
+    try {
+      for (i <- 0 until nb) {
+        val diag = state.filter(_._1 == (i, i)).map(_._2).collect()(0)
+        val (sigma, lDiag, uDiag) = localLu(diag, b)
+        perms(i) = sigma
+        val bc = sc.broadcast((sigma, lDiag, uDiag))
+        // finalize row + column panels; pack the diagonal factor (unit
+        // diag implicit: strict lower = L, upper = U)
+        val afterPanels = state.map { case ((bi, bj), d) =>
+          if (bi == i && bj == i) {
+            val (_, ld, ud) = bc.value
+            val packed = ud.clone()
+            for (c <- 0 until b; r <- c + 1 until b) packed(c * b + r) = ld(c * b + r)
+            ((bi, bj), packed)
+          } else if (bi == i && bj > i) {
+            val (sg, ld, _) = bc.value
+            ((bi, bj), solveLowerUnit(ld, permRows(sg, d, b), b))
+          } else if (bj == i && bi > i) {
+            val (_, _, ud) = bc.value
+            ((bi, bj), solveUpperRight(d, ud, b))
+          } else ((bi, bj), d)
+        }
+        afterPanels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (i < nb - 1) {
+          val panels = afterPanels
+            .filter { case ((bi, bj), _) => (bi == i && bj > i) || (bj == i && bi > i) }
+            .collect()
+          val uRow = panels.collect { case ((bi, bj), d) if bi == i => bj -> d }.toMap
+          val rawCol = panels.collect { case ((bi, bj), d) if bj == i => bi -> d }.toMap
+          val bcP = sc.broadcast((rawCol, uRow))
+          val next = afterPanels.map { case ((bi, bj), d) =>
+            if (bi > i && bj > i) {
+              val (rc, ur) = bcP.value
+              ((bi, bj), matmulSub(d, rc(bi), ur(bj), b))
+            } else ((bi, bj), d)
+          }
+          next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          if ((i + 1) % 8 == 0) next.localCheckpoint()
+          next.count() // materialize BEFORE dropping the parents, or the
+          // unpersists below would force a full recompute cascade
+          state.unpersist(false)
+          state = next
+          afterPanels.unpersist(false)
+        } else {
+          afterPanels.count() // materialize the last panel finalization
+          state.unpersist(false)
+          state = afterPanels
+        }
+      }
+      val bcPerms = sc.broadcast(perms)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bi", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("bj", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("data",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+      import org.apache.spark.sql.Row
+      val lRows = state.flatMap { case ((bi, bj), d) =>
+        if (bi == bj) {
+          val ld = new Array[Double](b * b)
+          for (c <- 0 until b) {
+            ld(c * b + c) = 1.0
+            for (r <- c + 1 until b) ld(c * b + r) = d(c * b + r)
+          }
+          Some(Row(bi, bj, ld.toSeq))
+        } else if (bi > bj) {
+          // un-permute by the row block's own pivot order: L_ki = Pₖᵀ·raw
+          Some(Row(bi, bj, permRows(bcPerms.value(bi), d, b).toSeq))
+        } else None
+      }
+      val uRows = state.flatMap { case ((bi, bj), d) =>
+        if (bi == bj) {
+          val ud = new Array[Double](b * b)
+          for (c <- 0 until b; r <- 0 to c) ud(c * b + r) = d(c * b + r)
+          Some(Row(bi, bj, ud.toSeq))
+        } else if (bi < bj) Some(Row(bi, bj, d.toSeq))
+        else None
+      }
+      val lDf = spark.createDataFrame(lRows, schema).cache()
+      val uDf = spark.createDataFrame(uRows, schema).cache()
+      lDf.count(); uDf.count() // materialize before the block RDD unpersists
+      BlockLU(perms, lDf, uDf, b, nb)
+    } finally state.unpersist(false)
+  }
+
+  /** Dense LU with partial pivoting of a col-major n×n block (driver-side,
+    * the scipy.linalg.lu leaf): returns (σ, L unit-lower, U upper) with
+    * `(Pᵀa)[k,:] = a[σ(k),:]` and `Pᵀ·a = L·U` (so `a = P·L·U`, the scipy
+    * `p @ l @ u` orientation).
+    */
+  private[graft] def localLu(a: Array[Double], n: Int): (Array[Int], Array[Double], Array[Double]) = {
+    val m = a.clone()
+    val sigma = Array.tabulate(n)(identity)
+    for (k <- 0 until n) {
+      var p = k; var best = math.abs(m(k * n + k))
+      for (r <- k + 1 until n) {
+        val v = math.abs(m(k * n + r)); if (v > best) { best = v; p = r }
+      }
+      if (p != k) {
+        for (c <- 0 until n) {
+          val t = m(c * n + k); m(c * n + k) = m(c * n + p); m(c * n + p) = t
+        }
+        val t = sigma(k); sigma(k) = sigma(p); sigma(p) = t
+      }
+      val pivot = m(k * n + k)
+      if (pivot != 0.0) {
+        for (r <- k + 1 until n) m(k * n + r) /= pivot
+        for (c <- k + 1 until n) {
+          val mck = m(c * n + k)
+          if (mck != 0.0) {
+            for (r <- k + 1 until n) m(c * n + r) -= m(k * n + r) * mck
+          }
+        }
+      }
+    }
+    val l = new Array[Double](n * n); val u = new Array[Double](n * n)
+    for (c <- 0 until n) {
+      l(c * n + c) = 1.0
+      for (r <- c + 1 until n) l(c * n + r) = m(c * n + r)
+      for (r <- 0 to c) u(c * n + r) = m(c * n + r)
+    }
+    (sigma, l, u)
+  }
+
+  /** Row-permute: out[k,:] = a[σ(k),:] (col-major n×n). */
+  private[graft] def permRows(sigma: Array[Int], a: Array[Double], n: Int): Array[Double] = {
+    val out = new Array[Double](n * n)
+    for (c <- 0 until n; k <- 0 until n) out(c * n + k) = a(c * n + sigma(k))
+    out
+  }
+
+  /** X = L⁻¹·B for unit-lower L (col-major n×n, forward substitution). */
+  private[graft] def solveLowerUnit(l: Array[Double], bm: Array[Double], n: Int): Array[Double] = {
+    val x = bm.clone()
+    for (c <- 0 until n; r <- 0 until n) {
+      var s = x(c * n + r)
+      for (m <- 0 until r) s -= l(m * n + r) * x(c * n + m)
+      x(c * n + r) = s
+    }
+    x
+  }
+
+  /** X = A·U⁻¹ for upper U (col-major n×n, column back-substitution). */
+  private[graft] def solveUpperRight(a: Array[Double], u: Array[Double], n: Int): Array[Double] = {
+    val x = a.clone()
+    for (j <- 0 until n) {
+      for (m <- 0 until j) {
+        val umj = u(j * n + m)
+        if (umj != 0.0) {
+          for (r <- 0 until n) x(j * n + r) -= x(m * n + r) * umj
+        }
+      }
+      val ujj = u(j * n + j)
+      for (r <- 0 until n) x(j * n + r) /= ujj
+    }
+    x
+  }
+
+  /** C − A·B (col-major n×n), allocating the result. */
+  private[graft] def matmulSub(cM: Array[Double], a: Array[Double], bM: Array[Double], n: Int): Array[Double] = {
+    val out = cM.clone()
+    for (j <- 0 until n; m <- 0 until n) {
+      val bmj = bM(j * n + m)
+      if (bmj != 0.0) {
+        for (r <- 0 until n) out(j * n + r) -= a(m * n + r) * bmj
+      }
+    }
+    out
+  }
+
+  /** Slice a driver-side dense col-major n×n matrix into a `(bi, bj,
+    * data)` block DataFrame — the test/query-side constructor (real
+    * pipelines build blocks distributed; the fixture matrices here are
+    * driver-small).
+    */
+  def denseToBlocks(spark: org.apache.spark.sql.SparkSession,
+                    dense: Array[Double], n: Int, blockSize: Int): DataFrame = {
+    require(n % blockSize == 0, s"lu: $n not divisible by block size $blockSize")
+    val b = blockSize; val nb = n / b
+    import org.apache.spark.sql.Row
+    val rows = for (bi <- 0 until nb; bj <- 0 until nb) yield {
+      val d = new Array[Double](b * b)
+      for (c <- 0 until b; r <- 0 until b)
+        d(c * b + r) = dense((bj * b + c) * n + (bi * b + r))
+      Row(bi, bj, d.toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bi", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("bj", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("data",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, math.min(rows.size, 32)), schema)
+  }
+
   /** AᵀY as one treeAggregate of per-row outer products (p×l col-major). */
   private def atB(a: RowMatrix, y: RowMatrix, l: Int): Array[Double] = {
     val p = a.numCols().toInt
