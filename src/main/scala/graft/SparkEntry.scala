@@ -1665,6 +1665,19 @@ object SparkEntry {
         graft.operators.Linalg.denseToBlocks(s, dense, n, 2), 2)
       import s.implicits._
       Seq(math.round(luR.det())).toDF("det4")
+    },
+
+    // ---- deterministic stratified sampling (corpus mixing) --------------
+    // Per-language keep rates over documents: downsample the dominant
+    // language, keep a rare one whole (rate 1.0), drop an unlisted one
+    // (zh) — the data-mixing op of a training pipeline, as a pure
+    // content-keyed filter (no shuffle, layout-independent, exercises
+    // sampleBy drop-unlisted semantics).
+    "q148_stratified_sample" -> { (s, dir) =>
+      g(s, dir, "documents")
+        .hashSampleBy(col("lang"), col("doc_id"),
+          Map("en" -> 0.3, "de" -> 0.8, "es" -> 0.5, "fr" -> 1.0), seed = 2)
+        .select("doc_id", "lang").df
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -3336,5 +3349,19 @@ object SparkEntry {
         |  + a02*(a10*(a21*a33-a23*a31) - a11*(a20*a33-a23*a30) + a13*(a20*a31-a21*a30))
         |  - a03*(a10*(a21*a32-a22*a31) - a11*(a20*a32-a22*a30) + a12*(a20*a31-a21*a30))
         |  AS BIGINT) AS det4
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+    // portableBucket replica (q67's machinery), seed 2, per-lang CASE
+    // threshold; zh unlisted -> threshold 0 -> dropped
+    "q148_stratified_sample" ->
+      """WITH kf AS (
+        |  SELECT doc_id, lang, xor(doc_id, doc_id >> 27) AS fk FROM documents),
+        |k AS (SELECT doc_id, lang, fk % 100000000 + 15838 AS k0 FROM kf),
+        |a1 AS (SELECT doc_id, lang, (k0*2654435761)%4294967296 AS h1 FROM k),
+        |a2 AS (SELECT doc_id, lang, xor(h1, h1>>16) AS x1 FROM a1),
+        |a3 AS (SELECT doc_id, lang, (x1*1597334677)%4294967296 AS h2 FROM a2),
+        |a4 AS (SELECT doc_id, lang, xor(h2, h2>>13) AS x2 FROM a3),
+        |b AS (SELECT doc_id, lang, (x2*10000)//4294967296 AS bucket FROM a4)
+        |SELECT doc_id, lang FROM b
+        |WHERE bucket < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 8000
+        |  WHEN 'es' THEN 5000 WHEN 'fr' THEN 10000 ELSE 0 END""".stripMargin)
 }

@@ -175,6 +175,29 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
         "hash a string key to int64 first (e.g. xxhash64)")
   }
 
+  /** Deterministic stratified sampling — the corpus-mixing op (downsample
+    * dominant languages/sources, keep rare ones whole).  Hash-stable
+    * counterpart of Spark's `stat.sampleBy` (seeded-RNG, layout-dependent):
+    * here the kept set is a pure function of (key, stratum, seed), so it
+    * survives repartitioning and is replicable bit-for-bit by an external
+    * engine.  Strata absent from `fractions` are DROPPED (`sampleBy`
+    * semantics).  Zero shuffle: one narrow filter; the per-stratum
+    * threshold folds into a scan-pushable CASE predicate (strata are
+    * dictionary-sized by definition).
+    */
+  def hashSampleBy(stratumCol: Column, keyCol: Column,
+                   fractions: Map[String, Double], seed: Int = 0): GDF = {
+    requireNumericKey(keyCol, "hashSampleBy")
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      s"hashSampleBy fractions must be in [0,1]: $fractions")
+    val bucket = graft.functions.Hashing.portableBucket(keyCol, 10000, seed)
+    val threshold = fractions.foldLeft(lit(0)) { case (acc, (stratum, f)) =>
+      when(stratumCol === lit(stratum), lit(math.round(f * 10000).toInt))
+        .otherwise(acc)
+    }
+    unordered(df.filter(bucket < threshold))
+  }
+
   /** Deterministic counterpart of `randomSplit`: partitions rows into
     * `weights.length` disjoint frames by hash bucket of `keyCol`.
     */

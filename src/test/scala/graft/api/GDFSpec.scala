@@ -252,6 +252,28 @@ class GDFSpec extends SparkTestBase {
     assert(overlap < 0.2, s"seed draws too correlated: $overlap")
   }
 
+  test("hashSampleBy: per-stratum rates, drop-unlisted, layout-independent") {
+    val d = GDF(spark.range(10000)
+      .select(col("id"), (col("id") % 3).cast("string").as("grp")))
+    val fr = Map("0" -> 0.5, "1" -> 1.0) // "2" unlisted -> dropped
+    val kept = d.hashSampleBy(col("grp"), col("id"), fr)
+      .df.select("id", "grp").as[(Long, String)].collect()
+    val byGrp = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(!byGrp.contains("2"), "unlisted stratum must be dropped")
+    assert(byGrp("1") == (0 until 10000).count(_ % 3 == 1), "rate 1.0 keeps the stratum whole")
+    val half = (0 until 10000).count(_ % 3 == 0)
+    assert(math.abs(byGrp("0") - half / 2.0) < half * 0.1, s"~half expected, got ${byGrp("0")}")
+    // pure function of (key, stratum, seed): stable under repartitioning
+    val kept2 = GDF(spark.range(10000)
+      .select(col("id"), (col("id") % 3).cast("string").as("grp")).repartition(17))
+      .hashSampleBy(col("grp"), col("id"), fr)
+      .df.select("id", "grp").as[(Long, String)].collect()
+    assert(kept.toSet == kept2.toSet)
+    intercept[IllegalArgumentException] {
+      d.hashSampleBy(col("grp"), col("id"), Map("0" -> 1.5))
+    }
+  }
+
   test("rolling skew/kurt match pandas adjusted statistics on both paths") {
     val d = Seq((0L, "k", 1.0), (1L, "k", 2.0), (2L, "k", 4.0),
         (3L, "k", 8.0), (4L, "k", 3.0), (5L, "k", 5.0))
