@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Complex strip piece shuffled between FFT phases. */
+final case class CPiece(strip: Int, offs: Array[Int],
+                        re: Array[Double], im: Array[Double])
+
+/** Distributed 1-D FFT over a chunked [[GArr]] — the dask `array/fft.py`
+  * surface re-expressed as the four-step (transpose) Cooley–Tukey
+  * algorithm, the standard distributed-memory FFT:
+  *
+  *   view x (N = N1·N2, both powers of two) as A[n1][n2] with
+  *   n = n1·N2 + n2; then  X[k1 + N1·k2] =
+  *   FFT_n2( e^{-2πi·n2·k1/N} · FFT_n1(A[·][n2]) )[k2]
+  *
+  * Phase 1 regroups the 1-D blocks into column strips (shuffle #1), each
+  * task FFTs its columns locally and applies the twiddle factors; phase 2
+  * transposes to row strips (shuffle #2) and FFTs rows locally. Strip
+  * widths are sized to ~`targetElems` doubles per task, so both local
+  * FFTs stay cache-resident regardless of N — exactly two all-to-all
+  * exchanges of packed arrays at any scale (the communication lower bound
+  * for a transpose FFT).
+  *
+  * Dask wraps numpy's FFT per-chunk and can only batch over the OTHER
+  * axes (`array/fft.py:1-316` requires the FFT axis be single-chunk);
+  * this implementation genuinely distributes the transform axis.
+  */
+object SpectralFft {
+  import GArr.startsOf
+
+  /** In-place iterative radix-2 complex FFT (sign convention e^{-2πikn/N}).
+    * Twiddles are computed by direct trig per butterfly group (no
+    * accumulated-rotation drift): |error| stays ~ε·log₂n relative.
+    */
+  def fftLocal(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require((n & (n - 1)) == 0, s"fftLocal length $n not a power of two")
+    if (n <= 1) return
+    var j = 0
+    var i = 1
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val half = len >> 1
+      val ang = -2.0 * math.Pi / len
+      var base = 0
+      while (base < n) {
+        var k = 0
+        while (k < half) {
+          val cr = math.cos(ang * k)
+          val ci = math.sin(ang * k)
+          val ur = re(base + k); val ui = im(base + k)
+          val vr0 = re(base + k + half); val vi0 = im(base + k + half)
+          val vr = vr0 * cr - vi0 * ci
+          val vi = vr0 * ci + vi0 * cr
+          re(base + k) = ur + vr; im(base + k) = ui + vi
+          re(base + k + half) = ur - vr; im(base + k + half) = ui - vi
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Distributed FFT of a real-valued 1-D [[GArr]]; N must be a power of
+    * two. Returns (k, re, im) rows for all N bins.
+    */
+  def fft1d(a: GArr, targetElems: Int = 65536): DataFrame = {
+    require(a.ndim == 1, "fft1d takes a 1-D array")
+    val n = a.shape.head
+    require(n >= 1 && (n & (n - 1)) == 0, s"fft1d length $n must be a power of two")
+    val s = a.blocks.sparkSession
+    import s.implicits._
+    val m = java.lang.Long.numberOfTrailingZeros(n)
+    val n2 = 1 << (m / 2)
+    val n1 = (n / n2).toInt
+    val w2 = math.max(1, math.min(n2, targetElems / math.max(n1, 1)))
+    val w1 = math.max(1, math.min(n1, targetElems / math.max(n2, 1)))
+    val starts = startsOf(a.chunks.head)
+    val nL = n
+
+    // ---- phase 1: 1-D blocks -> column strips ---------------------------
+    val colPieces: Dataset[CPiece] = a.blocks.flatMap { b =>
+      val g0 = starts(b.bid.head)
+      val bufs = scala.collection.mutable.LinkedHashMap[Int, (scala.collection.mutable.ArrayBuilder[Int], scala.collection.mutable.ArrayBuilder[Double])]()
+      var i = 0
+      while (i < b.data.length) {
+        val gi = g0 + i
+        val n1i = (gi / n2).toInt
+        val n2i = (gi % n2).toInt
+        val strip = n2i / w2
+        val wCols = math.min(w2, n2 - strip * w2)
+        val (ob, vb) = bufs.getOrElseUpdate(strip,
+          (scala.collection.mutable.ArrayBuilder.make[Int],
+           scala.collection.mutable.ArrayBuilder.make[Double]))
+        ob += n1i * wCols + (n2i - strip * w2)
+        vb += b.data(i)
+        i += 1
+      }
+      bufs.iterator.map { case (strip, (ob, vb)) =>
+        CPiece(strip, ob.result(), vb.result(), Array.emptyDoubleArray)
+      }
+    }
+
+    // ---- phase 2: per-strip column FFTs + twiddle, re-strip by rows -----
+    val rowPieces: Dataset[CPiece] = colPieces.groupByKey(_.strip).flatMapGroups {
+      (strip, it) =>
+        val wCols = math.min(w2, n2 - strip * w2)
+        val re = new Array[Double](n1 * wCols)
+        val im = new Array[Double](n1 * wCols)
+        it.foreach { p =>
+          var i = 0
+          while (i < p.offs.length) { re(p.offs(i)) = p.re(i); i += 1 }
+        }
+        val tre = new Array[Double](n1)
+        val tim = new Array[Double](n1)
+        var c = 0
+        while (c < wCols) {
+          var r = 0
+          while (r < n1) { tre(r) = re(r * wCols + c); tim(r) = im(r * wCols + c); r += 1 }
+          fftLocal(tre, tim)
+          val g2 = strip * w2 + c
+          var k1 = 0
+          while (k1 < n1) {
+            val ang = -2.0 * math.Pi * g2 * k1 / nL
+            val cr = math.cos(ang); val ci = math.sin(ang)
+            val vr = tre(k1) * cr - tim(k1) * ci
+            val vi = tre(k1) * ci + tim(k1) * cr
+            re(k1 * wCols + c) = vr
+            im(k1 * wCols + c) = vi
+            k1 += 1
+          }
+          c += 1
+        }
+        // emit per destination row-strip
+        val nStrips3 = (n1 + w1 - 1) / w1
+        (0 until nStrips3).iterator.map { t =>
+          val rows = math.min(w1, n1 - t * w1)
+          val offs = new Array[Int](rows * wCols)
+          val ore = new Array[Double](rows * wCols)
+          val oim = new Array[Double](rows * wCols)
+          var idx = 0
+          var rr = 0
+          while (rr < rows) {
+            val k1 = t * w1 + rr
+            var cc = 0
+            while (cc < wCols) {
+              offs(idx) = rr * n2 + (strip * w2 + cc)
+              ore(idx) = re(k1 * wCols + cc)
+              oim(idx) = im(k1 * wCols + cc)
+              idx += 1; cc += 1
+            }
+            rr += 1
+          }
+          CPiece(t, offs, ore, oim)
+        }
+    }
+
+    // ---- phase 3: per-row-strip FFTs over n2, emit final bins -----------
+    rowPieces.groupByKey(_.strip).flatMapGroups { (t, it) =>
+      val rows = math.min(w1, n1 - t * w1)
+      val re = new Array[Double](rows * n2)
+      val im = new Array[Double](rows * n2)
+      it.foreach { p =>
+        var i = 0
+        while (i < p.offs.length) { re(p.offs(i)) = p.re(i); im(p.offs(i)) = p.im(i); i += 1 }
+      }
+      val tre = new Array[Double](n2)
+      val tim = new Array[Double](n2)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Double, Double)]()
+      var r = 0
+      while (r < rows) {
+        val k1 = t * w1 + r
+        System.arraycopy(re, r * n2, tre, 0, n2)
+        System.arraycopy(im, r * n2, tim, 0, n2)
+        fftLocal(tre, tim)
+        var k2 = 0
+        while (k2 < n2) {
+          out += ((k1 + n1.toLong * k2, tre(k2), tim(k2)))
+          k2 += 1
+        }
+        r += 1
+      }
+      out
+    }.toDF("k", "re", "im")
+  }
+}
