@@ -22,6 +22,15 @@ object SparkEntry {
   private def g(s: SparkSession, dir: String, name: String): GDF =
     GDF(t(s, dir, name))
 
+  /** Total order over lineitem for the block-array queries: (l_orderkey,
+    * l_linenumber) alone is NOT unique on ScaleGen replicas (collided key
+    * offsets), and a non-total sort makes row_number nondeterministic —
+    * the 40× q153 lesson. This 5-column key is verified duplicate-free at
+    * 40× and must match the oracle SQL's ORDER BY exactly.
+    */
+  private val liTotalOrder =
+    Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
+
   /** Write `df` as ONE parquet file `<name>.parquet` inside `watchDir`
     * with a controlled modification time.  The streaming file source
     * orders files by mod time (oldest first), so distinct mtimes plus
@@ -1678,6 +1687,165 @@ object SparkEntry {
         .hashSampleBy(col("lang"), col("doc_id"),
           Map("en" -> 0.3, "de" -> 0.8, "es" -> 0.5, "fr" -> 1.0), seed = 2)
         .select("doc_id", "lang").df
+    },
+
+    // ---- chunked ndarray module (SURVEY §2.11 blockwise/slicing/rechunk/
+    // reshape/transpose/axis-reduction) end-to-end over real table data:
+    // build two 1-D arrays from lineitem, elementwise-multiply (blockwise
+    // equi-join), reshape to a 2-D grid, transpose (narrow), strided
+    // slice, rechunk (scatter shuffle), then reduce an axis away.  Values
+    // stay integral so the BIGINT oracle is partitioning-proof.
+    "q149_block_pipeline" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      val a = GArr.fromColumn(li, "l_quantity", liTotalOrder, chunk = 4096)
+      val b = GArr.fromColumn(li, "l_linenumber", liTotalOrder, chunk = 4096)
+      val m = a.elemwise(b)(_ * _)
+      val rows = (a.shape.head / 100L) * 100L
+      val grid = m.slice(Seq((0L, rows, 1L)))
+        .reshape(Seq(rows / 100L, 100L), Seq(1024, 32))
+      val sl = grid.transpose(Seq(1, 0))
+        .slice(Seq((10L, 59L, 2L), (0L, rows / 100L, 1L)))
+      sl.rechunk(Seq(7, 2048)).sumAxis(1).toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("s"))
+    },
+
+    // ---- distributed FFT (four-step decimation across blocks): power
+    // spectrum of a deterministic integral signal built from the first 128
+    // order keys, checked against a direct DFT computed in SQL.  Rounding
+    // to integer power leaves ~7 orders of magnitude of slack over the
+    // ~1e-7 cross-engine float drift.
+    "q150_fft_power" -> { (s, dir) =>
+      import graft.operators.{GArr, SpectralFft}
+      val sig = t(s, dir, "orders")
+        .select(col("o_orderkey")).orderBy("o_orderkey").limit(128)
+        .select(col("o_orderkey"),
+          (col("o_orderkey") % 97 - 48).cast("double").as("x"))
+      val a = GArr.fromColumn(sig, "x", Seq("o_orderkey"), chunk = 16)
+      SpectralFft.fft1d(a, targetElems = 32)
+        .select(col("k"),
+          round(col("re") * col("re") + col("im") * col("im"))
+            .cast("long").as("p"))
+    },
+
+    // ---- blocked matmul (dask matmul/tensordot 2-D): A (60x40) from
+    // l_quantity, B (40x50) from l_linenumber, C = A.B via one join on the
+    // contracted block coordinate + one partial->final reduce; oracle is
+    // the equivalent relational join-aggregate.
+    "q151_block_matmul" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      val q = GArr.fromColumn(li, "l_quantity", liTotalOrder, chunk = 512)
+      val ln = GArr.fromColumn(li, "l_linenumber", liTotalOrder, chunk = 512)
+      val a = q.slice(Seq((0L, 2400L, 1L))).reshape(Seq(60L, 40L), Seq(16, 16))
+      val b = ln.slice(Seq((0L, 2000L, 1L))).reshape(Seq(40L, 50L), Seq(16, 16))
+      a.matmul(b).toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("v"))
+    },
+
+    // ---- array arg-reduction + concatenate: per-column argmax (first
+    // occurrence wins ties — the merge tiebreak the SQL oracle restates as
+    // MIN(row) among max rows) and per-column min, concatenated into one
+    // 1-D result.  Integral values keep the compare exact.
+    "q152_block_argmax" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      val a = GArr.fromColumn(li, "l_quantity",
+        liTotalOrder, chunk = 4096)
+      val rows = (a.shape.head / 100L) * 100L
+      val grid = a.slice(Seq((0L, rows, 1L)))
+        .reshape(Seq(rows / 100L, 100L), Seq(512, 16))
+      GArr.concatenate(0, Seq(grid.argmaxAxis(0), grid.minAxis(0)))
+        .toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("v"))
+    },
+
+    // ---- array map_overlap (halo exchange) + two-phase prefix scan: a
+    // 3-point vertical stencil (edge-truncated) followed by a column
+    // cumulative sum across blocks, sampled every 20th column.  The SQL
+    // oracle restates both as window functions; integral values keep the
+    // whole chain BIGINT-exact under any partitioning.
+    "q153_block_cumsum" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      val a = GArr.fromColumn(li, "l_quantity",
+        liTotalOrder, chunk = 4096)
+      val rows = (a.shape.head / 100L) * 100L
+      val grid = a.slice(Seq((0L, rows, 1L)))
+        .reshape(Seq(rows / 100L, 100L), Seq(512, 16))
+      val sten = grid.mapOverlapAxis(0, 1) { (halo, before, after, hdims) =>
+        val cols = hdims(1)
+        val coreRows = hdims(0) - before - after
+        Array.tabulate(coreRows * cols) { idx =>
+          val r = before + idx / cols; val c = idx % cols
+          (math.max(0, r - 1) to math.min(hdims(0) - 1, r + 1))
+            .map(rr => halo(rr * cols + c)).sum
+        }
+      }
+      sten.cumsumAxis(0)
+        .slice(Seq((0L, rows / 100L, 1L), (0L, 100L, 20L)))
+        .toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("s"))
+    },
+
+    // ---- array scan family + positional relabels: cummax (generalized
+    // two-phase scan), diff (co-partitioned slice subtract), roll
+    // (concatenated tail/head slices), flip (zero-shuffle reversal),
+    // constant pad, strided sampling.  All-integral chain, BIGINT oracle.
+    "q154_block_scan_roll" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      val a = GArr.fromColumn(li, "l_quantity", liTotalOrder, chunk = 4096)
+      val d = a.cummaxAxis(0).diffAxis(0) // length n-1, >= 0
+      val m = d.shape.head
+      d.rollAxis(0, 1000L).flipAxis(0).padAxis(0, 3, 2, value = -1.0)
+        .slice(Seq((0L, m + 5L, 997L)))
+        .toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("v"))
+    },
+
+    // ---- nan-skipping reductions + distributed top-k: quantities with
+    // NaN injected on l_linenumber >= 5, reshaped to a (rows/100, 100)
+    // grid; per-column nansum, non-NaN count (scalarMap∘sumAxis
+    // composition), nanmin, and the 3 largest values (NaN -> -1, sorted
+    // descending).  Concatenated into one 1-D BIGINT vector.
+    "q155_block_nan_topk" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+        .withColumn("qn", when(col("l_linenumber") >= 5, lit(Double.NaN))
+          .otherwise(col("l_quantity").cast("double")))
+      val a = GArr.fromColumn(li, "qn", liTotalOrder, chunk = 4096)
+      val rows = (a.shape.head / 100L) * 100L
+      val grid = a.slice(Seq((0L, rows, 1L)))
+        .reshape(Seq(rows / 100L, 100L), Seq(512, 16))
+      val ns = grid.nansumAxis(0)
+      val cnt = grid.scalarMap(v => if (v.isNaN) 0.0 else 1.0).sumAxis(0)
+      val mn = grid.nanminAxis(0)
+      val top3 = grid.scalarMap(v => if (v.isNaN) -1.0 else v).topkAxis(0, 3)
+        .reshape(Seq(300L), Seq(300))
+      GArr.concatenate(0, Seq(ns, cnt, mn, top3)).toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("v"))
+    },
+
+    // ---- numpy gradient (depth-1 halo exchange, x2 so edges and centers
+    // are both integral) and broadcast arithmetic (sumAxis -> expand_dims
+    // -> broadcast_to -> co-partitioned elemwise subtract), concatenated
+    // column-wise and sampled every 20th column.
+    "q156_block_gradient_broadcast" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      val a = GArr.fromColumn(li, "l_quantity", liTotalOrder, chunk = 4096)
+      val rows = (a.shape.head / 100L) * 100L
+      val grid = a.slice(Seq((0L, rows, 1L)))
+        .reshape(Seq(rows / 100L, 100L), Seq(512, 16))
+      val grad2 = grid.gradientAxis(0).scalarMap(_ * 2.0)
+      val centered = grid.elemwise(
+        grid.sumAxis(0).expandDims(0)
+          .broadcastAxis(0, rows / 100L, chunk = 512))(_ - _)
+      GArr.concatenate(1, Seq(grad2, centered))
+        .slice(Seq((0L, rows / 100L, 1L), (0L, 200L, 20L)))
+        .toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("v"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -3363,5 +3531,150 @@ object SparkEntry {
         |b AS (SELECT doc_id, lang, (x2*10000)//4294967296 AS bucket FROM a4)
         |SELECT doc_id, lang FROM b
         |WHERE bucket < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 8000
-        |  WHEN 'es' THEN 5000 WHEN 'fr' THEN 10000 ELSE 0 END""".stripMargin)
+        |  WHEN 'es' THEN 5000 WHEN 'fr' THEN 10000 ELSE 0 END""".stripMargin,
+
+    // q149: the flat index rn maps to grid cell (rn//100, rn%100); after
+    // transpose + slice(10:59:2) the output row is (rn%100-10)//2 and
+    // sumAxis(1) folds all grid rows — an exact BIGINT restatement.
+    "q149_block_pipeline" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) * CAST(l_linenumber AS BIGINT) AS v,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |c AS (SELECT (COUNT(*) // 100) * 100 AS m FROM t)
+        |SELECT CAST((rn % 100 - 10) // 2 AS BIGINT) AS idx,
+        |       CAST(SUM(v) AS BIGINT) AS s
+        |FROM t, c
+        |WHERE rn < m AND rn % 100 BETWEEN 10 AND 58 AND (rn % 100) % 2 = 0
+        |GROUP BY 1""".stripMargin,
+
+    // q150: direct DFT of the same 128-sample signal; power is rounded to
+    // integer on both sides (im sign cancels in the square).
+    "q150_fft_power" ->
+      """WITH sig AS (
+        |  SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS n,
+        |         CAST(o_orderkey % 97 - 48 AS DOUBLE) AS x
+        |  FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 128)),
+        |ks AS (SELECT n AS k FROM sig)
+        |SELECT CAST(ks.k AS BIGINT) AS k,
+        |  CAST(ROUND(POWER(SUM(x * COS(2 * PI() * ks.k * sig.n / 128)), 2)
+        |           + POWER(SUM(x * SIN(2 * PI() * ks.k * sig.n / 128)), 2))
+        |       AS BIGINT) AS p
+        |FROM ks, sig GROUP BY 1""".stripMargin,
+
+    // q151: C[i,j] = sum_l A[i,l]*B[l,j] as a relational join-aggregate
+    // over the same row_number cell mapping; flat idx = i*50 + j.
+    "q151_block_matmul" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q, CAST(l_linenumber AS BIGINT) AS ln,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |a AS (SELECT rn // 40 AS i, rn % 40 AS l, q AS v FROM t WHERE rn < 2400),
+        |b AS (SELECT rn // 50 AS l, rn % 50 AS j, ln AS v FROM t WHERE rn < 2000)
+        |SELECT CAST(a.i * 50 + b.j AS BIGINT) AS idx,
+        |       CAST(SUM(a.v * b.v) AS BIGINT) AS v
+        |FROM a JOIN b ON a.l = b.l GROUP BY 1""".stripMargin,
+
+    // q152: argmax with first-occurrence ties = MIN(row) among the rows
+    // attaining the column max; concat offsets the min lane by 100.
+    "q152_block_argmax" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |c AS (SELECT (COUNT(*) // 100) * 100 AS m FROM t),
+        |g AS (SELECT rn // 100 AS r, rn % 100 AS col, v FROM t, c WHERE rn < m),
+        |mx AS (SELECT col, MAX(v) AS mv, MIN(v) AS mnv FROM g GROUP BY col),
+        |am AS (SELECT g.col, MIN(g.r) AS best
+        |       FROM g JOIN mx ON g.col = mx.col AND g.v = mx.mv GROUP BY g.col)
+        |SELECT CAST(col AS BIGINT) AS idx, CAST(best AS BIGINT) AS v FROM am
+        |UNION ALL
+        |SELECT CAST(col + 100 AS BIGINT) AS idx, CAST(mnv AS BIGINT) AS v FROM mx""".stripMargin,
+
+    // q153: stencil = edge-truncated 3-row window sum; cumsum = running
+    // window sum; column sampling keeps cols 0,20,...,80 with new flat
+    // idx = r*5 + col/20.
+    "q153_block_cumsum" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |c AS (SELECT (COUNT(*) // 100) * 100 AS m FROM t),
+        |g AS (SELECT rn // 100 AS r, rn % 100 AS col, v FROM t, c WHERE rn < m),
+        |w AS (SELECT r, col, SUM(v) OVER (PARTITION BY col ORDER BY r
+        |        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS sv FROM g),
+        |cs AS (SELECT r, col, SUM(sv) OVER (PARTITION BY col ORDER BY r) AS s FROM w)
+        |SELECT CAST(r * 5 + col // 20 AS BIGINT) AS idx, CAST(s AS BIGINT) AS s
+        |FROM cs WHERE col % 20 = 0""".stripMargin,
+
+    // q154: cummax prefix -> adjacent diff d(i)=cm(i+1)-cm(i) over
+    // i=0..m-1 (m = n-1), roll(+1000), flip, pad(3,2,-1), sample every
+    // 997th.  Sampled src k*997 maps to d-index ((m+2-src-1000) mod m)
+    // via flip(j)=r(m+2-src) then roll; pads emit -1.  Pure BIGINT.
+    "q154_block_scan_roll" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |cm AS (SELECT rn, MAX(v) OVER (ORDER BY rn) AS c FROM t),
+        |d AS (SELECT rn AS i, lead(c) OVER (ORDER BY rn) - c AS dv FROM cm),
+        |par AS (SELECT COUNT(*) - 1 AS m FROM t),
+        |ks AS (SELECT unnest(generate_series(0, CAST((m + 4) // 997 AS BIGINT))) AS k FROM par),
+        |sel AS (SELECT k, k * 997 AS src, m,
+        |          CASE WHEN k * 997 < 3 OR k * 997 >= m + 3 THEN NULL
+        |               ELSE ((m + 2 - k * 997 - 1000) % m + m) % m END AS di
+        |        FROM ks, par)
+        |SELECT CAST(sel.k AS BIGINT) AS idx,
+        |       CAST(COALESCE(d.dv, -1) AS BIGINT) AS v
+        |FROM sel LEFT JOIN d ON d.i = sel.di""".stripMargin,
+
+    // q155: NaN -> NULL in SQL; nansum = COALESCE(SUM,0), count = COUNT(v),
+    // nanmin = MIN(v); top-3 per column with NaN as -1, values emitted so
+    // tie order cannot matter.  Concat offsets: +100 count, +200 min,
+    // 300 + rank*100 + col for top-3.
+    "q155_block_nan_topk" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN l_linenumber >= 5 THEN NULL
+        |              ELSE CAST(l_quantity AS BIGINT) END AS v,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |c AS (SELECT (COUNT(*) // 100) * 100 AS m FROM t),
+        |g AS (SELECT rn // 100 AS r, rn % 100 AS col, v FROM t, c WHERE rn < m),
+        |ns AS (SELECT col, COALESCE(SUM(v), 0) AS s, COUNT(v) AS cnt, MIN(v) AS mn
+        |       FROM g GROUP BY col),
+        |tk AS (SELECT col, COALESCE(v, -1) AS tv,
+        |              row_number() OVER (PARTITION BY col ORDER BY COALESCE(v, -1) DESC) AS rk
+        |       FROM g QUALIFY rk <= 3)
+        |SELECT CAST(col AS BIGINT) AS idx, CAST(s AS BIGINT) AS v FROM ns
+        |UNION ALL
+        |SELECT CAST(col + 100 AS BIGINT) AS idx, CAST(cnt AS BIGINT) AS v FROM ns
+        |UNION ALL
+        |SELECT CAST(col + 200 AS BIGINT) AS idx, CAST(mn AS BIGINT) AS v FROM ns
+        |UNION ALL
+        |SELECT CAST(300 + (rk - 1) * 100 + col AS BIGINT) AS idx,
+        |       CAST(tv AS BIGINT) AS v FROM tk""".stripMargin,
+
+    // q156: gradient x2 (edges one-sided x2, interior lead-lag) and
+    // v - column-sum, sampled cols 0,20,..,180; first 5 sample lanes are
+    // the gradient, next 5 the centered values.
+    "q156_block_gradient_broadcast" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |c AS (SELECT (COUNT(*) // 100) * 100 AS m FROM t),
+        |g AS (SELECT rn // 100 AS r, rn % 100 AS col, v FROM t, c WHERE rn < m),
+        |nrt AS (SELECT m // 100 AS nr FROM c),
+        |gr AS (SELECT r, col,
+        |         CASE WHEN r = 0 THEN 2 * (lead(v) OVER w - v)
+        |              WHEN r = nr - 1 THEN 2 * (v - lag(v) OVER w)
+        |              ELSE lead(v) OVER w - lag(v) OVER w END AS gv
+        |       FROM g, nrt WINDOW w AS (PARTITION BY col ORDER BY r)),
+        |cs AS (SELECT col, SUM(v) AS s FROM g GROUP BY col),
+        |ce AS (SELECT g.r, g.col, g.v - cs.s AS cv FROM g JOIN cs USING (col))
+        |SELECT CAST(r * 10 + col // 20 AS BIGINT) AS idx, CAST(gv AS BIGINT) AS v
+        |FROM gr WHERE col % 20 = 0
+        |UNION ALL
+        |SELECT CAST(r * 10 + 5 + col // 20 AS BIGINT) AS idx, CAST(cv AS BIGINT) AS v
+        |FROM ce WHERE col % 20 = 0""".stripMargin)
 }

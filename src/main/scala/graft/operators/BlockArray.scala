@@ -333,8 +333,168 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     * `reductions.py` specialized to sum: per-block partial along `axis`
     * (map-side), then one shuffle keyed by the remaining block coords.
     */
-  def sumAxis(axis: Int): GArr = {
-    require(ndim >= 1 && axis >= 0 && axis < ndim)
+  def sumAxis(axis: Int): GArr =
+    axisAgg(axis, 1)(
+      (acc, o) => acc(o) = 0.0,
+      (acc, o, v, _) => acc(o) += v,
+      (acc, other, o) => acc(o) += other(o),
+      (acc, o) => acc(o))
+
+  /** numpy/dask `min`/`max` along an axis, NaN-propagating like numpy. */
+  def minAxis(axis: Int): GArr =
+    axisAgg(axis, 1)(
+      (acc, o) => acc(o) = Double.PositiveInfinity,
+      (acc, o, v, _) => if (v.isNaN || v < acc(o)) acc(o) = if (acc(o).isNaN) acc(o) else v,
+      (acc, other, o) => if (other(o).isNaN || other(o) < acc(o)) acc(o) = if (acc(o).isNaN) acc(o) else other(o),
+      (acc, o) => acc(o))
+
+  def maxAxis(axis: Int): GArr =
+    axisAgg(axis, 1)(
+      (acc, o) => acc(o) = Double.NegativeInfinity,
+      (acc, o, v, _) => if (v.isNaN || v > acc(o)) acc(o) = if (acc(o).isNaN) acc(o) else v,
+      (acc, other, o) => if (other(o).isNaN || other(o) > acc(o)) acc(o) = if (acc(o).isNaN) acc(o) else other(o),
+      (acc, o) => acc(o))
+
+  def meanAxis(axis: Int): GArr = {
+    val n = shape(axis).toDouble
+    axisAgg(axis, 1)(
+      (acc, o) => acc(o) = 0.0,
+      (acc, o, v, _) => acc(o) += v,
+      (acc, other, o) => acc(o) += other(o),
+      (acc, o) => acc(o) / n)
+  }
+
+  /** Population (ddof=0) variance along an axis via per-cell (Σx, Σx²)
+    * power sums — the reference's `moment_chunk/agg` shape
+    * (`array/reductions.py:70-960`) with width-2 cells.
+    */
+  def varAxis(axis: Int, ddof: Int = 0): GArr = {
+    val n = shape(axis).toDouble
+    axisAgg(axis, 2)(
+      (acc, o) => { acc(o) = 0.0; acc(o + 1) = 0.0 },
+      (acc, o, v, _) => { acc(o) += v; acc(o + 1) += v * v },
+      (acc, other, o) => { acc(o) += other(o); acc(o + 1) += other(o + 1) },
+      (acc, o) => { val m = acc(o) / n; (acc(o + 1) - n * m * m) / (n - ddof) })
+  }
+
+  /** numpy `argmin`/`argmax` along an axis (first occurrence wins ties,
+    * NaN wins like numpy); returns the winning global axis coordinate.
+    * The merge tiebreak is the lower coordinate, so the result is
+    * deterministic under any partial-combine order.
+    */
+  def argminAxis(axis: Int): GArr = argAxis(axis, lt = true)
+  def argmaxAxis(axis: Int): GArr = argAxis(axis, lt = false)
+
+  private def argAxis(axis: Int, lt: Boolean): GArr = {
+    def better(v: Double, best: Double): Boolean =
+      if (best.isNaN) false
+      else if (v.isNaN) true
+      else if (lt) v < best else v > best
+    axisAgg(axis, 2)(
+      (acc, o) => { acc(o) = if (lt) Double.PositiveInfinity else Double.NegativeInfinity; acc(o + 1) = -1.0 },
+      (acc, o, v, c) =>
+        if (acc(o + 1) < 0 || better(v, acc(o)) ||
+            (sameKey(v, acc(o)) && c < acc(o + 1))) { acc(o) = v; acc(o + 1) = c.toDouble },
+      (acc, other, o) =>
+        if (acc(o + 1) < 0 || (other(o + 1) >= 0 && (better(other(o), acc(o)) ||
+            (sameKey(other(o), acc(o)) && other(o + 1) < acc(o + 1))))) {
+          acc(o) = other(o); acc(o + 1) = other(o + 1)
+        },
+      (acc, o) => acc(o + 1))
+  }
+
+  private def sameKey(a: Double, b: Double): Boolean =
+    a == b || (a.isNaN && b.isNaN)
+
+  /** numpy `prod` / `any` / `all` along an axis (`array/reductions.py`
+    * prod, any, all). any/all use numpy truthiness: NaN is truthy
+    * (`v != 0.0` is true for NaN in IEEE comparison).
+    */
+  def prodAxis(axis: Int): GArr =
+    axisAgg(axis, 1)(
+      (acc, o) => acc(o) = 1.0,
+      (acc, o, v, _) => acc(o) *= v,
+      (acc, other, o) => acc(o) *= other(o),
+      (acc, o) => acc(o))
+
+  def anyAxis(axis: Int): GArr =
+    axisAgg(axis, 1)(
+      (acc, o) => acc(o) = 0.0,
+      (acc, o, v, _) => if (v != 0.0) acc(o) = 1.0,
+      (acc, other, o) => if (other(o) != 0.0) acc(o) = 1.0,
+      (acc, o) => acc(o))
+
+  def allAxis(axis: Int): GArr =
+    axisAgg(axis, 1)(
+      (acc, o) => acc(o) = 1.0,
+      (acc, o, v, _) => if (v == 0.0) acc(o) = 0.0,
+      (acc, other, o) => if (other(o) == 0.0) acc(o) = 0.0,
+      (acc, o) => acc(o))
+
+  def countNonzeroAxis(axis: Int): GArr =
+    axisAgg(axis, 1)(
+      (acc, o) => acc(o) = 0.0,
+      (acc, o, v, _) => if (v != 0.0) acc(o) += 1.0,
+      (acc, other, o) => acc(o) += other(o),
+      (acc, o) => acc(o))
+
+  /** The nan-skipping reduction family (`array/reductions.py` nansum/
+    * nanmean/nanmin/nanmax/nanvar): NaN elements are ignored; an all-NaN
+    * lane yields 0 for nansum (numpy) and NaN for nanmean/nanmin/nanmax/
+    * nanvar (numpy's all-NaN-slice result). Width-2 cells carry the
+    * non-NaN count so the empty lane is detected exactly.
+    */
+  def nansumAxis(axis: Int): GArr =
+    axisAgg(axis, 1)(
+      (acc, o) => acc(o) = 0.0,
+      (acc, o, v, _) => if (!v.isNaN) acc(o) += v,
+      (acc, other, o) => acc(o) += other(o),
+      (acc, o) => acc(o))
+
+  def nanmeanAxis(axis: Int): GArr =
+    axisAgg(axis, 2)(
+      (acc, o) => { acc(o) = 0.0; acc(o + 1) = 0.0 },
+      (acc, o, v, _) => if (!v.isNaN) { acc(o) += v; acc(o + 1) += 1.0 },
+      (acc, other, o) => { acc(o) += other(o); acc(o + 1) += other(o + 1) },
+      (acc, o) => if (acc(o + 1) == 0.0) Double.NaN else acc(o) / acc(o + 1))
+
+  def nanminAxis(axis: Int): GArr = nanExtremeAxis(axis, lt = true)
+  def nanmaxAxis(axis: Int): GArr = nanExtremeAxis(axis, lt = false)
+
+  private def nanExtremeAxis(axis: Int, lt: Boolean): GArr =
+    axisAgg(axis, 2)(
+      (acc, o) => { acc(o) = if (lt) Double.PositiveInfinity else Double.NegativeInfinity; acc(o + 1) = 0.0 },
+      (acc, o, v, _) => if (!v.isNaN) {
+        if (if (lt) v < acc(o) else v > acc(o)) acc(o) = v
+        acc(o + 1) = 1.0
+      },
+      (acc, other, o) => if (other(o + 1) != 0.0) {
+        if (if (lt) other(o) < acc(o) else other(o) > acc(o)) acc(o) = other(o)
+        acc(o + 1) = 1.0
+      },
+      (acc, o) => if (acc(o + 1) == 0.0) Double.NaN else acc(o))
+
+  def nanvarAxis(axis: Int, ddof: Int = 0): GArr =
+    axisAgg(axis, 3)(
+      (acc, o) => { acc(o) = 0.0; acc(o + 1) = 0.0; acc(o + 2) = 0.0 },
+      (acc, o, v, _) => if (!v.isNaN) { acc(o) += v; acc(o + 1) += v * v; acc(o + 2) += 1.0 },
+      (acc, other, o) => { acc(o) += other(o); acc(o + 1) += other(o + 1); acc(o + 2) += other(o + 2) },
+      (acc, o) => {
+        val n = acc(o + 2)
+        if (n - ddof <= 0) Double.NaN
+        else { val m = acc(o) / n; (acc(o + 1) - n * m * m) / (n - ddof) }
+      })
+
+  /** dask array `topk` (`array/reductions.py` topk): the k largest
+    * (k > 0, sorted descending) or k smallest (k < 0, sorted ascending)
+    * along `axis` — the axis dimension becomes min(|k|, n) in ONE block.
+    * Per-block partial top-k per lane (map-side, O(lanes·k) state), then
+    * one shuffle keyed by the remaining block coords — never a full sort.
+    */
+  def topkAxis(axis: Int, k: Int): GArr = {
+    require(ndim >= 1 && axis >= 0 && axis < ndim && k != 0)
+    val kk = math.min(math.abs(k).toLong, shape(axis)).toInt
+    val desc = k > 0
     val s = spark
     import s.implicits._
     val nd = ndim
@@ -343,14 +503,108 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
       val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), b.bid(d)))
       val restDims = Array.tabulate(nd - 1)(j => sdims(if (j < axis) j else j + 1))
       val restTotal = if (restDims.isEmpty) 1 else restDims.product
-      val acc = new Array[Double](restTotal)
+      val heaps = Array.fill(restTotal)(new scala.collection.mutable.ArrayBuffer[Double](kk + 1))
+      val rstr = cStridesI(restDims)
+      val t = new Array[Int](nd)
+      var i = 0
+      while (i < b.data.length) {
+        var ro = 0; var j = 0; var q = 0
+        while (j < nd) { if (j != axis) { ro += t(j) * rstr(q); q += 1 }; j += 1 }
+        heaps(ro) += b.data(i)
+        incOdo(t, sdims)
+        i += 1
+      }
+      val kept = heaps.map { buf =>
+        val a = buf.toArray
+        java.util.Arrays.sort(a)
+        val picked = if (desc) a.reverse.take(kk) else a.take(kk)
+        picked
+      }
+      val restBid = (0 until nd).filter(_ != axis).map(b.bid)
+      (keyOf(restBid), restBid, restTotal, kept.flatten)
+    }
+    val reduced = partials.groupByKey(_._1).mapGroups { (_, it) =>
+      val ps = it.toArray
+      val restBid = ps.head._2
+      val restTotal = ps.head._3
+      // merge per-lane candidate lists; total candidates per lane is
+      // O(axisGrid · k), sorted once
+      val out = new Array[Double](restTotal * kk)
+      var lane = 0
+      while (lane < restTotal) {
+        val cands = scala.collection.mutable.ArrayBuffer[Double]()
+        ps.foreach { p =>
+          val width = p._4.length / restTotal
+          var j = 0
+          while (j < width) { cands += p._4(lane * width + j); j += 1 }
+        }
+        val a = cands.toArray
+        java.util.Arrays.sort(a)
+        val picked = if (desc) a.reverse.take(kk) else a.take(kk)
+        // place along the (restored) axis position in C-order
+        var j = 0
+        while (j < kk) { out(laneOffset(lane, j)) = picked(j); j += 1 }
+        lane += 1
+      }
+      def laneOffset(lane: Int, aj: Int): Int = {
+        // rest dims with axis re-inserted at `axis` with extent kk:
+        // decompose lane over restDims, then weave aj back in
+        val restDims = Array.tabulate(nd - 1) { j =>
+          val d = if (j < axis) j else j + 1
+          chunkDim(srcStarts(d), restBid(if (j < axis) j else j))
+        }
+        val full = new Array[Int](nd)
+        var rem = lane
+        var j = nd - 2
+        while (j >= 0) { full(if (j < axis) j else j + 1) = rem % restDims(j); rem /= restDims(j); j -= 1 }
+        full(axis) = aj
+        val fullDims = new Array[Int](nd)
+        var d = 0
+        while (d < nd) { fullDims(d) = if (d == axis) kk else chunkDim(srcStarts(d), restBid(if (d < axis) d else d - 1)); d += 1 }
+        val str = cStridesI(fullDims)
+        var off = 0; d = 0
+        while (d < nd) { off += full(d) * str(d); d += 1 }
+        off
+      }
+      val bid = (restBid.take(axis) :+ 0) ++ restBid.drop(axis)
+      ABlock(bid, out)
+    }
+    GArr(shape.updated(axis, kk.toLong),
+      chunks.updated(axis, Seq(kk)), reduced)
+  }
+
+  /** Axis-reduction engine: per-block partial over `width`-double cells
+    * (map-side combine), then ONE shuffle keyed by the remaining block
+    * coords — `reductions.py`'s chunk/combine/aggregate tree with Spark's
+    * shuffle as the tree. `absorb` sees the element's GLOBAL coordinate
+    * along the reduced axis (for arg-reductions).
+    */
+  private def axisAgg(axis: Int, width: Int)(
+      init: (Array[Double], Int) => Unit,
+      absorb: (Array[Double], Int, Double, Long) => Unit,
+      merge: (Array[Double], Array[Double], Int) => Unit,
+      finish: (Array[Double], Int) => Double): GArr = {
+    require(ndim >= 1 && axis >= 0 && axis < ndim)
+    val s = spark
+    import s.implicits._
+    val nd = ndim
+    val w = width
+    val srcStarts = chunks.map(startsOf)
+    val partials = blocks.map { b =>
+      val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), b.bid(d)))
+      val axisStart = srcStarts(axis)(b.bid(axis))
+      val restDims = Array.tabulate(nd - 1)(j => sdims(if (j < axis) j else j + 1))
+      val restTotal = if (restDims.isEmpty) 1 else restDims.product
+      val acc = new Array[Double](restTotal * w)
+      var c = 0
+      while (c < restTotal) { init(acc, c * w); c += 1 }
       val t = new Array[Int](nd)
       val rstr = cStridesI(restDims)
       var i = 0
       while (i < b.data.length) {
         var ro = 0; var j = 0; var k = 0
         while (j < nd) { if (j != axis) { ro += t(j) * rstr(k); k += 1 }; j += 1 }
-        acc(ro) += b.data(i)
+        absorb(acc, ro * w, b.data(i), axisStart + t(axis))
         incOdo(t, sdims)
         i += 1
       }
@@ -360,11 +614,436 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     val reduced = partials.groupByKey(_._1).mapGroups { (_, it) =>
       val first = it.next()
       val acc = first._3.clone()
-      it.foreach { p => var i = 0; while (i < acc.length) { acc(i) += p._3(i); i += 1 } }
-      ABlock(first._2, acc)
+      it.foreach { p =>
+        var c = 0
+        while (c * w < acc.length) { merge(acc, p._3, c * w); c += 1 }
+      }
+      val out = new Array[Double](acc.length / w)
+      var c = 0
+      while (c < out.length) { out(c) = finish(acc, c * w); c += 1 }
+      ABlock(first._2, out)
     }
     GArr((0 until nd).filter(_ != axis).map(shape),
       (0 until nd).filter(_ != axis).map(chunks), reduced)
+  }
+
+  /** Inclusive prefix scans along `axis` — the reference's
+    * sequential/blelloch `cumsum/cumprod(axis=)`
+    * (`array/reductions.py:217-268`) plus the `cummax/cummin`
+    * ufunc-accumulate family, all over one generalized two-phase
+    * distributed scan ([[scanAxis]]).
+    */
+  def cumsumAxis(axis: Int): GArr = scanAxis(axis)(_ + _)
+  def cumprodAxis(axis: Int): GArr = scanAxis(axis)(_ * _)
+  /** numpy `maximum.accumulate` / `minimum.accumulate` semantics: NaN
+    * propagates once seen (IEEE max/min with NaN checks, like np.maximum).
+    */
+  def cummaxAxis(axis: Int): GArr =
+    scanAxis(axis)((a, b) => if (a.isNaN || b.isNaN) Double.NaN else math.max(a, b))
+  def cumminAxis(axis: Int): GArr =
+    scanAxis(axis)((a, b) => if (a.isNaN || b.isNaN) Double.NaN else math.min(a, b))
+
+  /** Generalized inclusive prefix scan with any associative `op`, as the
+    * classic two-phase distributed scan: (1) narrow per-block local scan
+    * emitting per-lane block totals, (2) totals prefix-combined per lane
+    * across the axis block index — ONE groupByKey whose state is
+    * O(axis grid · lanes/block), never O(elements), (3) offsets joined
+    * back (equi-join on the block id) and combined in a narrow map. Two
+    * shuffles total regardless of array size. Blocks upstream of the
+    * first axis block receive no offset (the exclusive prefix of nothing),
+    * so no identity element is needed — `op` alone suffices.
+    */
+  def scanAxis(axis: Int)(op: (Double, Double) => Double): GArr = {
+    require(ndim >= 1 && axis >= 0 && axis < ndim)
+    val s = spark
+    import s.implicits._
+    val nd = ndim
+    val srcStarts = chunks.map(startsOf)
+    val scanned = blocks.map { b =>
+      val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), b.bid(d)))
+      val str = cStridesI(sdims)
+      val astr = str(axis)
+      val out = b.data.clone()
+      val t = new Array[Int](nd)
+      var i = 0
+      while (i < out.length) {
+        if (t(axis) > 0) out(i) = op(out(i - astr), out(i))
+        incOdo(t, sdims)
+        i += 1
+      }
+      // per-lane totals = the scanned values on the block's last axis plane
+      val restDims = Array.tabulate(nd - 1)(j => sdims(if (j < axis) j else j + 1))
+      val restTotal = if (restDims.isEmpty) 1 else restDims.product
+      val totals = new Array[Double](restTotal)
+      val rstr = cStridesI(restDims)
+      java.util.Arrays.fill(t, 0)
+      i = 0
+      while (i < out.length) {
+        if (t(axis) == sdims(axis) - 1) {
+          var ro = 0; var j = 0; var k = 0
+          while (j < nd) { if (j != axis) { ro += t(j) * rstr(k); k += 1 }; j += 1 }
+          totals(ro) = out(i)
+        }
+        incOdo(t, sdims)
+        i += 1
+      }
+      val restBid = (0 until nd).filter(_ != axis).map(b.bid)
+      (keyOf(b.bid), keyOf(restBid), b.bid, out, totals)
+    }
+    // phase 2: exclusive prefix-combine of block totals along the axis
+    // grid, per lane. The first axis block gets NO offset row (exclusive
+    // prefix of nothing) — `op` needs no identity element.
+    val offsets = scanned
+      .map(x => (x._2, x._3(axis), x._5))
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val entries = it.toArray.sortBy(_._2)
+        val lanes = entries.head._3.length
+        var run: Array[Double] = null
+        entries.flatMap { case (restKey, axisBid, tot) =>
+          val off = if (run == null) None else Some((restKey + "|" + axisBid, run.clone()))
+          if (run == null) run = tot.clone()
+          else { var l = 0; while (l < lanes) { run(l) = op(run(l), tot(l)); l += 1 } }
+          off
+        }
+      }
+    // phase 3: combine the lane offset into every element of the matching
+    // block (left join — offset-less first blocks pass through unchanged)
+    val axisIdx = axis
+    val keyed = scanned.map(x => (x._2 + "|" + x._3(axisIdx), x._3, x._4))
+    val joined = keyed.joinWith(offsets, keyed("_1") === offsets("_1"), "left_outer")
+    val result = joined.map { case ((_, bid, data), offRow) =>
+      if (offRow == null) ABlock(bid, data)
+      else {
+        val off = offRow._2
+        val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), bid(d)))
+        val restDims = Array.tabulate(nd - 1)(j => sdims(if (j < axisIdx) j else j + 1))
+        val rstr = cStridesI(restDims)
+        val out = data.clone()
+        val t = new Array[Int](nd)
+        var i = 0
+        while (i < out.length) {
+          var ro = 0; var j = 0; var k = 0
+          while (j < nd) { if (j != axisIdx) { ro += t(j) * rstr(k); k += 1 }; j += 1 }
+          out(i) = op(off(ro), out(i))
+          incOdo(t, sdims)
+          i += 1
+        }
+        ABlock(bid, out)
+      }
+    }
+    copy(blocks = result)
+  }
+
+  /** dask array `map_overlap` along one axis (reference
+    * `array/overlap.py:501` with `boundary='none'` trim semantics): each
+    * block receives up to `depth` neighboring hyperplanes from the
+    * adjacent blocks on each side, the kernel sees (data-with-halos,
+    * haloBefore, haloAfter, dims-with-halos) and must return the CORE
+    * (halo-trimmed) block. Only the halo slabs cross the wire — one
+    * shuffle of O(depth · plane) pieces, never whole blocks.
+    */
+  def mapOverlapAxis(axis: Int, depth: Int)(
+      f: (Array[Double], Int, Int, Array[Int]) => Array[Double]): GArr = {
+    require(ndim >= 1 && axis >= 0 && axis < ndim && depth >= 0)
+    val s = spark
+    import s.implicits._
+    val nd = ndim
+    val srcStarts = chunks.map(startsOf)
+    val axisStarts = srcStarts(axis)
+    val axisChunks = chunks(axis).toArray
+    val gridAxis = grid(axis)
+    val nAxis = shape(axis)
+    // pieces route by GLOBAL axis coordinate, so a halo deeper than one
+    // chunk is gathered from as many blocks as it spans (depth > chunk is
+    // legal, exactly as in the reference). Placement = axis offset inside
+    // the destination's halo-extended block.
+    val pieces = blocks.flatMap { b =>
+      val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), b.bid(d)))
+      val alen = sdims(axis)
+      val abid = b.bid(axis)
+      val g0 = axisStarts(abid)
+      val g1 = g0 + alen
+      val out = scala.collection.mutable.ArrayBuffer[(String, Seq[Int], Int, Array[Double])]()
+      val beforeSelf = math.min(depth.toLong, g0).toInt
+      out += ((keyOf(b.bid), b.bid, beforeSelf, b.data))
+      // right destinations m > abid: b's tail lands in m's before-halo
+      var m = abid + 1
+      while (m < gridAxis && axisStarts(m) < g1 + depth) {
+        val sM = axisStarts(m)
+        val lo = math.max(g0, sM - depth); val hi = math.min(g1, sM)
+        if (hi > lo) {
+          val dst = b.bid.updated(axis, m)
+          val beforeM = math.min(depth.toLong, sM).toInt
+          out += ((keyOf(dst), dst, (lo - (sM - beforeM)).toInt,
+            slabOf(b.data, sdims, axis, (lo - g0).toInt, (hi - g0).toInt)))
+        }
+        m += 1
+      }
+      // left destinations m < abid: b's head lands in m's after-halo
+      m = abid - 1
+      while (m >= 0 && axisStarts(m) + axisChunks(m) > g0 - depth) {
+        val eM = axisStarts(m) + axisChunks(m)
+        val lo = math.max(g0, eM); val hi = math.min(g1, eM + depth)
+        if (hi > lo) {
+          val dst = b.bid.updated(axis, m)
+          val beforeM = math.min(depth.toLong, axisStarts(m)).toInt
+          out += ((keyOf(dst), dst,
+            (beforeM + axisChunks(m) + (lo - eM)).toInt,
+            slabOf(b.data, sdims, axis, (lo - g0).toInt, (hi - g0).toInt)))
+        }
+        m -= 1
+      }
+      out
+    }
+    val assembled = pieces.groupByKey(_._1).mapGroups { (_, it) =>
+      val ps = it.toArray
+      val bid = ps.head._2
+      val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), bid(d)))
+      val alen = sdims(axis)
+      val sM = axisStarts(bid(axis))
+      val before = math.min(depth.toLong, sM).toInt
+      val after = math.min(depth.toLong, nAxis - (sM + alen)).toInt
+      val hdims = sdims.clone(); hdims(axis) = alen + before + after
+      val halo = new Array[Double](hdims.product)
+      ps.foreach { case (_, _, place, data) =>
+        val planeCount = data.length / math.max(1, hdims.product / hdims(axis))
+        placeSlab(data, halo, hdims, axis, place, place + planeCount)
+      }
+      val core = f(halo, before, after, hdims)
+      require(core.length == sdims.product,
+        s"mapOverlapAxis kernel returned ${core.length}, expected ${sdims.product}")
+      ABlock(bid, core)
+    }
+    copy(blocks = assembled)
+  }
+
+  /** numpy `diff(n=1)` along an axis (`array/routines.py` diff): composed
+    * from two strided slices + elementwise subtract — both slices emit the
+    * same output grid (same lengths, same chunk chooser), so the elemwise
+    * join is co-partitioned. Output axis length shrinks by one.
+    */
+  def diffAxis(axis: Int): GArr = {
+    require(shape(axis) >= 2, s"diff needs >=2 elements along axis $axis")
+    val n = shape(axis)
+    val full = shape.indices.map(d => (0L, shape(d), 1L))
+    val hi = slice(full.updated(axis, (1L, n, 1L)))
+    val lo = slice(full.updated(axis, (0L, n - 1, 1L)))
+    hi.elemwise(lo)(_ - _)
+  }
+
+  /** numpy `gradient` with unit spacing along `axis`: central differences
+    * `(f[i+1]-f[i-1])/2` in the interior, one-sided at the edges. Shape-
+    * preserving; implemented as a depth-1 halo exchange ([[mapOverlapAxis]])
+    * so only boundary planes cross the wire.
+    */
+  def gradientAxis(axis: Int): GArr = {
+    require(shape(axis) >= 2, s"gradient needs >=2 elements along axis $axis")
+    val ax = axis
+    mapOverlapAxis(ax, 1) { (halo, before, after, hdims) =>
+      val nd = hdims.length
+      val str = cStridesI(hdims)
+      val astr = str(ax)
+      val alen = hdims(ax)
+      val coreDims = hdims.clone(); coreDims(ax) = alen - before - after
+      val out = new Array[Double](coreDims.product)
+      val t = new Array[Int](nd)
+      var i = 0
+      while (i < out.length) {
+        var ho = 0; var j = 0
+        while (j < nd) { ho += (if (j == ax) t(j) + before else t(j)) * str(j); j += 1 }
+        val a = t(ax) + before
+        out(i) =
+          if (a == 0) halo(ho + astr) - halo(ho)
+          else if (a == alen - 1) halo(ho) - halo(ho - astr)
+          else (halo(ho + astr) - halo(ho - astr)) / 2.0
+        incOdo(t, coreDims)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** numpy `flip` along an axis: zero-shuffle narrow map — block
+    * coordinates reverse along the axis grid, chunk sizes reverse, and
+    * each block's payload reverses along the axis locally.
+    */
+  def flipAxis(axis: Int): GArr = {
+    val s = spark
+    import s.implicits._
+    val nd = ndim
+    val srcStarts = chunks.map(startsOf)
+    val gAxis = grid(axis)
+    val ax = axis
+    val out = blocks.map { b =>
+      val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), b.bid(d)))
+      val str = cStridesI(sdims)
+      val o = new Array[Double](b.data.length)
+      val t = new Array[Int](nd)
+      var i = 0
+      while (i < o.length) {
+        var so = 0; var j = 0
+        while (j < nd) { so += (if (j == ax) sdims(ax) - 1 - t(j) else t(j)) * str(j); j += 1 }
+        o(i) = b.data(so)
+        incOdo(t, sdims)
+        i += 1
+      }
+      ABlock(b.bid.updated(ax, gAxis - 1 - b.bid(ax)), o)
+    }
+    GArr(shape, chunks.updated(axis, chunks(axis).reverse), out)
+  }
+
+  /** numpy `roll` along an axis (circular shift by `shift`): composed as
+    * `concatenate(tail-slice, head-slice)` — two scatter shuffles, zero
+    * driver data.
+    */
+  def rollAxis(axis: Int, shift: Long): GArr = {
+    val n = shape(axis)
+    val sft = ((shift % n) + n) % n
+    if (sft == 0L) this
+    else {
+      val full = shape.indices.map(d => (0L, shape(d), 1L))
+      val tail = slice(full.updated(axis, (n - sft, n, 1L)))
+      val head = slice(full.updated(axis, (0L, n - sft, 1L)))
+      // non-axis chunking comes from the same chooser over identical
+      // lengths, so concatenate's grid requirement holds by construction
+      GArr.concatenate(axis, Seq(tail, head))
+    }
+  }
+
+  /** numpy constant `pad` along one axis: concatenate constant-filled
+    * pad arrays (built block-parallel from this array's own non-axis
+    * chunk structure — [[GArr.fromChunksGrid]]) before/after. Zero data
+    * movement for the existing payload.
+    */
+  def padAxis(axis: Int, before: Int, after: Int, value: Double = 0.0): GArr = {
+    require(before >= 0 && after >= 0)
+    def padArr(len: Int): GArr = {
+      val padShape = shape.updated(axis, len.toLong)
+      val padChunks = chunks.updated(axis, Seq(len))
+      GArr.fromChunksGrid(spark, padShape, padChunks)((_, dims) =>
+        Array.fill(dims.product)(value))
+    }
+    val parts = Seq(
+      if (before > 0) Some(padArr(before)) else None,
+      Some(this),
+      if (after > 0) Some(padArr(after)) else None).flatten
+    if (parts.length == 1) this else GArr.concatenate(axis, parts)
+  }
+
+  /** numpy `squeeze(axis)` — drop a length-1 axis; pure metadata relabel,
+    * zero shuffle.
+    */
+  def squeeze(axis: Int): GArr = {
+    require(shape(axis) == 1L, s"squeeze axis $axis has length ${shape(axis)}")
+    val s = spark
+    import s.implicits._
+    val ax = axis
+    GArr(shape.patch(ax, Nil, 1), chunks.patch(ax, Nil, 1),
+      blocks.map(b => ABlock(b.bid.patch(ax, Nil, 1), b.data)))
+  }
+
+  /** numpy `expand_dims(axis)` — insert a length-1 axis; pure metadata
+    * relabel, zero shuffle.
+    */
+  def expandDims(axis: Int): GArr = {
+    require(axis >= 0 && axis <= ndim)
+    val s = spark
+    import s.implicits._
+    val ax = axis
+    GArr(shape.patch(ax, Seq(1L), 0), chunks.patch(ax, Seq(Seq(1)), 0),
+      blocks.map(b => ABlock(b.bid.patch(ax, Seq(0), 0), b.data)))
+  }
+
+  /** numpy `broadcast_to` along a length-1 axis: replicate to `len` with
+    * chunk size `chunk`. A 1→many narrow flatMap — each source block emits
+    * its tiled copy per destination axis chunk; no shuffle (payload grows
+    * by the broadcast factor, which IS the output size).
+    */
+  def broadcastAxis(axis: Int, len: Long, chunk: Int): GArr = {
+    require(shape(axis) == 1L, s"broadcast axis $axis has length ${shape(axis)} (want 1)")
+    val s = spark
+    import s.implicits._
+    val nd = ndim
+    val ax = axis
+    val srcStarts = chunks.map(startsOf)
+    val newChunks = GArr.evenChunks(len, chunk)
+    val nAxisBlocks = newChunks.length
+    val axSizes = newChunks.toArray
+    val out = blocks.flatMap { b =>
+      val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), b.bid(d)))
+      // C-order tiling of a size-1 axis: inner = product of dims after ax,
+      // repeat each inner-run `alen` times
+      val inner = (ax + 1 until nd).map(sdims(_)).product
+      val outerN = b.data.length / inner
+      (0 until nAxisBlocks).map { ab =>
+        val alen = axSizes(ab)
+        val o = new Array[Double](b.data.length * alen)
+        var outer = 0
+        while (outer < outerN) {
+          var r = 0
+          while (r < alen) {
+            System.arraycopy(b.data, outer * inner, o, (outer * alen + r) * inner, inner)
+            r += 1
+          }
+          outer += 1
+        }
+        ABlock(b.bid.updated(ax, ab), o)
+      }
+    }
+    GArr(shape.updated(axis, len), chunks.updated(axis, newChunks), out)
+  }
+
+  /** Blocked matrix multiply — dask `matmul`/`tensordot` in its 2-D form
+    * (reference `array/routines.py:292` matmul, lowered through the same
+    * blockwise contraction dask builds). One equi-join on the contracted
+    * block coordinate fans A(i,l) against B(l,j), then one partial→final
+    * reduce keyed by the output block coordinate (i,j): two shuffles
+    * total, every payload bounded by the chunk size — the shape that
+    * survives arbitrarily large p×q·q×r at 1000 executors. The inner
+    * kernel is the cache-friendly ikj order with a zero-skip on A.
+    */
+  def matmul(other: GArr): GArr = {
+    require(ndim == 2 && other.ndim == 2, "matmul takes 2-D arrays")
+    require(shape(1) == other.shape(0) && chunks(1) == other.chunks(0),
+      s"matmul contraction mismatch: $shape ${chunks(1)} vs ${other.shape} ${other.chunks.head}")
+    val s = spark
+    import s.implicits._
+    val aStarts = chunks.map(startsOf)
+    val bStarts = other.chunks.map(startsOf)
+    val l = blocks.map(b => (b.bid(1), b.bid, b.data))
+    val r = other.blocks.map(b => (b.bid(0), b.bid, b.data))
+    val joined = l.joinWith(r, l("_1") === r("_1"))
+    val partials = joined.map { case ((_, abid, a), (_, bbid, bdat)) =>
+      val mi = chunkDim(aStarts(0), abid(0))
+      val kl = chunkDim(aStarts(1), abid(1))
+      val nj = chunkDim(bStarts(1), bbid(1))
+      val out = new Array[Double](mi * nj)
+      var i = 0
+      while (i < mi) {
+        var k = 0
+        while (k < kl) {
+          val av = a(i * kl + k)
+          if (av != 0.0) {
+            val boff = k * nj
+            val ooff = i * nj
+            var j = 0
+            while (j < nj) { out(ooff + j) += av * bdat(boff + j); j += 1 }
+          }
+          k += 1
+        }
+        i += 1
+      }
+      val bid = Seq(abid(0), bbid(1))
+      (keyOf(bid), bid, out)
+    }
+    val reduced = partials.groupByKey(_._1).mapGroups { (_, it) =>
+      val first = it.next()
+      val acc = first._3.clone()
+      it.foreach { p => var i = 0; while (i < acc.length) { acc(i) += p._3(i); i += 1 } }
+      ABlock(first._2, acc)
+    }
+    GArr(Seq(shape(0), other.shape(1)), Seq(chunks(0), other.chunks(1)), reduced)
   }
 
   /** dask array shuffle (`array/_shuffle.py:1-328`): regroup indices along
@@ -556,6 +1235,46 @@ object GArr {
     }
   }
 
+  /** Extract the hyperplane slab with axis coordinate in [a0, a1) from a
+    * C-order block, returned in the slab's own C-order.
+    */
+  private[operators] def slabOf(data: Array[Double], dims: Array[Int],
+                                axis: Int, a0: Int, a1: Int): Array[Double] = {
+    val nd = dims.length
+    val sdimsSlab = dims.clone(); sdimsSlab(axis) = a1 - a0
+    val out = new Array[Double](sdimsSlab.product)
+    val str = cStridesI(dims)
+    val t = new Array[Int](nd)
+    var i = 0
+    while (i < out.length) {
+      var so = 0; var j = 0
+      while (j < nd) { so += (if (j == axis) t(j) + a0 else t(j)) * str(j); j += 1 }
+      out(i) = data(so)
+      incOdo(t, sdimsSlab)
+      i += 1
+    }
+    out
+  }
+
+  /** Place a slab (its own C-order) into `dst` (dims `ddims`) at axis
+    * coordinates [lo, hi).
+    */
+  private[operators] def placeSlab(slab: Array[Double], dst: Array[Double],
+                                   ddims: Array[Int], axis: Int, lo: Int, hi: Int): Unit = {
+    val nd = ddims.length
+    val sdimsSlab = ddims.clone(); sdimsSlab(axis) = hi - lo
+    val str = cStridesI(ddims)
+    val t = new Array[Int](nd)
+    var i = 0
+    while (i < slab.length) {
+      var dOff = 0; var j = 0
+      while (j < nd) { dOff += (if (j == axis) t(j) + lo else t(j)) * str(j); j += 1 }
+      dst(dOff) = slab(i)
+      incOdo(t, sdimsSlab)
+      i += 1
+    }
+  }
+
   private[operators] def keyOf(bid: Seq[Int]): String = bid.mkString(",")
 
   private[operators] def linearBid(bid: Seq[Int], grid: Seq[Int]): Int = {
@@ -689,6 +1408,71 @@ object GArr {
       ABlock(bid.toSeq, data)
     }
     GArr(shape, chunks, ds)
+  }
+
+  /** Like [[fromFunction]] but over an EXPLICIT (possibly irregular)
+    * chunks structure — used by ops that must mirror an existing array's
+    * grid exactly (e.g. [[GArr.padAxis]] pads). The kernel receives
+    * (bid, blockDims) and returns the block payload. Parallel over the
+    * block grid, zero driver data.
+    */
+  def fromChunksGrid(s: SparkSession, shape: Seq[Long], chunks: Seq[Seq[Int]])
+                    (f: (Seq[Int], Array[Int]) => Array[Double]): GArr = {
+    import s.implicits._
+    val grid = chunks.map(_.length)
+    val nb = grid.map(_.toLong).product
+    val starts = chunks.map(startsOf)
+    val nd = shape.length
+    val ds = s.range(nb).map { flat: java.lang.Long =>
+      val bid = new Array[Int](nd)
+      var rem = flat.longValue
+      var d = nd - 1
+      while (d >= 0) { bid(d) = (rem % grid(d)).toInt; rem /= grid(d); d -= 1 }
+      val dims = Array.tabulate(nd)(d => chunkDim(starts(d), bid(d)))
+      val data = f(bid.toSeq, dims)
+      require(data.length == dims.product,
+        s"fromChunksGrid kernel returned ${data.length}, expected ${dims.product}")
+      ABlock(bid.toSeq, data)
+    }
+    GArr(shape, chunks, ds)
+  }
+
+  /** numpy/dask `concatenate` along `axis` (reference `array/core.py`
+    * concatenate): pure metadata relabel + `union` — each input block
+    * keeps its payload and gets its axis block-coordinate offset by the
+    * preceding arrays' grid lengths. Zero shuffle at any scale; non-axis
+    * dims must share shape and chunking (rechunk first otherwise, exactly
+    * as dask does).
+    */
+  def concatenate(axis: Int, arrs: Seq[GArr]): GArr = {
+    require(arrs.nonEmpty, "concatenate of nothing")
+    val h = arrs.head
+    val nd = h.ndim
+    require(axis >= 0 && axis < nd && arrs.forall(_.ndim == nd),
+      s"concatenate axis $axis over ndim $nd")
+    for (d <- 0 until nd if d != axis)
+      require(arrs.forall(a => a.shape(d) == h.shape(d) && a.chunks(d) == h.chunks(d)),
+        s"concatenate: non-axis dim $d differs in shape or chunking")
+    val s = h.blocks.sparkSession
+    import s.implicits._
+    val offs = arrs.map(_.grid(axis)).scanLeft(0)(_ + _)
+    val shifted = arrs.zip(offs).map { case (a, off) =>
+      a.blocks.map(b => ABlock(b.bid.updated(axis, b.bid(axis) + off), b.data))
+    }.reduce(_ union _)
+    GArr(h.shape.updated(axis, arrs.map(_.shape(axis)).sum),
+      h.chunks.updated(axis, arrs.flatMap(_.chunks(axis))), shifted)
+  }
+
+  /** numpy/dask `stack`: new leading unit axis per input, then concat. */
+  def stack(arrs: Seq[GArr]): GArr = {
+    require(arrs.nonEmpty, "stack of nothing")
+    val lifted = arrs.map { a =>
+      val s = a.blocks.sparkSession
+      import s.implicits._
+      GArr(1L +: a.shape, Seq(1) +: a.chunks,
+        a.blocks.map(b => ABlock(0 +: b.bid, b.data)))
+    }
+    concatenate(0, lifted)
   }
 
 }

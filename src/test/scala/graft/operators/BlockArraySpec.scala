@@ -213,4 +213,340 @@ class BlockArraySpec extends SparkTestBase {
       assert(math.abs(pw(k.toLong) - expected) < 1e-6, s"k=$k: ${pw(k.toLong)} vs $expected")
     }
   }
+
+  test("matmul: blocked product matches dense reference across chunkings") {
+    val p = 7L; val q = 9L; val r = 5L
+    val fa: Array[Long] => Double = g => (g(0) * 3 + g(1) * 2 - 4).toDouble
+    val fb: Array[Long] => Double = g => (g(0) - 2 * g(1) + 1).toDouble
+    val denseC = Array.tabulate((p * r).toInt) { idx =>
+      val i = idx / r.toInt; val j = idx % r.toInt
+      (0 until q.toInt).map(k => fa(Array(i, k)) * fb(Array(k.toLong, j))).sum
+    }
+    for ((ca, cb, cc) <- Seq((3, 4, 2), (7, 9, 5), (2, 2, 2), (1, 1, 1))) {
+      val a = GArr.fromFunction(spark, Seq(p, q), Seq(ca, cb))(fa)
+      val b = GArr.fromFunction(spark, Seq(q, r), Seq(cb, cc))(fb)
+      val c = a.matmul(b)
+      assert(c.shape == Seq(p, r) && c.chunks == Seq(a.chunks.head, b.chunks(1)))
+      val got = indexed(c)
+      assert(got.size == (p * r).toInt, s"chunks ($ca,$cb,$cc)")
+      denseC.zipWithIndex.foreach { case (v, i) =>
+        assert(got(i.toLong) == v, s"chunks ($ca,$cb,$cc) idx $i: ${got(i.toLong)} vs $v")
+      }
+    }
+    val a = GArr.fromFunction(spark, Seq(p, q), Seq(3, 4))(fa)
+    val bBad = GArr.fromFunction(spark, Seq(q, r), Seq(5, 2))(fb)
+    intercept[IllegalArgumentException](a.matmul(bBad))
+  }
+
+  test("min/max/mean/var/argmin/argmax along an axis match dense references") {
+    val sh = Seq(6L, 8L)
+    val rnd = new scala.util.Random(11)
+    val vals = Array.fill(48)(math.floor(rnd.nextDouble() * 19) - 9)
+    val f: Array[Long] => Double = g => vals((g(0) * 8 + g(1)).toInt)
+    for (axis <- Seq(0, 1); (c0, c1) <- Seq((2, 3), (6, 8), (1, 1))) {
+      val a = GArr.fromFunction(spark, sh, Seq(c0, c1))(f)
+      val keep = if (axis == 0) 8 else 6
+      val red = if (axis == 0) 6 else 8
+      def lane(k: Int): Seq[Double] =
+        (0 until red).map(i => if (axis == 0) f(Array(i, k)) else f(Array(k, i)))
+      def check(got: GArr, expect: Int => Double, tag: String): Unit = {
+        val m = indexed(got)
+        assert(got.shape == Seq(keep.toLong), s"$tag shape")
+        (0 until keep).foreach { k =>
+          assert(math.abs(m(k.toLong) - expect(k)) < 1e-12,
+            s"$tag axis=$axis chunks=($c0,$c1) k=$k: ${m(k.toLong)} vs ${expect(k)}")
+        }
+      }
+      check(a.minAxis(axis), k => lane(k).min, "min")
+      check(a.maxAxis(axis), k => lane(k).max, "max")
+      check(a.meanAxis(axis), k => lane(k).sum / red, "mean")
+      check(a.varAxis(axis), { k =>
+        val l = lane(k); val m = l.sum / red
+        l.map(x => (x - m) * (x - m)).sum / red
+      }, "var")
+      check(a.varAxis(axis, ddof = 1), { k =>
+        val l = lane(k); val m = l.sum / red
+        l.map(x => (x - m) * (x - m)).sum / (red - 1)
+      }, "var1")
+      check(a.argminAxis(axis), k => lane(k).zipWithIndex.minBy(_._1)._2.toDouble, "argmin")
+      check(a.argmaxAxis(axis), k => lane(k).zipWithIndex.maxBy(_._1)._2.toDouble, "argmax")
+    }
+  }
+
+  test("argmin/argmax: first occurrence wins ties across chunk boundaries; NaN wins") {
+    // lane 0: tie of 1.0 at coords 1 and 5 (different chunks) -> 1
+    // lane 1: NaN at coord 3 -> 3 (numpy semantics)
+    val grid = Array(
+      5.0, 7.0,
+      1.0, 2.0,
+      3.0, 4.0,
+      2.0, Double.NaN,
+      4.0, 0.0,
+      1.0, 6.0)
+    val a = GArr.fromFunction(spark, Seq(6L, 2L), Seq(2, 2))(g => grid((g(0) * 2 + g(1)).toInt))
+    val mn = indexed(a.argminAxis(0))
+    assert(mn(0L) == 1.0 && mn(1L) == 3.0)
+    val mx = indexed(a.argmaxAxis(0))
+    assert(mx(0L) == 0.0 && mx(1L) == 3.0)
+  }
+
+  test("concatenate and stack relabel blocks without reshuffling data") {
+    val a = GArr.fromFunction(spark, Seq(3L, 4L), Seq(2, 3))(g => (g(0) * 10 + g(1)).toDouble)
+    val b = GArr.fromFunction(spark, Seq(2L, 4L), Seq(2, 3))(g => (100 + g(0) * 10 + g(1)).toDouble)
+    val c = GArr.concatenate(0, Seq(a, b))
+    assert(c.shape == Seq(5L, 4L) && c.chunks.head == Seq(2, 1, 2))
+    val got = indexed(c)
+    for (i <- 0 until 5; j <- 0 until 4) {
+      val exp = if (i < 3) i * 10 + j else 100 + (i - 3) * 10 + j
+      assert(got((i * 4 + j).toLong) == exp.toDouble, s"($i,$j)")
+    }
+    val st = GArr.stack(Seq(a, a.scalarMap(_ + 1000.0)))
+    assert(st.shape == Seq(2L, 3L, 4L))
+    val gs = indexed(st)
+    for (i <- 0 until 3; j <- 0 until 4) {
+      assert(gs((i * 4 + j).toLong) == (i * 10 + j).toDouble)
+      assert(gs((12 + i * 4 + j).toLong) == (1000 + i * 10 + j).toDouble)
+    }
+    intercept[IllegalArgumentException](
+      GArr.concatenate(0, Seq(a, GArr.fromFunction(spark, Seq(2L, 4L), Seq(2, 2))(_ => 0.0))))
+  }
+
+  test("cumsumAxis: two-phase scan matches dense prefix sums on both axes") {
+    val sh = Seq(7L, 5L)
+    val f: Array[Long] => Double = g => (g(0) * 2 - g(1) * 3 + 1).toDouble
+    for (axis <- Seq(0, 1); (c0, c1) <- Seq((3, 2), (7, 5), (1, 1), (2, 5))) {
+      val a = GArr.fromFunction(spark, sh, Seq(c0, c1))(f)
+      val got = indexed(a.cumsumAxis(axis))
+      assert(got.size == 35)
+      for (i <- 0 until 7; j <- 0 until 5) {
+        val exp =
+          if (axis == 0) (0 to i).map(k => f(Array(k, j))).sum
+          else (0 to j).map(k => f(Array(i, k))).sum
+        assert(got((i * 5 + j).toLong) == exp,
+          s"axis=$axis chunks=($c0,$c1) ($i,$j): ${got((i * 5 + j).toLong)} vs $exp")
+      }
+    }
+    // 1-D
+    val v = GArr.fromFunction(spark, Seq(11L), Seq(3))(g => (g(0) + 1).toDouble)
+    val gv = indexed(v.cumsumAxis(0))
+    (0 until 11).foreach(i => assert(gv(i.toLong) == (i + 1) * (i + 2) / 2.0))
+  }
+
+  test("mapOverlapAxis: halo exchange gives each block its neighbor planes") {
+    // kernel: centered sum of up to depth=2 neighbors along the axis;
+    // edges see truncated windows (boundary='none' trim semantics)
+    val n = 13
+    val xs = Array.tabulate(n)(i => (i * i % 7 + 1).toDouble)
+    def expect(i: Int): Double =
+      (math.max(0, i - 2) to math.min(n - 1, i + 2)).map(xs).sum
+    for (chunk <- Seq(3, 5, 13, 1)) {
+      val a = GArr.fromFunction(spark, Seq(n.toLong), Seq(chunk))(g => xs(g(0).toInt))
+      val sm = a.mapOverlapAxis(0, 2) { (halo, before, after, hdims) =>
+        val len = hdims(0) - before - after
+        Array.tabulate(len) { c =>
+          val center = before + c
+          (math.max(0, center - 2) to math.min(hdims(0) - 1, center + 2))
+            .map(halo).sum
+        }
+      }
+      val got = indexed(sm)
+      (0 until n).foreach { i =>
+        assert(got(i.toLong) == expect(i), s"chunk=$chunk i=$i: ${got(i.toLong)} vs ${expect(i)}")
+      }
+    }
+    // 2-D: vertical (axis 0) 3-point sum, all columns present in halos
+    val g2 = GArr.fromFunction(spark, Seq(6L, 4L), Seq(2, 3))(g => (g(0) * 10 + g(1)).toDouble)
+    val sm2 = g2.mapOverlapAxis(0, 1) { (halo, before, after, hdims) =>
+      val rows = hdims(0) - before - after
+      val cols = hdims(1)
+      Array.tabulate(rows * cols) { idx =>
+        val r = before + idx / cols; val c = idx % cols
+        (math.max(0, r - 1) to math.min(hdims(0) - 1, r + 1))
+          .map(rr => halo(rr * cols + c)).sum
+      }
+    }
+    val got2 = indexed(sm2)
+    for (i <- 0 until 6; j <- 0 until 4) {
+      val exp = (math.max(0, i - 1) to math.min(5, i + 1)).map(r => r * 10 + j).sum.toDouble
+      assert(got2((i * 4 + j).toLong) == exp, s"($i,$j)")
+    }
+  }
+
+  test("cumprod/cummax/cummin: generalized scan matches dense references") {
+    val sh = Seq(6L, 5L)
+    val rnd = new scala.util.Random(23)
+    val vals = Array.fill(30)(math.floor(rnd.nextDouble() * 5) - 2) // in -2..2
+    val f: Array[Long] => Double = g => vals((g(0) * 5 + g(1)).toInt)
+    for (axis <- Seq(0, 1); (c0, c1) <- Seq((2, 2), (6, 5), (1, 3))) {
+      val a = GArr.fromFunction(spark, sh, Seq(c0, c1))(f)
+      def lanePrefix(op: (Double, Double) => Double): Map[Long, Double] = {
+        (for (i <- 0 until 6; j <- 0 until 5) yield {
+          val lane = if (axis == 0) (0 to i).map(k => f(Array(k, j)))
+                     else (0 to j).map(k => f(Array(i, k)))
+          (i * 5 + j).toLong -> lane.reduce(op)
+        }).toMap
+      }
+      assert(indexed(a.cumprodAxis(axis)) == lanePrefix(_ * _),
+        s"cumprod axis=$axis chunks=($c0,$c1)")
+      assert(indexed(a.cummaxAxis(axis)) == lanePrefix(math.max),
+        s"cummax axis=$axis chunks=($c0,$c1)")
+      assert(indexed(a.cumminAxis(axis)) == lanePrefix(math.min),
+        s"cummin axis=$axis chunks=($c0,$c1)")
+    }
+    // NaN propagation (np.maximum.accumulate): once NaN, stays NaN
+    val withNan = GArr.fromFunction(spark, Seq(6L), Seq(2))(g =>
+      if (g(0) == 2L) Double.NaN else g(0).toDouble)
+    val cm = indexed(withNan.cummaxAxis(0))
+    assert(cm(0L) == 0.0 && cm(1L) == 1.0)
+    (2 until 6).foreach(i => assert(cm(i.toLong).isNaN, s"i=$i"))
+  }
+
+  test("prod/any/all/countNonzero along an axis") {
+    val grid = Array(
+      2.0, 0.0, 1.0,
+      3.0, 4.0, 1.0,
+      1.0, 0.0, 1.0,
+      -1.0, 2.0, 1.0)
+    val a = GArr.fromFunction(spark, Seq(4L, 3L), Seq(2, 2))(g => grid((g(0) * 3 + g(1)).toInt))
+    assert(indexed(a.prodAxis(0)) == Map(0L -> -6.0, 1L -> 0.0, 2L -> 1.0))
+    assert(indexed(a.anyAxis(0)) == Map(0L -> 1.0, 1L -> 1.0, 2L -> 1.0))
+    assert(indexed(a.allAxis(0)) == Map(0L -> 1.0, 1L -> 0.0, 2L -> 1.0))
+    assert(indexed(a.countNonzeroAxis(0)) == Map(0L -> 4.0, 1L -> 2.0, 2L -> 4.0))
+    assert(indexed(a.anyAxis(1)) == Map(0L -> 1.0, 1L -> 1.0, 2L -> 1.0, 3L -> 1.0))
+    assert(indexed(a.allAxis(1)) == Map(0L -> 0.0, 1L -> 1.0, 2L -> 0.0, 3L -> 1.0))
+    // NaN is truthy for any/all (numpy semantics)
+    val n = GArr.fromFunction(spark, Seq(2L), Seq(1))(g => if (g(0) == 0) Double.NaN else 0.0)
+    assert(indexed(n.anyAxis(0)) == Map(0L -> 1.0))
+  }
+
+  test("nan-reduction family skips NaN and detects all-NaN lanes") {
+    // col 0: plain values; col 1: mixed with NaN; col 2: all NaN
+    val grid = Array(
+      1.0, Double.NaN, Double.NaN,
+      2.0, 5.0,        Double.NaN,
+      3.0, Double.NaN, Double.NaN,
+      4.0, 7.0,        Double.NaN)
+    val a = GArr.fromFunction(spark, Seq(4L, 3L), Seq(2, 2))(g => grid((g(0) * 3 + g(1)).toInt))
+    val ns = indexed(a.nansumAxis(0))
+    assert(ns(0L) == 10.0 && ns(1L) == 12.0 && ns(2L) == 0.0) // numpy nansum all-NaN -> 0
+    val nm = indexed(a.nanmeanAxis(0))
+    assert(nm(0L) == 2.5 && nm(1L) == 6.0 && nm(2L).isNaN)
+    val mn = indexed(a.nanminAxis(0))
+    assert(mn(0L) == 1.0 && mn(1L) == 5.0 && mn(2L).isNaN)
+    val mx = indexed(a.nanmaxAxis(0))
+    assert(mx(0L) == 4.0 && mx(1L) == 7.0 && mx(2L).isNaN)
+    val nv = indexed(a.nanvarAxis(0))
+    assert(nv(0L) == 1.25 && nv(1L) == 1.0 && nv(2L).isNaN)
+    val nv1 = indexed(a.nanvarAxis(0, ddof = 1))
+    assert(math.abs(nv1(0L) - 5.0 / 3) < 1e-12 && nv1(1L) == 2.0 && nv1(2L).isNaN)
+  }
+
+  test("topkAxis: k largest (desc) / smallest (asc) per lane, any chunking") {
+    val rnd = new scala.util.Random(31)
+    val vals = Array.fill(40)(math.floor(rnd.nextDouble() * 100))
+    val f: Array[Long] => Double = g => vals((g(0) * 5 + g(1)).toInt)
+    for ((c0, c1) <- Seq((3, 2), (8, 5), (1, 1))) {
+      val a = GArr.fromFunction(spark, Seq(8L, 5L), Seq(c0, c1))(f)
+      val top3 = a.topkAxis(0, 3)
+      assert(top3.shape == Seq(3L, 5L))
+      val got = indexed(top3)
+      for (j <- 0 until 5) {
+        val lane = (0 until 8).map(i => f(Array(i, j))).sorted.reverse.take(3)
+        for (r <- 0 until 3)
+          assert(got((r * 5 + j).toLong) == lane(r), s"chunks($c0,$c1) col $j rank $r")
+      }
+      val bot2 = a.topkAxis(1, -2)
+      assert(bot2.shape == Seq(8L, 2L))
+      val gb = indexed(bot2)
+      for (i <- 0 until 8) {
+        val lane = (0 until 5).map(j => f(Array(i, j))).sorted.take(2)
+        for (r <- 0 until 2)
+          assert(gb((i * 2 + r).toLong) == lane(r), s"chunks($c0,$c1) row $i rank $r")
+      }
+    }
+    // k > n clamps
+    val v = GArr.fromFunction(spark, Seq(3L), Seq(2))(g => g(0).toDouble)
+    assert(indexed(v.topkAxis(0, 10)) == Map(0L -> 2.0, 1L -> 1.0, 2L -> 0.0))
+  }
+
+  test("diffAxis and gradientAxis match numpy semantics") {
+    val xs = Array(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+    for (chunk <- Seq(3, 8, 1)) {
+      val a = GArr.fromFunction(spark, Seq(8L), Seq(chunk))(g => xs(g(0).toInt))
+      val d = indexed(a.diffAxis(0))
+      assert(d.size == 7)
+      (0 until 7).foreach(i => assert(d(i.toLong) == xs(i + 1) - xs(i), s"chunk=$chunk diff i=$i"))
+      val gr = indexed(a.gradientAxis(0))
+      assert(gr(0L) == xs(1) - xs(0) && gr(7L) == xs(7) - xs(6))
+      (1 until 7).foreach(i =>
+        assert(gr(i.toLong) == (xs(i + 1) - xs(i - 1)) / 2.0, s"chunk=$chunk grad i=$i"))
+    }
+    // 2-D along axis 1
+    val g2 = GArr.fromFunction(spark, Seq(3L, 6L), Seq(2, 2))(g => (g(0) * g(1) * g(1)).toDouble)
+    val d2 = indexed(g2.diffAxis(1))
+    for (i <- 0 until 3; j <- 0 until 5)
+      assert(d2((i * 5 + j).toLong) == (i * (j + 1) * (j + 1) - i * j * j).toDouble, s"($i,$j)")
+  }
+
+  test("flipAxis: zero-shuffle reversal on both axes of an uneven grid") {
+    val a = GArr.fromFunction(spark, Seq(5L, 4L), Seq(2, 3))(f2)
+    val f0 = indexed(a.flipAxis(0))
+    for (i <- 0 until 5; j <- 0 until 4)
+      assert(f0((i * 4 + j).toLong) == f2(Array((4 - i).toLong, j.toLong)), s"flip0 ($i,$j)")
+    val f1 = indexed(a.flipAxis(1))
+    for (i <- 0 until 5; j <- 0 until 4)
+      assert(f1((i * 4 + j).toLong) == f2(Array(i.toLong, (3 - j).toLong)), s"flip1 ($i,$j)")
+    // double flip = identity
+    assert(indexed(a.flipAxis(0).flipAxis(0)) == indexed(a))
+  }
+
+  test("rollAxis: circular shift incl. negative and > n shifts") {
+    val xs = Array.tabulate(7)(i => (i * 11 % 5).toDouble)
+    val a = GArr.fromFunction(spark, Seq(7L), Seq(3))(g => xs(g(0).toInt))
+    for (shift <- Seq(0L, 2L, -3L, 9L, 7L)) {
+      val got = indexed(a.rollAxis(0, shift))
+      (0 until 7).foreach { i =>
+        val src = (((i - shift) % 7) + 7) % 7
+        assert(got(i.toLong) == xs(src.toInt), s"shift=$shift i=$i")
+      }
+    }
+    // 2-D roll along axis 1 moves whole columns
+    val g2 = GArr.fromFunction(spark, Seq(3L, 5L), Seq(2, 2))(g => (g(0) * 10 + g(1)).toDouble)
+    val r2 = indexed(g2.rollAxis(1, 2))
+    for (i <- 0 until 3; j <- 0 until 5)
+      assert(r2((i * 5 + j).toLong) == (i * 10 + (((j - 2) % 5) + 5) % 5).toDouble, s"($i,$j)")
+  }
+
+  test("padAxis: constant pads on either side; squeeze/expandDims relabel") {
+    val a = GArr.fromFunction(spark, Seq(3L, 4L), Seq(2, 3))(g => (g(0) * 10 + g(1) + 1).toDouble)
+    val p = a.padAxis(0, 2, 1, value = -5.0)
+    assert(p.shape == Seq(6L, 4L))
+    val got = indexed(p)
+    for (i <- 0 until 6; j <- 0 until 4) {
+      val exp = if (i < 2 || i == 5) -5.0 else ((i - 2) * 10 + j + 1).toDouble
+      assert(got((i * 4 + j).toLong) == exp, s"($i,$j)")
+    }
+    val e = a.expandDims(1)
+    assert(e.shape == Seq(3L, 1L, 4L) && e.chunks(1) == Seq(1))
+    assert(indexed(e) == indexed(a))
+    assert(e.squeeze(1).shape == Seq(3L, 4L))
+    assert(indexed(e.squeeze(1)) == indexed(a))
+    intercept[IllegalArgumentException](a.squeeze(0))
+  }
+
+  test("broadcastAxis replicates a unit axis with correct C-order tiling") {
+    val a = GArr.fromFunction(spark, Seq(3L, 4L), Seq(2, 3))(g => (g(0) * 10 + g(1)).toDouble)
+    // middle axis: (3,1,4) -> (3,5,4)
+    val b = a.expandDims(1).broadcastAxis(1, 5L, chunk = 2)
+    assert(b.shape == Seq(3L, 5L, 4L) && b.chunks(1) == Seq(2, 2, 1))
+    val got = indexed(b)
+    for (i <- 0 until 3; r <- 0 until 5; j <- 0 until 4)
+      assert(got((i * 20 + r * 4 + j).toLong) == (i * 10 + j).toDouble, s"($i,$r,$j)")
+    // leading axis
+    val l = a.expandDims(0).broadcastAxis(0, 3L, chunk = 2)
+    assert(l.shape == Seq(3L, 3L, 4L))
+    val gl = indexed(l)
+    for (rep <- 0 until 3; i <- 0 until 3; j <- 0 until 4)
+      assert(gl((rep * 12 + i * 4 + j).toLong) == (i * 10 + j).toDouble, s"($rep,$i,$j)")
+  }
 }
