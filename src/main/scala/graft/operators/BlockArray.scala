@@ -1046,6 +1046,87 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     GArr(Seq(shape(0), other.shape(1)), Seq(chunks(0), other.chunks(1)), reduced)
   }
 
+  /** dask `tensordot` over arbitrary axis pairs (reference
+    * `array/routines.py` tensordot, which lowers to the same blockwise
+    * contraction): transpose the contracted axes to the inner boundary,
+    * reshape both sides to 2-D (one scatter shuffle each — exactly the
+    * regrid dask's intermediate rechunk performs), run the blocked
+    * [[matmul]], and reshape back to `keepA ++ keepB`. Every stage's
+    * payload stays chunk-bounded; nothing driver-side scales with the
+    * tensors.
+    */
+  def tensordot(other: GArr, axesA: Seq[Int], axesB: Seq[Int],
+                targetChunk: Int = 65536): GArr = {
+    require(axesA.length == axesB.length && axesA.nonEmpty, "tensordot needs axis pairs")
+    axesA.zip(axesB).foreach { case (a, b) =>
+      require(shape(a) == other.shape(b),
+        s"tensordot extent mismatch: dim $a (${shape(a)}) vs dim $b (${other.shape(b)})")
+    }
+    val keepA = (0 until ndim).filterNot(axesA.contains)
+    val keepB = (0 until other.ndim).filterNot(axesB.contains)
+    val m = keepA.map(shape).product
+    val k = axesA.map(shape).product
+    val n = keepB.map(other.shape).product
+    def side(len: Long): Int = math.min(len, math.max(1L, math.sqrt(targetChunk.toDouble).toLong)).toInt
+    val (cm, ck, cn) = (side(m), side(k), side(n))
+    val a2 = transpose(keepA ++ axesA).reshape(Seq(m, k), Seq(cm, ck))
+    val b2 = other.transpose(axesB ++ keepB).reshape(Seq(k, n), Seq(ck, cn))
+    val c2 = a2.matmul(b2)
+    val outShape = keepA.map(shape) ++ keepB.map(other.shape)
+    if (outShape.isEmpty) c2.reshape(Seq(1L), Seq(1)) // scalar as length-1
+    else c2.reshape(outShape, outShape.map(l => math.min(l, targetChunk.toLong).toInt))
+  }
+
+  /** 1-D inner product (numpy `dot` on vectors): elementwise multiply on
+    * co-gridded inputs + tree reduce. The other side is regridded to this
+    * array's chunking when they differ.
+    */
+  def dot(other: GArr): Double = {
+    require(ndim == 1 && other.ndim == 1 && shape == other.shape,
+      s"dot takes equal-length vectors: $shape vs ${other.shape}")
+    val o = if (chunks == other.chunks) other else other.rechunkTo(chunks)
+    elemwise(o)(_ * _).sumAll
+  }
+
+  /** Rechunk to an EXPLICIT (possibly irregular) chunks structure — the
+    * general form of [[rechunk]], same single ScatterPiece shuffle.
+    */
+  def rechunkTo(newChunks: Seq[Seq[Int]]): GArr = {
+    require(newChunks.length == ndim &&
+      newChunks.zip(shape).forall { case (cs, l) => cs.map(_.toLong).sum == l },
+      s"rechunkTo structure must cover $shape")
+    val specs = shape.map(l => (0L, l, 1L))
+    regrid(specs, shape, newChunks)
+  }
+
+  /** numpy `tril`/`triu` (k-th diagonal): narrow map — each block zeroes
+    * its out-of-triangle cells using its global row/col offsets. 2-D only,
+    * zero shuffle.
+    */
+  def tril(k: Long = 0L): GArr = triangle(keepLower = true, k)
+  def triu(k: Long = 0L): GArr = triangle(keepLower = false, k)
+
+  private def triangle(keepLower: Boolean, k: Long): GArr = {
+    require(ndim == 2, "tril/triu take 2-D arrays")
+    val s = spark
+    import s.implicits._
+    val srcStarts = chunks.map(startsOf)
+    copy(blocks = blocks.map { b =>
+      val r0 = srcStarts(0)(b.bid(0)); val c0 = srcStarts(1)(b.bid(1))
+      val rows = chunkDim(srcStarts(0), b.bid(0))
+      val cols = chunkDim(srcStarts(1), b.bid(1))
+      val o = b.data.clone()
+      var i = 0
+      while (i < o.length) {
+        val gr = r0 + i / cols; val gc = c0 + i % cols
+        val in = if (keepLower) gc - gr <= k else gc - gr >= k
+        if (!in) o(i) = 0.0
+        i += 1
+      }
+      ABlock(b.bid, o)
+    })
+  }
+
   /** dask array shuffle (`array/_shuffle.py:1-328`): regroup indices along
     * `axis` into new chunks given explicit index groups (the indexer is
     * driver-provided, exactly as in the reference API). Elements route to
@@ -1409,6 +1490,34 @@ object GArr {
     }
     GArr(shape, chunks, ds)
   }
+
+  /** Creation suite (reference `array/creation.py`: zeros/ones/full/
+    * arange/linspace/eye) — all grid-parallel [[fromFunction]] instances,
+    * zero driver data.
+    */
+  def zeros(s: SparkSession, shape: Seq[Long], chunkSizes: Seq[Int]): GArr =
+    fromFunction(s, shape, chunkSizes)(_ => 0.0)
+  def ones(s: SparkSession, shape: Seq[Long], chunkSizes: Seq[Int]): GArr =
+    fromFunction(s, shape, chunkSizes)(_ => 1.0)
+  def full(s: SparkSession, shape: Seq[Long], chunkSizes: Seq[Int], value: Double): GArr =
+    fromFunction(s, shape, chunkSizes)(_ => value)
+
+  def arange(s: SparkSession, start: Double, stop: Double, step: Double,
+             chunk: Int): GArr = {
+    require(step != 0.0, "arange step must be nonzero")
+    val n = math.max(0L, math.ceil((stop - start) / step).toLong)
+    fromFunction(s, Seq(n), Seq(chunk))(g => start + g(0) * step)
+  }
+
+  def linspace(s: SparkSession, start: Double, stop: Double, num: Long,
+               chunk: Int): GArr = {
+    require(num >= 2, "linspace needs num >= 2 (endpoint included)")
+    val step = (stop - start) / (num - 1)
+    fromFunction(s, Seq(num), Seq(chunk))(g => start + g(0) * step)
+  }
+
+  def eye(s: SparkSession, n: Long, chunk: Int, k: Long = 0L): GArr =
+    fromFunction(s, Seq(n, n), Seq(chunk, chunk))(g => if (g(1) - g(0) == k) 1.0 else 0.0)
 
   /** Like [[fromFunction]] but over an EXPLICIT (possibly irregular)
     * chunks structure — used by ops that must mirror an existing array's

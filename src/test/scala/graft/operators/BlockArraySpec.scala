@@ -534,6 +534,63 @@ class BlockArraySpec extends SparkTestBase {
     intercept[IllegalArgumentException](a.squeeze(0))
   }
 
+  test("tensordot: arbitrary axis pairs match dense contraction") {
+    // A: (3,4,5), B: (4,2,5); contract A axes (1,2) with B axes (0,2) -> (3,2)
+    val fa: Array[Long] => Double = g => (g(0) + 2 * g(1) - g(2) + 1).toDouble
+    val fb: Array[Long] => Double = g => (3 * g(0) - g(1) + g(2)).toDouble
+    val a = GArr.fromFunction(spark, Seq(3L, 4L, 5L), Seq(2, 3, 2))(fa)
+    val b = GArr.fromFunction(spark, Seq(4L, 2L, 5L), Seq(3, 1, 4))(fb)
+    val c = a.tensordot(b, Seq(1, 2), Seq(0, 2), targetChunk = 16)
+    assert(c.shape == Seq(3L, 2L))
+    val got = indexed(c)
+    for (i <- 0 until 3; j <- 0 until 2) {
+      val exp = (for (p <- 0 until 4; q <- 0 until 5)
+        yield fa(Array(i, p, q)) * fb(Array(p.toLong, j, q))).sum
+      assert(got((i * 2 + j).toLong) == exp, s"($i,$j)")
+    }
+    // full contraction -> scalar as length-1 array
+    val v1 = GArr.fromFunction(spark, Seq(6L), Seq(2))(g => (g(0) + 1).toDouble)
+    val v2 = GArr.fromFunction(spark, Seq(6L), Seq(3))(g => (2 * g(0)).toDouble)
+    val sc = v1.tensordot(v2, Seq(0), Seq(0))
+    assert(sc.shape == Seq(1L))
+    val expDot = (0 until 6).map(i => (i + 1.0) * (2.0 * i)).sum
+    assert(indexed(sc)(0L) == expDot)
+    // dot() on mismatched chunk grids regrids internally
+    assert(v1.dot(v2) == expDot)
+  }
+
+  test("creation suite: zeros/ones/full/arange/linspace/eye") {
+    assert(GArr.zeros(spark, Seq(3L, 3L), Seq(2, 2)).sumAll == 0.0)
+    assert(GArr.ones(spark, Seq(3L, 3L), Seq(2, 2)).sumAll == 9.0)
+    assert(GArr.full(spark, Seq(4L), Seq(3), 2.5).sumAll == 10.0)
+    val ar = indexed(GArr.arange(spark, 3.0, 12.0, 2.5, chunk = 2))
+    assert(ar == Map(0L -> 3.0, 1L -> 5.5, 2L -> 8.0, 3L -> 10.5))
+    val ls = indexed(GArr.linspace(spark, 0.0, 1.0, 5, chunk = 2))
+    assert(ls == Map(0L -> 0.0, 1L -> 0.25, 2L -> 0.5, 3L -> 0.75, 4L -> 1.0))
+    val ey = indexed(GArr.eye(spark, 4L, chunk = 3))
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(ey((i * 4 + j).toLong) == (if (i == j) 1.0 else 0.0), s"($i,$j)")
+    val ey1 = indexed(GArr.eye(spark, 4L, chunk = 2, k = 1))
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(ey1((i * 4 + j).toLong) == (if (j - i == 1) 1.0 else 0.0), s"k=1 ($i,$j)")
+  }
+
+  test("tril/triu zero the correct halves using global coordinates") {
+    val a = GArr.fromFunction(spark, Seq(5L, 5L), Seq(2, 3))(g => (g(0) * 5 + g(1) + 1).toDouble)
+    val lo = indexed(a.tril())
+    val hi = indexed(a.triu())
+    val lo1 = indexed(a.tril(k = -1))
+    for (i <- 0 until 5; j <- 0 until 5) {
+      val v = (i * 5 + j + 1).toDouble
+      assert(lo((i * 5 + j).toLong) == (if (j <= i) v else 0.0), s"tril ($i,$j)")
+      assert(hi((i * 5 + j).toLong) == (if (j >= i) v else 0.0), s"triu ($i,$j)")
+      assert(lo1((i * 5 + j).toLong) == (if (j <= i - 1) v else 0.0), s"tril-1 ($i,$j)")
+    }
+    // tril(0) + triu(1) partitions the matrix exactly
+    val sum = a.tril().elemwise(a.triu(k = 1))(_ + _)
+    assert(indexed(sum) == indexed(a))
+  }
+
   test("broadcastAxis replicates a unit axis with correct C-order tiling") {
     val a = GArr.fromFunction(spark, Seq(3L, 4L), Seq(2, 3))(g => (g(0) * 10 + g(1)).toDouble)
     // middle axis: (3,1,4) -> (3,5,4)
