@@ -1735,10 +1735,15 @@ object SparkEntry {
     "q151_block_matmul" -> { (s, dir) =>
       import graft.operators.GArr
       val li = t(s, dir, "lineitem")
-      val q = GArr.fromColumn(li, "l_quantity", liTotalOrder, chunk = 512)
-      val ln = GArr.fromColumn(li, "l_linenumber", liTotalOrder, chunk = 512)
-      val a = q.slice(Seq((0L, 2400L, 1L))).reshape(Seq(60L, 40L), Seq(16, 16))
-      val b = ln.slice(Seq((0L, 2000L, 1L))).reshape(Seq(40L, 50L), Seq(16, 16))
+      // sort+limit = TakeOrdered (top-k reduce, NO full shuffle sort):
+      // only the 2400/2000 leading rows of the total order are needed, so
+      // don't pay a whole-table sort for them — at 40x this is the
+      // difference between sorting 240M rows twice and two top-k passes
+      def head(n: Int) = li.sort(liTotalOrder.map(col): _*).limit(n)
+      val q = GArr.fromColumn(head(2400), "l_quantity", liTotalOrder, chunk = 512)
+      val ln = GArr.fromColumn(head(2000), "l_linenumber", liTotalOrder, chunk = 512)
+      val a = q.reshape(Seq(60L, 40L), Seq(16, 16))
+      val b = ln.reshape(Seq(40L, 50L), Seq(16, 16))
       a.matmul(b).toIndexedDF
         .select(col("idx"), col("value").cast("long").as("v"))
     },
