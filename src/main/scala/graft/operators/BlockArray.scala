@@ -1455,6 +1455,39 @@ object GArr {
     GArr(Seq(n), Seq(cs), s.createDataset(packed))
   }
 
+  /** 2-D array from several DataFrame columns in a caller-defined total
+    * order — dask's `df.values` / `from_dask_dataframe` bridge for
+    * matrices (reference `dask/dataframe/dask_expr/_collection.py`
+    * `.values`): rows become axis 0, `valueCols` become axis 1 (single
+    * column-chunk, like dask's one-block column dimension). Same
+    * distributed sort + zipWithIndex + pack as [[fromColumn]].
+    */
+  def fromColumns(df: DataFrame, valueCols: Seq[String], orderBy: Seq[String],
+                  chunk: Int): GArr = {
+    import org.apache.spark.sql.functions.col
+    require(valueCols.nonEmpty)
+    val s = df.sparkSession
+    import s.implicits._
+    val w = valueCols.length
+    val n = df.count()
+    val cs = evenChunks(n, chunk)
+    val sorted = df
+      .select((orderBy ++ valueCols).distinct.map(col): _*)
+      .sort(orderBy.map(col): _*)
+      .select(valueCols.map(c => col(c).cast("double")): _*)
+    val sizes = s.sparkContext.broadcast(cs.toArray)
+    val packed = sorted.rdd.map(r => Array.tabulate(w)(r.getDouble)).zipWithIndex()
+      .map { case (v, i) => ((i / chunk).toInt, ((i % chunk).toInt, v)) }
+      .groupByKey()
+      .map { case (b, it) =>
+        val rows = sizes.value(b)
+        val a = new Array[Double](rows * w)
+        it.foreach { case (o, v) => System.arraycopy(v, 0, a, o * w, w) }
+        ABlock(Seq(b, 0), a)
+      }
+    GArr(Seq(n, w.toLong), Seq(cs, Seq(w)), s.createDataset(packed))
+  }
+
   /** Build from a coordinate function — `fromfunction`/`arange`-style
     * construction (reference `array/creation.py:306`), parallel over the
     * block grid.

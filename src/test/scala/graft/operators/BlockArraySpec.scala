@@ -534,6 +534,23 @@ class BlockArraySpec extends SparkTestBase {
     intercept[IllegalArgumentException](a.squeeze(0))
   }
 
+  test("fromColumns: 2-D bridge packs rows x columns in total order") {
+    val df = Seq((3, 30.0, 1.0), (1, 10.0, 4.0), (2, 20.0, 9.0), (5, 50.0, 25.0), (4, 40.0, 16.0))
+      .toDF("k", "v", "w")
+    val a = GArr.fromColumns(df, Seq("v", "w"), Seq("k"), chunk = 2)
+    assert(a.shape == Seq(5L, 2L) && a.chunks == Seq(Seq(2, 2, 1), Seq(2)))
+    val got = indexed(a)
+    val expV = Seq(10.0, 20.0, 30.0, 40.0, 50.0)
+    val expW = Seq(4.0, 9.0, 1.0, 16.0, 25.0)
+    for (i <- 0 until 5) {
+      assert(got((i * 2).toLong) == expV(i), s"row $i col v")
+      assert(got((i * 2 + 1).toLong) == expW(i), s"row $i col w")
+    }
+    // composes with axis ops: per-column sums
+    val s = indexed(a.sumAxis(0))
+    assert(s == Map(0L -> 150.0, 1L -> 55.0))
+  }
+
   test("tensordot: arbitrary axis pairs match dense contraction") {
     // A: (3,4,5), B: (4,2,5); contract A axes (1,2) with B axes (0,2) -> (3,2)
     val fa: Array[Long] => Double = g => (g(0) + 2 * g(1) - g(2) + 1).toDouble
