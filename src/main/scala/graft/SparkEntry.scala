@@ -1698,10 +1698,13 @@ object SparkEntry {
     "q149_block_pipeline" -> { (s, dir) =>
       import graft.operators.GArr
       val li = t(s, dir, "lineitem")
-      val a = GArr.fromColumn(li, "l_quantity", liTotalOrder, chunk = 4096)
-      val b = GArr.fromColumn(li, "l_linenumber", liTotalOrder, chunk = 4096)
-      val m = a.elemwise(b)(_ * _)
-      val rows = (a.shape.head / 100L) * 100L
+      // ONE sorted bridge for both operand columns (fromColumns), then a
+      // per-row gufunc product + squeeze — halves the dominant cost (the
+      // total-order sort) vs building two 1-D arrays independently
+      val ql = GArr.fromColumns(li, Seq("l_quantity", "l_linenumber"),
+        liTotalOrder, chunk = 4096)
+      val m = ql.applyGufunc(1)(row => Array(row(0) * row(1))).squeeze(1)
+      val rows = (ql.shape.head / 100L) * 100L
       val grid = m.slice(Seq((0L, rows, 1L)))
         .reshape(Seq(rows / 100L, 100L), Seq(1024, 32))
       val sl = grid.transpose(Seq(1, 0))
