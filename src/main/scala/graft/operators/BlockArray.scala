@@ -461,6 +461,29 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
   def nanminAxis(axis: Int): GArr = nanExtremeAxis(axis, lt = true)
   def nanmaxAxis(axis: Int): GArr = nanExtremeAxis(axis, lt = false)
 
+  /** numpy `nanargmin`/`nanargmax`: NaN elements are skipped; first
+    * occurrence wins ties (merge tiebreak = lower coordinate). An all-NaN
+    * lane yields -1 (numpy raises ValueError there; a sentinel keeps the
+    * op total and distributed-friendly — documented divergence).
+    */
+  def nanargminAxis(axis: Int): GArr = nanargAxis(axis, lt = true)
+  def nanargmaxAxis(axis: Int): GArr = nanargAxis(axis, lt = false)
+
+  private def nanargAxis(axis: Int, lt: Boolean): GArr =
+    axisAgg(axis, 2)(
+      (acc, o) => { acc(o) = 0.0; acc(o + 1) = -1.0 },
+      (acc, o, v, c) => if (!v.isNaN) {
+        if (acc(o + 1) < 0 || (if (lt) v < acc(o) else v > acc(o)) ||
+            (v == acc(o) && c < acc(o + 1))) { acc(o) = v; acc(o + 1) = c.toDouble }
+      },
+      (acc, other, o) => if (other(o + 1) >= 0) {
+        if (acc(o + 1) < 0 || (if (lt) other(o) < acc(o) else other(o) > acc(o)) ||
+            (other(o) == acc(o) && other(o + 1) < acc(o + 1))) {
+          acc(o) = other(o); acc(o + 1) = other(o + 1)
+        }
+      },
+      (acc, o) => acc(o + 1))
+
   private def nanExtremeAxis(axis: Int, lt: Boolean): GArr =
     axisAgg(axis, 2)(
       (acc, o) => { acc(o) = if (lt) Double.PositiveInfinity else Double.NegativeInfinity; acc(o + 1) = 0.0 },

@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Randomized property suite for the chunked-ndarray module: deterministic
+  * pseudo-random shapes, chunkings, and op chains, each checked cell-exact
+  * against a driver-local dense reference. This pins the distributed
+  * machinery (scatter regrids, halo routing, scan offsets, partial-merge
+  * reductions) on inputs no hand-written case would pick.
+  */
+class BlockArrayPropSpec extends SparkTestBase {
+
+  private def indexed(a: GArr): Map[Long, Double] =
+    a.toIndexedDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  /** Dense C-order reference. */
+  private final class Dense(val shape: Seq[Long], val data: Array[Double]) {
+    def apply(g: Seq[Int]): Double = {
+      var off = 0L; var d = 0
+      while (d < shape.length) { off = off * shape(d) + g(d); d += 1 }
+      data(off.toInt)
+    }
+  }
+
+  private def checkEqual(a: GArr, ref: Dense, tag: String): Unit = {
+    assert(a.shape == ref.shape, s"$tag shape ${a.shape} vs ${ref.shape}")
+    val got = indexed(a)
+    assert(got.size == ref.data.length, s"$tag cell count")
+    var i = 0
+    while (i < ref.data.length) {
+      val g = got(i.toLong)
+      val e = ref.data(i)
+      assert(g == e || (g.isNaN && e.isNaN), s"$tag idx $i: $g vs $e")
+      i += 1
+    }
+  }
+
+  test("random 2-D chains: slice/rechunk/transpose/flip/scan/reduce vs dense") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 8) {
+      val rows = 2 + rnd.nextInt(11)
+      val cols = 2 + rnd.nextInt(9)
+      val c0 = 1 + rnd.nextInt(rows)
+      val c1 = 1 + rnd.nextInt(cols)
+      val vals = Array.fill(rows * cols)(math.floor(rnd.nextDouble() * 9) - 4)
+      val a0 = GArr.fromFunction(spark, Seq(rows.toLong, cols.toLong), Seq(c0, c1))(
+        g => vals((g(0) * cols + g(1)).toInt))
+      var dense = vals.clone()
+      var shape = Seq(rows.toLong, cols.toLong)
+      var arr = a0
+
+      // op 1: strided slice on both dims
+      val (s0, st0) = (rnd.nextInt(rows), 1 + rnd.nextInt(3))
+      val (s1, st1) = (rnd.nextInt(cols), 1 + rnd.nextInt(3))
+      val keep0 = (s0 until rows by st0).toArray
+      val keep1 = (s1 until cols by st1).toArray
+      if (keep0.nonEmpty && keep1.nonEmpty) {
+        arr = arr.slice(Seq((s0.toLong, rows.toLong, st0.toLong),
+          (s1.toLong, cols.toLong, st1.toLong)), targetChunk = 1 + rnd.nextInt(16))
+        dense = for (i <- keep0; j <- keep1) yield dense(i * cols + j)
+        shape = Seq(keep0.length.toLong, keep1.length.toLong)
+
+        // op 2: rechunk to a random grid
+        arr = arr.rechunk(Seq(1 + rnd.nextInt(keep0.length), 1 + rnd.nextInt(keep1.length)))
+
+        // op 3: maybe transpose, maybe flip
+        if (rnd.nextBoolean()) {
+          arr = arr.transpose(Seq(1, 0))
+          val (r2, c2) = (shape(1).toInt, shape(0).toInt)
+          dense = (for (i <- 0 until r2; j <- 0 until c2) yield dense(j * r2 + i)).toArray
+          shape = Seq(r2.toLong, c2.toLong)
+        }
+        if (rnd.nextBoolean()) {
+          val ax = rnd.nextInt(2)
+          arr = arr.flipAxis(ax)
+          val (r2, c2) = (shape(0).toInt, shape(1).toInt)
+          dense = (for (i <- 0 until r2; j <- 0 until c2) yield {
+            val (si, sj) = if (ax == 0) (r2 - 1 - i, j) else (i, c2 - 1 - j)
+            dense(si * c2 + sj)
+          }).toArray
+        }
+
+        // op 4: cumulative scan along a random axis
+        val sax = rnd.nextInt(2)
+        val scanOp = rnd.nextInt(3)
+        val (r2, c2) = (shape(0).toInt, shape(1).toInt)
+        arr = scanOp match {
+          case 0 => arr.cumsumAxis(sax)
+          case 1 => arr.cummaxAxis(sax)
+          case 2 => arr.cumminAxis(sax)
+        }
+        val fn: (Double, Double) => Double = scanOp match {
+          case 0 => _ + _
+          case 1 => math.max
+          case 2 => math.min
+        }
+        val scanned = dense.clone()
+        if (sax == 0)
+          for (j <- 0 until c2; i <- 1 until r2)
+            scanned(i * c2 + j) = fn(scanned((i - 1) * c2 + j), scanned(i * c2 + j))
+        else
+          for (i <- 0 until r2; j <- 1 until c2)
+            scanned(i * c2 + j) = fn(scanned(i * c2 + j - 1), scanned(i * c2 + j))
+        dense = scanned
+        checkEqual(arr, new Dense(shape, dense), s"trial $trial chain")
+
+        // op 5: reduce a random axis and compare
+        val rax = rnd.nextInt(2)
+        val redOp = rnd.nextInt(3)
+        val red = redOp match {
+          case 0 => arr.sumAxis(rax)
+          case 1 => arr.minAxis(rax)
+          case 2 => arr.maxAxis(rax)
+        }
+        val keep = if (rax == 0) c2 else r2
+        val other = if (rax == 0) r2 else c2
+        val redRef = Array.tabulate(keep) { k =>
+          val lane = (0 until other).map(o =>
+            if (rax == 0) dense(o * c2 + k) else dense(k * c2 + o))
+          redOp match {
+            case 0 => lane.sum
+            case 1 => lane.min
+            case 2 => lane.max
+          }
+        }
+        checkEqual(red, new Dense(Seq(keep.toLong), redRef), s"trial $trial reduce")
+      }
+    }
+  }
+
+  test("random 3-D: reshape round-trips and axis reductions vs dense") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 0 until 5) {
+      val dims = Seq.fill(3)(2 + rnd.nextInt(4))
+      val n = dims.product
+      val vals = Array.fill(n)(math.floor(rnd.nextDouble() * 20) - 10)
+      val a = GArr.fromFunction(spark,
+        dims.map(_.toLong), dims.map(d => 1 + rnd.nextInt(d)))(
+        g => vals(((g(0) * dims(1) + g(1)) * dims(2) + g(2)).toInt))
+      // reshape to 1-D and back keeps the C-order identity
+      val flat = a.reshape(Seq(n.toLong), Seq(1 + rnd.nextInt(n)))
+      checkEqual(flat, new Dense(Seq(n.toLong), vals), s"t$trial flat")
+      val back = flat.reshape(dims.map(_.toLong), dims.map(d => 1 + rnd.nextInt(d)))
+      checkEqual(back, new Dense(dims.map(_.toLong), vals), s"t$trial back")
+      // reduce a random axis
+      val ax = rnd.nextInt(3)
+      val red = a.sumAxis(ax)
+      val keepDims = dims.indices.filterNot(_ == ax).map(dims)
+      val ref = new Array[Double](keepDims.product)
+      for (i <- 0 until dims(0); j <- 0 until dims(1); k <- 0 until dims(2)) {
+        val v = vals((i * dims(1) + j) * dims(2) + k)
+        val rest = Seq(i, j, k).zipWithIndex.filterNot(_._2 == ax).map(_._1)
+        ref(rest.head * keepDims(1) + rest(1)) += v
+      }
+      checkEqual(red, new Dense(keepDims.map(_.toLong), ref), s"t$trial red ax=$ax")
+    }
+  }
+
+  test("random mapOverlap depths (may span chunks) vs dense windowed sum") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 6) {
+      val n = 4 + rnd.nextInt(20)
+      val chunk = 1 + rnd.nextInt(n)
+      val depth = 1 + rnd.nextInt(6) // may exceed chunk
+      val xs = Array.fill(n)(math.floor(rnd.nextDouble() * 10))
+      val a = GArr.fromFunction(spark, Seq(n.toLong), Seq(chunk))(g => xs(g(0).toInt))
+      val sm = a.mapOverlapAxis(0, depth) { (halo, before, after, hdims) =>
+        val len = hdims(0) - before - after
+        Array.tabulate(len) { c =>
+          val ctr = before + c
+          (math.max(0, ctr - depth) to math.min(hdims(0) - 1, ctr + depth))
+            .map(halo).sum
+        }
+      }
+      val ref = Array.tabulate(n)(i =>
+        (math.max(0, i - depth) to math.min(n - 1, i + depth)).map(xs).sum)
+      checkEqual(sm, new Dense(Seq(n.toLong), ref),
+        s"trial $trial n=$n chunk=$chunk depth=$depth")
+    }
+  }
+
+  test("nanargmin/nanargmax: skip NaN, first-occurrence ties, all-NaN -> -1") {
+    val grid = Array(
+      5.0, Double.NaN, Double.NaN,
+      1.0, 2.0, Double.NaN,
+      1.0, Double.NaN, Double.NaN,
+      3.0, 2.0, Double.NaN)
+    val a = GArr.fromFunction(spark, Seq(4L, 3L), Seq(2, 2))(
+      g => grid((g(0) * 3 + g(1)).toInt))
+    val mn = indexed(a.nanargminAxis(0))
+    assert(mn(0L) == 1.0 && mn(1L) == 1.0 && mn(2L) == -1.0)
+    val mx = indexed(a.nanargmaxAxis(0))
+    assert(mx(0L) == 0.0 && mx(1L) == 1.0 && mx(2L) == -1.0)
+  }
+}
