@@ -954,6 +954,46 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     if (parts.length == 1) this else GArr.concatenate(axis, parts)
   }
 
+  /** numpy `pad(mode='edge')` along one axis: the boundary hyperplane is
+    * replicated `before`/`after` times — composed as unit-slice →
+    * broadcast → concatenate. Payload moved is O(pad · plane), never the
+    * array.
+    */
+  def padEdgeAxis(axis: Int, before: Int, after: Int): GArr = {
+    require(before >= 0 && after >= 0)
+    val full = shape.indices.map(d => (0L, shape(d), 1L))
+    val n = shape(axis)
+    def edgeRep(at: Long, rep: Int): GArr =
+      slice(full.updated(axis, (at, at + 1, 1L)))
+        .rechunkTo(chunks.updated(axis, Seq(1)))
+        .broadcastAxis(axis, rep.toLong, chunk = rep)
+    val parts = Seq(
+      if (before > 0) Some(edgeRep(0L, before)) else None,
+      Some(this),
+      if (after > 0) Some(edgeRep(n - 1, after)) else None).flatten
+    if (parts.length == 1) this else GArr.concatenate(axis, parts)
+  }
+
+  /** numpy `pad(mode='reflect')` along one axis (no edge duplication,
+    * numpy's default reflect): before-pad = rows 1..before flipped,
+    * after-pad = rows n-1-after..n-2 flipped — composed as slice → flip →
+    * concatenate. Requires pad < axis length, exactly as numpy does.
+    */
+  def padReflectAxis(axis: Int, before: Int, after: Int): GArr = {
+    require(before >= 0 && after >= 0 && before < shape(axis) && after < shape(axis),
+      s"reflect pad ($before,$after) must be < axis length ${shape(axis)}")
+    val full = shape.indices.map(d => (0L, shape(d), 1L))
+    val n = shape(axis)
+    def seg(a: Long, b: Long): GArr =
+      slice(full.updated(axis, (a, b, 1L)))
+        .rechunkTo(chunks.updated(axis, GArr.evenChunks(b - a, math.max(1, (b - a).toInt))))
+    val parts = Seq(
+      if (before > 0) Some(seg(1L, 1L + before).flipAxis(axis)) else None,
+      Some(this),
+      if (after > 0) Some(seg(n - 1 - after, n - 1).flipAxis(axis)) else None).flatten
+    if (parts.length == 1) this else GArr.concatenate(axis, parts)
+  }
+
   /** numpy `squeeze(axis)` — drop a length-1 axis; pure metadata relabel,
     * zero shuffle.
     */

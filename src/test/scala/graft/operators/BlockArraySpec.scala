@@ -608,6 +608,30 @@ class BlockArraySpec extends SparkTestBase {
     assert(indexed(sum) == indexed(a))
   }
 
+  test("padEdgeAxis / padReflectAxis replicate numpy pad modes") {
+    val xs = Array(3.0, 1.0, 4.0, 1.0, 5.0)
+    val a = GArr.fromFunction(spark, Seq(5L), Seq(2))(g => xs(g(0).toInt))
+    // edge: [3,3,3,1,4,1,5,5]
+    val e = indexed(a.padEdgeAxis(0, 2, 1))
+    assert((0 until 8).map(i => e(i.toLong)) == Seq(3.0, 3.0, 3.0, 1.0, 4.0, 1.0, 5.0, 5.0))
+    // reflect: numpy pad([3,1,4,1,5],(2,2),'reflect') = [4,1,3,1,4,1,5,1,4]
+    val r = indexed(a.padReflectAxis(0, 2, 2))
+    assert((0 until 9).map(i => r(i.toLong)) == Seq(4.0, 1.0, 3.0, 1.0, 4.0, 1.0, 5.0, 1.0, 4.0))
+    // 2-D along axis 0 keeps whole rows
+    val g2 = GArr.fromFunction(spark, Seq(3L, 4L), Seq(2, 3))(g => (g(0) * 10 + g(1)).toDouble)
+    val ge = indexed(g2.padEdgeAxis(0, 1, 1))
+    for (j <- 0 until 4) {
+      assert(ge(j.toLong) == j.toDouble, s"top edge col $j")
+      assert(ge((4 * 4 + j).toLong) == (20 + j).toDouble, s"bottom edge col $j")
+    }
+    val gr = indexed(g2.padReflectAxis(0, 1, 1))
+    for (j <- 0 until 4) {
+      assert(gr(j.toLong) == (10 + j).toDouble, s"top reflect col $j")
+      assert(gr((4 * 4 + j).toLong) == (10 + j).toDouble, s"bottom reflect col $j")
+    }
+    intercept[IllegalArgumentException](a.padReflectAxis(0, 5, 0))
+  }
+
   test("broadcastAxis replicates a unit axis with correct C-order tiling") {
     val a = GArr.fromFunction(spark, Seq(3L, 4L), Seq(2, 3))(g => (g(0) * 10 + g(1)).toDouble)
     // middle axis: (3,1,4) -> (3,5,4)
