@@ -90,14 +90,14 @@ object IO {
     * to tasks so executor-side FileSystem access sees the session's
     * filesystem credentials and settings, not bare defaults.
     */
-  private def hadoopConfKVs(spark: SparkSession): Array[(String, String)] = {
+  private[graft] def hadoopConfKVs(spark: SparkSession): Array[(String, String)] = {
     val it = spark.sparkContext.hadoopConfiguration.iterator()
     val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
     while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
     buf.toArray
   }
 
-  private def rebuildConf(kvs: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
+  private[graft] def rebuildConf(kvs: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
     val c = new org.apache.hadoop.conf.Configuration(false)
     kvs.foreach { case (k, v) => c.set(k, v) }
     c
