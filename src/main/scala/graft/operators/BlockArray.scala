@@ -39,6 +39,16 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
 
   private def spark: SparkSession = blocks.sparkSession
 
+  /** dask `persist` for arrays: SQL-level Dataset cache (visible to
+    * `spark.catalog.clearCache()`, per the round-5 advisor contract) so a
+    * multi-consumer chain — several reductions off one grid — computes
+    * the build lineage once instead of once per consumer.
+    */
+  def persist(): GArr =
+    copy(blocks = blocks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER))
+
+  def unpersist(): GArr = copy(blocks = blocks.unpersist())
+
   /** dask `map_blocks` (array/core.py:551): per-block kernel, narrow (no
     * shuffle). The kernel must preserve the block's element count.
     */

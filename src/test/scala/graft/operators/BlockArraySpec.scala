@@ -608,6 +608,16 @@ class BlockArraySpec extends SparkTestBase {
     assert(indexed(sum) == indexed(a))
   }
 
+  test("persist/unpersist: cached grid serves multiple consumers identically") {
+    val a = GArr.fromFunction(spark, Seq(6L, 4L), Seq(2, 3))(f2).persist()
+    try {
+      assert(indexed(a.sumAxis(0)) == indexed(a.sumAxis(0)))
+      val viaCache = indexed(a.cumsumAxis(1))
+      val fresh = indexed(GArr.fromFunction(spark, Seq(6L, 4L), Seq(2, 3))(f2).cumsumAxis(1))
+      assert(viaCache == fresh)
+    } finally a.unpersist(): Unit
+  }
+
   test("padEdgeAxis / padReflectAxis replicate numpy pad modes") {
     val xs = Array(3.0, 1.0, 4.0, 1.0, 5.0)
     val a = GArr.fromFunction(spark, Seq(5L), Seq(2))(g => xs(g(0).toInt))
