@@ -73,17 +73,79 @@ object SpectralFft {
     }
   }
 
-  /** Distributed FFT of a real-valued 1-D [[GArr]]; N must be a power of
-    * two. Returns (k, re, im) rows for all N bins.
+  /** Arbitrary-length local FFT: radix-2 for powers of two, Bluestein's
+    * chirp-z otherwise (three pow2 FFTs of length m = nextPow2(2n-1); the
+    * k² chirp angle is reduced mod 2n in exact Long arithmetic so large k
+    * loses no precision). numpy supports any n — this closes the same
+    * surface locally, and [[fft1d]] composes it per strip.
+    */
+  def fftLocalAny(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    if (n <= 1) return
+    if ((n & (n - 1)) == 0) { fftLocal(re, im); return }
+    val m = Integer.highestOneBit(2 * n - 1) << 1
+    val cosC = new Array[Double](n); val sinC = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      val k2 = (k.toLong * k % (2L * n)).toDouble
+      val ang = -math.Pi * k2 / n
+      cosC(k) = math.cos(ang); sinC(k) = math.sin(ang)
+      k += 1
+    }
+    val ar = new Array[Double](m); val ai = new Array[Double](m)
+    k = 0
+    while (k < n) {
+      ar(k) = re(k) * cosC(k) - im(k) * sinC(k)
+      ai(k) = re(k) * sinC(k) + im(k) * cosC(k)
+      k += 1
+    }
+    val br = new Array[Double](m); val bi = new Array[Double](m)
+    br(0) = cosC(0); bi(0) = -sinC(0)
+    k = 1
+    while (k < n) {
+      br(k) = cosC(k); bi(k) = -sinC(k)
+      br(m - k) = br(k); bi(m - k) = bi(k)
+      k += 1
+    }
+    fftLocal(ar, ai); fftLocal(br, bi)
+    k = 0
+    while (k < m) {
+      val r = ar(k) * br(k) - ai(k) * bi(k)
+      val i2 = ar(k) * bi(k) + ai(k) * br(k)
+      ar(k) = r; ai(k) = i2
+      k += 1
+    }
+    k = 0; while (k < m) { ai(k) = -ai(k); k += 1 }
+    fftLocal(ar, ai)
+    k = 0; while (k < m) { ar(k) = ar(k) / m; ai(k) = -ai(k) / m; k += 1 }
+    k = 0
+    while (k < n) {
+      re(k) = ar(k) * cosC(k) - ai(k) * sinC(k)
+      im(k) = ar(k) * sinC(k) + ai(k) * cosC(k)
+      k += 1
+    }
+  }
+
+  /** Distributed FFT of a real-valued 1-D [[GArr]], any length N (the
+    * four-step decimation X[k1 + k2·n1] works for ANY factorization
+    * N = n1·n2; strips use the arbitrary-length [[fftLocalAny]]). A prime
+    * N degenerates to n2 = 1 — one strip runs a local Bluestein, exactly
+    * what numpy does on a single machine. Returns (k, re, im) rows for
+    * all N bins.
     */
   def fft1d(a: GArr, targetElems: Int = 65536): DataFrame = {
     require(a.ndim == 1, "fft1d takes a 1-D array")
     val n = a.shape.head
-    require(n >= 1 && (n & (n - 1)) == 0, s"fft1d length $n must be a power of two")
+    require(n >= 1, s"fft1d needs a nonempty array")
     val s = a.blocks.sparkSession
     import s.implicits._
-    val m = java.lang.Long.numberOfTrailingZeros(n)
-    val n2 = 1 << (m / 2)
+    // largest divisor of n that is <= sqrt(n) (for pow2 this is the usual
+    // half-split; for primes it is 1)
+    val n2 = {
+      var d = math.sqrt(n.toDouble).toLong
+      while (d > 1 && n % d != 0) d -= 1
+      math.max(1L, d).toInt
+    }
     val n1 = (n / n2).toInt
     val w2 = math.max(1, math.min(n2, targetElems / math.max(n1, 1)))
     val w1 = math.max(1, math.min(n1, targetElems / math.max(n2, 1)))
@@ -129,7 +191,7 @@ object SpectralFft {
         while (c < wCols) {
           var r = 0
           while (r < n1) { tre(r) = re(r * wCols + c); tim(r) = im(r * wCols + c); r += 1 }
-          fftLocal(tre, tim)
+          fftLocalAny(tre, tim)
           val g2 = strip * w2 + c
           var k1 = 0
           while (k1 < n1) {
@@ -184,7 +246,7 @@ object SpectralFft {
         val k1 = t * w1 + r
         System.arraycopy(re, r * n2, tre, 0, n2)
         System.arraycopy(im, r * n2, tim, 0, n2)
-        fftLocal(tre, tim)
+        fftLocalAny(tre, tim)
         var k2 = 0
         while (k2 < n2) {
           out += ((k1 + n1.toLong * k2, tre(k2), tim(k2)))

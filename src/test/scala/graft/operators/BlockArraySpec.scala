@@ -198,6 +198,38 @@ class BlockArraySpec extends SparkTestBase {
     }
   }
 
+  test("fftLocalAny (Bluestein) matches naive DFT on non-pow2 lengths") {
+    val rnd = new scala.util.Random(5)
+    for (n <- Seq(3, 5, 6, 12, 17, 81, 96, 100)) {
+      val x = Array.fill(n)(rnd.nextDouble() * 6 - 3)
+      val re = x.clone(); val im = new Array[Double](n)
+      SpectralFft.fftLocalAny(re, im)
+      val (er, ei) = naiveDft(x)
+      for (k <- 0 until n) {
+        assert(math.abs(re(k) - er(k)) < 1e-8, s"n=$n re k=$k")
+        assert(math.abs(im(k) - ei(k)) < 1e-8, s"n=$n im k=$k")
+      }
+    }
+  }
+
+  test("fft1d handles arbitrary (non-pow2, prime) lengths distributed") {
+    val rnd = new scala.util.Random(13)
+    for ((n, chunk, target) <- Seq((96, 10, 16), (100, 7, 25), (60, 60, 8),
+                                   (17, 4, 4), (121, 11, 11))) {
+      val x = Array.fill(n)(rnd.nextDouble() * 4 - 2)
+      val a = GArr.fromFunction(spark, Seq(n.toLong), Seq(chunk))(g => x(g(0).toInt))
+      val res = SpectralFft.fft1d(a, targetElems = target).collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      assert(res.size == n, s"n=$n bins")
+      val (er, ei) = naiveDft(x)
+      for (k <- 0 until n) {
+        val (gr, gi) = res(k.toLong)
+        assert(math.abs(gr - er(k)) < 1e-7, s"n=$n re k=$k: $gr vs ${er(k)}")
+        assert(math.abs(gi - ei(k)) < 1e-7, s"n=$n im k=$k: $gi vs ${ei(k)}")
+      }
+    }
+  }
+
   test("fft1d recovers exact-bin tones: energy only at injected frequencies") {
     val n = 512
     val amps = Map(5 -> 3.0, 37 -> 2.0, 100 -> 1.0)
