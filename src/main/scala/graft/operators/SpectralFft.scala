@@ -257,4 +257,37 @@ object SpectralFft {
       out
     }.toDF("k", "re", "im")
   }
+
+  /** numpy/dask `fft.rfft` for real input: the spectrum of a real signal
+    * is Hermitian, so only bins 0..n/2 carry information — one filter on
+    * the full transform.
+    */
+  def rfft1d(a: GArr, targetElems: Int = 65536): DataFrame = {
+    val half = a.shape.head / 2
+    fft1d(a, targetElems).where(org.apache.spark.sql.functions.col("k") <= half)
+  }
+
+  /** numpy/dask `fft.fftfreq(n, d)` — grid-parallel creation, zero driver
+    * data: freq[k] = k/(n·d) for k < ⌈n/2⌉, else (k-n)/(n·d).
+    */
+  def fftfreq(s: org.apache.spark.sql.SparkSession, n: Long, d: Double = 1.0,
+              chunk: Int = 65536): GArr = {
+    val split = (n + 1) / 2
+    GArr.fromFunction(s, Seq(n), Seq(chunk))(g =>
+      (if (g(0) < split) g(0) else g(0) - n) / (n * d))
+  }
+
+  /** numpy/dask `fft.rfftfreq(n, d)`: k/(n·d) for k = 0..n/2. */
+  def rfftfreq(s: org.apache.spark.sql.SparkSession, n: Long, d: Double = 1.0,
+               chunk: Int = 65536): GArr =
+    GArr.fromFunction(s, Seq(n / 2 + 1), Seq(chunk))(g => g(0) / (n * d))
+
+  /** numpy/dask `fft.fftshift` / `ifftshift` along an axis — pure roll
+    * compositions (two strided slices + zero-shuffle concat).
+    */
+  def fftshift(a: GArr, axis: Int = 0): GArr =
+    a.rollAxis(axis, a.shape(axis) / 2)
+
+  def ifftshift(a: GArr, axis: Int = 0): GArr =
+    a.rollAxis(axis, -(a.shape(axis) / 2))
 }

@@ -230,6 +230,40 @@ class BlockArraySpec extends SparkTestBase {
     }
   }
 
+  test("rfft/fftfreq/rfftfreq/fftshift match numpy semantics") {
+    // rfft: bins 0..n/2 of the full transform
+    val rnd = new scala.util.Random(3)
+    val x = Array.fill(10)(rnd.nextDouble() * 2 - 1)
+    val a = GArr.fromFunction(spark, Seq(10L), Seq(4))(g => x(g(0).toInt))
+    val rf = SpectralFft.rfft1d(a).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(rf.keySet == (0L to 5L).toSet)
+    val (er, ei) = naiveDft(x)
+    for (k <- 0 to 5) {
+      assert(math.abs(rf(k.toLong)._1 - er(k)) < 1e-9 &&
+             math.abs(rf(k.toLong)._2 - ei(k)) < 1e-9, s"k=$k")
+    }
+    // fftfreq(8, d=0.5) = [0, .25, .5, .75, -1, -.75, -.5, -.25]
+    val ff = indexed(SpectralFft.fftfreq(spark, 8L, 0.5, chunk = 3))
+    assert((0 until 8).map(i => ff(i.toLong)) ==
+      Seq(0.0, 0.25, 0.5, 0.75, -1.0, -0.75, -0.5, -0.25))
+    // odd n: fftfreq(5) = [0, .2, .4, -.4, -.2]
+    val f5 = indexed(SpectralFft.fftfreq(spark, 5L, 1.0, chunk = 2))
+    assert((0 until 5).map(i => f5(i.toLong)) == Seq(0.0, 0.2, 0.4, -0.4, -0.2))
+    // rfftfreq(8, d=0.5) = [0, .25, .5, .75, 1]
+    val rff = indexed(SpectralFft.rfftfreq(spark, 8L, 0.5, chunk = 2))
+    assert((0 until 5).map(i => rff(i.toLong)) == Seq(0.0, 0.25, 0.5, 0.75, 1.0))
+    // fftshift/ifftshift invert each other; shift of fftfreq is monotonic
+    val sh = indexed(SpectralFft.fftshift(SpectralFft.fftfreq(spark, 8L, 0.5, chunk = 3)))
+    assert((0 until 8).map(i => sh(i.toLong)) ==
+      Seq(-1.0, -0.75, -0.5, -0.25, 0.0, 0.25, 0.5, 0.75))
+    val round = SpectralFft.ifftshift(SpectralFft.fftshift(a))
+    assert(indexed(round) == indexed(a))
+    // odd-length shift matches numpy (floor(n/2) roll)
+    val sh5 = indexed(SpectralFft.fftshift(SpectralFft.fftfreq(spark, 5L, 1.0, chunk = 2)))
+    assert((0 until 5).map(i => sh5(i.toLong)) == Seq(-0.4, -0.2, 0.0, 0.2, 0.4))
+  }
+
   test("fft1d recovers exact-bin tones: energy only at injected frequencies") {
     val n = 512
     val amps = Map(5 -> 3.0, 37 -> 2.0, 100 -> 1.0)
