@@ -1854,6 +1854,23 @@ object SparkEntry {
         .slice(Seq((0L, rows / 100L, 1L), (0L, 200L, 20L)))
         .toIndexedDF
         .select(col("idx"), col("value").cast("long").as("v"))
+    },
+
+    // ---- exponentially-weighted moving mean/var (pandas ewm adjust=True,
+    // bias=False), distributed as a two-phase decay-composed prefix scan —
+    // sampled every 997th row.  alpha=0.5 keeps every decay weight an
+    // exact dyadic; outputs are scaled to 1e-4 integers on both sides
+    // (engine-vs-oracle drift ~1e-15, 10^11 of slack).  The oracle
+    // truncates the lookback at 60 terms (0.5^60 ~ 8.7e-19 — beneath
+    // double resolution of every partial sum).
+    "q157_ewm" -> { (s, dir) =>
+      import graft.operators.Ewm
+      val li = t(s, dir, "lineitem").sort(liTotalOrder.map(col): _*)
+      Ewm.statsIndexed(li, "l_quantity", alpha = 0.5)
+        .where(col("rn") % 997 === 0)
+        .select((col("rn") / 997).cast("long").as("idx"),
+          floor(col("ewm_mean") * 10000 + lit(0.5)).cast("long").as("m"),
+          floor(col("ewm_var") * 10000 + lit(0.5)).cast("long").as("vv"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -3684,5 +3701,30 @@ object SparkEntry {
         |FROM gr WHERE col % 20 = 0
         |UNION ALL
         |SELECT CAST(r * 10 + 5 + col // 20 AS BIGINT) AS idx, CAST(cv AS BIGINT) AS v
-        |FROM ce WHERE col % 20 = 0""".stripMargin)
+        |FROM ce WHERE col % 20 = 0""".stripMargin,
+
+    // q157: direct-definition EWM over a 60-term truncated lookback
+    // (0.5^60 < 1e-18, far beneath the 1e-4 rounding both sides apply);
+    // all decay weights are exact dyadics.  Var uses the pandas
+    // bias=False correction W^2/(W^2 - W2), null until two observations.
+    "q157_ewm" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS v,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |s AS (SELECT rn AS srn FROM t WHERE rn % 997 = 0),
+        |j AS (SELECT s.srn,
+        |        SUM(t.v * POWER(0.5, s.srn - t.rn)) AS num,
+        |        SUM(POWER(0.5, s.srn - t.rn)) AS den,
+        |        SUM(t.v * t.v * POWER(0.5, s.srn - t.rn)) AS num2,
+        |        SUM(POWER(0.25, s.srn - t.rn)) AS den2
+        |      FROM s JOIN t ON t.rn BETWEEN s.srn - 60 AND s.srn
+        |      GROUP BY s.srn)
+        |SELECT CAST(srn // 997 AS BIGINT) AS idx,
+        |  CAST(FLOOR(num / den * 10000 + 0.5) AS BIGINT) AS m,
+        |  CASE WHEN den * den - den2 > 0 THEN
+        |    CAST(FLOOR(GREATEST(0, (num2 / den - POWER(num / den, 2))
+        |      * den * den / (den * den - den2)) * 10000 + 0.5) AS BIGINT)
+        |  ELSE NULL END AS vv
+        |FROM j""".stripMargin)
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Distributed EWM vs the O(n²) direct definition (adjust=True):
+  * mean_t = Σ x_i q^{t-i} / Σ q^{t-i}, var with pandas bias correction —
+  * independent of the engine's recurrence, across partitionings.
+  */
+class EwmSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def reference(xs: Seq[Option[Double]], alpha: Double): Seq[(Option[Double], Option[Double])] = {
+    val q = 1.0 - alpha
+    xs.indices.map { t =>
+      val terms = (0 to t).flatMap { i =>
+        xs(i).map(x => (x, math.pow(q, (t - i).toDouble)))
+      }
+      val w = terms.map(_._2).sum
+      val w2 = terms.map(p => p._2 * p._2).sum
+      if (terms.isEmpty || w <= 0) (None, None)
+      else {
+        val m = terms.map(p => p._1 * p._2).sum / w
+        val denom = w * w - w2
+        val v = if (denom > 0) {
+          val biased = terms.map(p => p._1 * p._1 * p._2).sum / w - m * m
+          Some(math.max(0.0, biased * w * w / denom))
+        } else None
+        (Some(m), v)
+      }
+    }
+  }
+
+  private def run(xs: Seq[Option[Double]], alpha: Double, parts: Int): Seq[(Option[Double], Option[Double])] = {
+    val df = xs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(Double.box).orNull) }
+      .toDF("k", "v")
+      .repartitionByRange(parts, org.apache.spark.sql.functions.col("k"))
+      .sortWithinPartitions("k")
+    Ewm.statsIndexed(df, "v", alpha).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]),
+                 Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .sortBy(_._1).map(t => (t._2, t._3)).toSeq
+  }
+
+  private def close(a: Option[Double], b: Option[Double], tag: String): Unit = (a, b) match {
+    case (None, None) =>
+    case (Some(x), Some(y)) => assert(math.abs(x - y) < 1e-10, s"$tag: $x vs $y")
+    case _ => fail(s"$tag: $a vs $b")
+  }
+
+  test("pandas-known values: mean of [1,2,3] alpha=0.5; var of [1,2] = 0.5") {
+    val got = run(Seq(Some(1.0), Some(2.0), Some(3.0)), 0.5, 2)
+    close(got(0)._1, Some(1.0), "m0")
+    close(got(1)._1, Some(2.5 / 1.5), "m1")
+    close(got(2)._1, Some(4.25 / 1.75), "m2")
+    assert(got(0)._2.isEmpty, "var needs 2 obs")
+    close(got(1)._2, Some(0.5), "v1")
+  }
+
+  test("random series with nulls matches the direct definition under any partitioning") {
+    val rnd = new scala.util.Random(42)
+    for (alpha <- Seq(0.2, 0.5, 0.9); parts <- Seq(1, 3, 7)) {
+      val xs = Seq.tabulate(50)(i =>
+        if (rnd.nextDouble() < 0.15) None else Some(math.floor(rnd.nextDouble() * 20) - 5))
+      val exp = reference(xs, alpha)
+      val got = run(xs, alpha, parts)
+      assert(got.length == 50)
+      xs.indices.foreach { t =>
+        close(got(t)._1, exp(t)._1, s"alpha=$alpha parts=$parts mean t=$t")
+        close(got(t)._2, exp(t)._2, s"alpha=$alpha parts=$parts var t=$t")
+      }
+    }
+  }
+
+  test("partitioning invariance: 1 vs 13 partitions bitwise-comparable to 1e-12") {
+    val xs = Seq.tabulate(200)(i => Some(((i * 37) % 11).toDouble))
+    val a = run(xs, 0.3, 1)
+    val b = run(xs, 0.3, 13)
+    xs.indices.foreach { t =>
+      close(a(t)._1, b(t)._1, s"mean t=$t")
+      close(a(t)._2, b(t)._2, s"var t=$t")
+    }
+  }
+
+  test("leading nulls emit null mean until the first observation") {
+    val got = run(Seq(None, None, Some(4.0), None, Some(2.0)), 0.5, 2)
+    assert(got(0)._1.isEmpty && got(1)._1.isEmpty)
+    close(got(2)._1, Some(4.0), "first obs")
+    // null row carries the estimate (ignore_na=False decay)
+    close(got(3)._1, Some(4.0), "carried")
+    // t=4: weights q^2 (for x=4), 1 (for x=2); mean=(4*0.25+2)/(1.25)
+    close(got(4)._1, Some((4.0 * 0.25 + 2.0) / 1.25), "after gap")
+  }
+}
