@@ -107,4 +107,60 @@ object Ewm {
       StructField("ewm_mean", DoubleType, nullable = true),
       StructField("ewm_var", DoubleType, nullable = true))))
   }
+
+  /** Keyed EWM — pandas `groupby(key).ewm(alpha).mean()/var()`: one
+    * shuffle on the key, each group's rows sorted by `orderCols` inside
+    * the group and run through the same recurrences (groups are the unit
+    * of memory, the same contract as every groupby-apply path here).
+    * Returns (key, order..., ewm_mean, ewm_var) rows.
+    */
+  def statsKeyed(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                 valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1): $alpha")
+    val spark = df.sparkSession
+    val q = 1.0 - alpha
+    val cols = (keyCol +: orderCols) :+ valueCol
+    val base = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+    val schema = StructType(base.schema.fields.dropRight(1) ++ Seq(
+      StructField("ewm_mean", DoubleType, nullable = true),
+      StructField("ewm_var", DoubleType, nullable = true)))
+    val nOrd = orderCols.length
+    val vPos = 1 + nOrd
+    val outEnc = org.apache.spark.sql.Encoders.row(schema)
+    base.groupByKey((r: Row) => String.valueOf(r.get(0)))(
+        org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroups { (_: String, it: Iterator[Row]) =>
+        val rows = it.toArray
+        // order keys compare as native Comparables (numeric order, not
+        // stringified)
+        java.util.Arrays.sort(rows, new java.util.Comparator[Row] {
+          def compare(a: Row, b: Row): Int = {
+            var i = 0
+            while (i < nOrd) {
+              val c = a.get(1 + i).asInstanceOf[Comparable[Any]].compareTo(b.get(1 + i))
+              if (c != 0) return c
+              i += 1
+            }
+            0
+          }
+        })
+        var s = 0.0; var w = 0.0; var s2 = 0.0; var w2 = 0.0
+        rows.iterator.map { r =>
+          s *= q; w *= q; s2 *= q; w2 *= q * q
+          if (!r.isNullAt(vPos)) {
+            val x = r.get(vPos).asInstanceOf[Number].doubleValue()
+            s += x; w += 1.0; s2 += x * x; w2 += 1.0
+          }
+          val mean: Any = if (w > 0) s / w else null
+          val varU: Any = {
+            val denom = w * w - w2
+            if (w > 0 && denom > 0) {
+              val m = s / w
+              math.max(0.0, (s2 / w - m * m) * w * w / denom)
+            } else null
+          }
+          Row.fromSeq(r.toSeq.dropRight(1) ++ Seq(mean, varU))
+        }
+      }(outEnc)
+  }
 }

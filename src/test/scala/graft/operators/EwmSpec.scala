@@ -83,6 +83,28 @@ class EwmSpec extends SparkTestBase {
     }
   }
 
+  test("keyed ewm: per-group recurrence matches the direct definition per key") {
+    val rnd = new scala.util.Random(7)
+    val rows = for (k <- Seq("a", "b", "c"); i <- 0 until 25) yield
+      (k, i, if (rnd.nextDouble() < 0.1) null else Double.box(math.floor(rnd.nextDouble() * 10)))
+    // shuffled input order — the op must sort within groups itself
+    val df = rnd.shuffle(rows).toDF("k", "i", "v").repartition(5)
+    val got = Ewm.statsKeyed(df, "k", Seq("i"), "v", alpha = 0.4).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got.size == 75)
+    for (k <- Seq("a", "b", "c")) {
+      val series = rows.filter(_._1 == k).sortBy(_._2)
+        .map(t => Option(t._3).map(_.doubleValue))
+      val exp = reference(series, 0.4)
+      series.indices.foreach { i =>
+        close(got((k, i))._1, exp(i)._1, s"key=$k mean i=$i")
+        close(got((k, i))._2, exp(i)._2, s"key=$k var i=$i")
+      }
+    }
+  }
+
   test("leading nulls emit null mean until the first observation") {
     val got = run(Seq(None, None, Some(4.0), None, Some(2.0)), 0.5, 2)
     assert(got(0)._1.isEmpty && got(1)._1.isEmpty)
