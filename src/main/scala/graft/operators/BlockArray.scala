@@ -89,6 +89,29 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     })
   }
 
+  /** numpy `where(cond, a, b)` — three-way blockwise zip on identical
+    * chunk grids (cond nonzero/NaN-truthy selects from `this`, else from
+    * `other`). Two block-id equi-joins, co-partitioned under AQE.
+    */
+  def where(cond: GArr, other: GArr): GArr = {
+    require(shape == cond.shape && chunks == cond.chunks &&
+      shape == other.shape && chunks == other.chunks,
+      "where requires identical chunk grids on cond/this/other")
+    val s = spark
+    import s.implicits._
+    val l = blocks.map(b => (keyOf(b.bid), b.bid, b.data))
+    val c = cond.blocks.map(b => (keyOf(b.bid), b.data))
+    val r = other.blocks.map(b => (keyOf(b.bid), b.data))
+    val j1 = l.joinWith(c, l("_1") === c("_1"))
+    val j2 = j1.joinWith(r, j1("_1._1") === r("_1"))
+    copy(blocks = j2.map { case (((_, bid, a), (_, cd)), (_, b)) =>
+      val o = new Array[Double](a.length)
+      var i = 0
+      while (i < a.length) { o(i) = if (cd(i) != 0.0) a(i) else b(i); i += 1 }
+      ABlock(bid, o)
+    })
+  }
+
   /** Full reduction: per-block partial (map-side), then a driver combine of
     * one scalar per block — the dask tree-reduce collapsed to two levels,
     * which is exactly what `reductions.py:70` does for `split_every=None`.

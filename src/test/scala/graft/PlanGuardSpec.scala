@@ -1,0 +1,85 @@
+package graft
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, Exchange, ShuffleExchangeExec}
+
+/** Plan-shape drift guards: the scale-critical plan properties PLANS.md
+  * claims are asserted here against the ACTUAL physical plans at fixture
+  * scale, so a regression (a filter that stops pushing down, a narrow op
+  * that grows an exchange, a broadcast that degrades to shuffle) fails
+  * `sbt test` instead of surviving until the next manual plan audit.
+  *
+  * Assertions target the initial physical plan (pre-AQE): AQE can only
+  * REMOVE/downgrade exchanges at runtime, so upper bounds checked here
+  * hold a fortiori, and node-presence checks (pushed filters, partial
+  * aggregates, broadcast) are decided before adaptive re-planning.
+  */
+class PlanGuardSpec extends SparkTestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Plans are inspected with AQE off: the classic planner's exchange
+    * structure is the upper bound (AQE only removes/downgrades exchanges
+    * at runtime), and it is deterministic to assert against.
+    */
+  private def plan(name: String): SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] =
+    (p +: p.children.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
+
+  private def shuffles(p: SparkPlan): Int =
+    collectAll(p).count(_.isInstanceOf[ShuffleExchangeExec])
+
+  test("q148 stratified sampling: ZERO exchanges (pure narrow scan+filter)") {
+    val p = plan("q148_stratified_sample")
+    assert(collectAll(p).count(_.isInstanceOf[Exchange]) == 0,
+      s"q148 grew an exchange:\n$p")
+  }
+
+  test("q02 filter/project: zero shuffles, filters pushed to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(shuffles(p) == 0, s"q02 grew a shuffle:\n$p")
+    val scans = collectAll(p).filter(_.nodeName.toLowerCase.contains("scan"))
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.toString.contains("PushedFilters: [")),
+      s"q02 scan lost its pushed filters:\n${scans.head}")
+  }
+
+  test("q01 agg: partial->final HashAggregate around exactly one shuffle") {
+    val p = plan("q01_agg")
+    val aggs = collectAll(p).filter(_.nodeName.contains("HashAggregate"))
+    assert(aggs.size >= 2, s"q01 lost map-side combine:\n$p")
+    assert(shuffles(p) == 1, s"q01 shuffle count changed:\n$p")
+  }
+
+  test("q04 broadcast join: dimension side broadcasts, never shuffles") {
+    val p = plan("q04_broadcast_join")
+    assert(collectAll(p).exists(n => n.isInstanceOf[BroadcastExchangeExec] ||
+      n.nodeName.contains("BroadcastHashJoin")),
+      s"q04 broadcast degraded to shuffle join:\n$p")
+  }
+
+  test("q03 top-k: TakeOrderedAndProject, not a global sort") {
+    val p = plan("q03_join")
+    assert(collectAll(p).exists(_.nodeName.contains("TakeOrdered")),
+      s"q03 lost its top-k plan:\n$p")
+  }
+
+  test("q151 block matmul: no global sort in the visible plan") {
+    // the top-k input reduction itself lives inside fromColumn's RDD
+    // lineage (a separate query execution); what this plan must never
+    // contain is a whole-table global sort — only the local per-group
+    // sorts EnsureRequirements adds before MapGroups
+    val p = plan("q151_block_matmul")
+    val globalSorts = collectAll(p).filter(n =>
+      n.nodeName == "Sort" && !n.toString.contains("false, 0"))
+    assert(globalSorts.isEmpty,
+      s"q151 reintroduced a global sort:\n${globalSorts.headOption}")
+  }
+}

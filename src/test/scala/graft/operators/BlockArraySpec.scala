@@ -674,6 +674,24 @@ class BlockArraySpec extends SparkTestBase {
     assert(indexed(sum) == indexed(a))
   }
 
+  test("where: three-way blockwise select with numpy truthiness") {
+    val a = GArr.fromFunction(spark, Seq(3L, 4L), Seq(2, 3))(g => (g(0) * 4 + g(1)).toDouble)
+    val b = a.scalarMap(v => -v)
+    val cond = GArr.fromFunction(spark, Seq(3L, 4L), Seq(2, 3))(g =>
+      if ((g(0) + g(1)) % 2 == 0) 1.0 else 0.0)
+    val got = indexed(a.where(cond, b))
+    for (i <- 0 until 3; j <- 0 until 4) {
+      val v = (i * 4 + j).toDouble
+      val exp = if ((i + j) % 2 == 0) v else -v
+      assert(got((i * 4 + j).toLong) == exp, s"($i,$j)")
+    }
+    // NaN condition is truthy (numpy semantics)
+    val nanCond = GArr.fromFunction(spark, Seq(3L, 4L), Seq(2, 3))(_ => Double.NaN)
+    assert(indexed(a.where(nanCond, b)) == indexed(a))
+    intercept[IllegalArgumentException](
+      a.where(GArr.fromFunction(spark, Seq(3L, 4L), Seq(3, 2))(_ => 1.0), b))
+  }
+
   test("persist/unpersist: cached grid serves multiple consumers identically") {
     val a = GArr.fromFunction(spark, Seq(6L, 4L), Seq(2, 3))(f2).persist()
     try {
