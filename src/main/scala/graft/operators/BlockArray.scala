@@ -874,6 +874,53 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     copy(blocks = assembled)
   }
 
+  /** dask `coarsen` (`array/routines.py` coarsen): block-reduce
+    * downsampling — each non-overlapping `factors(d)`-sized hyperrectangle
+    * reduces to one cell via `reduce` seeded with the first element. Pure
+    * narrow map: dask requires every chunk divisible by its factor (the
+    * same contract here — rechunk first otherwise), so no window straddles
+    * a block boundary and nothing shuffles.
+    */
+  def coarsen(factors: Seq[Int])(reduce: (Double, Double) => Double): GArr = {
+    require(factors.length == ndim && factors.forall(_ >= 1))
+    factors.zipWithIndex.foreach { case (f, d) =>
+      require(chunks(d).forall(_ % f == 0),
+        s"coarsen factor $f does not divide every chunk along dim $d (${chunks(d)}); rechunk first")
+    }
+    val s = spark
+    import s.implicits._
+    val nd = ndim
+    val srcStarts = chunks.map(startsOf)
+    val fac = factors.toArray
+    val out = blocks.map { b =>
+      val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), b.bid(d)))
+      val str = cStridesI(sdims)
+      val odims = Array.tabulate(nd)(d => sdims(d) / fac(d))
+      val o = new Array[Double](odims.product)
+      val t = new Array[Int](nd)      // output cell odometer
+      val u = new Array[Int](nd)      // intra-window odometer
+      var i = 0
+      while (i < o.length) {
+        java.util.Arrays.fill(u, 0)
+        var acc = 0.0; var first = true
+        var go = true
+        while (go) {
+          var off = 0; var d = 0
+          while (d < nd) { off += (t(d) * fac(d) + u(d)) * str(d); d += 1 }
+          acc = if (first) b.data(off) else reduce(acc, b.data(off))
+          first = false
+          go = incOdo(u, fac)
+        }
+        o(i) = acc
+        incOdo(t, odims)
+        i += 1
+      }
+      ABlock(b.bid, o)
+    }
+    GArr(shape.zip(fac).map { case (l, f) => l / f },
+      chunks.zipWithIndex.map { case (cs, d) => cs.map(_ / fac(d)) }, out)
+  }
+
   /** numpy `diff(n=1)` along an axis (`array/routines.py` diff): composed
     * from two strided slices + elementwise subtract — both slices emit the
     * same output grid (same lengths, same chunk chooser), so the elemwise

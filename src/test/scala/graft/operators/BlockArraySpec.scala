@@ -674,6 +674,27 @@ class BlockArraySpec extends SparkTestBase {
     assert(indexed(sum) == indexed(a))
   }
 
+  test("coarsen: block-reduce downsampling matches dense reference") {
+    // (6,8) grid, factors (2,4) -> (3,2); sum and max reductions
+    val f: Array[Long] => Double = g => (g(0) * 8 + g(1)).toDouble
+    val a = GArr.fromFunction(spark, Seq(6L, 8L), Seq(2, 4))(f)
+    val cs = indexed(a.coarsen(Seq(2, 4))(_ + _))
+    val cm = indexed(a.coarsen(Seq(2, 4))(math.max))
+    for (r <- 0 until 3; c <- 0 until 2) {
+      val cells = for (i <- 0 until 2; j <- 0 until 4)
+        yield f(Array(r * 2 + i, c * 4 + j))
+      assert(cs((r * 2 + c).toLong) == cells.sum, s"sum ($r,$c)")
+      assert(cm((r * 2 + c).toLong) == cells.max, s"max ($r,$c)")
+    }
+    // indivisible chunks are rejected (dask's contract)
+    val odd = GArr.fromFunction(spark, Seq(6L, 8L), Seq(3, 4))(f)
+    intercept[IllegalArgumentException](odd.coarsen(Seq(2, 4))(_ + _))
+    // but rechunking first makes it legal
+    assert(indexed(odd.rechunk(Seq(2, 4)).coarsen(Seq(2, 4))(_ + _)) == cs)
+    // factor 1 along an axis is identity there
+    assert(indexed(a.coarsen(Seq(1, 1))(_ + _)) == indexed(a))
+  }
+
   test("where: three-way blockwise select with numpy truthiness") {
     val a = GArr.fromFunction(spark, Seq(3L, 4L), Seq(2, 3))(g => (g(0) * 4 + g(1)).toDouble)
     val b = a.scalarMap(v => -v)
