@@ -1871,6 +1871,20 @@ object SparkEntry {
         .select((col("rn") / 997).cast("long").as("idx"),
           floor(col("ewm_mean") * 10000 + lit(0.5)).cast("long").as("m"),
           floor(col("ewm_var") * 10000 + lit(0.5)).cast("long").as("vv"))
+    },
+
+    // ---- keyed EWM: groupby(l_returnflag).ewm(0.5).mean()/var() — one
+    // key shuffle, in-group recurrence; sampled every 997th row per key.
+    // Same dyadic-alpha + 1e-4-integer-scaling contract as q157.
+    "q158_ewm_keyed" -> { (s, dir) =>
+      import graft.operators.Ewm
+      val li = t(s, dir, "lineitem")
+      Ewm.statsKeyed(li, "l_returnflag", liTotalOrder, "l_quantity", alpha = 0.5)
+        .where(col("grn") % 997 === 0)
+        .select(col("l_returnflag").as("k"),
+          (col("grn") / 997).cast("long").as("idx"),
+          floor(col("ewm_mean") * 10000 + lit(0.5)).cast("long").as("m"),
+          floor(col("ewm_var") * 10000 + lit(0.5)).cast("long").as("vv"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -3721,6 +3735,30 @@ object SparkEntry {
         |      FROM s JOIN t ON t.rn BETWEEN s.srn - 60 AND s.srn
         |      GROUP BY s.srn)
         |SELECT CAST(srn // 997 AS BIGINT) AS idx,
+        |  CAST(FLOOR(num / den * 10000 + 0.5) AS BIGINT) AS m,
+        |  CASE WHEN den * den - den2 > 0 THEN
+        |    CAST(FLOOR(GREATEST(0, (num2 / den - POWER(num / den, 2))
+        |      * den * den / (den * den - den2)) * 10000 + 0.5) AS BIGINT)
+        |  ELSE NULL END AS vv
+        |FROM j""".stripMargin,
+
+    // q158: per-key truncated-lookback restatement of q157 — grn is the
+    // row_number within l_returnflag over the same 5-column total order.
+    "q158_ewm_keyed" ->
+      """WITH t AS (
+        |  SELECT l_returnflag AS k, CAST(l_quantity AS DOUBLE) AS v,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS grn
+        |  FROM lineitem),
+        |s AS (SELECT k, grn AS sgrn FROM t WHERE grn % 997 = 0),
+        |j AS (SELECT s.k, s.sgrn,
+        |        SUM(t.v * POWER(0.5, s.sgrn - t.grn)) AS num,
+        |        SUM(POWER(0.5, s.sgrn - t.grn)) AS den,
+        |        SUM(t.v * t.v * POWER(0.5, s.sgrn - t.grn)) AS num2,
+        |        SUM(POWER(0.25, s.sgrn - t.grn)) AS den2
+        |      FROM s JOIN t ON t.k = s.k AND t.grn BETWEEN s.sgrn - 60 AND s.sgrn
+        |      GROUP BY s.k, s.sgrn)
+        |SELECT k, CAST(sgrn // 997 AS BIGINT) AS idx,
         |  CAST(FLOOR(num / den * 10000 + 0.5) AS BIGINT) AS m,
         |  CASE WHEN den * den - den2 > 0 THEN
         |    CAST(FLOOR(GREATEST(0, (num2 / den - POWER(num / den, 2))

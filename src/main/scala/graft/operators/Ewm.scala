@@ -112,7 +112,8 @@ object Ewm {
     * shuffle on the key, each group's rows sorted by `orderCols` inside
     * the group and run through the same recurrences (groups are the unit
     * of memory, the same contract as every groupby-apply path here).
-    * Returns (key, order..., ewm_mean, ewm_var) rows.
+    * Returns (key, order..., grn, ewm_mean, ewm_var) rows, `grn` being
+    * the 0-based index within the group (for positional sampling/joins).
     */
   def statsKeyed(df: DataFrame, keyCol: String, orderCols: Seq[String],
                  valueCol: String, alpha: Double): DataFrame = {
@@ -122,6 +123,7 @@ object Ewm {
     val cols = (keyCol +: orderCols) :+ valueCol
     val base = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
     val schema = StructType(base.schema.fields.dropRight(1) ++ Seq(
+      StructField("grn", LongType, nullable = false),
       StructField("ewm_mean", DoubleType, nullable = true),
       StructField("ewm_var", DoubleType, nullable = true)))
     val nOrd = orderCols.length
@@ -145,12 +147,14 @@ object Ewm {
           }
         })
         var s = 0.0; var w = 0.0; var s2 = 0.0; var w2 = 0.0
+        var grn = -1L
         rows.iterator.map { r =>
           s *= q; w *= q; s2 *= q; w2 *= q * q
           if (!r.isNullAt(vPos)) {
             val x = r.get(vPos).asInstanceOf[Number].doubleValue()
             s += x; w += 1.0; s2 += x * x; w2 += 1.0
           }
+          grn += 1
           val mean: Any = if (w > 0) s / w else null
           val varU: Any = {
             val denom = w * w - w2
@@ -159,7 +163,7 @@ object Ewm {
               math.max(0.0, (s2 / w - m * m) * w * w / denom)
             } else null
           }
-          Row.fromSeq(r.toSeq.dropRight(1) ++ Seq(mean, varU))
+          Row.fromSeq(r.toSeq.dropRight(1) ++ Seq(grn, mean, varU))
         }
       }(outEnc)
   }

@@ -89,10 +89,13 @@ class EwmSpec extends SparkTestBase {
       (k, i, if (rnd.nextDouble() < 0.1) null else Double.box(math.floor(rnd.nextDouble() * 10)))
     // shuffled input order — the op must sort within groups itself
     val df = rnd.shuffle(rows).toDF("k", "i", "v").repartition(5)
-    val got = Ewm.statsKeyed(df, "k", Seq("i"), "v", alpha = 0.4).collect()
+    val collected = Ewm.statsKeyed(df, "k", Seq("i"), "v", alpha = 0.4).collect()
+    // grn is the in-group position: equals the order col here by design
+    collected.foreach(r => assert(r.getLong(2) == r.getInt(1).toLong, s"grn ${r}"))
+    val got = collected
       .map(r => (r.getString(0), r.getInt(1)) ->
-        ((Option(r.get(2)).map(_.asInstanceOf[Double]),
-          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+        ((Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
     assert(got.size == 75)
     for (k <- Seq("a", "b", "c")) {
       val series = rows.filter(_._1 == k).sortBy(_._2)
