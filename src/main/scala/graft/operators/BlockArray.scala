@@ -410,6 +410,28 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
       (acc, o) => { val m = acc(o) / n; (acc(o + 1) - n * m * m) / (n - ddof) })
   }
 
+  def stdAxis(axis: Int, ddof: Int = 0): GArr =
+    varAxis(axis, ddof).scalarMap(math.sqrt)
+
+  def nanstdAxis(axis: Int, ddof: Int = 0): GArr =
+    nanvarAxis(axis, ddof).scalarMap(math.sqrt)
+
+  /** numpy `ptp` (peak-to-peak, max − min) along an axis: one width-2
+    * cell pass.
+    */
+  def ptpAxis(axis: Int): GArr =
+    axisAgg(axis, 2)(
+      (acc, o) => { acc(o) = Double.PositiveInfinity; acc(o + 1) = Double.NegativeInfinity },
+      (acc, o, v, _) => {
+        if (v.isNaN || v < acc(o)) acc(o) = if (acc(o).isNaN) acc(o) else v
+        if (v.isNaN || v > acc(o + 1)) acc(o + 1) = if (acc(o + 1).isNaN) acc(o + 1) else v
+      },
+      (acc, other, o) => {
+        if (other(o).isNaN || other(o) < acc(o)) acc(o) = if (acc(o).isNaN) acc(o) else other(o)
+        if (other(o + 1).isNaN || other(o + 1) > acc(o + 1)) acc(o + 1) = if (acc(o + 1).isNaN) acc(o + 1) else other(o + 1)
+      },
+      (acc, o) => acc(o + 1) - acc(o))
+
   /** numpy `argmin`/`argmax` along an axis (first occurrence wins ties,
     * NaN wins like numpy); returns the winning global axis coordinate.
     * The merge tiebreak is the lower coordinate, so the result is

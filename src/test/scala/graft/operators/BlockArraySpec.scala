@@ -674,6 +674,23 @@ class BlockArraySpec extends SparkTestBase {
     assert(indexed(sum) == indexed(a))
   }
 
+  test("stdAxis / nanstdAxis / ptpAxis wrappers") {
+    val grid = Array(
+      1.0, Double.NaN,
+      5.0, 3.0,
+      3.0, 7.0)
+    val a = GArr.fromFunction(spark, Seq(3L, 2L), Seq(2, 1))(g => grid((g(0) * 2 + g(1)).toInt))
+    val sd = indexed(a.stdAxis(0))
+    // col 0: var of (1,5,3) ddof=0 = 8/3
+    assert(math.abs(sd(0L) - math.sqrt(8.0 / 3)) < 1e-12)
+    assert(sd(1L).isNaN) // NaN propagates through plain var
+    val nsd = indexed(a.nanstdAxis(0, ddof = 1))
+    // col 1 non-NaN: (3,7) sample std = sqrt(8)
+    assert(math.abs(nsd(1L) - math.sqrt(8.0)) < 1e-12)
+    val ptp = indexed(a.ptpAxis(0))
+    assert(ptp(0L) == 4.0 && ptp(1L).isNaN)
+  }
+
   test("coarsen: block-reduce downsampling matches dense reference") {
     // (6,8) grid, factors (2,4) -> (3,2); sum and max reductions
     val f: Array[Long] => Double = g => (g(0) * 8 + g(1)).toDouble
