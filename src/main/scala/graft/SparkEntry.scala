@@ -1873,6 +1873,28 @@ object SparkEntry {
           floor(col("ewm_var") * 10000 + lit(0.5)).cast("long").as("vv"))
     },
 
+    // ---- coarsen -> where -> tensordot chain: block-reduce the quantity
+    // grid 2x20 (narrow), sign-select even sums (three-way blockwise
+    // where), contract against a 5x3 constant matrix (tensordot), sample
+    // every 97th output row.  Pure BIGINT both sides.
+    "q159_block_coarsen_tensordot" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      val a = GArr.fromColumn(li, "l_quantity", liTotalOrder, chunk = 4096)
+      val rows = (a.shape.head / 100L) * 100L
+      val r2 = ((rows / 100L) / 2L) * 2L
+      val grid = a.slice(Seq((0L, r2 * 100L, 1L))).reshape(Seq(r2, 100L), Seq(512, 20))
+      val co = grid.coarsen(Seq(2, 20))(_ + _)
+      val w = co.where(
+        co.scalarMap(v => if (v % 2.0 == 0.0) 1.0 else 0.0),
+        co.scalarMap(v => -v))
+      val b = GArr.fromFunction(s, Seq(5L, 3L), Seq(5, 3))(g => (g(0) + g(1) + 1).toDouble)
+      w.tensordot(b, Seq(1), Seq(0))
+        .slice(Seq((0L, r2 / 2L, 97L), (0L, 3L, 1L)))
+        .toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("v"))
+    },
+
     // ---- keyed EWM: groupby(l_returnflag).ewm(0.5).mean()/var() — one
     // key shuffle, in-group recurrence; sampled every 997th row per key.
     // Same dyadic-alpha + 1e-4-integer-scaling contract as q157.
@@ -3741,6 +3763,25 @@ object SparkEntry {
         |      * den * den / (den * den - den2)) * 10000 + 0.5) AS BIGINT)
         |  ELSE NULL END AS vv
         |FROM j""".stripMargin,
+
+    // q159: coarse cell (r,c) sums rows 2r..2r+1 x cols 20c..20c+19 of
+    // the row-major grid; sign flips on odd sums; C[r,j] = sum_c
+    // w(r,c)*(c+j+1); output idx = (r/97)*3 + j over rows r % 97 = 0.
+    "q159_block_coarsen_tensordot" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS v,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |pars AS (SELECT (((COUNT(*) // 100) // 2) * 2) AS r2 FROM t),
+        |s AS (SELECT (rn // 100) // 2 AS r, (rn % 100) // 20 AS c, SUM(v) AS sv
+        |      FROM t, pars WHERE rn < r2 * 100 GROUP BY 1, 2),
+        |w AS (SELECT r, c, CASE WHEN sv % 2 = 0 THEN sv ELSE -sv END AS wv FROM s),
+        |b AS (SELECT rc.range AS c, rj.range AS j, rc.range + rj.range + 1 AS bv
+        |      FROM range(5) rc, range(3) rj),
+        |o AS (SELECT w.r, b.j, SUM(w.wv * b.bv) AS ov
+        |      FROM w JOIN b USING (c) GROUP BY 1, 2)
+        |SELECT CAST((r // 97) * 3 + j AS BIGINT) AS idx, CAST(ov AS BIGINT) AS v
+        |FROM o WHERE r % 97 = 0""".stripMargin,
 
     // q158: per-key truncated-lookback restatement of q157 — grn is the
     // row_number within l_returnflag over the same 5-column total order.
