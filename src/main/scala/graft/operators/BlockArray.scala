@@ -78,8 +78,9 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
       s"elemwise requires identical chunk grids: $shape/$chunks vs ${other.shape}/${other.chunks}")
     val s = spark
     import s.implicits._
-    val l = blocks.map(b => (keyOf(b.bid), b.bid, b.data))
-    val r = other.blocks.map(b => (keyOf(b.bid), b.data))
+    val g = grid
+    val l = blocks.map(b => (linearBidL(b.bid, g), b.bid, b.data))
+    val r = other.blocks.map(b => (linearBidL(b.bid, g), b.data))
     val joined = l.joinWith(r, l("_1") === r("_1"))
     copy(blocks = joined.map { case ((_, bid, a), (_, c)) =>
       require(a.length == c.length)
@@ -91,7 +92,9 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
 
   /** numpy `where(cond, a, b)` — three-way blockwise zip on identical
     * chunk grids (cond nonzero/NaN-truthy selects from `this`, else from
-    * `other`). Two block-id equi-joins, co-partitioned under AQE.
+    * `other`). ONE exchange: the three sides are tagged, unioned, and
+    * co-grouped on the numeric block id — the bytes moved equal the three
+    * inputs exactly, with no second join exchange.
     */
   def where(cond: GArr, other: GArr): GArr = {
     require(shape == cond.shape && chunks == cond.chunks &&
@@ -99,12 +102,21 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
       "where requires identical chunk grids on cond/this/other")
     val s = spark
     import s.implicits._
-    val l = blocks.map(b => (keyOf(b.bid), b.bid, b.data))
-    val c = cond.blocks.map(b => (keyOf(b.bid), b.data))
-    val r = other.blocks.map(b => (keyOf(b.bid), b.data))
-    val j1 = l.joinWith(c, l("_1") === c("_1"))
-    val j2 = j1.joinWith(r, j1("_1._1") === r("_1"))
-    copy(blocks = j2.map { case (((_, bid, a), (_, cd)), (_, b)) =>
+    val g = grid
+    val tagged = blocks.map(b => (linearBidL(b.bid, g), 0, b.bid, b.data))
+      .union(cond.blocks.map(b => (linearBidL(b.bid, g), 1, b.bid, b.data)))
+      .union(other.blocks.map(b => (linearBidL(b.bid, g), 2, b.bid, b.data)))
+    copy(blocks = tagged.groupByKey(_._1).mapGroups { (_, it) =>
+      var a: Array[Double] = null; var cd: Array[Double] = null
+      var b: Array[Double] = null; var bid: Seq[Int] = null
+      it.foreach { row =>
+        row._2 match {
+          case 0 => a = row._4; bid = row._3
+          case 1 => cd = row._4
+          case _ => b = row._4
+        }
+      }
+      require(a != null && cd != null && b != null, "where: missing a side's block")
       val o = new Array[Double](a.length)
       var i = 0
       while (i < a.length) { o(i) = if (cd(i) != 0.0) a(i) else b(i); i += 1 }
@@ -577,6 +589,7 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     import s.implicits._
     val nd = ndim
     val srcStarts = chunks.map(startsOf)
+    val restGrid = { val g = grid; (0 until nd).filter(_ != axis).map(g) }
     val partials = blocks.map { b =>
       val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), b.bid(d)))
       val restDims = Array.tabulate(nd - 1)(j => sdims(if (j < axis) j else j + 1))
@@ -599,28 +612,46 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
         picked
       }
       val restBid = (0 until nd).filter(_ != axis).map(b.bid)
-      (keyOf(restBid), restBid, restTotal, kept.flatten)
+      (linearBidL(restBid, restGrid), restBid, restTotal, kept.flatten)
     }
-    val reduced = partials.groupByKey(_._1).mapGroups { (_, it) =>
-      val ps = it.toArray
-      val restBid = ps.head._2
-      val restTotal = ps.head._3
-      // merge per-lane candidate lists; total candidates per lane is
-      // O(axisGrid · k), sorted once
+    // top-k merge is associative (top_k(A∪B) = top_k(top_k(A)∪top_k(B))),
+    // so reduceGroups gives a map-side combine: candidate width per lane
+    // is capped at kk BEFORE the exchange instead of O(axisGrid·k) after.
+    val reduced = partials.groupByKey(_._1)
+      .reduceGroups { (x, y) =>
+        val restTotal = x._3
+        val w1 = x._4.length / restTotal
+        val w2 = y._4.length / restTotal
+        val wo = math.min(w1 + w2, kk)
+        val out = new Array[Double](restTotal * wo)
+        val cand = new Array[Double](w1 + w2)
+        var lane = 0
+        while (lane < restTotal) {
+          System.arraycopy(x._4, lane * w1, cand, 0, w1)
+          System.arraycopy(y._4, lane * w2, cand, w1, w2)
+          java.util.Arrays.sort(cand)
+          var j = 0
+          while (j < wo) {
+            out(lane * wo + j) = if (desc) cand(cand.length - 1 - j) else cand(j)
+            j += 1
+          }
+          lane += 1
+        }
+        (x._1, x._2, restTotal, out)
+      }
+      .map { case (_, (_, restBid, restTotal, merged)) =>
       val out = new Array[Double](restTotal * kk)
       var lane = 0
       while (lane < restTotal) {
-        val cands = scala.collection.mutable.ArrayBuffer[Double]()
-        ps.foreach { p =>
-          val width = p._4.length / restTotal
-          var j = 0
-          while (j < width) { cands += p._4(lane * width + j); j += 1 }
-        }
-        val a = cands.toArray
-        java.util.Arrays.sort(a)
-        val picked = if (desc) a.reverse.take(kk) else a.take(kk)
-        // place along the (restored) axis position in C-order
+        val width = merged.length / restTotal
+        val picked = new Array[Double](kk)
         var j = 0
+        // a single block can keep fewer than kk candidates, but the merged
+        // width across the whole axis always reaches kk (sum of per-block
+        // keeps >= min(kk, shape(axis)) = kk)
+        while (j < kk) { picked(j) = merged(lane * width + j); j += 1 }
+        // place along the (restored) axis position in C-order
+        j = 0
         while (j < kk) { out(laneOffset(lane, j)) = picked(j); j += 1 }
         lane += 1
       }
@@ -651,11 +682,15 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
       chunks.updated(axis, Seq(kk)), reduced)
   }
 
-  /** Axis-reduction engine: per-block partial over `width`-double cells
-    * (map-side combine), then ONE shuffle keyed by the remaining block
+  /** Axis-reduction engine: per-block partial over `width`-double cells,
+    * then a partial→final typed aggregation keyed by the remaining block
     * coords — `reductions.py`'s chunk/combine/aggregate tree with Spark's
-    * shuffle as the tree. `absorb` sees the element's GLOBAL coordinate
-    * along the reduced axis (for arg-reductions).
+    * shuffle as the tree. The finalize is `reduceGroups` (an Aggregator
+    * under the hood), so co-located per-block partials MERGE MAP-SIDE
+    * before the exchange — only one `width`-cell vector per (task ×
+    * output block) crosses the wire, dask's TreeReduce/split_every
+    * semantics (`_reductions.py:300-398`). `absorb` sees the element's
+    * GLOBAL coordinate along the reduced axis (for arg-reductions).
     */
   private def axisAgg(axis: Int, width: Int)(
       init: (Array[Double], Int) => Unit,
@@ -668,6 +703,7 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     val nd = ndim
     val w = width
     val srcStarts = chunks.map(startsOf)
+    val restGrid = { val g = grid; (0 until nd).filter(_ != axis).map(g) }
     val partials = blocks.map { b =>
       val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), b.bid(d)))
       val axisStart = srcStarts(axis)(b.bid(axis))
@@ -687,20 +723,20 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
         i += 1
       }
       val restBid = (0 until nd).filter(_ != axis).map(b.bid)
-      (keyOf(restBid), restBid, acc)
+      (linearBidL(restBid, restGrid), restBid, acc)
     }
-    val reduced = partials.groupByKey(_._1).mapGroups { (_, it) =>
-      val first = it.next()
-      val acc = first._3.clone()
-      it.foreach { p =>
+    val reduced = partials.groupByKey(_._1)
+      .reduceGroups { (x, y) =>
         var c = 0
-        while (c * w < acc.length) { merge(acc, p._3, c * w); c += 1 }
+        while (c * w < x._3.length) { merge(x._3, y._3, c * w); c += 1 }
+        x
       }
-      val out = new Array[Double](acc.length / w)
-      var c = 0
-      while (c < out.length) { out(c) = finish(acc, c * w); c += 1 }
-      ABlock(first._2, out)
-    }
+      .map { case (_, (_, restBid, acc)) =>
+        val out = new Array[Double](acc.length / w)
+        var c = 0
+        while (c < out.length) { out(c) = finish(acc, c * w); c += 1 }
+        ABlock(restBid, out)
+      }
     GArr((0 until nd).filter(_ != axis).map(shape),
       (0 until nd).filter(_ != axis).map(chunks), reduced)
   }
@@ -737,6 +773,8 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     import s.implicits._
     val nd = ndim
     val srcStarts = chunks.map(startsOf)
+    val g = grid
+    val restGrid = (0 until nd).filter(_ != axis).map(g)
     val scanned = blocks.map { b =>
       val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), b.bid(d)))
       val str = cStridesI(sdims)
@@ -766,20 +804,24 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
         i += 1
       }
       val restBid = (0 until nd).filter(_ != axis).map(b.bid)
-      (keyOf(b.bid), keyOf(restBid), b.bid, out, totals)
+      (linearBidL(b.bid, g), linearBidL(restBid, restGrid), b.bid, out, totals)
     }
     // phase 2: exclusive prefix-combine of block totals along the axis
     // grid, per lane. The first axis block gets NO offset row (exclusive
-    // prefix of nothing) — `op` needs no identity element.
+    // prefix of nothing) — `op` needs no identity element. This gather is
+    // NOT map-side combinable: each block contributes exactly one
+    // distinct (restBid, axisBid) totals leaf and every leaf is needed in
+    // axis order, so the exchange already moves the minimum
+    // O(axis grid · lanes) bytes.
     val offsets = scanned
-      .map(x => (x._2, x._3(axis), x._5))
+      .map(x => (x._2, x._3(axis), x._1, x._5))
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val entries = it.toArray.sortBy(_._2)
-        val lanes = entries.head._3.length
+        val lanes = entries.head._4.length
         var run: Array[Double] = null
-        entries.flatMap { case (restKey, axisBid, tot) =>
-          val off = if (run == null) None else Some((restKey + "|" + axisBid, run.clone()))
+        entries.flatMap { case (_, _, fullKey, tot) =>
+          val off = if (run == null) None else Some((fullKey, run.clone()))
           if (run == null) run = tot.clone()
           else { var l = 0; while (l < lanes) { run(l) = op(run(l), tot(l)); l += 1 } }
           off
@@ -788,7 +830,7 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     // phase 3: combine the lane offset into every element of the matching
     // block (left join — offset-less first blocks pass through unchanged)
     val axisIdx = axis
-    val keyed = scanned.map(x => (x._2 + "|" + x._3(axisIdx), x._3, x._4))
+    val keyed = scanned.map(x => (x._1, x._3, x._4))
     val joined = keyed.joinWith(offsets, keyed("_1") === offsets("_1"), "left_outer")
     val result = joined.map { case ((_, bid, data), offRow) =>
       if (offRow == null) ABlock(bid, data)
@@ -1165,8 +1207,13 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     * block coordinate fans A(i,l) against B(l,j), then one partial→final
     * reduce keyed by the output block coordinate (i,j): two shuffles
     * total, every payload bounded by the chunk size — the shape that
-    * survives arbitrarily large p×q·q×r at 1000 executors. The inner
-    * kernel is the cache-friendly ikj order with a zero-skip on A.
+    * survives arbitrarily large p×q·q×r at 1000 executors. The output
+    * reduce is `reduceGroups`, so the k-deep fan of partial output blocks
+    * merges MAP-SIDE before the exchange (one block per task × output
+    * coordinate crosses the wire). The inner kernel is the cache-friendly
+    * ikj order with NO zero-skip: `0 * NaN = NaN` and `0 * Inf = NaN`
+    * propagate exactly as in numpy/dask (a skip would silently contribute
+    * 0 for those terms).
     */
   def matmul(other: GArr): GArr = {
     require(ndim == 2 && other.ndim == 2, "matmul takes 2-D arrays")
@@ -1176,6 +1223,7 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     import s.implicits._
     val aStarts = chunks.map(startsOf)
     val bStarts = other.chunks.map(startsOf)
+    val outGridJ = other.grid(1)
     val l = blocks.map(b => (b.bid(1), b.bid, b.data))
     val r = other.blocks.map(b => (b.bid(0), b.bid, b.data))
     val joined = l.joinWith(r, l("_1") === r("_1"))
@@ -1189,25 +1237,23 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
         var k = 0
         while (k < kl) {
           val av = a(i * kl + k)
-          if (av != 0.0) {
-            val boff = k * nj
-            val ooff = i * nj
-            var j = 0
-            while (j < nj) { out(ooff + j) += av * bdat(boff + j); j += 1 }
-          }
+          val boff = k * nj
+          val ooff = i * nj
+          var j = 0
+          while (j < nj) { out(ooff + j) += av * bdat(boff + j); j += 1 }
           k += 1
         }
         i += 1
       }
-      val bid = Seq(abid(0), bbid(1))
-      (keyOf(bid), bid, out)
+      (abid(0).toLong * outGridJ + bbid(1), Seq(abid(0), bbid(1)), out)
     }
-    val reduced = partials.groupByKey(_._1).mapGroups { (_, it) =>
-      val first = it.next()
-      val acc = first._3.clone()
-      it.foreach { p => var i = 0; while (i < acc.length) { acc(i) += p._3(i); i += 1 } }
-      ABlock(first._2, acc)
-    }
+    val reduced = partials.groupByKey(_._1)
+      .reduceGroups { (x, y) =>
+        val acc = x._3
+        var i = 0; while (i < acc.length) { acc(i) += y._3(i); i += 1 }
+        x
+      }
+      .map { case (_, (_, bid, acc)) => ABlock(bid, acc) }
     GArr(Seq(shape(0), other.shape(1)), Seq(chunks(0), other.chunks(1)), reduced)
   }
 
@@ -1525,6 +1571,17 @@ object GArr {
 
   private[operators] def linearBid(bid: Seq[Int], grid: Seq[Int]): Int = {
     var o = 0; var d = 0
+    while (d < bid.length) { o = o * grid(d) + bid(d); d += 1 }
+    o
+  }
+
+  /** C-order linear block index as a Long — the equi-join / groupBy key of
+    * the block-zip hot paths (elemwise/where/scan/matmul). Numeric keys
+    * hash and compare cheaper than the `"1,2"`-style strings `keyOf`
+    * produces and shave shuffle bytes on grids with millions of blocks.
+    */
+  private[operators] def linearBidL(bid: Seq[Int], grid: Seq[Int]): Long = {
+    var o = 0L; var d = 0
     while (d < bid.length) { o = o * grid(d) + bid(d); d += 1 }
     o
   }

@@ -17,13 +17,23 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, Exchange,
   */
 class PlanGuardSpec extends SparkTestBase {
 
-  private val sfDir = "/root/testdata/sf0.001"
+  /** Fixture root: overridable (system property, then env var) so the
+    * suite runs on machines without the driver's /root/testdata layout;
+    * query-backed tests self-cancel when the directory is absent.
+    */
+  private val sfDir = sys.props.get("graft.testdata.sf")
+    .orElse(sys.env.get("GRAFT_TESTDATA_SF"))
+    .getOrElse("/root/testdata/sf0.001")
+
+  private def requireFixtures(): Unit =
+    assume(new java.io.File(sfDir).isDirectory, s"fixture dir $sfDir absent")
 
   /** Plans are inspected with AQE off: the classic planner's exchange
     * structure is the upper bound (AQE only removes/downgrades exchanges
     * at runtime), and it is deterministic to assert against.
     */
   private def plan(name: String): SparkPlan = {
+    requireFixtures()
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
@@ -81,5 +91,32 @@ class PlanGuardSpec extends SparkTestBase {
       n.nodeName == "Sort" && !n.toString.contains("false, 0"))
     assert(globalSorts.isEmpty,
       s"q151 reintroduced a global sort:\n${globalSorts.headOption}")
+  }
+
+  private def noAqePlan(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("GArr.where: the 3-way blockwise zip costs exactly ONE shuffle") {
+    import graft.operators.GArr
+    val a = GArr.fromFunction(spark, Seq(40L, 30L), Seq(16, 16))(g => g(0) * 31.0 + g(1))
+    val c = GArr.fromFunction(spark, Seq(40L, 30L), Seq(16, 16))(g => (g(0) + g(1)) % 2)
+    val b = GArr.zeros(spark, Seq(40L, 30L), Seq(16, 16))
+    val p = noAqePlan(a.where(c, b).blockSums)
+    // inputs are narrow fromFunction maps; the zip's union+groupByKey is
+    // the only exchange in the whole chain
+    assert(shuffles(p) == 1, s"where grew beyond one exchange:\n$p")
+  }
+
+  test("GArr axis reduction: partial->final typed agg (map-side combine) around one shuffle") {
+    import graft.operators.GArr
+    val a = GArr.fromFunction(spark, Seq(64L, 48L), Seq(16, 16))(g => g(0) + 2.0 * g(1))
+    val p = noAqePlan(a.sumAxis(0).blockSums)
+    val aggs = collectAll(p).filter(_.nodeName.toLowerCase.contains("aggregate"))
+    assert(aggs.size >= 2, s"axisAgg lost its map-side combine:\n$p")
+    assert(shuffles(p) == 1, s"axisAgg shuffle count changed:\n$p")
   }
 }
