@@ -1907,6 +1907,42 @@ object SparkEntry {
           (col("grn") / 997).cast("long").as("idx"),
           floor(col("ewm_mean") * 10000 + lit(0.5)).cast("long").as("m"),
           floor(col("ewm_var") * 10000 + lit(0.5)).cast("long").as("vv"))
+    },
+
+    // ---- einsum, batched-contraction form (`bij,bjk->bik`): the spec
+    // parser lowers onto transpose -> reshape-to-3D -> blocked bmm (one
+    // equi-join on (batch, contracted) block coords + one map-side-combined
+    // partial->final reduce).  A (4,30,20) from quantity, B (4,20,10) from
+    // linenumber; the SQL oracle is the equivalent batch join-aggregate.
+    "q160_einsum_bmm" -> { (s, dir) =>
+      import graft.operators.{Einsum, GArr}
+      val li = t(s, dir, "lineitem")
+      def head(n: Int) = li.sort(liTotalOrder.map(col): _*).limit(n)
+      val a = GArr.fromColumn(head(2400), "l_quantity", liTotalOrder, chunk = 512)
+        .reshape(Seq(4L, 30L, 20L), Seq(2, 16, 8))
+      val b = GArr.fromColumn(head(800), "l_linenumber", liTotalOrder, chunk = 512)
+        .reshape(Seq(4L, 20L, 10L), Seq(2, 8, 8))
+      Einsum.einsum("bij,bjk->bik", Seq(a, b)).toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("v"))
+    },
+
+    // ---- einsum index gymnastics: diagonal extraction (`ii->i`), the
+    // joint diagonal of a product (`ij,ji->i` — contraction + within-
+    // operand alignment), and a trace (`ii->`, scalar as a length-1
+    // array), concatenated into one 1-D BIGINT vector.
+    "q161_einsum_diag_trace" -> { (s, dir) =>
+      import graft.operators.{Einsum, GArr}
+      val li = t(s, dir, "lineitem")
+      def head(n: Int) = li.sort(liTotalOrder.map(col): _*).limit(n)
+      val m = GArr.fromColumn(head(3600), "l_quantity", liTotalOrder, chunk = 512)
+        .reshape(Seq(60L, 60L), Seq(16, 16))
+      val n = GArr.fromColumn(head(3600), "l_linenumber", liTotalOrder, chunk = 512)
+        .reshape(Seq(60L, 60L), Seq(16, 16))
+      val d = Einsum.einsum("ii->i", Seq(m))
+      val dp = Einsum.einsum("ij,ji->i", Seq(m, n))
+      val tr = Einsum.einsum("ii->", Seq(n))
+      GArr.concatenate(0, Seq(d, dp, tr)).toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("v"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -3805,5 +3841,38 @@ object SparkEntry {
         |    CAST(FLOOR(GREATEST(0, (num2 / den - POWER(num / den, 2))
         |      * den * den / (den * den - den2)) * 10000 + 0.5) AS BIGINT)
         |  ELSE NULL END AS vv
-        |FROM j""".stripMargin)
+        |FROM j""".stripMargin,
+
+    // q160: C[b,i,k] = sum_j A[b,i,j]*B[b,j,k] over the row_number cell
+    // mappings A: rn -> (rn//600, (rn%600)//20, rn%20), B: rn ->
+    // (rn//200, (rn%200)//10, rn%10); flat idx = b*300 + i*10 + k.
+    "q160_einsum_bmm" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q, CAST(l_linenumber AS BIGINT) AS ln,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |aa AS (SELECT rn // 600 AS b, (rn % 600) // 20 AS i, rn % 20 AS j, q AS v
+        |       FROM t WHERE rn < 2400),
+        |bb AS (SELECT rn // 200 AS b, (rn % 200) // 10 AS j, rn % 10 AS k, ln AS v
+        |       FROM t WHERE rn < 800)
+        |SELECT CAST(aa.b * 300 + aa.i * 10 + bb.k AS BIGINT) AS idx,
+        |       CAST(SUM(aa.v * bb.v) AS BIGINT) AS v
+        |FROM aa JOIN bb ON aa.b = bb.b AND aa.j = bb.j GROUP BY 1""".stripMargin,
+
+    // q161: idx 0..59 the diagonal of M, 60..119 the diagonal of M.N
+    // (sum_j M[i,j]*N[j,i]), 120 the trace of N; M/N are the 60x60
+    // row-major grids of the first 3600 quantities / linenumbers.
+    "q161_einsum_diag_trace" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q, CAST(l_linenumber AS BIGINT) AS ln,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |m AS (SELECT rn // 60 AS i, rn % 60 AS j, q AS v FROM t WHERE rn < 3600),
+        |n AS (SELECT rn // 60 AS i, rn % 60 AS j, ln AS v FROM t WHERE rn < 3600)
+        |SELECT CAST(i AS BIGINT) AS idx, CAST(v AS BIGINT) AS v FROM m WHERE i = j
+        |UNION ALL
+        |SELECT CAST(m.i + 60 AS BIGINT) AS idx, CAST(SUM(m.v * n.v) AS BIGINT) AS v
+        |FROM m JOIN n ON m.j = n.i AND n.j = m.i GROUP BY m.i
+        |UNION ALL
+        |SELECT 120::BIGINT AS idx, CAST(SUM(v) AS BIGINT) AS v FROM n WHERE i = j""".stripMargin)
 }

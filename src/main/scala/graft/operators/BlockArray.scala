@@ -1288,6 +1288,130 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     else c2.reshape(outShape, outShape.map(l => math.min(l, targetChunk.toLong).toInt))
   }
 
+  /** Batched matrix multiply over 3-D arrays (B,L,C) x (B,C,R) -> (B,L,R)
+    * — the einsum `bij,bjk->bik` kernel (reference
+    * `array/einsumfuncs.py` lowers this through blockwise; numpy matmul
+    * stacking rules). Same two-shuffle shape as [[matmul]]: one equi-join
+    * on (batch block, contracted block), one partial->final
+    * `reduceGroups` (map-side combined) on the output block coordinate.
+    * Batch and contraction chunkings must match (einsum callers align
+    * them by construction).
+    */
+  def bmm(other: GArr): GArr = {
+    require(ndim == 3 && other.ndim == 3, "bmm takes 3-D arrays")
+    require(shape(0) == other.shape(0) && chunks(0) == other.chunks(0),
+      s"bmm batch mismatch: $shape ${chunks(0)} vs ${other.shape} ${other.chunks(0)}")
+    require(shape(2) == other.shape(1) && chunks(2) == other.chunks(1),
+      s"bmm contraction mismatch: $shape ${chunks(2)} vs ${other.shape} ${other.chunks(1)}")
+    val s = spark
+    import s.implicits._
+    val aStarts = chunks.map(startsOf)
+    val bStarts = other.chunks.map(startsOf)
+    val gridC = chunks(2).length
+    val gridI = chunks(1).length
+    val gridJ = other.chunks(2).length
+    val l = blocks.map(b => (b.bid(0).toLong * gridC + b.bid(2), b.bid, b.data))
+    val r = other.blocks.map(b => (b.bid(0).toLong * gridC + b.bid(1), b.bid, b.data))
+    val joined = l.joinWith(r, l("_1") === r("_1"))
+    val partials = joined.map { case ((_, abid, a), (_, bbid, bdat)) =>
+      val bb = chunkDim(aStarts(0), abid(0))
+      val mi = chunkDim(aStarts(1), abid(1))
+      val kl = chunkDim(aStarts(2), abid(2))
+      val nj = chunkDim(bStarts(2), bbid(2))
+      val out = new Array[Double](bb * mi * nj)
+      var t = 0
+      while (t < bb) {
+        val aoff = t * mi * kl; val boff = t * kl * nj; val ooff = t * mi * nj
+        var i = 0
+        while (i < mi) {
+          var k = 0
+          while (k < kl) {
+            val av = a(aoff + i * kl + k)
+            val bo = boff + k * nj
+            val oo = ooff + i * nj
+            var j = 0
+            while (j < nj) { out(oo + j) += av * bdat(bo + j); j += 1 }
+            k += 1
+          }
+          i += 1
+        }
+        t += 1
+      }
+      ((abid(0).toLong * gridI + abid(1)) * gridJ + bbid(2),
+        Seq(abid(0), abid(1), bbid(2)), out)
+    }
+    val reduced = partials.groupByKey(_._1)
+      .reduceGroups { (x, y) =>
+        val acc = x._3
+        var i = 0; while (i < acc.length) { acc(i) += y._3(i); i += 1 }
+        x
+      }
+      .map { case (_, (_, bid, acc)) => ABlock(bid, acc) }
+    GArr(Seq(shape(0), shape(1), other.shape(2)),
+      Seq(chunks(0), chunks(1), other.chunks(2)), reduced)
+  }
+
+  /** numpy/einsum diagonal over two equal-length axes (`einsum('ii->i')`,
+    * np.diagonal): the merged axis keeps `ax1`'s position and chunking,
+    * `ax2` is dropped. Only blocks whose ax1/ax2 global ranges intersect
+    * emit anything, so the single assembly shuffle moves exactly the
+    * output's elements — O(n) of an n×n input.
+    */
+  def diagonal(ax1: Int, ax2: Int): GArr = {
+    require(ax1 != ax2 && shape(ax1) == shape(ax2),
+      s"diagonal axes must differ and have equal extents: $ax1/$ax2 on $shape")
+    val (a1, a2) = (math.min(ax1, ax2), math.max(ax1, ax2))
+    val outShape = shape.patch(a2, Nil, 1)
+    val outChunks = chunks.patch(a2, Nil, 1)
+    val s = spark
+    import s.implicits._
+    val nd = ndim
+    val srcStarts = chunks.map(startsOf)
+    val pieces: Dataset[ScatterPiece] = blocks.flatMap { b =>
+      val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), b.bid(d)))
+      val s1 = srcStarts(a1)(b.bid(a1)); val s2 = srcStarts(a2)(b.bid(a2))
+      val lo = math.max(s1, s2)
+      val hi = math.min(s1 + sdims(a1), s2 + sdims(a2))
+      if (lo >= hi) Iterator.empty
+      else {
+        val dstBid = b.bid.patch(a2, Nil, 1)
+        val ddims = sdims.patch(a2, Array.empty[Int], 1)
+        val sstr = cStridesI(sdims)
+        val dstr = cStridesI(ddims)
+        val cnt = (hi - lo).toInt
+        // rest = all dims except a1 and a2
+        val restDims = (0 until nd).filter(d => d != a1 && d != a2).map(sdims).toArray
+        val restIdx = (0 until nd).filter(d => d != a1 && d != a2).toArray
+        val restTotal = if (restDims.isEmpty) 1 else restDims.product
+        val buf = new PieceBuf(dstBid)
+        val t = new Array[Int](restDims.length)
+        var r = 0
+        while (r < restTotal) {
+          var baseS = 0; var baseD = 0
+          var q = 0
+          while (q < restIdx.length) {
+            val d = restIdx(q)
+            baseS += t(q) * sstr(d)
+            // dest dim index: d if d < a2 else d - 1
+            baseD += t(q) * dstr(if (d < a2) d else d - 1)
+            q += 1
+          }
+          var ti = 0
+          while (ti < cnt) {
+            val c1 = (lo - s1).toInt + ti
+            val c2 = (lo - s2).toInt + ti
+            buf.add(baseD + c1 * dstr(a1), b.data(baseS + c1 * sstr(a1) + c2 * sstr(a2)))
+            ti += 1
+          }
+          if (restDims.nonEmpty) incOdo(t, restDims)
+          r += 1
+        }
+        Iterator.single(buf.toPiece)
+      }
+    }
+    GArr(outShape, outChunks, assemble(pieces, outChunks))
+  }
+
   /** 1-D inner product (numpy `dot` on vectors): elementwise multiply on
     * co-gridded inputs + tree reduce. The other side is regridded to this
     * array's chunking when they differ.

@@ -1,0 +1,165 @@
+package graft.operators
+
+/** Distributed einsum over [[GArr]] — the dask `dask.array.einsum` surface
+  * (reference `dask/array/einsumfuncs.py:1-295`, which parses the numpy
+  * subscript grammar and lowers to blockwise). This implementation keeps
+  * the same spec language and lowers every contraction onto the existing
+  * chunk-calculus primitives instead of per-spec task graphs:
+  *
+  *   - repeated index inside one operand  -> [[GArr.diagonal]]
+  *   - pairwise contraction (fold left)   -> transpose + reshape-to-3D +
+  *     [[GArr.bmm]] (batch, left, contract) x (batch, contract, right),
+  *     so `ij,jk->ik` and `bij,bjk->bik` both run as the two-shuffle
+  *     blocked matmul with map-side-combined output reduction
+  *   - leftover non-output indices        -> `sumAxis`
+  *   - final index order                  -> `transpose`
+  *
+  * Supported grammar: explicit (`ij,jk->ik`) and implicit (`ij,jk`)
+  * output, single-operand views (`ij->ji`, `ii->i`, `ii->`), traces,
+  * multi-operand chains, scalar results (returned as a length-1 1-D
+  * array, the same convention [[GArr.tensordot]] uses). `...` (ellipsis
+  * broadcasting) is not supported — spell the dimensions out.
+  *
+  * Scale shape: each pairwise step is one equi-join plus one
+  * partial->final reduce, payloads bounded by the chunk size; diagonals
+  * move only the output's elements. Nothing driver-side scales with the
+  * arrays.
+  */
+object Einsum {
+
+  /** Parsed spec: per-operand subscripts plus the resolved output
+    * subscript (implicit outputs resolved by the numpy rule: indices
+    * appearing exactly once across all operands, sorted).
+    */
+  final case class Spec(inputs: Seq[String], output: String)
+
+  def parse(spec: String, nOperands: Int): Spec = {
+    val cleaned = spec.replaceAll("\\s+", "")
+    require(!cleaned.contains("..."),
+      "einsum: '...' (ellipsis) is not supported — spell the dimensions out")
+    val (lhs, out) = cleaned.split("->", -1) match {
+      case Array(l)    => (l, None)
+      case Array(l, r) => (l, Some(r))
+      case _           => throw new IllegalArgumentException(s"einsum: bad spec '$spec'")
+    }
+    val inputs = lhs.split(",", -1).toSeq
+    require(inputs.length == nOperands,
+      s"einsum: spec '$spec' names ${inputs.length} operands, got $nOperands")
+    (inputs ++ out.toSeq).foreach { sub =>
+      require(sub.forall(c => c.isLetter), s"einsum: bad subscript '$sub' in '$spec'")
+    }
+    val counts = lhs.filter(_ != ',').groupBy(identity).view.mapValues(_.length)
+    val output = out.getOrElse(counts.filter(_._2 == 1).keys.toSeq.sorted.mkString)
+    output.foreach { c =>
+      require(output.count(_ == c) == 1, s"einsum: output index '$c' repeats")
+      require(counts.contains(c), s"einsum: output index '$c' not in inputs")
+    }
+    Spec(inputs, output)
+  }
+
+  /** `np.einsum(spec, operands...)` on chunked arrays. */
+  def einsum(spec: String, operands: Seq[GArr], targetChunk: Int = 65536): GArr = {
+    require(operands.nonEmpty, "einsum needs at least one operand")
+    val p = parse(spec, operands.length)
+
+    // 1. collapse repeated within-operand indices to diagonals
+    var subs = p.inputs.toBuffer
+    val arrs = operands.toBuffer
+    for (i <- arrs.indices) {
+      var sub = subs(i)
+      var a = arrs(i)
+      var rep = firstRepeat(sub)
+      while (rep >= 0) {
+        val c = sub(rep)
+        val first = sub.indexOf(c)
+        a = a.diagonal(first, rep)
+        sub = sub.patch(rep, "", 1)
+        rep = firstRepeat(sub)
+      }
+      subs(i) = sub; arrs(i) = a
+    }
+
+    // validate consistent extents per index
+    val extent = scala.collection.mutable.Map[Char, Long]()
+    for (i <- arrs.indices; (c, d) <- subs(i).zipWithIndex) {
+      require(arrs(i).ndim == subs(i).length,
+        s"einsum: operand $i has ${arrs(i).ndim} dims for subscript '${subs(i)}'")
+      val e = arrs(i).shape(d)
+      require(extent.getOrElseUpdate(c, e) == e,
+        s"einsum: index '$c' has extents ${extent(c)} and $e")
+    }
+
+    // 2. fold left: pairwise contraction onto bmm
+    var cur = arrs.head
+    var curSub = subs.head
+    for (i <- 1 until arrs.length) {
+      val sub2 = subs(i)
+      val later = (subs.drop(i + 1).mkString + p.output).toSet
+      val shared = curSub.toSet.intersect(sub2.toSet)
+      val contracted = curSub.filter(c => shared(c) && !later(c))
+      val batch = curSub.filter(c => shared(c) && later(c))
+      val leftOnly = curSub.filterNot(shared)
+      val rightOnly = sub2.filterNot(shared)
+      val bDims = batch.map(extent); val lDims = leftOnly.map(extent)
+      val cDims = contracted.map(extent); val rDims = rightOnly.map(extent)
+      val (pb, pl, pc, pr) =
+        (bDims.product max 1L, lDims.product max 1L,
+         cDims.product max 1L, rDims.product max 1L)
+      val side = math.max(1L, math.cbrt(targetChunk.toDouble).toLong)
+      def ch(n: Long): Int = math.min(n, side).toInt
+      val a3 = to3D(cur, curSub, batch + leftOnly + contracted,
+        Seq(pb, pl, pc), Seq(ch(pb), ch(pl), ch(pc)))
+      val b3 = to3D(arrs(i), sub2, batch + contracted + rightOnly,
+        Seq(pb, pc, pr), Seq(ch(pb), ch(pc), ch(pr)))
+      val c3 = a3.bmm(b3)
+      curSub = batch + leftOnly + rightOnly
+      val outDims = bDims ++ lDims ++ rDims
+      cur =
+        if (outDims.isEmpty) c3.reshape(Seq(1L), Seq(1))
+        else c3.reshape(outDims,
+          outDims.map(n => math.min(n,
+            math.max(1L, math.pow(targetChunk.toDouble,
+              1.0 / outDims.length).toLong)).toInt))
+    }
+
+    // 3. sum out indices absent from the output (highest axis first)
+    val toSum = curSub.zipWithIndex.filterNot { case (c, _) => p.output.contains(c) }
+      .map(_._2).sorted.reverse
+    for (ax <- toSum) {
+      if (cur.ndim == 1) cur = cur.expandDims(0).sumAxis(1) // scalar: shape Seq(1)
+      else cur = cur.sumAxis(ax)
+    }
+    curSub = curSub.filter(p.output.contains(_))
+
+    // 4. permute to the requested output order
+    if (curSub == p.output || curSub.isEmpty) cur
+    else cur.transpose(p.output.map(curSub.indexOf(_)))
+  }
+
+  def einsum(spec: String, operands: GArr*)(implicit d: DummyImplicit): GArr =
+    einsum(spec, operands.toSeq)
+
+  /** Transpose `arr` (subscript `sub`) into letter order `order`, then
+    * reshape to the given 3-D factorization. Letters in `order` but not
+    * in `sub` contribute extent-1 groups, so the reshape is always
+    * element-count preserving.
+    */
+  private def to3D(arr: GArr, sub: String, order: String,
+                   dims3: Seq[Long], chunks3: Seq[Int]): GArr = {
+    val present = order.filter(sub.contains(_))
+    val base =
+      if (present.isEmpty) arr // scalar intermediate: shape Seq(1)
+      else if (present == sub) arr
+      else arr.transpose(present.map(sub.indexOf(_)))
+    base.reshape(dims3, chunks3)
+  }
+
+  private def firstRepeat(sub: String): Int = {
+    var i = 1
+    while (i < sub.length) {
+      if (sub.indexOf(sub(i)) < i) return i
+      i += 1
+    }
+    -1
+  }
+}
