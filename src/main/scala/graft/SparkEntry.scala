@@ -38,8 +38,8 @@ object SparkEntry {
     * the replay harness for testing watermark/late-data semantics
     * against a batch oracle.
     */
-  private def writeStreamFile(df: DataFrame, watchDir: String, name: String,
-                              mtime: Long): Unit = {
+  private[graft] def writeStreamFile(df: DataFrame, watchDir: String, name: String,
+                                     mtime: Long): Unit = {
     val tmp = s"${watchDir}_tmp_$name"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val tmpDir = new java.io.File(tmp)
@@ -1552,12 +1552,14 @@ object SparkEntry {
     // two batches LATE; one far-future flush row so the final watermark
     // closes every real window and append mode emits each exactly once.
     // The engine drops a late row iff its window's END has passed the
-    // watermark the stateful operator sees during the late batch —
-    // empirically the watermark committed one batch EARLIER than the
-    // progress report, which is why the advancer is pinned at maxTs
-    // (not beyond) and the max-ts row is forced into batch 1: both
-    // conventions then agree the cutoff is exactly max(ts) − 2 h, and
-    // the oracle replays `window_end > max(ts) − 2h` literally.  The
+    // watermark the stateful operator sees during the late batch — the
+    // watermark commits one batch EARLIER than the progress report
+    // (asserted directly by graft.streaming.WatermarkConventionSpec,
+    // which fails with a pointed message on an engine-upgrade change),
+    // which is why the advancer is pinned at maxTs (not beyond) and the
+    // max-ts row is forced into batch 1: both conventions then agree
+    // the cutoff is exactly max(ts) − 2 h, and the oracle replays
+    // `window_end > max(ts) − 2h` literally.  The
     // flush row's own window never closes, so it never reaches the
     // sink; the advancer row is mirrored in the oracle's kept set.
     "q144_windowed_agg_late" -> { (s, dir) =>
@@ -1905,6 +1907,26 @@ object SparkEntry {
         .where(col("grn") % 997 === 0)
         .select(col("l_returnflag").as("k"),
           (col("grn") / 997).cast("long").as("idx"),
+          floor(col("ewm_mean") * 10000 + lit(0.5)).cast("long").as("m"),
+          floor(col("ewm_var") * 10000 + lit(0.5)).cast("long").as("vv"))
+    },
+
+    // ---- unadjusted, NA-skipping EWM (pandas ewm(alpha=0.5,
+    // adjust=False, ignore_na=True)): the recurrence y=(1-a)y+ax runs as
+    // the same two-phase decay-composed scan with the first observation
+    // weighted 1 and nulls skipped entirely (no decay).  Nulls injected on
+    // l_linenumber >= 6; the oracle restates the closed-form observation-
+    // distance weights over a 60-observation truncated lookback (tail
+    // < 1e-18, beneath the shared 1e-4 scaling).  Total weight is exactly
+    // 1 from the first observation on, so the oracle sums unnormalized.
+    "q162_ewm_unadjusted" -> { (s, dir) =>
+      import graft.operators.{Ewm, EwmParams}
+      val li = t(s, dir, "lineitem").sort(liTotalOrder.map(col): _*)
+        .withColumn("qn", when(col("l_linenumber") >= 6, lit(null))
+          .otherwise(col("l_quantity").cast("double")))
+      Ewm.statsIndexed(li, "qn", EwmParams(0.5, adjust = false, ignoreNa = true))
+        .where(col("rn") % 997 === 0 && col("ewm_mean").isNotNull)
+        .select((col("rn") / 997).cast("long").as("idx"),
           floor(col("ewm_mean") * 10000 + lit(0.5)).cast("long").as("m"),
           floor(col("ewm_var") * 10000 + lit(0.5)).cast("long").as("vv"))
     },
@@ -3840,6 +3862,38 @@ object SparkEntry {
         |  CASE WHEN den * den - den2 > 0 THEN
         |    CAST(FLOOR(GREATEST(0, (num2 / den - POWER(num / den, 2))
         |      * den * den / (den * den - den2)) * 10000 + 0.5) AS BIGINT)
+        |  ELSE NULL END AS vv
+        |FROM j""".stripMargin,
+
+    // q162: adjust=False ignore_na=True weights in closed form over
+    // observation distance: obs j (rank oj among non-nulls) weighs
+    // 0.5^(lastoj-oj+1), except the very first observation (oj=0) which
+    // weighs 0.5^lastoj; total weight is exactly 1 so sums stay
+    // unnormalized.  60-observation truncated lookback (tail < 1e-18).
+    "q162_ewm_unadjusted" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN l_linenumber >= 6 THEN NULL
+        |              ELSE CAST(l_quantity AS DOUBLE) END AS v,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |o AS (SELECT v, rn, row_number() OVER (ORDER BY rn) - 1 AS oj
+        |      FROM t WHERE v IS NOT NULL),
+        |s AS (SELECT rn AS srn FROM t WHERE rn % 997 = 0),
+        |c AS (SELECT s.srn, MAX(o.oj) AS lastoj
+        |      FROM s JOIN o ON o.rn <= s.srn GROUP BY s.srn),
+        |j AS (SELECT c.srn,
+        |        SUM(CASE WHEN o.oj = 0 THEN POWER(0.5, c.lastoj)
+        |                 ELSE POWER(0.5, c.lastoj - o.oj + 1) END * o.v) AS num,
+        |        SUM(CASE WHEN o.oj = 0 THEN POWER(0.5, c.lastoj)
+        |                 ELSE POWER(0.5, c.lastoj - o.oj + 1) END * o.v * o.v) AS num2,
+        |        SUM(POWER(CASE WHEN o.oj = 0 THEN POWER(0.5, c.lastoj)
+        |                       ELSE POWER(0.5, c.lastoj - o.oj + 1) END, 2)) AS w2
+        |      FROM c JOIN o ON o.oj BETWEEN c.lastoj - 60 AND c.lastoj
+        |      GROUP BY c.srn)
+        |SELECT CAST(srn // 997 AS BIGINT) AS idx,
+        |  CAST(FLOOR(num * 10000 + 0.5) AS BIGINT) AS m,
+        |  CASE WHEN 1 - w2 > 0 THEN
+        |    CAST(FLOOR(GREATEST(0, (num2 - num * num) / (1 - w2)) * 10000 + 0.5) AS BIGINT)
         |  ELSE NULL END AS vv
         |FROM j""".stripMargin,
 

@@ -938,6 +938,46 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     copy(blocks = assembled)
   }
 
+  /** dask `map_overlap` boundary modes (reference `array/overlap.py:501`,
+    * `boundary` ∈ none | reflect | nearest | periodic | constant): pad
+    * the array edge by `depth` per the mode — composing the existing
+    * padReflectAxis / padEdgeAxis / padAxis / slice primitives — run the
+    * [[mapOverlapAxis]] halo exchange over the padded grid, and regrid
+    * the pad back off (restoring the ORIGINAL chunk structure exactly,
+    * as dask does). With a padded boundary every original block's kernel
+    * sees a FULL `depth` halo on both sides.
+    */
+  def mapOverlapAxisBoundary(axis: Int, depth: Int, boundary: String,
+                             cval: Double = 0.0)(
+      f: (Array[Double], Int, Int, Array[Int]) => Array[Double]): GArr = {
+    require(ndim >= 1 && axis >= 0 && axis < ndim && depth >= 0)
+    if (depth == 0 || boundary == "none") return mapOverlapAxis(axis, depth)(f)
+    val padded = boundary match {
+      case "nearest"  => padEdgeAxis(axis, depth, depth)
+      case "reflect"  => padReflectAxis(axis, depth, depth)
+      case "constant" => padAxis(axis, depth, depth, cval)
+      case "periodic" =>
+        val n = shape(axis)
+        require(depth <= n, s"periodic boundary depth $depth > axis length $n")
+        val full = shape.indices.map(d => (0L, shape(d), 1L))
+        def seg(a: Long, b: Long): GArr =
+          slice(full.updated(axis, (a, b, 1L)))
+            .rechunkTo(chunks.updated(axis, Seq((b - a).toInt)))
+        GArr.concatenate(axis, Seq(seg(n - depth, n), this, seg(0L, depth)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"mapOverlapAxisBoundary: unknown boundary '$other' " +
+            "(none | reflect | nearest | periodic | constant)")
+    }
+    val mapped = padded.mapOverlapAxis(axis, depth)(f)
+    // trim the pad in one scatter shuffle, restoring this array's exact
+    // chunk structure (dask's map_overlap preserves chunking)
+    val specs = padded.shape.indices.map(d =>
+      if (d == axis) (depth.toLong, depth + shape(axis), 1L)
+      else (0L, padded.shape(d), 1L))
+    mapped.regrid(specs, shape, chunks)
+  }
+
   /** dask `coarsen` (`array/routines.py` coarsen): block-reduce
     * downsampling — each non-overlapping `factors(d)`-sized hyperrectangle
     * reduces to one cell via `reduce` seeded with the first element. Pure

@@ -554,6 +554,96 @@ object Linalg {
     out
   }
 
+  // ---- GArr-level adapters (reference `dask/array/linalg.py:835` qr,
+  // `:874` svd): thin bridges from the chunked 2-D array into the
+  // RowMatrix tsqr/SVD machinery, returning chunked arrays again.
+
+  /** Ordered row-vector RDD of a 2-D [[GArr]] plus the (possibly
+    * column-regridded) source. dask's own tsqr contract requires the
+    * second dimension in ONE chunk ("short-and-fat" columns), so a
+    * multi-chunk column dimension is regridded first (one scatter
+    * shuffle); rows then stream out of the axis-0 blocks in global order.
+    */
+  private def garrRowVectors(a: GArr): (RDD[org.apache.spark.mllib.linalg.Vector], GArr) = {
+    require(a.ndim == 2, s"qr/svd take 2-D arrays: got shape ${a.shape}")
+    val a1 =
+      if (a.chunks(1).length == 1) a
+      else a.rechunkTo(Seq(a.chunks(0), Seq(a.shape(1).toInt)))
+    val nc = a1.shape(1).toInt
+    val rows = a1.blocks.rdd.map(b => (b.bid(0), b.data)).sortByKey()
+      .flatMap { case (_, data) =>
+        val nr = data.length / nc
+        Iterator.tabulate(nr)(r =>
+          Vectors.dense(java.util.Arrays.copyOfRange(data, r * nc, (r + 1) * nc)))
+      }
+    (rows, a1)
+  }
+
+  /** Pack an ordered row-vector RDD back into a GArr with the given row
+    * chunking and a single column chunk — the inverse of
+    * [[garrRowVectors]].
+    */
+  private def packRows(spark: org.apache.spark.sql.SparkSession,
+                       rows: RDD[Array[Double]],
+                       rowChunks: Seq[Int], nc: Int): GArr = {
+    import spark.implicits._
+    val starts = GArr.startsOf(rowChunks)
+    val bcStarts = spark.sparkContext.broadcast(starts)
+    val packed = rows.zipWithIndex().map { case (v, i) =>
+      val st = bcStarts.value
+      val b = GArr.chunkOf(st, i)
+      (b, ((i - st(b)).toInt, v))
+    }.groupByKey().map { case (b, it) =>
+      val st = bcStarts.value
+      val nr = (st(b + 1) - st(b)).toInt
+      val arr = new Array[Double](nr * nc)
+      it.foreach { case (o, v) => System.arraycopy(v, 0, arr, o * nc, nc) }
+      ABlock(Seq(b, 0), arr)
+    }
+    GArr(Seq(starts.last, nc.toLong), Seq(rowChunks, Seq(nc)),
+      spark.createDataset(packed))
+  }
+
+  /** dask `qr(a)` (`array/linalg.py:835`): reduced tall-skinny QR of a
+    * chunked 2-D array. Q keeps the input's row chunking (distributed,
+    * same shape class as the input); R is the small k×k upper triangle
+    * lifted into a single-block GArr.
+    */
+  def qr(a: GArr): (GArr, GArr) = {
+    val (rowsV, a1) = garrRowVectors(a)
+    val spark = a1.blocks.sparkSession
+    val nc = a1.shape(1).toInt
+    val mat = new RowMatrix(rowsV, a1.shape(0), nc)
+    val qrf = mat.tallSkinnyQR(computeQ = true)
+    val q = packRows(spark, qrf.Q.rows.map(_.toArray), a1.chunks(0), nc)
+    val rLocal = qrf.R.toArray // column-major nc×nc
+    val r = GArr.fromFunction(spark, Seq(nc.toLong, nc.toLong), Seq(nc, nc))(
+      g => rLocal((g(1) * nc + g(0)).toInt))
+    (q, r)
+  }
+
+  /** dask `svd(a)` (`array/linalg.py:874`): reduced SVD of a tall-skinny
+    * chunked array, numpy convention `a = u · diag(s) · v` (v is Vᵀ,
+    * k×n). u keeps the input's row chunking; s and v are small
+    * single-block arrays. k may be below the column count on
+    * rank-deficient input (mllib drops zero singular values).
+    */
+  def svd(a: GArr): (GArr, GArr, GArr) = {
+    val (rowsV, a1) = garrRowVectors(a)
+    val spark = a1.blocks.sparkSession
+    val nc = a1.shape(1).toInt
+    val mat = new RowMatrix(rowsV, a1.shape(0), nc)
+    val dec = mat.computeSVD(nc, computeU = true)
+    val k = dec.s.size
+    val u = packRows(spark, dec.U.rows.map(_.toArray), a1.chunks(0), k)
+    val sv = dec.s.toArray
+    val sArr = GArr.fromFunction(spark, Seq(k.toLong), Seq(k))(g => sv(g(0).toInt))
+    val vLocal = dec.V.toArray // column-major nc×k: V(i,j) at j*nc+i
+    val v = GArr.fromFunction(spark, Seq(k.toLong, nc.toLong), Seq(k, nc))(
+      g => vLocal((g(0) * nc + g(1)).toInt))
+    (u, sArr, v)
+  }
+
   /** Slice a driver-side dense col-major n×n matrix into a `(bi, bj,
     * data)` block DataFrame — the test/query-side constructor (real
     * pipelines build blocks distributed; the fixture matrices here are

@@ -90,9 +90,16 @@ object NpyStack {
         j += n
       }
       out.close()
-      if (fs.exists(dest)) fs.delete(dest, false)
-      if (!fs.rename(tmp, dest))
-        throw new java.io.IOException(s"to_npy_stack: commit rename failed for $dest")
+      // first-winner commit: never delete an already-committed file (a
+      // speculative sibling attempt may have just renamed it — the old
+      // exists->delete->rename dance could erase the winner's file and
+      // then die, leaving a "successful" job with a missing chunk).
+      // POSIX rename atomically replaces; filesystems that refuse an
+      // existing destination return false, and the loser discards its tmp.
+      if (!fs.rename(tmp, dest)) {
+        if (fs.exists(dest)) fs.delete(tmp, false)
+        else throw new java.io.IOException(s"to_npy_stack: commit rename failed for $dest")
+      }
       1L
     }.count(): Unit
     // driver-side metadata (dask writes a pickled `info`; JSON here)
@@ -122,11 +129,15 @@ object NpyStack {
     require(files.nonEmpty, s"no <i>.npy files under $path")
     require(files.sameElements(files.indices), s"non-contiguous npy stack under $path")
     def headerDims(i: Int): Seq[Int] = {
-      val in = fs.open(new org.apache.hadoop.fs.Path(path, s"$i.npy"))
-      val buf = new Array[Byte](1024)
-      val n = in.read(buf)
-      in.close()
-      parseNpyHeader(java.util.Arrays.copyOf(buf, math.max(0, n)))._1
+      // readFully up to min(1024, fileLen): a bare read() may legally
+      // return fewer bytes than available (HDFS/object stores) and
+      // truncate the header mid-parse
+      val p = new org.apache.hadoop.fs.Path(path, s"$i.npy")
+      val want = math.min(1024L, fs.getFileStatus(p).getLen).toInt
+      val buf = new Array[Byte](want)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      parseNpyHeader(buf)._1
     }
     val infoPath = new org.apache.hadoop.fs.Path(path, "info")
     val (shape, chunks0): (Seq[Long], Seq[Int]) =

@@ -179,6 +179,63 @@ class BlockArrayPropSpec extends SparkTestBase {
     }
   }
 
+  test("mapOverlapAxisBoundary modes vs dense padded windowed sum") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 5; mode <- Seq("reflect", "nearest", "periodic", "constant")) {
+      val n = 5 + rnd.nextInt(16)
+      val chunk = 1 + rnd.nextInt(n)
+      val depth = 1 + rnd.nextInt(math.min(4, n - 1)) // reflect needs depth < n
+      val cval = -3.0
+      val xs = Array.fill(n)(math.floor(rnd.nextDouble() * 10))
+      // dense reference: extend by depth per mode, then full-window sum
+      def ext(i: Int): Double = {
+        if (i >= 0 && i < n) xs(i)
+        else mode match {
+          case "nearest"  => if (i < 0) xs(0) else xs(n - 1)
+          case "reflect"  => if (i < 0) xs(-i) else xs(2 * n - 2 - i)
+          case "periodic" => xs(((i % n) + n) % n)
+          case "constant" => cval
+        }
+      }
+      val ref = Array.tabulate(n)(i => (i - depth to i + depth).map(ext).sum)
+      val a = GArr.fromFunction(spark, Seq(n.toLong), Seq(chunk))(g => xs(g(0).toInt))
+      val sm = a.mapOverlapAxisBoundary(0, depth, mode, cval) { (halo, before, after, hdims) =>
+        val len = hdims(0) - before - after
+        Array.tabulate(len) { c =>
+          val ctr = before + c
+          (math.max(0, ctr - depth) to math.min(hdims(0) - 1, ctr + depth))
+            .map(halo).sum
+        }
+      }
+      assert(sm.chunks == a.chunks,
+        s"boundary mode must preserve chunk structure: ${sm.chunks} vs ${a.chunks}")
+      checkEqual(sm, new Dense(Seq(n.toLong), ref),
+        s"trial $trial mode=$mode n=$n chunk=$chunk depth=$depth")
+    }
+    // 2-D: boundary along axis 0 only, other axis untouched
+    val xs2 = Array.tabulate(7 * 4)(i => math.floor((i * 13 % 9)).toDouble)
+    val a2 = GArr.fromFunction(spark, Seq(7L, 4L), Seq(3, 2))(
+      g => xs2((g(0) * 4 + g(1)).toInt))
+    def at(i: Int, j: Int): Double = {
+      val ii = if (i < 0) -i else if (i >= 7) 2 * 7 - 2 - i else i // reflect
+      xs2(ii * 4 + j)
+    }
+    val ref2 = Array.tabulate(7 * 4) { idx =>
+      val i = idx / 4; val j = idx % 4
+      (i - 2 to i + 2).map(at(_, j)).sum
+    }
+    val sm2 = a2.mapOverlapAxisBoundary(0, 2, "reflect") { (halo, before, after, hdims) =>
+      val cols = hdims(1)
+      val coreRows = hdims(0) - before - after
+      Array.tabulate(coreRows * cols) { idx =>
+        val r = before + idx / cols; val c = idx % cols
+        (math.max(0, r - 2) to math.min(hdims(0) - 1, r + 2))
+          .map(rr => halo(rr * cols + c)).sum
+      }
+    }
+    checkEqual(sm2, new Dense(Seq(7L, 4L), ref2), "2-D reflect")
+  }
+
   test("nanargmin/nanargmax: skip NaN, first-occurrence ties, all-NaN -> -1") {
     val grid = Array(
       5.0, Double.NaN, Double.NaN,

@@ -117,4 +117,132 @@ class EwmSpec extends SparkTestBase {
     // t=4: weights q^2 (for x=4), 1 (for x=2); mean=(4*0.25+2)/(1.25)
     close(got(4)._1, Some((4.0 * 0.25 + 2.0) / 1.25), "after gap")
   }
+
+  // ---- full parameter surface (adjust=False, ignoreNa=True, com/span/
+  // halflife), each vs the direct per-row weight definition ----
+
+  /** Generalized direct definition: pandas weights under any
+    * (adjust, ignoreNa) combination. Decay distance d(i,t) counts rows
+    * (ignoreNa=false) or observations strictly after i (ignoreNa=true);
+    * adjust=false keeps the first observation's weight at q^d and scales
+    * every later one by alpha.
+    */
+  private def referenceP(xs: Seq[Option[Double]], p: EwmParams): Seq[(Option[Double], Option[Double])] = {
+    val q = 1.0 - p.alpha
+    val obsIdx = xs.indices.filter(xs(_).isDefined)
+    xs.indices.map { t =>
+      val upto = obsIdx.filter(_ <= t)
+      if (upto.isEmpty) (None, None)
+      else {
+        val terms = upto.map { i =>
+          val d =
+            if (p.ignoreNa) upto.count(j => j > i).toDouble
+            else (t - i).toDouble
+          val base = math.pow(q, d)
+          val wt =
+            if (p.adjust) base
+            else if (i == upto.head) base
+            else p.alpha * base
+          (xs(i).get, wt)
+        }
+        val w = terms.map(_._2).sum
+        val w2 = terms.map(x => x._2 * x._2).sum
+        val m = terms.map(x => x._1 * x._2).sum / w
+        val denom = w * w - w2
+        val v = if (denom > 0) {
+          val biased = terms.map(x => x._1 * x._1 * x._2).sum / w - m * m
+          Some(math.max(0.0, biased * w * w / denom))
+        } else None
+        (Some(m), v)
+      }
+    }
+  }
+
+  private def runP(xs: Seq[Option[Double]], p: EwmParams, parts: Int): Seq[(Option[Double], Option[Double])] = {
+    val df = xs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(Double.box).orNull) }
+      .toDF("k", "v")
+      .repartitionByRange(parts, org.apache.spark.sql.functions.col("k"))
+      .sortWithinPartitions("k")
+    Ewm.statsIndexed(df, "v", p).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]),
+                 Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .sortBy(_._1).map(t => (t._2, t._3)).toSeq
+  }
+
+  test("adjust=False matches the recurrence y=(1-a)y+ax under any partitioning") {
+    // pandas: ewm(alpha=0.5, adjust=False).mean() of [1,2,3] = [1, 1.5, 2.25]
+    val got = runP(Seq(Some(1.0), Some(2.0), Some(3.0)), EwmParams(0.5, adjust = false), 2)
+    close(got(0)._1, Some(1.0), "m0")
+    close(got(1)._1, Some(1.5), "m1")
+    close(got(2)._1, Some(2.25), "m2")
+    val rnd = new scala.util.Random(11)
+    val xs = Seq.tabulate(60)(_ =>
+      if (rnd.nextDouble() < 0.2) None else Some(math.floor(rnd.nextDouble() * 20) - 5))
+    for (parts <- Seq(1, 4, 9); alpha <- Seq(0.3, 0.5)) {
+      val p = EwmParams(alpha, adjust = false)
+      val exp = referenceP(xs, p)
+      val gp = runP(xs, p, parts)
+      xs.indices.foreach { t =>
+        close(gp(t)._1, exp(t)._1, s"adjF a=$alpha parts=$parts mean t=$t")
+        close(gp(t)._2, exp(t)._2, s"adjF a=$alpha parts=$parts var t=$t")
+      }
+    }
+  }
+
+  test("ignoreNa=True skips nulls entirely (both adjust modes, any partitioning)") {
+    val rnd = new scala.util.Random(23)
+    val xs = Seq.tabulate(60)(_ =>
+      if (rnd.nextDouble() < 0.3) None else Some(math.floor(rnd.nextDouble() * 12) - 3))
+    for (adjust <- Seq(true, false); parts <- Seq(1, 5)) {
+      val p = EwmParams(0.4, adjust = adjust, ignoreNa = true)
+      val exp = referenceP(xs, p)
+      val gp = runP(xs, p, parts)
+      xs.indices.foreach { t =>
+        close(gp(t)._1, exp(t)._1, s"igNa adj=$adjust parts=$parts mean t=$t")
+        close(gp(t)._2, exp(t)._2, s"igNa adj=$adjust parts=$parts var t=$t")
+      }
+    }
+    // hand case: [4, null, 2] with ignoreNa=true — the null does NOT decay:
+    // mean_2 = (4q + 2)/(q + 1) with q=0.5 -> 8/3... adjust=True
+    val got = runP(Seq(Some(4.0), None, Some(2.0)), EwmParams(0.5, ignoreNa = true), 1)
+    close(got(2)._1, Some((4.0 * 0.5 + 2.0) / 1.5), "ignoreNa hand")
+  }
+
+  test("com/span/halflife are exact alpha transforms") {
+    assert(EwmParams.com(1.0).alpha == 0.5)
+    assert(EwmParams.span(3.0).alpha == 0.5)
+    assert(math.abs(EwmParams.halflife(1.0).alpha - 0.5) < 1e-15)
+    assert(math.abs(EwmParams.com(4.0).alpha - 0.2) < 1e-15)
+    assert(math.abs(EwmParams.span(9.0).alpha - 0.2) < 1e-15)
+    intercept[IllegalArgumentException](EwmParams.com(-0.1))
+    intercept[IllegalArgumentException](EwmParams.span(0.5))
+    intercept[IllegalArgumentException](EwmParams.halflife(0.0))
+    // halflife semantic check: after exactly h observations the weight
+    // halves: q^h = exp(-ln2) = 1/2
+    val a = EwmParams.halflife(3.0).alpha
+    assert(math.abs(math.pow(1.0 - a, 3.0) - 0.5) < 1e-12)
+  }
+
+  test("keyed ewm: null keys dropped, null order values sort first without NPE") {
+    val df = Seq(
+      ("a", Integer.valueOf(2), Double.box(5.0)),
+      ("a", null.asInstanceOf[Integer], Double.box(1.0)), // null order -> first
+      (null.asInstanceOf[String], Integer.valueOf(0), Double.box(9.0)), // dropped
+      ("a", Integer.valueOf(1), Double.box(3.0))
+    ).toDF("k", "i", "v")
+    val got = Ewm.statsKeyed(df, "k", Seq("i"), "v", EwmParams(0.5))
+      .collect().sortBy(_.getLong(2))
+    assert(got.length == 3, "null key row must be dropped")
+    // order: null-i row first (x=1), then i=1 (x=3), then i=2 (x=5)
+    assert(got(0).getDouble(3) == 1.0)
+    assert(got(1).getDouble(3) == (1.0 * 0.5 + 3.0) / 1.5)
+  }
+
+  test("keyed ewm honors adjust=False") {
+    val df = Seq(("g", 0, 1.0), ("g", 1, 2.0), ("g", 2, 3.0)).toDF("k", "i", "v")
+    val got = Ewm.statsKeyed(df, "k", Seq("i"), "v", EwmParams(0.5, adjust = false))
+      .collect().sortBy(_.getLong(2)).map(_.getDouble(3)).toSeq
+    assert(got == Seq(1.0, 1.5, 2.25))
+  }
 }
