@@ -10,8 +10,11 @@ final case class ABlock(bid: Seq[Int], data: Array[Double])
 
 /** Scatter piece shuffled between chunk grids: `offs(i)` is the C-order
   * local offset inside destination block `bid` where `vals(i)` lands.
+  * `key` is the destination block's C-order linear index in ITS grid — a
+  * numeric shuffle key (hashes/compares cheaper than a joined string and
+  * shaves bytes on grids with millions of blocks).
   */
-final case class ScatterPiece(key: String, bid: Seq[Int],
+final case class ScatterPiece(key: Long, bid: Seq[Int],
                               offs: Array[Int], vals: Array[Double])
 
 /** Distributed chunked ndarray — the dask.array collection re-expressed on
@@ -247,6 +250,7 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     val bc = s.sparkContext.broadcast(tables)
     val srcChunksB = chunks.map(_.toArray)
     val newChunksB = newChunks.map(_.toArray)
+    val dstGrid = newChunks.map(_.length)
     val pieces: Dataset[ScatterPiece] = blocks.flatMap { b =>
       val tabs = bc.value
       val perDim: Array[Array[DimEntry]] =
@@ -281,7 +285,7 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
             incOdo(t, cnts)
             i += 1
           }
-          out += ScatterPiece(keyOf(dstBid), dstBid, offs, vals)
+          out += ScatterPiece(linearBidL(dstBid, dstGrid), dstBid, offs, vals)
           more = incOdo(sel, perDim.map(_.length))
         }
         out
@@ -313,7 +317,7 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
       // destination walker state (advanced once per element, in flat order
       // per contiguous run)
       val walker = new FlatWalker(dstShape, dstStartsB)
-      val bufs = scala.collection.mutable.LinkedHashMap[String, PieceBuf]()
+      val bufs = scala.collection.mutable.LinkedHashMap[Long, PieceBuf]()
       val loc = new Array[Int](ndS)
       val rowLen = if (ndS == 0) 1 else dims(ndS - 1)
       val nRows = dims.product / math.max(rowLen, 1)
@@ -328,7 +332,7 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
         var t = 0
         while (t < rowLen) {
           val buf = bufs.getOrElseUpdate(walker.bidKey,
-            new PieceBuf(walker.bidSnapshot))
+            new PieceBuf(walker.bidKey, walker.bidSnapshot))
           buf.add(walker.localOff, b.data(iFlatSrcRow * rowLen + t))
           walker.advance()
           t += 1
@@ -873,6 +877,7 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     val axisStarts = srcStarts(axis)
     val axisChunks = chunks(axis).toArray
     val gridAxis = grid(axis)
+    val gFull = grid
     val nAxis = shape(axis)
     // pieces route by GLOBAL axis coordinate, so a halo deeper than one
     // chunk is gathered from as many blocks as it spans (depth > chunk is
@@ -884,9 +889,9 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
       val abid = b.bid(axis)
       val g0 = axisStarts(abid)
       val g1 = g0 + alen
-      val out = scala.collection.mutable.ArrayBuffer[(String, Seq[Int], Int, Array[Double])]()
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Seq[Int], Int, Array[Double])]()
       val beforeSelf = math.min(depth.toLong, g0).toInt
-      out += ((keyOf(b.bid), b.bid, beforeSelf, b.data))
+      out += ((linearBidL(b.bid, gFull), b.bid, beforeSelf, b.data))
       // right destinations m > abid: b's tail lands in m's before-halo
       var m = abid + 1
       while (m < gridAxis && axisStarts(m) < g1 + depth) {
@@ -895,7 +900,7 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
         if (hi > lo) {
           val dst = b.bid.updated(axis, m)
           val beforeM = math.min(depth.toLong, sM).toInt
-          out += ((keyOf(dst), dst, (lo - (sM - beforeM)).toInt,
+          out += ((linearBidL(dst, gFull), dst, (lo - (sM - beforeM)).toInt,
             slabOf(b.data, sdims, axis, (lo - g0).toInt, (hi - g0).toInt)))
         }
         m += 1
@@ -908,7 +913,7 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
         if (hi > lo) {
           val dst = b.bid.updated(axis, m)
           val beforeM = math.min(depth.toLong, axisStarts(m)).toInt
-          out += ((keyOf(dst), dst,
+          out += ((linearBidL(dst, gFull), dst,
             (beforeM + axisChunks(m) + (lo - eM)).toInt,
             slabOf(b.data, sdims, axis, (lo - g0).toInt, (hi - g0).toInt)))
         }
@@ -937,6 +942,67 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     }
     copy(blocks = assembled)
   }
+
+  /** dask `median`/`quantile` along an axis (reference
+    * `array/reductions.py` median: dask itself REQUIRES the reduced axis
+    * in one chunk — "rechunk so that median runs on a single chunk").
+    * Same contract here: rechunk the axis single-chunk (one scatter
+    * shuffle; every other axis keeps its chunking and its parallelism),
+    * then a narrow per-lane sort + linear-interpolated quantile
+    * (numpy's default interpolation). `q` in [0,1].
+    */
+  def quantileAxis(axis: Int, q: Double): GArr = {
+    require(q >= 0.0 && q <= 1.0, s"quantile q must be in [0,1]: $q")
+    require(ndim >= 1 && axis >= 0 && axis < ndim)
+    val single =
+      if (chunks(axis).length == 1) this
+      else rechunkTo(chunks.updated(axis, Seq(shape(axis).toInt)))
+    val s = spark
+    import s.implicits._
+    val nd = ndim
+    val srcStarts = single.chunks.map(startsOf)
+    val qq = q
+    val ax = axis
+    val reduced = single.blocks.map { b =>
+      val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), b.bid(d)))
+      val alen = sdims(ax)
+      val restDims = Array.tabulate(nd - 1)(j => sdims(if (j < ax) j else j + 1))
+      val restTotal = if (restDims.isEmpty) 1 else restDims.product
+      val rstr = cStridesI(restDims)
+      val out = new Array[Double](restTotal)
+      val lane = new Array[Double](alen)
+      val t = new Array[Int](nd)
+      // gather each lane (fixed rest coords, axis varying), sort, pick
+      var r = 0
+      while (r < restTotal) {
+        // decompose r over restDims into t (axis coord filled per step)
+        var rem = r; var j = nd - 2
+        while (j >= 0) {
+          val d = if (j < ax) j else j + 1
+          t(d) = rem % restDims(j); rem /= restDims(j)
+          j -= 1
+        }
+        val str = cStridesI(sdims)
+        var base = 0; var d = 0
+        while (d < nd) { if (d != ax) base += t(d) * str(d); d += 1 }
+        var a = 0
+        while (a < alen) { lane(a) = b.data(base + a * str(ax)); a += 1 }
+        java.util.Arrays.sort(lane)
+        val pos = qq * (alen - 1)
+        val lo = pos.toInt
+        val hi = math.min(lo + 1, alen - 1)
+        val frac = pos - lo
+        out(r) = lane(lo) * (1.0 - frac) + lane(hi) * frac
+        r += 1
+      }
+      ABlock((0 until nd).filter(_ != ax).map(b.bid), out)
+    }
+    GArr((0 until nd).filter(_ != ax).map(shape),
+      (0 until nd).filter(_ != ax).map(single.chunks), reduced)
+  }
+
+  /** numpy/dask `median(axis=)` — the 0.5 quantile. */
+  def medianAxis(axis: Int): GArr = quantileAxis(axis, 0.5)
 
   /** dask `map_overlap` boundary modes (reference `array/overlap.py:501`,
     * `boundary` ∈ none | reflect | nearest | periodic | constant): pad
@@ -1403,6 +1469,7 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     val (a1, a2) = (math.min(ax1, ax2), math.max(ax1, ax2))
     val outShape = shape.patch(a2, Nil, 1)
     val outChunks = chunks.patch(a2, Nil, 1)
+    val outGrid = outChunks.map(_.length)
     val s = spark
     import s.implicits._
     val nd = ndim
@@ -1423,7 +1490,7 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
         val restDims = (0 until nd).filter(d => d != a1 && d != a2).map(sdims).toArray
         val restIdx = (0 until nd).filter(d => d != a1 && d != a2).toArray
         val restTotal = if (restDims.isEmpty) 1 else restDims.product
-        val buf = new PieceBuf(dstBid)
+        val buf = new PieceBuf(linearBidL(dstBid, outGrid), dstBid)
         val t = new Array[Int](restDims.length)
         var r = 0
         while (r < restTotal) {
@@ -1527,12 +1594,13 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     val newAxisChunks = groups.map(_.size)
     val newChunks = chunks.updated(axis, newAxisChunks)
     val newShape = shape.updated(axis, groups.map(_.size.toLong).sum)
+    val dstGridS = newChunks.map(_.length)
     val dstStartsB = newChunks.map(startsOf)
     val pieces: Dataset[ScatterPiece] = blocks.flatMap { b =>
       val route = bc.value
       val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), b.bid(d)))
       val gstartAxis = srcStarts(axis)(b.bid(axis))
-      val bufs = scala.collection.mutable.LinkedHashMap[String, PieceBuf]()
+      val bufs = scala.collection.mutable.LinkedHashMap[Long, PieceBuf]()
       val t = new Array[Int](nd)
       var i = 0
       while (i < b.data.length) {
@@ -1548,7 +1616,8 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
               val dstr = cStridesI(ddims)
               var dofs = 0; var d = 0
               while (d < nd) { dofs += (if (d == axis) off else t(d)) * dstr(d); d += 1 }
-              bufs.getOrElseUpdate(keyOf(dstBid), new PieceBuf(dstBid))
+              bufs.getOrElseUpdate(linearBidL(dstBid, dstGridS),
+                  new PieceBuf(linearBidL(dstBid, dstGridS), dstBid))
                 .add(dofs, b.data(i))
               ti += 1
             }
@@ -1618,12 +1687,14 @@ object GArr {
   private[operators] final case class DimEntry(ib: Int, jb: Int, src0: Int,
                                                step: Long, dst0: Int, cnt: Int)
 
-  /** Growable per-destination-block scatter buffer. */
-  private[operators] final class PieceBuf(val bid: Seq[Int]) {
+  /** Growable per-destination-block scatter buffer (`key` = the block's
+    * linear index in the destination grid).
+    */
+  private[operators] final class PieceBuf(val key: Long, val bid: Seq[Int]) {
     private val offs = scala.collection.mutable.ArrayBuilder.make[Int]
     private val vals = scala.collection.mutable.ArrayBuilder.make[Double]
     def add(off: Int, v: Double): Unit = { offs += off; vals += v }
-    def toPiece: ScatterPiece = ScatterPiece(keyOf(bid), bid, offs.result(), vals.result())
+    def toPiece: ScatterPiece = ScatterPiece(key, bid, offs.result(), vals.result())
   }
 
   /** Incremental C-order walker over a chunked grid: tracks, for a global
@@ -1637,7 +1708,8 @@ object GArr {
     private val coord = new Array[Long](nd)
     private val chunkIdx = new Array[Int](nd)
     private val local = new Array[Int](nd)
-    private var key: String = _
+    private val gridDims = Array.tabulate(nd)(d => starts(d).length - 1)
+    private var key: Long = -1L
     private var bid: Seq[Int] = _
     private var dirty = true
 
@@ -1675,10 +1747,12 @@ object GArr {
 
     private def refresh(): Unit = {
       bid = chunkIdx.toSeq
-      key = keyOf(bid)
+      var o = 0L; var d = 0
+      while (d < nd) { o = o * gridDims(d) + chunkIdx(d); d += 1 }
+      key = o
       dirty = false
     }
-    def bidKey: String = { if (dirty) refresh(); key }
+    def bidKey: Long = { if (dirty) refresh(); key }
     def bidSnapshot: Seq[Int] = { if (dirty) refresh(); bid }
     def localOff: Int = {
       var o = 0; var d = 0
@@ -1730,8 +1804,6 @@ object GArr {
       i += 1
     }
   }
-
-  private[operators] def keyOf(bid: Seq[Int]): String = bid.mkString(",")
 
   private[operators] def linearBid(bid: Seq[Int], grid: Seq[Int]): Int = {
     var o = 0; var d = 0

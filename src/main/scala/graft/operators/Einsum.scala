@@ -17,8 +17,9 @@ package graft.operators
   * Supported grammar: explicit (`ij,jk->ik`) and implicit (`ij,jk`)
   * output, single-operand views (`ij->ji`, `ii->i`, `ii->`), traces,
   * multi-operand chains, scalar results (returned as a length-1 1-D
-  * array, the same convention [[GArr.tensordot]] uses). `...` (ellipsis
-  * broadcasting) is not supported — spell the dimensions out.
+  * array, the same convention [[GArr.tensordot]] uses), and `...`
+  * ellipsis broadcasting (`...ij,jk->...ik`; right-aligned, size-1 dims
+  * broadcast by squeezing — zero data movement).
   *
   * Scale shape: each pairwise step is one equi-join plus one
   * partial->final reduce, payloads bounded by the chunk size; diagonals
@@ -36,7 +37,7 @@ object Einsum {
   def parse(spec: String, nOperands: Int): Spec = {
     val cleaned = spec.replaceAll("\\s+", "")
     require(!cleaned.contains("..."),
-      "einsum: '...' (ellipsis) is not supported — spell the dimensions out")
+      "einsum internal: '...' must be desugared before parse")
     val (lhs, out) = cleaned.split("->", -1) match {
       case Array(l)    => (l, None)
       case Array(l, r) => (l, Some(r))
@@ -57,9 +58,88 @@ object Einsum {
     Spec(inputs, output)
   }
 
+  /** Desugar `...` (numpy ellipsis broadcasting) into fresh explicit
+    * letters: each operand's unnamed dims get right-aligned shared
+    * letters; a size-1 ellipsis dim broadcast against a longer one is
+    * SQUEEZED out of that operand (zero data movement — the letter is
+    * simply absent from its subscript, and the contraction algebra
+    * broadcasts it back, exactly like `i,ij`). Implicit outputs follow
+    * the numpy rule: ellipsis dims first, then the once-occurring
+    * explicit letters sorted.
+    */
+  private[operators] def desugarEllipsis(spec: String,
+                                         operands: Seq[GArr]): (String, Seq[GArr]) = {
+    val cleaned = spec.replaceAll("\\s+", "")
+    if (!cleaned.contains("...")) return (cleaned, operands)
+    val (lhs, outOpt) = cleaned.split("->", -1) match {
+      case Array(l)    => (l, None)
+      case Array(l, r) => (l, Some(r))
+      case _           => throw new IllegalArgumentException(s"einsum: bad spec '$spec'")
+    }
+    val inSubs = lhs.split(",", -1).toSeq
+    require(inSubs.length == operands.length,
+      s"einsum: spec '$spec' names ${inSubs.length} operands, got ${operands.length}")
+    val used = cleaned.filter(_.isLetter).toSet
+    val pool = (('a' to 'z') ++ ('A' to 'Z')).filterNot(used)
+    val ellCounts = inSubs.zip(operands).map { case (sub, op) =>
+      require(sub.indexOf("...") == sub.lastIndexOf("..."),
+        s"einsum: at most one '...' per operand ('$sub')")
+      if (sub.contains("...")) {
+        val k = op.ndim - sub.count(_.isLetter)
+        require(k >= 0, s"einsum: '$sub' names more dims than operand has (${op.ndim})")
+        k
+      } else 0
+    }
+    val maxEll = ellCounts.max
+    require(pool.length >= maxEll, "einsum: too many dimensions to desugar '...'")
+    val ell = pool.take(maxEll).mkString
+    // group extent per ellipsis slot (right-aligned across operands)
+    val extents = Array.fill(maxEll)(1L)
+    for (i <- inSubs.indices if ellCounts(i) > 0) {
+      val k = ellCounts(i)
+      val before = inSubs(i).takeWhile(_ != '.').count(_.isLetter)
+      for (j <- 0 until k) {
+        val e = operands(i).shape(before + j)
+        val slot = maxEll - k + j
+        if (extents(slot) == 1L) extents(slot) = e
+        else require(e == 1L || e == extents(slot),
+          s"einsum: ellipsis dim mismatch at slot $slot: $e vs ${extents(slot)}")
+      }
+    }
+    val rewritten = inSubs.zip(operands).zip(ellCounts).map { case ((sub, op0), k) =>
+      if (!sub.contains("...")) (sub, op0)
+      else {
+        val before = sub.takeWhile(_ != '.').count(_.isLetter)
+        var op = op0
+        val letters = new StringBuilder
+        var removed = 0
+        for (j <- 0 until k) {
+          val slot = maxEll - k + j
+          if (op0.shape(before + j) == 1L && extents(slot) > 1L) {
+            op = op.squeeze(before + j - removed) // broadcast dim: drop it
+            removed += 1
+          } else letters += ell(slot)
+        }
+        (sub.replace("...", letters.result()), op)
+      }
+    }
+    val output = outOpt match {
+      case Some(o) =>
+        require(o.contains("...") || maxEll == 0,
+          s"einsum: inputs have ellipsis dims but output '$o' lacks '...'")
+        o.replace("...", ell)
+      case None =>
+        val expl = lhs.filter(_.isLetter)
+        val once = expl.distinct.filter(c => expl.count(_ == c) == 1).sorted
+        ell + once.mkString
+    }
+    (rewritten.map(_._1).mkString(",") + "->" + output, rewritten.map(_._2))
+  }
+
   /** `np.einsum(spec, operands...)` on chunked arrays. */
-  def einsum(spec: String, operands: Seq[GArr], targetChunk: Int = 65536): GArr = {
-    require(operands.nonEmpty, "einsum needs at least one operand")
+  def einsum(spec0: String, operands0: Seq[GArr], targetChunk: Int = 65536): GArr = {
+    require(operands0.nonEmpty, "einsum needs at least one operand")
+    val (spec, operands) = desugarEllipsis(spec0, operands0)
     val p = parse(spec, operands.length)
 
     // 1. collapse repeated within-operand indices to diagonals

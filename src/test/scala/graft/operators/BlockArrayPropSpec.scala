@@ -236,6 +236,38 @@ class BlockArrayPropSpec extends SparkTestBase {
     checkEqual(sm2, new Dense(Seq(7L, 4L), ref2), "2-D reflect")
   }
 
+  test("medianAxis/quantileAxis vs dense sorted lanes (multi-chunk axis rechunks)") {
+    val rnd = new scala.util.Random(53)
+    for (trial <- 0 until 4) {
+      val rows = 3 + rnd.nextInt(12)
+      val cols = 2 + rnd.nextInt(6)
+      val c0 = 1 + rnd.nextInt(rows)
+      val c1 = 1 + rnd.nextInt(cols)
+      val vals = Array.fill(rows * cols)(math.floor(rnd.nextDouble() * 19) - 9)
+      val a = GArr.fromFunction(spark, Seq(rows.toLong, cols.toLong), Seq(c0, c1))(
+        g => vals((g(0) * cols + g(1)).toInt))
+      for (q <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+        val got = indexed(a.quantileAxis(0, q))
+        for (j <- 0 until cols) {
+          val lane = (0 until rows).map(i => vals(i * cols + j)).sorted
+          val pos = q * (rows - 1)
+          val lo = pos.toInt; val hi = math.min(lo + 1, rows - 1)
+          val want = lane(lo) * (1.0 - (pos - lo)) + lane(hi) * (pos - lo)
+          assert(math.abs(got(j.toLong) - want) < 1e-12,
+            s"trial $trial q=$q col $j: ${got(j.toLong)} vs $want")
+        }
+      }
+      val med = indexed(a.medianAxis(1))
+      for (i <- 0 until rows) {
+        val lane = (0 until cols).map(j => vals(i * cols + j)).sorted
+        val pos = 0.5 * (cols - 1)
+        val lo = pos.toInt; val hi = math.min(lo + 1, cols - 1)
+        val want = lane(lo) * (1.0 - (pos - lo)) + lane(hi) * (pos - lo)
+        assert(math.abs(med(i.toLong) - want) < 1e-12, s"median row $i")
+      }
+    }
+  }
+
   test("nanargmin/nanargmax: skip NaN, first-occurrence ties, all-NaN -> -1") {
     val grid = Array(
       5.0, Double.NaN, Double.NaN,

@@ -129,8 +129,53 @@ class EinsumSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Einsum.parse("ij,jk->ik", 3))
     intercept[IllegalArgumentException](Einsum.parse("ij->ii", 1))
     intercept[IllegalArgumentException](Einsum.parse("ij->ik", 1))
-    intercept[IllegalArgumentException](Einsum.parse("i...j->ij", 1))
     intercept[IllegalArgumentException](Einsum.parse("i2j->ij", 1))
+  }
+
+  // ---- ellipsis broadcasting ----
+
+  /** Run the ellipsis spec through einsum, the desugared explicit spec
+    * through the dense evaluator, and compare cells.
+    */
+  private def checkEll(spec: String, explicitSpec: String,
+                       shapes: Seq[Seq[Int]], seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val ops = shapes.map(sh =>
+      D(sh, Array.fill(math.max(sh.product, 1))(math.floor(rnd.nextDouble() * 9) - 4)))
+    val want = denseEinsum(explicitSpec, ops)
+    val got = Einsum.einsum(spec, ops.map(lift(_, rnd)), targetChunk = 64)
+    assert(got.shape.map(_.toInt) == want.shape, s"'$spec' shape ${got.shape} vs ${want.shape}")
+    val g = collect(got)
+    for (i <- g.indices)
+      assert(g(i) == want.data(i), s"'$spec' cell $i: ${g(i)} vs ${want.data(i)}")
+  }
+
+  test("ellipsis batch matmul ...ij,jk->...ik") {
+    checkEll("...ij,jk->...ik", "bij,jk->bik", Seq(Seq(3, 4, 2), Seq(2, 5)), 30)
+    checkEll("...ij,jk->...ik", "abij,jk->abik", Seq(Seq(2, 3, 4, 2), Seq(2, 5)), 31)
+  }
+  test("ellipsis reduce last ...i->...") {
+    checkEll("...i->...", "bci->bc", Seq(Seq(3, 2, 5)), 32)
+  }
+  test("ellipsis elementwise with right-aligned ranks ...,...->...") {
+    // (3,4) zip (4): the shorter operand's missing leading dim broadcasts
+    checkEll("...,...->...", "ab,b->ab", Seq(Seq(3, 4), Seq(4)), 33)
+  }
+  test("ellipsis implicit output ...i,i") {
+    checkEll("...i,i", "bi,i->b", Seq(Seq(4, 3), Seq(3)), 34)
+  }
+  test("ellipsis size-1 dim broadcasts by squeezing") {
+    // (1,4,2) batches against (3,2,5): the 1 broadcasts to 3 (the dense
+    // equivalent sums over the size-1 dim x, which is the identity)
+    checkEll("...ij,...jk->...ik", "xij,bjk->bik", Seq(Seq(1, 4, 2), Seq(3, 2, 5)), 35)
+  }
+  test("ellipsis with explicit letter prefix i...,i->...") {
+    checkEll("i...,i->...", "iab,i->ab", Seq(Seq(3, 2, 4), Seq(3)), 36)
+  }
+  test("ellipsis errors: missing ... in explicit output") {
+    val a = GArr.ones(spark, Seq(2L, 3L, 4L), Seq(2, 3, 4))
+    intercept[IllegalArgumentException](
+      Einsum.einsum("...ij->ij", Seq(a)))
   }
 
   test("extent mismatch rejected") {
