@@ -1965,6 +1965,27 @@ object SparkEntry {
       val tr = Einsum.einsum("ii->", Seq(n))
       GArr.concatenate(0, Seq(d, dp, tr)).toIndexedDF
         .select(col("idx"), col("value").cast("long").as("v"))
+    },
+
+    // ---- 3-operand einsum chain (`ij,jk,kl->il`): exercises the GREEDY
+    // contraction-order planner (np.einsum optimize='greedy') — each
+    // pairwise step is a blocked matmul, intermediates kept smallest-
+    // first.  A (60x40) quantity, B (40x50) linenumber, C (50x30)
+    // partkey%10; pure-BIGINT 3-way relational join-aggregate oracle.
+    "q163_einsum_chain" -> { (s, dir) =>
+      import graft.operators.{Einsum, GArr}
+      val li = t(s, dir, "lineitem")
+      def head(n: Int) = li.sort(liTotalOrder.map(col): _*).limit(n)
+      val a = GArr.fromColumn(head(2400), "l_quantity", liTotalOrder, chunk = 512)
+        .reshape(Seq(60L, 40L), Seq(16, 16))
+      val b = GArr.fromColumn(head(2000), "l_linenumber", liTotalOrder, chunk = 512)
+        .reshape(Seq(40L, 50L), Seq(16, 16))
+      val cSrc = head(1500)
+        .withColumn("pk10", (col("l_partkey") % 10).cast("double"))
+      val c = GArr.fromColumn(cSrc, "pk10", liTotalOrder, chunk = 512)
+        .reshape(Seq(50L, 30L), Seq(16, 16))
+      Einsum.einsum("ij,jk,kl->il", Seq(a, b, c)).toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("v"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -3928,5 +3949,19 @@ object SparkEntry {
         |SELECT CAST(m.i + 60 AS BIGINT) AS idx, CAST(SUM(m.v * n.v) AS BIGINT) AS v
         |FROM m JOIN n ON m.j = n.i AND n.j = m.i GROUP BY m.i
         |UNION ALL
-        |SELECT 120::BIGINT AS idx, CAST(SUM(v) AS BIGINT) AS v FROM n WHERE i = j""".stripMargin)
+        |SELECT 120::BIGINT AS idx, CAST(SUM(v) AS BIGINT) AS v FROM n WHERE i = j""".stripMargin,
+
+    // q163: D[i,l] = sum_jk A[i,j]B[j,k]C[k,l]; flat idx = i*30 + l.
+    "q163_einsum_chain" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q, CAST(l_linenumber AS BIGINT) AS ln,
+        |         CAST(l_partkey AS BIGINT) AS pk,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |a AS (SELECT rn // 40 AS i, rn % 40 AS j, q AS v FROM t WHERE rn < 2400),
+        |b AS (SELECT rn // 50 AS j, rn % 50 AS k, ln AS v FROM t WHERE rn < 2000),
+        |c AS (SELECT rn // 30 AS k, rn % 30 AS l, pk % 10 AS v FROM t WHERE rn < 1500)
+        |SELECT CAST(a.i * 30 + c.l AS BIGINT) AS idx,
+        |       CAST(SUM(a.v * b.v * c.v) AS BIGINT) AS v
+        |FROM a JOIN b ON a.j = b.j JOIN c ON b.k = c.k GROUP BY 1""".stripMargin)
 }

@@ -169,17 +169,20 @@ object Einsum {
         s"einsum: index '$c' has extents ${extent(c)} and $e")
     }
 
-    // 2. fold left: pairwise contraction onto bmm
-    var cur = arrs.head
-    var curSub = subs.head
-    for (i <- 1 until arrs.length) {
-      val sub2 = subs(i)
-      val later = (subs.drop(i + 1).mkString + p.output).toSet
-      val shared = curSub.toSet.intersect(sub2.toSet)
-      val contracted = curSub.filter(c => shared(c) && !later(c))
-      val batch = curSub.filter(c => shared(c) && later(c))
-      val leftOnly = curSub.filterNot(shared)
-      val rightOnly = sub2.filterNot(shared)
+    // 2. pairwise contractions onto bmm, GREEDY ordering (np.einsum's
+    // optimize='greedy' idea): at each step contract the pair whose
+    // RESULT has the fewest elements — for chains like ij,jk,kl->il
+    // with skewed extents this keeps intermediates small, which at
+    // cluster scale is the difference between shuffling a thin matrix
+    // and a wide one. Left-to-right order is the tie-break, so
+    // two-operand specs behave exactly as before.
+    def contractPair(aSub: String, a: GArr, bSub: String, b: GArr,
+                     needed: Set[Char]): (String, GArr) = {
+      val shared = aSub.toSet.intersect(bSub.toSet)
+      val contracted = aSub.filter(c => shared(c) && !needed(c))
+      val batch = aSub.filter(c => shared(c) && needed(c))
+      val leftOnly = aSub.filterNot(shared)
+      val rightOnly = bSub.filterNot(shared)
       val bDims = batch.map(extent); val lDims = leftOnly.map(extent)
       val cDims = contracted.map(extent); val rDims = rightOnly.map(extent)
       val (pb, pl, pc, pr) =
@@ -187,20 +190,45 @@ object Einsum {
          cDims.product max 1L, rDims.product max 1L)
       val side = math.max(1L, math.cbrt(targetChunk.toDouble).toLong)
       def ch(n: Long): Int = math.min(n, side).toInt
-      val a3 = to3D(cur, curSub, batch + leftOnly + contracted,
+      val a3 = to3D(a, aSub, batch + leftOnly + contracted,
         Seq(pb, pl, pc), Seq(ch(pb), ch(pl), ch(pc)))
-      val b3 = to3D(arrs(i), sub2, batch + contracted + rightOnly,
+      val b3 = to3D(b, bSub, batch + contracted + rightOnly,
         Seq(pb, pc, pr), Seq(ch(pb), ch(pc), ch(pr)))
       val c3 = a3.bmm(b3)
-      curSub = batch + leftOnly + rightOnly
+      val outSub = batch + leftOnly + rightOnly
       val outDims = bDims ++ lDims ++ rDims
-      cur =
+      val res =
         if (outDims.isEmpty) c3.reshape(Seq(1L), Seq(1))
         else c3.reshape(outDims,
           outDims.map(n => math.min(n,
             math.max(1L, math.pow(targetChunk.toDouble,
               1.0 / outDims.length).toLong)).toInt))
+      (outSub, res)
     }
+    val work = scala.collection.mutable.ArrayBuffer.empty[(String, GArr)]
+    subs.indices.foreach(i => work += ((subs(i), arrs(i))))
+    while (work.length > 1) {
+      var bi = 0; var bj = 1; var bestCost = Double.MaxValue
+      for (i <- work.indices; j <- (i + 1) until work.length) {
+        val others = work.indices.filter(k => k != i && k != j)
+          .map(work(_)._1).mkString + p.output
+        val needed = others.toSet
+        val (si, sj) = (work(i)._1, work(j)._1)
+        val shared = si.toSet.intersect(sj.toSet)
+        val resLetters = (si + sj.filterNot(si.contains(_)))
+          .filter(c => !shared(c) || needed(c))
+        val cost = resLetters.map(extent(_).toDouble).product
+        if (cost < bestCost) { bestCost = cost; bi = i; bj = j }
+      }
+      val needed = (work.indices.filter(k => k != bi && k != bj)
+        .map(work(_)._1).mkString + p.output).toSet
+      val (sub, arr) = contractPair(work(bi)._1, work(bi)._2,
+        work(bj)._1, work(bj)._2, needed)
+      work.remove(bj); work.remove(bi)
+      work += ((sub, arr))
+    }
+    var cur = work.head._2
+    var curSub = work.head._1
 
     // 3. sum out indices absent from the output (highest axis first)
     val toSum = curSub.zipWithIndex.filterNot { case (c, _) => p.output.contains(c) }

@@ -111,6 +111,18 @@ class PlanGuardSpec extends SparkTestBase {
     assert(shuffles(p) == 1, s"where grew beyond one exchange:\n$p")
   }
 
+  test("einsum matmul form: partial->final typed agg, no global sort") {
+    import graft.operators.{Einsum, GArr}
+    val a = GArr.fromFunction(spark, Seq(48L, 32L), Seq(16, 16))(g => (g(0) * 7 + g(1)) % 5)
+    val b = GArr.fromFunction(spark, Seq(32L, 40L), Seq(16, 16))(g => (g(0) + g(1) * 3) % 7)
+    val p = noAqePlan(Einsum.einsum("ij,jk->ik", Seq(a, b)).blockSums)
+    val aggs = collectAll(p).filter(_.nodeName.toLowerCase.contains("aggregate"))
+    assert(aggs.size >= 2, s"einsum/bmm lost its map-side combine:\n$p")
+    val globalSorts = collectAll(p).filter(n =>
+      n.nodeName == "Sort" && !n.toString.contains("false, 0"))
+    assert(globalSorts.isEmpty, s"einsum grew a global sort:\n${globalSorts.headOption}")
+  }
+
   test("GArr axis reduction: partial->final typed agg (map-side combine) around one shuffle") {
     import graft.operators.GArr
     val a = GArr.fromFunction(spark, Seq(64L, 48L), Seq(16, 16))(g => g(0) + 2.0 * g(1))
