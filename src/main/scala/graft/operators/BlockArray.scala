@@ -2075,4 +2075,155 @@ object GArr {
     concatenate(0, lifted)
   }
 
+  /** numpy `vstack`/`hstack`/`dstack` — concatenate compositions with
+    * numpy's 1-D promotion rules.
+    */
+  def vstack(arrs: Seq[GArr]): GArr =
+    concatenate(0, arrs.map(a => if (a.ndim == 1) a.expandDims(0) else a))
+  def hstack(arrs: Seq[GArr]): GArr =
+    if (arrs.head.ndim == 1) concatenate(0, arrs) else concatenate(1, arrs)
+  def dstack(arrs: Seq[GArr]): GArr =
+    concatenate(2, arrs.map { a =>
+      if (a.ndim == 1) a.expandDims(0).expandDims(2)
+      else if (a.ndim == 2) a.expandDims(2)
+      else a
+    })
+
+  /** numpy `tri(n, k)` — lower-triangular ones (reference
+    * `array/creation.py`), grid-parallel like [[eye]].
+    */
+  def tri(s: SparkSession, n: Long, chunk: Int, k: Long = 0L): GArr =
+    fromFunction(s, Seq(n, n), Seq(chunk, chunk))(g => if (g(1) - g(0) <= k) 1.0 else 0.0)
+
+  /** numpy `diag(v)` for a 1-D chunked vector: the n×n matrix with `v` on
+    * the k=0 diagonal. Each vector block emits ONE piece into its own
+    * (i,i) diagonal block — the assembly shuffle moves exactly n values;
+    * off-diagonal blocks are materialized lazily as zero blocks by a
+    * grid-parallel union (no data crosses for them).
+    */
+  def diagMatrix(v: GArr): GArr = {
+    require(v.ndim == 1, s"diagMatrix takes a 1-D vector: ${v.shape}")
+    val s = v.blocks.sparkSession
+    import s.implicits._
+    val n = v.shape.head
+    val cs = v.chunks.head
+    val outChunks = Seq(cs, cs)
+    val grid1 = cs.length
+    val starts = startsOf(cs)
+    // diagonal blocks from vector data (one piece per block)
+    val diagPieces: Dataset[ScatterPiece] = v.blocks.map { b =>
+      val i = b.bid.head
+      val dim = b.data.length
+      val offs = Array.tabulate(dim)(t => t * dim + t)
+      ScatterPiece(i.toLong * grid1 + i, Seq(i, i), offs, b.data)
+    }
+    // zero blocks for every off-diagonal coordinate (narrow, no payload
+    // shuffled — generated in place)
+    val zeros = s.range(grid1.toLong * grid1)
+      .filter(x => (x / grid1) != (x % grid1))
+      .map { flat =>
+        val bi = (flat / grid1).toInt; val bj = (flat % grid1).toInt
+        val di = chunkDim(starts, bi); val dj = chunkDim(starts, bj)
+        ABlock(Seq(bi, bj), new Array[Double](di * dj))
+      }
+    val assembledDiag = {
+      val ncB = outChunks.map(_.toArray)
+      diagPieces.groupByKey(_.key).mapGroups { (_, it) =>
+        val p = it.next()
+        val dims = Array.tabulate(2)(d => ncB(d)(p.bid(d)))
+        val buf = new Array[Double](dims.product)
+        var i = 0
+        while (i < p.offs.length) { buf(p.offs(i)) = p.vals(i); i += 1 }
+        ABlock(p.bid, buf)
+      }
+    }
+    GArr(Seq(n, n), outChunks, assembledDiag.union(zeros))
+  }
+
+  /** numpy `repeat(a, reps, axis)` — each element repeated `reps` times
+    * along `axis`. Pure narrow map: every block expands in place (the
+    * axis chunking scales by `reps`), zero shuffle.
+    */
+  def repeatAxis(a: GArr, axis: Int, reps: Int): GArr = {
+    require(reps >= 1 && axis >= 0 && axis < a.ndim)
+    val s = a.blocks.sparkSession
+    import s.implicits._
+    val nd = a.ndim
+    val srcStarts = a.chunks.map(startsOf)
+    val ax = axis
+    val out = a.blocks.map { b =>
+      val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), b.bid(d)))
+      val inner = (ax + 1 until nd).map(sdims(_)).product
+      val alen = sdims(ax)
+      val outer = b.data.length / math.max(1, inner * alen)
+      val o = new Array[Double](b.data.length * reps)
+      var u = 0
+      while (u < outer) {
+        var i = 0
+        while (i < alen) {
+          val src = (u * alen + i) * inner
+          var r = 0
+          while (r < reps) {
+            System.arraycopy(b.data, src, o, ((u * alen + i) * reps + r) * inner, inner)
+            r += 1
+          }
+          i += 1
+        }
+        u += 1
+      }
+      ABlock(b.bid, o)
+    }
+    GArr(a.shape.updated(ax, a.shape(ax) * reps),
+      a.chunks.updated(ax, a.chunks(ax).map(_ * reps)), out)
+  }
+
+  /** numpy `tile` along one axis: whole-array repetition — zero-shuffle
+    * concatenate of block-relabelled copies.
+    */
+  def tileAxis(a: GArr, axis: Int, reps: Int): GArr = {
+    require(reps >= 1)
+    concatenate(axis, Seq.fill(reps)(a))
+  }
+
+  /** numpy `average(a, axis, weights)` — weighted mean along an axis as
+    * an elemwise+reduction composition (weights broadcast is the
+    * caller's choice of grid, as in dask).
+    */
+  def average(a: GArr, axis: Int, weights: GArr): GArr = {
+    val num = a.elemwise(weights)(_ * _).sumAxis(axis)
+    val den = weights.sumAxis(axis)
+    num.elemwise(den)(_ / _)
+  }
+
+  /** numpy `kron(a, b)` for 2-D arrays — the einsum+reshape composition
+    * `ij,kl->ikjl` then collapse to (m·p, n·q): every stage is the
+    * already-bounded blocked machinery, nothing driver-side.
+    */
+  def kron(a: GArr, b: GArr, targetChunk: Int = 65536): GArr = {
+    require(a.ndim == 2 && b.ndim == 2, "kron takes 2-D arrays")
+    val outShape = Seq(a.shape(0) * b.shape(0), a.shape(1) * b.shape(1))
+    val side = math.max(1L, math.sqrt(targetChunk.toDouble).toLong)
+    Einsum.einsum("ij,kl->ikjl", Seq(a, b), targetChunk)
+      .reshape(outShape, outShape.map(l => math.min(l, side).toInt))
+  }
+
+  /** numpy/dask `apply_along_axis`: a 1-D kernel over every lane along
+    * `axis` (out length may differ). Composition: transpose the axis
+    * last, rechunk it single-chunk (dask's own gufunc core-dim
+    * contract), run [[GArr.applyGufunc]], transpose back.
+    */
+  def applyAlongAxis(a: GArr, axis: Int, outLen: Int)(
+      f: Array[Double] => Array[Double]): GArr = {
+    val nd = a.ndim
+    val perm = (0 until nd).filter(_ != axis) :+ axis
+    val moved = a.transpose(perm)
+    val single =
+      if (moved.chunks.last.length == 1) moved
+      else moved.rechunkTo(moved.chunks.init :+ Seq(moved.shape.last.toInt))
+    val applied = single.applyGufunc(outLen)(f)
+    // inverse permutation restores the axis position
+    val inv = perm.zipWithIndex.sortBy(_._1).map(_._2)
+    applied.transpose(inv)
+  }
+
 }
