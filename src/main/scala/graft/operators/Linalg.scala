@@ -644,6 +644,84 @@ object Linalg {
     (u, sArr, v)
   }
 
+  /** 2-D square GArr with uniform square chunks → the `(bi, bj,
+    * col-major data)` block DataFrame the blocked [[lu]] consumes
+    * (narrow map, zero shuffle — only the per-block layout transposes).
+    */
+  def garrToBlocks(a: GArr): (DataFrame, Int) = {
+    require(a.ndim == 2 && a.shape(0) == a.shape(1),
+      s"lu needs a square 2-D array: ${a.shape}")
+    val bs = a.chunks(0).head
+    require(a.chunks(0).forall(_ == bs) && a.chunks(1).forall(_ == bs),
+      s"lu needs uniform ${bs}x$bs chunks (rechunk first): ${a.chunks}")
+    val spark = a.blocks.sparkSession
+    val b = bs
+    val rows = a.blocks.rdd.map { blk =>
+      val d = blk.data
+      val cm = new Array[Double](d.length)
+      var c = 0
+      while (c < b) {
+        var r = 0
+        while (r < b) { cm(c * b + r) = d(r * b + c); r += 1 }
+        c += 1
+      }
+      org.apache.spark.sql.Row(blk.bid(0), blk.bid(1), cm.toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bi", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("bj", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("data",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    (spark.createDataFrame(rows, schema), bs)
+  }
+
+  /** dask `lu(a)` at the GArr level (reference `array/linalg.py:978`):
+    * the thin bridge into the blocked partial-pivoting [[lu]].
+    */
+  def lu(a: GArr): BlockLU = { val (df, bs) = garrToBlocks(a); lu(df, bs) }
+
+  /** `(bi, bj, col-major data)` block DataFrame → GArr (row-major block
+    * payloads) — lifts [[BlockLU]]'s `l`/`u` factors back into chunked
+    * arrays so they compose with matmul/einsum/etc.
+    */
+  def blocksToGArr(df: DataFrame, blockSize: Int, nBlocks: Int): GArr = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = blockSize
+    val ds = df.select(col("bi"), col("bj"), col("data"))
+      .as[(Int, Int, Seq[Double])].map { case (bi, bj, d) =>
+        val rm = new Array[Double](b * b)
+        var c = 0
+        while (c < b) {
+          var r = 0
+          while (r < b) { rm(r * b + c) = d(c * b + r); r += 1 }
+          c += 1
+        }
+        ABlock(Seq(bi, bj), rm)
+      }
+    val n = b.toLong * nBlocks
+    GArr(Seq(n, n), Seq(Seq.fill(nBlocks)(b), Seq.fill(nBlocks)(b)), ds)
+  }
+
+  /** dask `da.linalg.norm` (`array/linalg.py:1380`): Frobenius (also the
+    * vector L2), induced 1-norm (max abs column sum), and induced
+    * inf-norm (max abs row sum) — all as scalarMap + axis-reduction
+    * compositions, one pass each.
+    */
+  def norm(a: GArr, ord: String = "fro"): Double = ord match {
+    case "fro" => math.sqrt(a.scalarMap(x => x * x).sumAll)
+    case "1" =>
+      require(a.ndim == 2, "1-norm is for 2-D arrays")
+      a.scalarMap(math.abs).sumAxis(0)
+        .reduceAll(Double.NegativeInfinity)(math.max, math.max)
+    case "inf" =>
+      require(a.ndim == 2, "inf-norm is for 2-D arrays")
+      a.scalarMap(math.abs).sumAxis(1)
+        .reduceAll(Double.NegativeInfinity)(math.max, math.max)
+    case other => throw new IllegalArgumentException(
+      s"norm: unknown ord '$other' (fro | 1 | inf)")
+  }
+
   /** Slice a driver-side dense col-major n×n matrix into a `(bi, bj,
     * data)` block DataFrame — the test/query-side constructor (real
     * pipelines build blocks distributed; the fixture matrices here are

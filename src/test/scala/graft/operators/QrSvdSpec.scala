@@ -65,6 +65,51 @@ class QrSvdSpec extends SparkTestBase {
     }
   }
 
+  test("GArr-level lu: P·L·U reconstructs A; factors lift back to GArr") {
+    val n2 = 8; val bs = 4
+    val vals = Array.tabulate(n2 * n2) { idx =>
+      val i = idx / n2; val j = idx % n2
+      ((i * 13 + j * 7) % 11).toDouble + (if (i == j) 20.0 else 0.0)
+    }
+    val a = GArr.fromFunction(spark, Seq(n2.toLong, n2.toLong), Seq(bs, bs))(
+      g => vals((g(0) * n2 + g(1)).toInt))
+    val r = Linalg.lu(a)
+    assert(r.nBlocks == n2 / bs)
+    // factors back to GArr, dense reconstruction of P·(L+I)·U
+    // the factor DataFrames carry only their own triangle's blocks;
+    // absent cells are structural zeros
+    def dense(g: GArr): Array[Array[Double]] = {
+      val c = cells(g)
+      Array.tabulate(n2, n2)((i, j) => c.getOrElse(i.toLong * n2 + j, 0.0))
+    }
+    val l = dense(Linalg.blocksToGArr(r.l, bs, r.nBlocks)) // unit diag included
+    val u = dense(Linalg.blocksToGArr(r.u, bs, r.nBlocks))
+    val lu = Array.tabulate(n2, n2)((i, j) =>
+      (0 until n2).map(k => l(i)(k) * u(k)(j)).sum)
+    // block-diagonal permutation: row (k*bs + sigma(t)) of A equals
+    // row (k*bs + t) of L·U
+    for (k <- 0 until r.nBlocks; t <- 0 until bs; j <- 0 until n2) {
+      val want = vals((k * bs + r.perms(k)(t)) * n2 + j)
+      assert(math.abs(lu(k * bs + t)(j) - want) < 1e-9,
+        s"PLU(${k * bs + t},$j)=${lu(k * bs + t)(j)} vs $want")
+    }
+    // U globally upper-triangular
+    for (i <- 0 until n2; j <- 0 until i)
+      assert(math.abs(u(i)(j)) < 1e-12, s"U($i,$j) below diagonal")
+  }
+
+  test("norms: fro / induced-1 / induced-inf match dense") {
+    val a = buildA(7, 3)
+    val ad = dense(a)
+    val fro = math.sqrt(ad.flatten.map(x => x * x).sum)
+    assert(math.abs(Linalg.norm(a, "fro") - fro) < 1e-9)
+    val one = (0 until n).map(j => (0 until m).map(i => math.abs(ad(i)(j))).sum).max
+    assert(math.abs(Linalg.norm(a, "1") - one) < 1e-9)
+    val inf = (0 until m).map(i => (0 until n).map(j => math.abs(ad(i)(j))).sum).max
+    assert(math.abs(Linalg.norm(a, "inf") - inf) < 1e-9)
+    intercept[IllegalArgumentException](Linalg.norm(a, "nuc"))
+  }
+
   test("svd: u diag(s) v reconstructs A; u orthonormal; s descending") {
     val a = buildA(13, n)
     val (uArr, sArr, vArr) = Linalg.svd(a)
