@@ -94,6 +94,29 @@ object StreamOps {
     * ingestion pipeline.  Left join keeps stream rows with no dimension
     * match (nulls), mirroring `merge(how='left')`.
     */
+  /** Stream-stream INNER interval join: rows pair when keys match and
+    * `right.ts ∈ [left.ts + lowerSec, left.ts + upperSec]`. Both sides
+    * carry watermarks so the join state is bounded — Spark buffers each
+    * side only within the watermark + interval horizon, then evicts
+    * (the standard event-time-constrained stream-stream join; a batch
+    * engine has no counterpart, dask defers to streamz). Column names
+    * must be disjoint apart from `key`; the right side's ts column is
+    * `rightTs`.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   lowerSec: Long, upperSec: Long,
+                   watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) + expr(s"INTERVAL $lowerSec SECONDS") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upperSec SECONDS"),
+      "inner")
+      .drop(r(key))
+  }
+
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
 
