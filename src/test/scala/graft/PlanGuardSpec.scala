@@ -123,6 +123,42 @@ class PlanGuardSpec extends SparkTestBase {
     assert(globalSorts.isEmpty, s"einsum grew a global sort:\n${globalSorts.headOption}")
   }
 
+  test("matmul map-side combine measurably shrinks the output-reduce exchange") {
+    import graft.operators.GArr
+    // grid 8x8 with an 8-deep contraction fan: 512 partial output blocks.
+    // With 2 shuffle partitions each task co-locates ~4 contraction
+    // slices, so the combiner merges them 4->1 per output coordinate:
+    // the reduce exchange must carry FAR fewer records than the 512
+    // uncombined partials (the round-6 groupByKey.mapGroups shipped all
+    // 512 through the wire).
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val a = GArr.fromFunction(spark, Seq(128L, 128L), Seq(16, 16))(
+        g => ((g(0) * 7 + g(1)) % 5).toDouble)
+      val b = GArr.fromFunction(spark, Seq(128L, 128L), Seq(16, 16))(
+        g => ((g(0) + g(1) * 3) % 7).toDouble)
+      val df = a.matmul(b).blockSums
+      df.collect()
+      val exchanges = collectAll(df.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, "no exchange found")
+      val written = exchanges.flatMap(_.metrics.get("shuffleRecordsWritten").map(_.value))
+      assert(written.nonEmpty,
+        s"no shuffleRecordsWritten metric; available: ${exchanges.head.metrics.keys}")
+      // the reduce exchange is the one moving ABlock partials; every
+      // exchange in this chain must stay well under the 512 uncombined
+      // partial count (the join exchange moves 2x64=128 input blocks)
+      assert(written.forall(_ <= 256),
+        s"an exchange carried uncombined partials: records=$written (512 = no combine)")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("GArr axis reduction: partial->final typed agg (map-side combine) around one shuffle") {
     import graft.operators.GArr
     val a = GArr.fromFunction(spark, Seq(64L, 48L), Seq(16, 16))(g => g(0) + 2.0 * g(1))
