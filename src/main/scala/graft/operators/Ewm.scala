@@ -181,6 +181,104 @@ object Ewm {
       StructField("ewm_var", DoubleType, nullable = true))))
   }
 
+  /** pandas `ewm(halflife=timedelta, times=col).mean()` — IRREGULAR
+    * time-based decay: observation i weighs `0.5^((t_now - t_i) /
+    * halflife)`, so gaps decay more than dense stretches (pandas allows
+    * only `mean` for times-based halflife; same here). Null values
+    * contribute nothing but time still passes. Input must be sorted by
+    * `tsCol` (nondecreasing), as pandas requires monotonic times.
+    *
+    * Distribution: the same two-phase decay-composed scan as
+    * [[statsIndexed]] — the left segment's end-state decays by
+    * `0.5^((t_endRight - t_endLeft)/h)` when composed, so phase 1 emits
+    * (endState, lastTs) per partition and phase 2 re-scans seeded with
+    * (carry, previous partition's last ts). Returns
+    * (rn BIGINT, ewm_mean DOUBLE).
+    */
+  def statsIndexedTimes(df: DataFrame, valueCol: String, tsCol: String,
+                        halflifeSec: Double): DataFrame = {
+    require(halflifeSec > 0.0, s"halflife must be > 0: $halflifeSec")
+    val spark = df.sparkSession
+    val vIdx = df.schema.fieldIndex(valueCol)
+    val tIdx = df.schema.fieldIndex(tsCol)
+    val rdd = df.rdd
+
+    def tsOf(r: Row): Double = r.get(tIdx) match {
+      case t: java.sql.Timestamp => t.getTime / 1000.0
+      case n: Number             => n.doubleValue()
+      case other => throw new IllegalArgumentException(s"bad times value $other")
+    }
+    def valueAt(r: Row): java.lang.Double =
+      if (r.isNullAt(vIdx)) null
+      else java.lang.Double.valueOf(r.get(vIdx).asInstanceOf[Number].doubleValue())
+    def decay(dtSec: Double): Double = math.pow(0.5, dtSec / halflifeSec)
+
+    // phase 1: per-partition end state + boundary timestamps
+    val totals: Array[(Int, Double, Double, Double, Boolean, Long)] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        var s = 0.0; var w = 0.0; var lastTs = 0.0
+        var any = false; var cnt = 0L
+        it.foreach { r =>
+          val t = tsOf(r)
+          if (any) {
+            val d = decay(t - lastTs)
+            s *= d; w *= d
+          }
+          val x = valueAt(r)
+          if (x != null) { s += x.doubleValue(); w += 1.0 }
+          lastTs = t; any = true; cnt += 1
+        }
+        Iterator.single((pid, s, w, lastTs, any, cnt))
+      }.collect().sortBy(_._1)
+
+    // driver: exclusive prefix-combine with time-gap decay
+    val nP = totals.length
+    val carryS = new Array[Double](nP); val carryW = new Array[Double](nP)
+    val carryTs = new Array[Double](nP); val carryHas = new Array[Boolean](nP)
+    val startIdx = new Array[Long](nP)
+    var cs = 0.0; var cw = 0.0; var cts = 0.0; var has = false; var idx0 = 0L
+    var i = 0
+    while (i < nP) {
+      carryS(i) = cs; carryW(i) = cw; carryTs(i) = cts; carryHas(i) = has
+      startIdx(i) = idx0
+      val (_, s, w, lastTs, any, cnt) = totals(i)
+      if (any) {
+        if (has) {
+          val d = decay(lastTs - cts)
+          cs = cs * d + s; cw = cw * d + w
+        } else { cs = s; cw = w }
+        cts = lastTs; has = true
+      }
+      idx0 += cnt
+      i += 1
+    }
+
+    // phase 2: re-scan seeded with (carry, previous partition's last ts)
+    val bc = spark.sparkContext.broadcast((carryS, carryW, carryTs, carryHas, startIdx))
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val (cS, cW, cTs, cHas, sIdx) = bc.value
+      var s = cS(pid); var w = cW(pid); var lastTs = cTs(pid); var any = cHas(pid)
+      var rn = sIdx(pid)
+      it.map { r =>
+        val t = tsOf(r)
+        if (any) {
+          val d = decay(t - lastTs)
+          s *= d; w *= d
+        }
+        val x = valueAt(r)
+        if (x != null) { s += x.doubleValue(); w += 1.0 }
+        lastTs = t; any = true
+        val mean: Any = if (w > 0) s / w else null
+        val row = Row(rn, mean)
+        rn += 1
+        row
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("rn", LongType, nullable = false),
+      StructField("ewm_mean", DoubleType, nullable = true))))
+  }
+
   /** Back-compat: the adjust=True, ignoreNa=False default of round 6. */
   def statsKeyed(df: DataFrame, keyCol: String, orderCols: Seq[String],
                  valueCol: String, alpha: Double): DataFrame =

@@ -239,6 +239,43 @@ class EwmSpec extends SparkTestBase {
     assert(got(1).getDouble(3) == (1.0 * 0.5 + 3.0) / 1.5)
   }
 
+  test("times-based halflife: irregular decay matches the direct definition under any partitioning") {
+    val rnd = new scala.util.Random(77)
+    // strictly increasing irregular seconds; ~15% nulls
+    var t = 0.0
+    val rows = Seq.tabulate(60) { i =>
+      t += 1.0 + math.floor(rnd.nextDouble() * 600)
+      val v = if (rnd.nextDouble() < 0.15) None else Some(math.floor(rnd.nextDouble() * 20) - 5)
+      (i.toLong, t, v)
+    }
+    val h = 120.0
+    def reference(upTo: Int): Option[Double] = {
+      val obs = rows.take(upTo + 1).collect { case (_, ts, Some(v)) => (ts, v) }
+      if (obs.isEmpty) None
+      else {
+        val tNow = rows(upTo)._2
+        val ws = obs.map { case (ts, _) => math.pow(0.5, (tNow - ts) / h) }
+        Some(obs.zip(ws).map { case ((_, v), w) => v * w }.sum / ws.sum)
+      }
+    }
+    for (parts <- Seq(1, 4, 9)) {
+      val df = rows.map { case (k, ts, v) => (k, ts, v.map(Double.box).orNull) }
+        .toDF("k", "ts", "v")
+        .repartitionByRange(parts, org.apache.spark.sql.functions.col("k"))
+        .sortWithinPartitions("k")
+      val got = Ewm.statsIndexedTimes(df, "v", "ts", h).collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+      rows.indices.foreach { i =>
+        (got(i.toLong), reference(i)) match {
+          case (None, None) =>
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a - b) < 1e-9, s"parts=$parts t=$i: $a vs $b")
+          case other => fail(s"parts=$parts t=$i: $other")
+        }
+      }
+    }
+  }
+
   test("keyed ewm honors adjust=False") {
     val df = Seq(("g", 0, 1.0), ("g", 1, 2.0), ("g", 2, 3.0)).toDF("k", "i", "v")
     val got = Ewm.statsKeyed(df, "k", Seq("i"), "v", EwmParams(0.5, adjust = false))
