@@ -212,6 +212,333 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     regrid(specs, shape, newChunks)
   }
 
+  /** numpy fancy indexing with a driver-held integer index array along one
+    * axis — `x[[5,3,9], :]` / `np.take` (reference `array/slicing.py:582`
+    * `take`, which likewise materializes the index inside the graph, so the
+    * driver-side O(k) index cost matches dask's own contract; for an index
+    * that is itself a distributed array use [[takeArr]]). Duplicates and
+    * out-of-order indices are allowed. ONE scatter shuffle; per-element
+    * entries are coalesced to one shuffle record per (src,dst) block pair
+    * by [[piecesByTables]].
+    */
+  def take(indices: Seq[Long], axis: Int = 0, targetChunk: Int = 65536): GArr = {
+    require(axis >= 0 && axis < ndim, s"take: bad axis $axis for ndim $ndim")
+    val n = shape(axis)
+    indices.foreach(i => require(i >= 0 && i < n, s"take: index $i out of bounds [0,$n)"))
+    val k = indices.length.toLong
+    val axisChunk = math.max(1, math.min(targetChunk,
+      if (chunks(axis).nonEmpty) chunks(axis).max else targetChunk))
+    val outAxisChunks = evenChunks(k, axisChunk)
+    val newChunks = chunks.updated(axis, outAxisChunks)
+    val outLens = shape.updated(axis, k)
+    val S = startsOf(chunks(axis))
+    val T = startsOf(outAxisChunks)
+    val axisEntries = indices.zipWithIndex.map { case (srcIdx, j) =>
+      val ib = blockOf(S, srcIdx)
+      val jb = blockOf(T, j.toLong)
+      DimEntry(ib, jb, (srcIdx - S(ib)).toInt, 1L, (j - T(jb)).toInt, 1)
+    }.toArray.groupBy(_.ib)
+    val tables = Array.tabulate(ndim) { d =>
+      if (d == axis) axisEntries
+      else chunks(d).indices.map(ib => DimEntry(ib, ib, 0, 1L, 0, chunks(d)(ib)))
+        .toArray.groupBy(_.ib)
+    }
+    GArr(outLens, newChunks, assemble(piecesByTables(tables, newChunks), newChunks))
+  }
+
+  /** numpy/dask `compress(condition, axis)` (reference
+    * `array/routines.py:2017`): boolean selection along one axis with a
+    * driver-held mask — delegates to [[take]].
+    */
+  def compress(condition: Seq[Boolean], axis: Int = 0, targetChunk: Int = 65536): GArr = {
+    require(condition.length.toLong == shape(axis),
+      s"compress: mask length ${condition.length} != axis length ${shape(axis)}")
+    take(condition.zipWithIndex.collect { case (true, i) => i.toLong }, axis, targetChunk)
+  }
+
+  /** numpy boolean-mask indexing `x[mask]` with a DISTRIBUTED mask of
+    * identical shape/chunks (reference `array/slicing.py:1061`
+    * `slice_with_bool_dask_array`): selected elements in global C order,
+    * flattened to 1-D. 1-D inputs take a counts-prefix path (one block
+    * join + O(nblocks) driver counts + one scatter shuffle — no sort);
+    * ndim≥2 falls back to a distributed sortByKey on the global flat
+    * index because block-local order does not partition global C order.
+    * The result is materialized (counted) before return — like dask, the
+    * unknown output length forces a compute barrier.
+    */
+  def booleanMask(mask: GArr, targetChunk: Int = 65536): GArr = {
+    require(shape == mask.shape && chunks == mask.chunks,
+      s"booleanMask requires identical shape/chunks: $shape vs ${mask.shape}")
+    val s = spark
+    import s.implicits._
+    if (ndim == 1) {
+      val l = blocks.map(b => (b.bid(0), b.data))
+      val r = mask.blocks.map(b => (b.bid(0), b.data))
+      val sel = l.joinWith(r, l("_1") === r("_1")).map { case ((ib, d), (_, m)) =>
+        val buf = scala.collection.mutable.ArrayBuilder.make[Double]
+        var i = 0
+        while (i < d.length) { if (m(i) != 0.0) buf += d(i); i += 1 }
+        (ib, buf.result())
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val counts = sel.map(t => (t._1, t._2.length.toLong)).collect().toMap
+      val nb = grid(0)
+      val offsets = new Array[Long](nb + 1)
+      var ib = 0
+      while (ib < nb) { offsets(ib + 1) = offsets(ib) + counts.getOrElse(ib, 0L); ib += 1 }
+      val k = offsets(nb)
+      val outChunks = evenChunks(k, targetChunk)
+      val T = startsOf(outChunks)
+      val dstGrid = Seq(outChunks.length)
+      val bcOff = s.sparkContext.broadcast(offsets)
+      val pieces = sel.flatMap { case (b, vals) =>
+        val out = scala.collection.mutable.LinkedHashMap[Long, PieceBuf]()
+        val g0 = bcOff.value(b)
+        var i = 0
+        while (i < vals.length) {
+          val gpos = g0 + i
+          val jb = blockOf(T, gpos)
+          val key = linearBidL(Seq(jb), dstGrid)
+          out.getOrElseUpdate(key, new PieceBuf(key, Seq(jb)))
+            .add((gpos - T(jb)).toInt, vals(i))
+          i += 1
+        }
+        out.valuesIterator.map(_.toPiece)
+      }
+      val outBlocks = assemble(pieces, Seq(outChunks))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      outBlocks.count() // materialize before dropping the selection cache
+      sel.unpersist()
+      GArr(Seq(k), Seq(outChunks), outBlocks)
+    } else {
+      // pair blocks, emit (global flat idx, value) for selected, then a
+      // distributed sort + zipWithIndex + pack (the fromColumn shape)
+      val g = grid
+      val sh = shape
+      val st = chunks.map(startsOf)
+      val l = blocks.map(b => (linearBidL(b.bid, g), b.bid, b.data))
+      val r = mask.blocks.map(b => (linearBidL(b.bid, g), b.data))
+      val nd = ndim
+      val selected = l.joinWith(r, l("_1") === r("_1")).flatMap { case ((_, bid, d), (_, m)) =>
+        val dims = Array.tabulate(nd)(dd => chunkDim(st(dd), bid(dd)))
+        val gstart = Array.tabulate(nd)(dd => st(dd)(bid(dd)))
+        val strides = cStrides(sh)
+        val out = scala.collection.mutable.ArrayBuilder.make[(Long, Double)]
+        val loc = new Array[Int](nd)
+        var i = 0
+        while (i < d.length) {
+          if (m(i) != 0.0) {
+            var f = 0L; var dd = 0
+            while (dd < nd) { f += (gstart(dd) + loc(dd)) * strides(dd); dd += 1 }
+            out += ((f, d(i)))
+          }
+          incOdo(loc, dims)
+          i += 1
+        }
+        out.result()
+      }.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val k = selected.count()
+      val chunk = math.max(1, targetChunk)
+      val outChunks = evenChunks(k, chunk)
+      val sizes = s.sparkContext.broadcast(outChunks.toArray)
+      val packed = selected.sortByKey().map(_._2).zipWithIndex()
+        .map { case (v, i) => ((i / chunk).toInt, ((i % chunk).toInt, v)) }
+        .groupByKey()
+        .map { case (b, it) =>
+          val a = new Array[Double](sizes.value(b))
+          it.foreach { case (o, v) => a(o) = v }
+          ABlock(Seq(b), a)
+        }
+      val outBlocks = s.createDataset(packed)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      outBlocks.count()
+      selected.unpersist()
+      GArr(Seq(k), Seq(outChunks), outBlocks)
+    }
+  }
+
+  /** Fancy indexing of a 1-D array by a DISTRIBUTED integer index array
+    * (reference `array/slicing.py:992` `slice_with_int_dask_array_on_axis`):
+    * `x[idx]` where `idx` is itself a [[GArr]] whose values are (integral)
+    * positions into `this`. Output keeps `idx`'s shape and chunks. Fully
+    * distributed — no index ever reaches the driver: requests are keyed by
+    * source block (exchange 1: idx bytes only), values are looked up in a
+    * co-group against the source blocks, and results scatter to the output
+    * grid (exchange 2). The scale path when the index is too big to hold
+    * driver-side.
+    */
+  def takeArr(idx: GArr): GArr = {
+    require(ndim == 1 && idx.ndim == 1, "takeArr: both arrays must be 1-D")
+    val s = spark
+    import s.implicits._
+    val S = startsOf(chunks(0))
+    val n = shape(0)
+    val idxStarts = startsOf(idx.chunks(0))
+    val outChunks = idx.chunks(0)
+    val dstGrid = Seq(outChunks.length)
+    // (src block, out position, src local offset)
+    val requests = idx.blocks.flatMap { b =>
+      val g0 = idxStarts(b.bid(0))
+      val out = new Array[(Int, Long, Int)](b.data.length)
+      var i = 0
+      while (i < b.data.length) {
+        val srcIdx = b.data(i).toLong
+        require(srcIdx >= 0 && srcIdx < n, s"takeArr: index $srcIdx out of bounds [0,$n)")
+        val ib = blockOf(S, srcIdx)
+        out(i) = (ib, g0 + i, (srcIdx - S(ib)).toInt)
+        i += 1
+      }
+      out
+    }
+    // tag-union co-group: src blocks (tag 0) with their requests (tag 1);
+    // one exchange carrying the source blocks once plus the index rows
+    val tagged = blocks.map(b => (b.bid(0), 0, b.data, 0L, 0))
+      .union(requests.map(r => (r._1, 1, Array.empty[Double], r._2, r._3)))
+    val T = startsOf(outChunks)
+    val pieces = tagged.groupByKey(_._1).flatMapGroups { (_, it) =>
+      var data: Array[Double] = null
+      val reqs = scala.collection.mutable.ArrayBuilder.make[(Long, Int)]
+      it.foreach { row =>
+        if (row._2 == 0) data = row._3 else reqs += ((row._4, row._5))
+      }
+      val rs = reqs.result()
+      if (data == null || rs.isEmpty) Iterator.empty
+      else {
+        val out = scala.collection.mutable.LinkedHashMap[Long, PieceBuf]()
+        var i = 0
+        while (i < rs.length) {
+          val (gpos, srcLocal) = rs(i)
+          val jb = blockOf(T, gpos)
+          val key = linearBidL(Seq(jb), dstGrid)
+          out.getOrElseUpdate(key, new PieceBuf(key, Seq(jb)))
+            .add((gpos - T(jb)).toInt, data(srcLocal))
+          i += 1
+        }
+        out.valuesIterator.map(_.toPiece)
+      }
+    }
+    GArr(idx.shape, Seq(outChunks), assemble(pieces, Seq(outChunks)))
+  }
+
+  /** numpy `__setitem__` with a scalar — `x[start:stop:step, ...] = v`
+    * (reference `array/slicing.py:2030` `setitem`). Pure narrow map: each
+    * block overwrites its own positions that fall inside the slice; zero
+    * shuffle at any scale.
+    */
+  def updatedSlice(specs: Seq[(Long, Long, Long)], scalar: Double): GArr = {
+    require(specs.length == ndim)
+    val st = chunks.map(startsOf)
+    val nd = ndim
+    mapBlocks { (bid, data) =>
+      val out = data.clone()
+      // per-dim local offsets of this block's positions inside the slice
+      val hits: Array[Array[Int]] = Array.tabulate(nd) { d =>
+        val (start, stop0, step) = specs(d)
+        val stop = math.min(stop0, shape(d))
+        val g0 = st(d)(bid(d))
+        val dim = chunkDim(st(d), bid(d))
+        val b = scala.collection.mutable.ArrayBuilder.make[Int]
+        var i = 0
+        while (i < dim) {
+          val gidx = g0 + i
+          if (gidx >= start && gidx < stop && (gidx - start) % step == 0) b += i
+          i += 1
+        }
+        b.result()
+      }
+      if (!hits.exists(_.isEmpty)) {
+        val dims = Array.tabulate(nd)(d => chunkDim(st(d), bid(d)))
+        val str = cStridesI(dims)
+        val cnts = hits.map(_.length)
+        val t = new Array[Int](nd)
+        val total = cnts.product
+        var i = 0
+        while (i < total) {
+          var off = 0; var d = 0
+          while (d < nd) { off += hits(d)(t(d)) * str(d); d += 1 }
+          out(off) = scalar
+          incOdo(t, cnts)
+          i += 1
+        }
+      }
+      out
+    }
+  }
+
+  /** numpy `__setitem__` with an array value — `x[start:stop:step, ...] =
+    * value` where `value.shape` equals the slice's output shape (reference
+    * `array/slicing.py:1464` `setitem_array`). The value array scatters
+    * into `this`'s OWN chunk grid (per-dim run tables with a stepped
+    * destination), then one tag-union co-group overlays the pieces onto
+    * the original blocks — a single exchange carrying original + value
+    * bytes, nothing driver-side.
+    */
+  def updatedSlice(specs: Seq[(Long, Long, Long)], value: GArr): GArr = {
+    require(specs.length == ndim && value.ndim == ndim)
+    val outLens = specs.zip(shape).map { case ((start, stop0, step), len) =>
+      val stop = math.min(stop0, len)
+      require(start >= 0 && step > 0 && start <= len, s"bad slice ($start,$stop0,$step)")
+      math.max(0L, (stop - start + step - 1) / step)
+    }
+    require(outLens == value.shape,
+      s"updatedSlice: value shape ${value.shape} != slice shape $outLens")
+    val vStarts = value.chunks.map(startsOf)
+    val xStarts = chunks.map(startsOf)
+    // per dim: value block -> runs landing in x's grid (stepped dst)
+    val tables: Array[Map[Int, Array[DimEntry]]] = Array.tabulate(ndim) { d =>
+      val (start, _, step) = specs(d)
+      val V = vStarts(d); val X = xStarts(d)
+      val entries = scala.collection.mutable.ArrayBuffer[DimEntry]()
+      var jb = 0
+      while (jb < chunks(d).length) {
+        var ib = 0
+        while (ib < value.chunks(d).length) {
+          // value positions j in value block ib whose target start+j*step
+          // falls in x block jb
+          val jLo = math.max(V(ib), ceilDiv(X(jb) - start, step))
+          val jHi = math.min(V(ib + 1), ceilDiv(X(jb + 1) - start, step))
+          if (jLo < jHi)
+            entries += DimEntry(ib, jb, (jLo - V(ib)).toInt, 1L,
+              (start + jLo * step - X(jb)).toInt, (jHi - jLo).toInt, step.toInt)
+          ib += 1
+        }
+        jb += 1
+      }
+      entries.toArray.groupBy(_.ib)
+    }
+    overlay(value.piecesByTables(tables, chunks))
+  }
+
+  /** Apply [[ScatterPiece]]s as point overwrites onto this array's own
+    * blocks: tag-union + groupByKey on the numeric block id (ONE exchange;
+    * untouched blocks pass through).
+    */
+  private def overlay(pieces: Dataset[ScatterPiece]): GArr = {
+    val s = spark
+    import s.implicits._
+    val g = grid
+    val tagged = blocks.map(b => (linearBidL(b.bid, g), 0, b.bid, Array.empty[Int], b.data))
+      .union(pieces.map(p => (p.key, 1, p.bid, p.offs, p.vals)))
+    copy(blocks = tagged.groupByKey(_._1).mapGroups { (_, it) =>
+      var base: Array[Double] = null
+      var bid: Seq[Int] = null
+      val ps = scala.collection.mutable.ArrayBuffer[(Array[Int], Array[Double])]()
+      it.foreach { row =>
+        if (row._2 == 0) { base = row._5; bid = row._3 }
+        else ps += ((row._4, row._5))
+      }
+      require(base != null, "overlay: missing base block")
+      if (ps.isEmpty) ABlock(bid, base)
+      else {
+        val out = base.clone()
+        ps.foreach { case (offs, vals) =>
+          var i = 0
+          while (i < offs.length) { out(offs(i)) = vals(i); i += 1 }
+        }
+        ABlock(bid, out)
+      }
+    })
+  }
+
   /** Shared engine for slice+rechunk: per-dimension piece tables are built
     * on the driver (O(grid), not O(elements)), broadcast, and each source
     * block emits the cartesian product of its per-dim entries as packed
@@ -247,11 +574,27 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
       }
       entries.toArray.groupBy(_.ib)
     }
+    GArr(outLens, newChunks, assemble(piecesByTables(tables, newChunks), newChunks))
+  }
+
+  /** Piece generator shared by slice/rechunk/take/setitem: given per-dim
+    * tables (src block → [[DimEntry]] runs into a destination chunk grid),
+    * each source block emits packed value pieces keyed by destination
+    * block. Pieces targeting the same destination block are coalesced
+    * LOCALLY before the shuffle (one record per (src,dst) block pair, not
+    * one per run) — this is what keeps element-level tables (fancy `take`)
+    * from shipping one shuffle record per element.
+    */
+  private def piecesByTables(tables: Array[Map[Int, Array[DimEntry]]],
+                             newChunks: Seq[Seq[Int]]): Dataset[ScatterPiece] = {
+    val s = spark
+    import s.implicits._
+    val nd = ndim
     val bc = s.sparkContext.broadcast(tables)
     val srcChunksB = chunks.map(_.toArray)
     val newChunksB = newChunks.map(_.toArray)
     val dstGrid = newChunks.map(_.length)
-    val pieces: Dataset[ScatterPiece] = blocks.flatMap { b =>
+    blocks.flatMap { b =>
       val tabs = bc.value
       val perDim: Array[Array[DimEntry]] =
         Array.tabulate(nd)(d => tabs(d).getOrElse(b.bid(d), Array.empty[DimEntry]))
@@ -260,38 +603,35 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
         val sdims = Array.tabulate(nd)(d => srcChunksB(d)(b.bid(d)))
         val sstr = cStridesI(sdims)
         val sel = new Array[Int](nd) // odometer over entry choices per dim
-        val out = scala.collection.mutable.ArrayBuffer[ScatterPiece]()
+        val out = scala.collection.mutable.LinkedHashMap[Long, PieceBuf]()
         var more = true
         while (more) {
           val es = Array.tabulate(nd)(d => perDim(d)(sel(d)))
           val dstBid = es.map(_.jb).toSeq
+          val key = linearBidL(dstBid, dstGrid)
           val ddims = Array.tabulate(nd)(d => newChunksB(d)(dstBid(d)))
           val dstr = cStridesI(ddims)
           val cnts = es.map(_.cnt)
           val total = cnts.product
-          val offs = new Array[Int](total)
-          val vals = new Array[Double](total)
+          val buf = out.getOrElseUpdate(key, new PieceBuf(key, dstBid))
           val t = new Array[Int](nd)
           var i = 0
           while (i < total) {
             var so = 0; var dofs = 0; var d = 0
             while (d < nd) {
               so += (es(d).src0 + t(d) * es(d).step.toInt) * sstr(d)
-              dofs += (es(d).dst0 + t(d)) * dstr(d)
+              dofs += (es(d).dst0 + t(d) * es(d).dstStep) * dstr(d)
               d += 1
             }
-            offs(i) = dofs
-            vals(i) = b.data(so)
+            buf.add(dofs, b.data(so))
             incOdo(t, cnts)
             i += 1
           }
-          out += ScatterPiece(linearBidL(dstBid, dstGrid), dstBid, offs, vals)
           more = incOdo(sel, perDim.map(_.length))
         }
-        out
+        out.valuesIterator.map(_.toPiece)
       }
     }
-    GArr(outLens, newChunks, assemble(pieces, newChunks))
   }
 
   /** C-order `reshape` (reference `array/reshape.py`): every element keeps
@@ -1685,7 +2025,8 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
 
 object GArr {
   private[operators] final case class DimEntry(ib: Int, jb: Int, src0: Int,
-                                               step: Long, dst0: Int, cnt: Int)
+                                               step: Long, dst0: Int, cnt: Int,
+                                               dstStep: Int = 1)
 
   /** Growable per-destination-block scatter buffer (`key` = the block's
     * linear index in the destination grid).
@@ -1824,6 +2165,18 @@ object GArr {
 
   private[operators] def startsOf(cs: Seq[Int]): Array[Long] =
     cs.scanLeft(0L)(_ + _).toArray
+
+  /** Block index containing global position `idx` in a dim whose chunk
+    * boundaries are `starts` (length nblocks+1): binary search, O(log g).
+    */
+  private[operators] def blockOf(starts: Array[Long], idx: Long): Int = {
+    var lo = 0; var hi = starts.length - 2
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (starts(mid) <= idx) lo = mid else hi = mid - 1
+    }
+    lo
+  }
 
   private[operators] def chunkDim(starts: Array[Long], i: Int): Int =
     (starts(i + 1) - starts(i)).toInt

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Fancy / boolean-mask indexing and setitem for the chunked-ndarray tier
+  * (SURVEY §2.11 slicing; reference `dask/array/slicing.py:582` take,
+  * `:992` int-dask-array index, `:1061` bool-dask-array index, `:1464`
+  * setitem_array, `dask/array/routines.py:2017` compress) — every op
+  * checked against a driver-local dense reference.
+  */
+class FancyIndexSpec extends SparkTestBase {
+
+  private def indexed(a: GArr): Map[Long, Double] =
+    a.toIndexedDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  private def vec(a: GArr): Array[Double] = {
+    val m = indexed(a)
+    Array.tabulate(a.numElements.toInt)(i => m(i.toLong))
+  }
+
+  private val f1: Array[Long] => Double = g => 3.0 + 2.0 * g(0)
+  private val f2: Array[Long] => Double = g => 1.0 + 7.0 * g(0) + 13.0 * g(1)
+
+  test("take 1-D: out-of-order + duplicate indices, uneven chunks") {
+    val a = GArr.fromFunction(spark, Seq(11L), Seq(3))(f1)
+    val idx = Seq(7L, 0L, 7L, 10L, 2L, 2L)
+    val t = a.take(idx)
+    assert(t.shape == Seq(6L))
+    assert(vec(t).toSeq == idx.map(i => f1(Array(i))))
+  }
+
+  test("take 2-D along both axes matches dense gather") {
+    val a = GArr.fromFunction(spark, Seq(7L, 5L), Seq(3, 2))(f2)
+    val t0 = a.take(Seq(6L, 1L, 3L), axis = 0)
+    assert(t0.shape == Seq(3L, 5L))
+    val g0 = indexed(t0)
+    val rows = Seq(6L, 1L, 3L)
+    for (i <- 0 until 3; j <- 0 until 5)
+      assert(g0((i * 5 + j).toLong) == f2(Array(rows(i), j.toLong)), s"($i,$j)")
+    val t1 = a.take(Seq(4L, 4L, 0L, 2L), axis = 1)
+    assert(t1.shape == Seq(7L, 4L))
+    val g1 = indexed(t1)
+    val cols = Seq(4L, 4L, 0L, 2L)
+    for (i <- 0 until 7; j <- 0 until 4)
+      assert(g1((i * 4 + j).toLong) == f2(Array(i.toLong, cols(j))), s"($i,$j)")
+  }
+
+  test("compress along axis 1 == dense boolean column-select") {
+    val a = GArr.fromFunction(spark, Seq(4L, 6L), Seq(2, 2))(f2)
+    val mask = Seq(true, false, true, true, false, true)
+    val c = a.compress(mask, axis = 1)
+    assert(c.shape == Seq(4L, 4L))
+    val keep = mask.zipWithIndex.collect { case (true, j) => j.toLong }
+    val g = indexed(c)
+    for (i <- 0 until 4; j <- keep.indices)
+      assert(g((i * 4 + j).toLong) == f2(Array(i.toLong, keep(j))))
+  }
+
+  test("booleanMask 1-D: counts-prefix path preserves order") {
+    val a = GArr.fromFunction(spark, Seq(20L), Seq(3))(g => (g(0) % 7).toDouble)
+    val m = a.mapBlocks((_, d) => d.map(v => if (v >= 4.0) 1.0 else 0.0))
+    val sel = a.booleanMask(m, targetChunk = 4)
+    val ref = (0L until 20L).map(i => (i % 7).toDouble).filter(_ >= 4.0)
+    assert(sel.shape == Seq(ref.length.toLong))
+    assert(vec(sel).toSeq == ref)
+  }
+
+  test("booleanMask 2-D: global C-order flatten via distributed sort") {
+    val a = GArr.fromFunction(spark, Seq(6L, 5L), Seq(2, 2))(f2)
+    val m = a.mapBlocks((_, d) => d.map(v => if (v % 3.0 == 0.0) 1.0 else 0.0))
+    val sel = a.booleanMask(m, targetChunk = 4)
+    val ref = (for (i <- 0L until 6L; j <- 0L until 5L) yield f2(Array(i, j)))
+      .filter(_ % 3.0 == 0.0)
+    assert(sel.shape == Seq(ref.length.toLong))
+    assert(vec(sel).toSeq == ref)
+  }
+
+  test("takeArr: distributed integer-array index, idx chunks preserved") {
+    val a = GArr.fromFunction(spark, Seq(50L), Seq(7))(f1)
+    val idx = GArr.fromFunction(spark, Seq(12L), Seq(5))(g => ((g(0) * 17 + 3) % 50).toDouble)
+    val t = a.takeArr(idx)
+    assert(t.shape == Seq(12L) && t.chunks == idx.chunks)
+    val ref = (0L until 12L).map(j => f1(Array((j * 17 + 3) % 50)))
+    assert(vec(t).toSeq == ref)
+  }
+
+  test("updatedSlice scalar: strided 2-D region, zero shuffle (narrow)") {
+    val a = GArr.fromFunction(spark, Seq(7L, 6L), Seq(3, 2))(f2)
+    val u = a.updatedSlice(Seq((1L, 6L, 2L), (0L, 6L, 3L)), -1.0)
+    val g = indexed(u)
+    for (i <- 0L until 7L; j <- 0L until 6L) {
+      val inSlice = i >= 1 && i < 6 && (i - 1) % 2 == 0 && j < 6 && j % 3 == 0
+      val want = if (inSlice) -1.0 else f2(Array(i, j))
+      assert(g(i * 6 + j) == want, s"($i,$j)")
+    }
+  }
+
+  test("updatedSlice array: stepped 1-D assignment from a chunked value") {
+    val a = GArr.fromFunction(spark, Seq(23L), Seq(4))(f1)
+    val v = GArr.fromFunction(spark, Seq(6L), Seq(2))(g => 1000.0 + g(0))
+    val u = a.updatedSlice(Seq((2L, 20L, 3L)), v)
+    val g = vec(u)
+    for (i <- 0 until 23) {
+      val j = (i - 2) / 3
+      val inSlice = i >= 2 && i < 20 && (i - 2) % 3 == 0
+      val want = if (inSlice) 1000.0 + j else f1(Array(i.toLong))
+      assert(g(i) == want, s"i=$i")
+    }
+  }
+
+  test("updatedSlice array: 2-D block assignment across chunk boundaries") {
+    val a = GArr.fromFunction(spark, Seq(6L, 7L), Seq(2, 3))(f2)
+    val v = GArr.fromFunction(spark, Seq(3L, 3L), Seq(2, 2))(g => -(1.0 + g(0) * 3 + g(1)))
+    val u = a.updatedSlice(Seq((1L, 6L, 2L), (2L, 7L, 2L)), v)
+    val g = indexed(u)
+    for (i <- 0L until 6L; j <- 0L until 7L) {
+      val vi = (i - 1) / 2; val vj = (j - 2) / 2
+      val inSlice = i >= 1 && (i - 1) % 2 == 0 && j >= 2 && (j - 2) % 2 == 0
+      val want = if (inSlice) -(1.0 + vi * 3 + vj) else f2(Array(i, j))
+      assert(g(i * 7 + j) == want, s"($i,$j)")
+    }
+  }
+}
