@@ -1986,6 +1986,94 @@ object SparkEntry {
         .reshape(Seq(50L, 30L), Seq(16, 16))
       Einsum.einsum("ij,jk,kl->il", Seq(a, b, c)).toIndexedDF
         .select(col("idx"), col("value").cast("long").as("v"))
+    },
+
+    // ---- fancy indexing (dask x[[...]] / np.take, slicing.py:582):
+    // driver-held out-of-order index list gathered in ONE scatter shuffle,
+    // per-element entries coalesced to one record per (src,dst) block pair.
+    "q164_take_fancy" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      def head(n: Int) = li.sort(liTotalOrder.map(col): _*).limit(n)
+      val x = GArr.fromColumn(head(3000), "l_quantity", liTotalOrder, chunk = 512)
+      val idx = (0 until 200).map(i => (i.toLong * 37 + 5) % 3000)
+      x.take(idx).toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("q"))
+    },
+
+    // ---- boolean-mask indexing (dask x[mask], slicing.py:1061): the 1-D
+    // counts-prefix path (block join + O(nblocks) prefix + one scatter, no
+    // sort); output order is pinned by a position-weighted checksum.
+    "q165_boolean_mask" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      val x = GArr.fromColumn(li, "l_quantity", liTotalOrder, chunk = 4096)
+      val m = x.mapBlocks((_, d) => d.map(v => if (v >= 30.0) 1.0 else 0.0))
+      x.booleanMask(m, targetChunk = 4096).toIndexedDF
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum((col("idx") % 9973 + 1) * col("value").cast("long")).as("wsum"))
+    },
+
+    // ---- setitem (dask x[a:b:c] = v, slicing.py:1464/2030): a chunked
+    // value array scattered into a stepped slice (one overlay co-group),
+    // then a scalar strided overwrite (pure narrow map) on top.
+    "q166_setitem" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      val x = GArr.fromColumn(li, "l_quantity", liTotalOrder, chunk = 4096)
+      val v = GArr.fromFunction(s, Seq(713L), Seq(128))(gg => 100.0 + gg(0))
+      val y = x.updatedSlice(Seq((10L, 5001L, 7L)), v)
+      val z = y.updatedSlice(Seq((0L, x.shape.head, 101L)), -5.0)
+      z.toIndexedDF
+        .agg(sum((col("idx") % 9973 + 1) * col("value").cast("long")).as("wsum"),
+          sum(when(col("value") === -5.0, 1L).otherwise(0L)).as("neg"))
+    },
+
+    // ---- seeded random arrays (dask.array.random, random.py:1-1113):
+    // counter-based splitmix64 on (seed, global flat index) — deterministic
+    // under rechunk, zero-shuffle generation. The oracle recomputes the
+    // exact 53-bit draws in DuckDB through the shared wmul64/m64a/m64b
+    // HUGEINT macros, so this is a full hash-checked bit equality, not a
+    // statistical smoke test.
+    "q167_random_bits" -> { (s, dir) =>
+      import graft.operators.GArrRandom
+      GArrRandom.uniform(s, Seq(4096L), Seq(512), seed = 42L).toIndexedDF
+        .select(col("idx"),
+          (col("value") * lit(9007199254740992.0)).cast("long").as("bits"))
+    },
+
+    // ---- distributed integer-array indexing (dask x[idx] with idx a dask
+    // array, slicing.py:992): the index is itself a chunked array built
+    // from l_partkey — requests key by source block, values co-group and
+    // scatter to the index's own grid; nothing ever driver-side.
+    "q168_takearr" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      def head(n: Int) = li.sort(liTotalOrder.map(col): _*).limit(n)
+      val x = GArr.fromColumn(head(2048), "l_quantity", liTotalOrder, chunk = 256)
+      val idxSrc = head(500).withColumn("pos", (col("l_partkey") % 2048).cast("double"))
+      val idx = GArr.fromColumn(idxSrc, "pos", liTotalOrder, chunk = 128)
+      x.takeArr(idx).toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("q"))
+    },
+
+    // ---- zarr v2 store roundtrip (dask from_zarr/to_zarr, core.py:3737/
+    // 3004): write a 2-D cents matrix as zlib chunk files + .zarray, read
+    // it back, reduce axis 1. Exact money math: cents are integers below
+    // 2^53, so per-row sums hash-match the relational oracle.
+    "q169_zarr_roundtrip" -> { (s, dir) =>
+      import graft.operators.GArr
+      import graft.sources.Zarr
+      val li = t(s, dir, "lineitem")
+      def head(n: Int) = li.sort(liTotalOrder.map(col): _*).limit(n)
+      val cents = head(6000)
+        .withColumn("cents", floor(col("l_extendedprice") * 100 + 0.5).cast("double"))
+      val x = GArr.fromColumn(cents, "cents", liTotalOrder, chunk = 512)
+        .reshape(Seq(60L, 100L), Seq(16, 32))
+      val zdir = java.nio.file.Files.createTempDirectory("graft_zarr_q169").toString
+      Zarr.toZarr(x, zdir, compressor = "zlib", level = 1)
+      Zarr.fromZarr(s, zdir).sumAxis(1).toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("cents"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -3963,5 +4051,78 @@ object SparkEntry {
         |c AS (SELECT rn // 30 AS k, rn % 30 AS l, pk % 10 AS v FROM t WHERE rn < 1500)
         |SELECT CAST(a.i * 30 + c.l AS BIGINT) AS idx,
         |       CAST(SUM(a.v * b.v * c.v) AS BIGINT) AS v
-        |FROM a JOIN b ON a.j = b.j JOIN c ON b.k = c.k GROUP BY 1""".stripMargin)
+        |FROM a JOIN b ON a.j = b.j JOIN c ON b.k = c.k GROUP BY 1""".stripMargin,
+
+    // q164: gather at positions (i*37+5) % 3000 of the total order.
+    "q164_take_fancy" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |i AS (SELECT range AS i, (range * 37 + 5) % 3000 AS pos FROM range(200))
+        |SELECT CAST(i.i AS BIGINT) AS idx, t.q AS q
+        |FROM i JOIN t ON t.rn = i.pos""".stripMargin,
+
+    // q165: x[x>=30] flattened; order pinned by (pos % 9973 + 1) weights.
+    "q165_boolean_mask" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |sel AS (SELECT q, row_number() OVER (ORDER BY rn) - 1 AS pos
+        |        FROM t WHERE q >= 30)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(SUM((pos % 9973 + 1) * q) AS BIGINT) AS wsum
+        |FROM sel""".stripMargin,
+
+    // q166: x[10:5001:7] = 100+j (array), then x[::101] = -5 (scalar,
+    // applied last so it wins at overlaps).
+    "q166_setitem" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |v AS (SELECT rn,
+        |        CASE WHEN rn % 101 = 0 THEN -5
+        |             WHEN rn >= 10 AND rn < 5001 AND (rn - 10) % 7 = 0
+        |               THEN 100 + (rn - 10) // 7
+        |             ELSE q END AS val
+        |      FROM t)
+        |SELECT CAST(SUM((rn % 9973 + 1) * val) AS BIGINT) AS wsum,
+        |       CAST(SUM(CASE WHEN val = -5 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+        |FROM v""".stripMargin,
+
+    // q167: the counter-based RNG recomputed exactly — smix64 is the
+    // splitmix64 output finalizer over seed*K1 + flat*K3 + C (stream 0),
+    // and the emitted 53-bit draw is hv >> 11.
+    "q167_random_bits" -> (duckHashMacros +
+      """CREATE OR REPLACE TEMP MACRO smix64(x) AS
+        |  xor(m64b(m64a(x)), m64b(m64a(x)) // 2147483648);
+        |WITH i AS (SELECT CAST(range AS HUGEINT) AS f FROM range(4096))
+        |SELECT CAST(f AS BIGINT) AS idx,
+        |       CAST(smix64((wmul64(CAST(42 AS HUGEINT), CAST(2685821657736338717 AS HUGEINT))
+        |                    + wmul64(f, CAST(15074714826142052245 AS HUGEINT))
+        |                    + 7146057691288625177)
+        |                   % 18446744073709551616) // 2048 AS BIGINT) AS bits
+        |FROM i""".stripMargin),
+
+    // q168: x[idx] with idx = l_partkey % 2048 of the first 500 rows.
+    "q168_takearr" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q, CAST(l_partkey AS BIGINT) AS pk,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |i AS (SELECT rn AS i, pk % 2048 AS pos FROM t WHERE rn < 500)
+        |SELECT CAST(i.i AS BIGINT) AS idx, t2.q AS q
+        |FROM i JOIN t t2 ON t2.rn = i.pos""".stripMargin,
+
+    // q169: 60x100 cents matrix row sums — the zarr write/read must be an
+    // exact identity for the grouped sums to hash-match.
+    "q169_zarr_roundtrip" ->
+      """WITH t AS (
+        |  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem)
+        |SELECT CAST(rn // 100 AS BIGINT) AS idx, CAST(SUM(c) AS BIGINT) AS cents
+        |FROM t WHERE rn < 6000 GROUP BY 1""".stripMargin)
 }
