@@ -429,7 +429,6 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     val st = chunks.map(startsOf)
     val nd = ndim
     mapBlocks { (bid, data) =>
-      val out = data.clone()
       // per-dim local offsets of this block's positions inside the slice
       val hits: Array[Array[Int]] = Array.tabulate(nd) { d =>
         val (start, stop0, step) = specs(d)
@@ -445,7 +444,9 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
         }
         b.result()
       }
-      if (!hits.exists(_.isEmpty)) {
+      if (hits.exists(_.isEmpty)) data // block misses the slice: no copy
+      else {
+        val out = data.clone()
         val dims = Array.tabulate(nd)(d => chunkDim(st(d), bid(d)))
         val str = cStridesI(dims)
         val cnts = hits.map(_.length)
@@ -459,8 +460,8 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
           incOdo(t, cnts)
           i += 1
         }
+        out
       }
-      out
     }
   }
 

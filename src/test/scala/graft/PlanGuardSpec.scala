@@ -111,6 +111,51 @@ class PlanGuardSpec extends SparkTestBase {
     assert(shuffles(p) == 1, s"where grew beyond one exchange:\n$p")
   }
 
+  test("GArr.take: ONE exchange, pieces coalesced per (src,dst) block pair") {
+    import graft.operators.GArr
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // 10 source blocks; 100 gathered positions spread over ALL of them,
+      // landing in ONE output block. Uncoalesced fancy-take would ship
+      // 100 one-element pieces; the local merge must ship <= 10 (one per
+      // (src,dst) block pair).
+      val a = GArr.fromFunction(spark, Seq(1000L), Seq(100))(g => g(0) * 2.0)
+      val idx = (0 until 100).map(i => (i.toLong * 97) % 1000)
+      val df = a.take(idx).blockSums
+      assert(shuffles(noAqePlan(df)) == 1,
+        s"take grew beyond one exchange:\n${noAqePlan(df)}")
+      df.collect()
+      val written = collectAll(df.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeExec => e }
+        .flatMap(_.metrics.get("shuffleRecordsWritten").map(_.value))
+      assert(written.nonEmpty && written.forall(_ <= 10),
+        s"take shipped uncoalesced per-element pieces: records=$written (100 = no coalescing)")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("GArr.updatedSlice scalar: pure narrow map, ZERO exchanges") {
+    import graft.operators.GArr
+    val a = GArr.fromFunction(spark, Seq(40L, 30L), Seq(16, 16))(g => g(0) * 31.0 + g(1))
+    val p = noAqePlan(a.updatedSlice(Seq((3L, 35L, 4L), (0L, 30L, 3L)), -1.0).blockSums)
+    assert(collectAll(p).count(_.isInstanceOf[Exchange]) == 0,
+      s"scalar setitem must stay narrow:\n$p")
+  }
+
+  test("GArr.takeArr: distributed index costs exactly TWO exchanges") {
+    import graft.operators.GArr
+    val a = GArr.fromFunction(spark, Seq(500L), Seq(64))(g => g(0) + 0.5)
+    val idx = GArr.fromFunction(spark, Seq(80L), Seq(16))(g => ((g(0) * 13 + 7) % 500).toDouble)
+    val p = noAqePlan(a.takeArr(idx).blockSums)
+    // exchange 1: requests+blocks co-group; exchange 2: scatter assemble
+    assert(shuffles(p) == 2, s"takeArr exchange count changed:\n$p")
+  }
+
   test("einsum matmul form: partial->final typed agg, no global sort") {
     import graft.operators.{Einsum, GArr}
     val a = GArr.fromFunction(spark, Seq(48L, 32L), Seq(16, 16))(g => (g(0) * 7 + g(1)) % 5)
