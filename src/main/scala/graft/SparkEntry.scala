@@ -2074,6 +2074,23 @@ object SparkEntry {
       Zarr.toZarr(x, zdir, compressor = "zlib", level = 1)
       Zarr.fromZarr(s, zdir).sumAxis(1).toIndexedDF
         .select(col("idx"), col("value").cast("long").as("cents"))
+    },
+
+    // ---- distributed boolean-mask selection along an axis (dask
+    // x[:, mask] with a dask-array mask, slicing.py:1061): the mask is
+    // COMPUTED from the array itself (row sums thresholded), so nothing
+    // about the selection is driver-known until runtime; driver sees only
+    // O(axis grid) counts.
+    "q170_compress_arr" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      def head(n: Int) = li.sort(liTotalOrder.map(col): _*).limit(n)
+      val x = GArr.fromColumn(head(6000), "l_quantity", liTotalOrder, chunk = 512)
+        .reshape(Seq(60L, 100L), Seq(16, 32))
+      val rowSums = x.sumAxis(1)
+      val mask = rowSums.scalarMap(v => if (v > 2550.0) 1.0 else 0.0)
+      x.compressArr(mask, axis = 0).sumAxis(1).toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("s"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -4124,5 +4141,18 @@ object SparkEntry {
         |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
         |  FROM lineitem)
         |SELECT CAST(rn // 100 AS BIGINT) AS idx, CAST(SUM(c) AS BIGINT) AS cents
-        |FROM t WHERE rn < 6000 GROUP BY 1""".stripMargin)
+        |FROM t WHERE rn < 6000 GROUP BY 1""".stripMargin,
+
+    // q170: keep the rows of the 60x100 quantity matrix whose sum exceeds
+    // 2550, renumbered densely in original row order.
+    "q170_compress_arr" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |r AS (SELECT rn // 100 AS row, CAST(SUM(q) AS BIGINT) AS s
+        |      FROM t WHERE rn < 6000 GROUP BY 1),
+        |k AS (SELECT s, row_number() OVER (ORDER BY row) - 1 AS nr
+        |      FROM r WHERE s > 2550)
+        |SELECT CAST(nr AS BIGINT) AS idx, s FROM k""".stripMargin)
 }

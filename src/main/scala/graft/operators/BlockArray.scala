@@ -256,6 +256,110 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     take(condition.zipWithIndex.collect { case (true, i) => i.toLong }, axis, targetChunk)
   }
 
+  /** Boolean selection along ONE axis with a DISTRIBUTED 1-D mask —
+    * `x[:, mask]` where `mask` is itself a chunked array (reference
+    * `array/slicing.py:1061` `slice_with_bool_dask_array`, the
+    * one-axis form). The mask is rechunk-aligned to this array's axis
+    * grid; the driver sees only O(axis grid) per-block counts (for the
+    * output offsets), never the mask itself. Two exchanges: mask blocks
+    * co-group with the source blocks sharing their axis coordinate, and
+    * the selected lanes scatter to the output grid.
+    */
+  def compressArr(mask: GArr, axis: Int = 0, targetChunk: Int = 65536): GArr = {
+    require(axis >= 0 && axis < ndim)
+    require(mask.ndim == 1 && mask.shape == Seq(shape(axis)),
+      s"compressArr: mask shape ${mask.shape} != axis length ${shape(axis)}")
+    val s = spark
+    import s.implicits._
+    val aligned =
+      if (mask.chunks(0) == chunks(axis)) mask
+      else mask.regridTo(chunks(axis))
+    // O(axis grid) driver state: selected count per axis block -> prefix
+    val counts = aligned.blocks
+      .map(b => (b.bid(0), b.data.count(_ != 0.0)))
+      .collect().toMap
+    val gAxis = chunks(axis).length
+    val offsets = new Array[Long](gAxis + 1)
+    var ib = 0
+    while (ib < gAxis) { offsets(ib + 1) = offsets(ib) + counts.getOrElse(ib, 0); ib += 1 }
+    val k = offsets(gAxis)
+    val axisChunk = math.max(1, math.min(targetChunk,
+      if (chunks(axis).nonEmpty) chunks(axis).max else targetChunk))
+    val outAxisChunks = evenChunks(k, axisChunk)
+    val newChunks = chunks.updated(axis, outAxisChunks)
+    val outLens = shape.updated(axis, k)
+    val T = startsOf(outAxisChunks)
+    val dstGrid = newChunks.map(_.length)
+    val bcOff = s.sparkContext.broadcast(offsets)
+    val nd = ndim
+    val ax = axis
+    val srcChunksB = chunks.map(_.toArray)
+    val newChunksB = newChunks.map(_.toArray)
+    // co-group each mask block with every source block sharing its axis
+    // coordinate (tag 1 = mask); the group emits coalesced pieces
+    val tagged = blocks.map(b => (b.bid(ax), 0, b.bid, b.data))
+      .union(aligned.blocks.map(b => (b.bid(0), 1, b.bid, b.data)))
+    val pieces = tagged.groupByKey(_._1).flatMapGroups { (axBlock, it) =>
+      var m: Array[Double] = null
+      val src = scala.collection.mutable.ArrayBuffer[(Seq[Int], Array[Double])]()
+      it.foreach { row => if (row._2 == 1) m = row._4 else src += ((row._3, row._4)) }
+      if (m == null || src.isEmpty) Iterator.empty
+      else {
+        // local ranks of the selected axis lanes + their global positions
+        val selLocal = scala.collection.mutable.ArrayBuilder.make[Int]
+        var i = 0
+        while (i < m.length) { if (m(i) != 0.0) selLocal += i; i += 1 }
+        val sel = selLocal.result()
+        val g0 = bcOff.value(axBlock)
+        src.iterator.flatMap { case (bid, data) =>
+          val sdims = Array.tabulate(nd)(d => srcChunksB(d)(bid(d)))
+          val sstr = cStridesI(sdims)
+          val out = scala.collection.mutable.LinkedHashMap[Long, PieceBuf]()
+          var r = 0
+          while (r < sel.length) {
+            val gpos = g0 + r
+            val jb = blockOf(T, gpos)
+            val dstBid = bid.updated(ax, jb)
+            val key = linearBidL(dstBid, dstGrid)
+            val ddims = Array.tabulate(nd)(d => newChunksB(d)(dstBid(d)))
+            val dstr = cStridesI(ddims)
+            val buf = out.getOrElseUpdate(key, new PieceBuf(key, dstBid))
+            // walk the non-axis lanes of this selected coordinate
+            val lanes = sdims.clone(); lanes(ax) = 1
+            val t = new Array[Int](nd)
+            val total = lanes.product
+            var p = 0
+            while (p < total) {
+              var so = 0; var doff = 0; var d = 0
+              while (d < nd) {
+                val td = if (d == ax) sel(r) else t(d)
+                val od = if (d == ax) (gpos - T(jb)).toInt else t(d)
+                so += td * sstr(d)
+                doff += od * dstr(d)
+                d += 1
+              }
+              buf.add(doff, data(so))
+              incOdo(t, lanes)
+              p += 1
+            }
+            r += 1
+          }
+          out.valuesIterator.map(_.toPiece)
+        }
+      }
+    }
+    GArr(outLens, newChunks, assemble(pieces, newChunks))
+  }
+
+  /** Rechunk a 1-D array onto EXACT target chunk boundaries (not just a
+    * uniform size) — the mask-alignment helper for [[compressArr]].
+    */
+  private def regridTo(targetChunks: Seq[Int]): GArr = {
+    require(ndim == 1 && targetChunks.map(_.toLong).sum == shape(0),
+      s"regridTo: target $targetChunks does not tile length ${shape(0)}")
+    regrid(Seq((0L, shape(0), 1L)), shape, Seq(targetChunks))
+  }
+
   /** numpy boolean-mask indexing `x[mask]` with a DISTRIBUTED mask of
     * identical shape/chunks (reference `array/slicing.py:1061`
     * `slice_with_bool_dask_array`): selected elements in global C order,

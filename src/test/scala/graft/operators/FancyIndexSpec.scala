@@ -75,6 +75,28 @@ class FancyIndexSpec extends SparkTestBase {
     assert(vec(sel).toSeq == ref)
   }
 
+  test("compressArr: distributed 1-D mask along axis 1 of a 2-D array") {
+    val a = GArr.fromFunction(spark, Seq(6L, 9L), Seq(2, 2))(f2)
+    // mask on a DIFFERENT chunking than the axis (forces the align regrid)
+    val m = GArr.fromFunction(spark, Seq(9L), Seq(4))(g => if (g(0) % 3 != 1) 1.0 else 0.0)
+    val c = a.compressArr(m, axis = 1)
+    val keep = (0L until 9L).filter(_ % 3 != 1)
+    assert(c.shape == Seq(6L, keep.length.toLong))
+    val g = indexed(c)
+    for (i <- 0 until 6; j <- keep.indices)
+      assert(g((i * keep.length + j).toLong) == f2(Array(i.toLong, keep(j))), s"($i,$j)")
+  }
+
+  test("compressArr: axis 0, all-kept and none-kept edges") {
+    val a = GArr.fromFunction(spark, Seq(7L, 3L), Seq(3, 3))(f2)
+    val all = GArr.fromFunction(spark, Seq(7L), Seq(3))(_ => 1.0)
+    val c1 = a.compressArr(all, axis = 0)
+    assert(c1.shape == Seq(7L, 3L) && indexed(c1) == indexed(a))
+    val none = GArr.fromFunction(spark, Seq(7L), Seq(3))(_ => 0.0)
+    val c0 = a.compressArr(none, axis = 0)
+    assert(c0.shape == Seq(0L, 3L) && c0.toIndexedDF.count() == 0)
+  }
+
   test("takeArr: distributed integer-array index, idx chunks preserved") {
     val a = GArr.fromFunction(spark, Seq(50L), Seq(7))(f1)
     val idx = GArr.fromFunction(spark, Seq(12L), Seq(5))(g => ((g(0) * 17 + 3) % 50).toDouble)
