@@ -1198,6 +1198,26 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     */
   def cumsumAxis(axis: Int): GArr = scanAxis(axis)(_ + _)
   def cumprodAxis(axis: Int): GArr = scanAxis(axis)(_ * _)
+
+  /** numpy `nancumsum`/`nancumprod` (reference `array/reductions.py`
+    * nan-variants): NaNs are treated as the identity, so the scan passes
+    * through them — a narrow NaN-replace composed with the same two-phase
+    * scan (no extra shuffle beyond the scan's own boundary carry).
+    */
+  def nancumsumAxis(axis: Int): GArr =
+    scalarMap(v => if (v.isNaN) 0.0 else v).cumsumAxis(axis)
+  def nancumprodAxis(axis: Int): GArr =
+    scalarMap(v => if (v.isNaN) 1.0 else v).cumprodAxis(axis)
+
+  /** Boolean-masked fill `x[mask] = v` with a DISTRIBUTED mask of the same
+    * chunk grid (the setitem counterpart of [[booleanMask]]; dask lowers
+    * this through `where`) — one blockwise zip, shape preserved.
+    */
+  def maskedFill(mask: GArr, v: Double): GArr = {
+    require(shape == mask.shape && chunks == mask.chunks,
+      s"maskedFill requires identical shape/chunks: $shape vs ${mask.shape}")
+    mask.mapBlocks((_, d) => Array.fill(d.length)(v)).where(mask, this)
+  }
   /** numpy `maximum.accumulate` / `minimum.accumulate` semantics: NaN
     * propagates once seen (IEEE max/min with NaN checks, like np.maximum).
     */

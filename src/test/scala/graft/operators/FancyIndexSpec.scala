@@ -106,6 +106,19 @@ class FancyIndexSpec extends SparkTestBase {
     assert(vec(t).toSeq == ref)
   }
 
+  test("maskedFill + nancumsum/nancumprod compositions") {
+    val a = GArr.fromFunction(spark, Seq(12L), Seq(5))(g => g(0).toDouble)
+    val m = a.mapBlocks((_, d) => d.map(v => if (v % 4 == 1) 1.0 else 0.0))
+    val filled = a.maskedFill(m, Double.NaN)
+    val s = filled.nancumsumAxis(0)
+    // values 1,5,9 are NaN-filled; nancumsum skips them
+    val ref = (0 until 12).scanLeft(0.0)((acc, i) =>
+      acc + (if (i % 4 == 1) 0.0 else i)).tail
+    assert(vec(s).toSeq == ref)
+    val p = filled.scalarMap(v => if (v.isNaN) v else 1.0 + v / 100.0).nancumprodAxis(0)
+    assert(!vec(p).exists(_.isNaN))
+  }
+
   test("updatedSlice scalar: strided 2-D region, zero shuffle (narrow)") {
     val a = GArr.fromFunction(spark, Seq(7L, 6L), Seq(3, 2))(f2)
     val u = a.updatedSlice(Seq((1L, 6L, 2L), (0L, 6L, 3L)), -1.0)
