@@ -371,7 +371,8 @@ object Linalg {
     * once every block row's pivot order is known — the reference's
     * `p_inv·lu` edges.
     */
-  def lu(blocks: DataFrame, blockSize: Int): BlockLU = {
+  def lu(blocks: DataFrame, blockSize: Int,
+         panelBroadcastBytes: Long = 16L << 20): BlockLU = {
     val spark = blocks.sparkSession
     val b = blockSize
     val nb = {
@@ -381,9 +382,11 @@ object Linalg {
         s"lu: block grid must be complete ${n}x$n, got ${mx.getLong(2)} blocks")
       n
     }
-    // one fixed hash partitioner for the whole factorization: the block
-    // RDD is partitioned ONCE and every later cogroup joins panel replicas
-    // against it without ever moving the trailing blocks again
+    // one fixed hash partitioner shared by every cogroup round: the FIRST
+    // cogroup shuffles the block RDD onto it, the mapValues/mapPartitions
+    // steps preserve it, so every later round joins panel replicas against
+    // co-located trailing blocks without moving them again (rounds that
+    // take the broadcast path never pay it at all)
     val partitioner = new org.apache.spark.HashPartitioner(
       math.max(1, math.min(nb * nb,
         blocks.sparkSession.sparkContext.defaultParallelism * 2)))
@@ -394,7 +397,6 @@ object Linalg {
         require(d.length == b * b, s"lu: block must be ${b}x$b, got ${d.length}")
         ((r.getInt(0), r.getInt(1)), d)
       }
-      .partitionBy(partitioner)
     state.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perms = new Array[Array[Int]](nb)
     val sc = spark.sparkContext
@@ -422,27 +424,50 @@ object Linalg {
         }, preservesPartitioning = true)
         afterPanels.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         if (i < nb - 1) {
-          // executor-side panel fan-out: column-panel block (k,i) is
-          // needed by trailing row k, row-panel block (i,j) by trailing
-          // column j — each replica is keyed directly by the trailing
-          // block that consumes it (true = the raw L column factor)
-          val replicas: RDD[((Int, Int), (Boolean, Array[Double]))] = afterPanels
-            .flatMap { case ((bi, bj), d) =>
-              if (bj == i && bi > i)
-                (i + 1 until nb).iterator.map(j2 => ((bi, j2), (true, d)))
-              else if (bi == i && bj > i)
-                (i + 1 until nb).iterator.map(k2 => ((k2, bj), (false, d)))
-              else Iterator.empty
-            }
-          val next = afterPanels.cogroup(replicas, partitioner)
-            .mapValues { case (base, ps) =>
-              val d = base.head
-              if (ps.isEmpty) d
-              else {
-                val rc = ps.collectFirst { case (true, p) => p }.get
-                val ur = ps.collectFirst { case (false, p) => p }.get
-                matmulSub(d, rc, ur, b)
-              }
+          // Panel delivery is size-gated, ScaLAPACK-style: while the
+          // round's two panels fit a constant budget the collect+broadcast
+          // path wins (zero per-round shuffles — at fixture scale the
+          // cogroup's extra stages cost more than the whole round), and
+          // the driver's per-round traffic is BOUNDED by the constant, not
+          // O(matrix). Past the budget, panels never leave the cluster:
+          // each panel block fans out executor-side to the trailing keys
+          // that consume it and one co-partitioned cogroup applies the
+          // update (panel replicas shuffle; trailing blocks never move).
+          val panelBytes = 2L * (nb - i - 1) * b * b * 8
+          val next: RDD[((Int, Int), Array[Double])] =
+            if (panelBytes <= panelBroadcastBytes) {
+              val panels = afterPanels
+                .filter { case ((bi, bj), _) => (bi == i && bj > i) || (bj == i && bi > i) }
+                .collect()
+              val uRow = panels.collect { case ((bi, bj), d) if bi == i => bj -> d }.toMap
+              val rawCol = panels.collect { case ((bi, bj), d) if bj == i => bi -> d }.toMap
+              val bcP = sc.broadcast((rawCol, uRow))
+              afterPanels.mapPartitions(_.map { case ((bi, bj), d) =>
+                if (bi > i && bj > i) {
+                  val (rc, ur) = bcP.value
+                  ((bi, bj), matmulSub(d, rc(bi), ur(bj), b))
+                } else ((bi, bj), d)
+              }, preservesPartitioning = true)
+            } else {
+              // (true = the raw L column factor)
+              val replicas: RDD[((Int, Int), (Boolean, Array[Double]))] = afterPanels
+                .flatMap { case ((bi, bj), d) =>
+                  if (bj == i && bi > i)
+                    (i + 1 until nb).iterator.map(j2 => ((bi, j2), (true, d)))
+                  else if (bi == i && bj > i)
+                    (i + 1 until nb).iterator.map(k2 => ((k2, bj), (false, d)))
+                  else Iterator.empty
+                }
+              afterPanels.cogroup(replicas, partitioner)
+                .mapValues { case (base, ps) =>
+                  val d = base.head
+                  if (ps.isEmpty) d
+                  else {
+                    val rc = ps.collectFirst { case (true, p) => p }.get
+                    val ur = ps.collectFirst { case (false, p) => p }.get
+                    matmulSub(d, rc, ur, b)
+                  }
+                }
             }
           next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           if ((i + 1) % 8 == 0) next.localCheckpoint()

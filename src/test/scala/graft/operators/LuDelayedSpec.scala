@@ -62,6 +62,18 @@ class LuDelayedSpec extends SparkTestBase {
     }
   }
 
+  test("lu: distributed cogroup panel path (panelBroadcastBytes=0) matches broadcast path") {
+    for ((n, bs) <- Seq((12, 3), (120, 30))) {
+      val a = testMatrix(n, seed = 11L * n + bs)
+      val blocks = Linalg.denseToBlocks(spark, a, n, bs)
+      // threshold 0 forces EVERY round through the executor-side fan-out
+      // + co-partitioned cogroup — the 100 TB path must stay bit-correct
+      val r = Linalg.lu(blocks, bs, panelBroadcastBytes = 0L)
+      val diff = maxAbsDiff(reconstruct(r), a)
+      assert(diff < 1e-8, s"n=$n b=$bs cogroup-path reconstruction diff $diff")
+    }
+  }
+
   test("lu: structure — L unit-lower within blocks, U upper, valid perms") {
     val n = 8; val bs = 2
     val r = Linalg.lu(Linalg.denseToBlocks(spark, testMatrix(n, 3L), n, bs), bs)
