@@ -2085,8 +2085,11 @@ object SparkEntry {
       import graft.operators.GArr
       val li = t(s, dir, "lineitem")
       def head(n: Int) = li.sort(liTotalOrder.map(col): _*).limit(n)
+      // the matrix feeds BOTH the mask derivation and the selection, so
+      // persist it — otherwise the total-order sort bridge recomputes per
+      // consumer (measured 4.5s -> the cost of the extra sorts)
       val x = GArr.fromColumn(head(6000), "l_quantity", liTotalOrder, chunk = 512)
-        .reshape(Seq(60L, 100L), Seq(16, 32))
+        .reshape(Seq(60L, 100L), Seq(16, 32)).persist()
       val rowSums = x.sumAxis(1)
       val mask = rowSums.scalarMap(v => if (v > 2550.0) 1.0 else 0.0)
       x.compressArr(mask, axis = 0).sumAxis(1).toIndexedDF

@@ -274,8 +274,13 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     val aligned =
       if (mask.chunks(0) == chunks(axis)) mask
       else mask.regridTo(chunks(axis))
+    // the mask is consumed twice (counts, then the co-group) — cache its
+    // blocks so a derived mask (e.g. thresholded row sums) computes its
+    // lineage once; the counts collect below materializes the cache
+    val maskCached = aligned.blocks
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // O(axis grid) driver state: selected count per axis block -> prefix
-    val counts = aligned.blocks
+    val counts = maskCached
       .map(b => (b.bid(0), b.data.count(_ != 0.0)))
       .collect().toMap
     val gAxis = chunks(axis).length
@@ -298,7 +303,7 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     // co-group each mask block with every source block sharing its axis
     // coordinate (tag 1 = mask); the group emits coalesced pieces
     val tagged = blocks.map(b => (b.bid(ax), 0, b.bid, b.data))
-      .union(aligned.blocks.map(b => (b.bid(0), 1, b.bid, b.data)))
+      .union(maskCached.map(b => (b.bid(0), 1, b.bid, b.data)))
     val pieces = tagged.groupByKey(_._1).flatMapGroups { (axBlock, it) =>
       var m: Array[Double] = null
       val src = scala.collection.mutable.ArrayBuffer[(Seq[Int], Array[Double])]()
@@ -2379,15 +2384,47 @@ object GArr {
       .select((orderBy :+ valueCol).map(col): _*)
       .sort(orderBy.map(col): _*)
       .select(col(valueCol).cast("double"))
+    val rdd = sorted.rdd.map(_.getDouble(0))
+    // per-partition counts -> global start offsets (the same extra job
+    // zipWithIndex pays; the sort's shuffle files are reused by the pack
+    // job below, so the sort itself runs once)
+    val counts = rdd.mapPartitionsWithIndex((pi, it) => Iterator((pi, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bcOff = s.sparkContext.broadcast(offsets)
     val sizes = s.sparkContext.broadcast(cs.toArray)
-    val packed = sorted.rdd.map(_.getDouble(0)).zipWithIndex()
-      .map { case (v, i) => ((i / chunk).toInt, ((i % chunk).toInt, v)) }
-      .groupByKey()
-      .map { case (b, it) =>
-        val a = new Array[Double](sizes.value(b))
-        it.foreach { case (o, v) => a(o) = v }
-        ABlock(Seq(b), a)
+    // pack contiguous per-partition SEGMENTS split at block boundaries:
+    // the assembly shuffle then carries a handful of packed Array[Double]
+    // records per block instead of one small tuple per ELEMENT — the same
+    // bytes, orders of magnitude fewer shuffle records
+    val packed = rdd.mapPartitionsWithIndex { (pi, it) =>
+      val g0 = bcOff.value(pi)
+      val segs = scala.collection.mutable.ArrayBuffer[(Int, (Int, Array[Double]))]()
+      var gpos = g0
+      var buf: scala.collection.mutable.ArrayBuilder.ofDouble = null
+      var segBlock = -1
+      var segOff = 0
+      def flush(): Unit =
+        if (buf != null) { segs += ((segBlock, (segOff, buf.result()))); buf = null }
+      while (it.hasNext) {
+        val v = it.next()
+        val b = (gpos / chunk).toInt
+        if (b != segBlock) {
+          flush()
+          buf = new scala.collection.mutable.ArrayBuilder.ofDouble
+          segBlock = b
+          segOff = (gpos % chunk).toInt
+        }
+        buf += v
+        gpos += 1
       }
+      flush()
+      segs.iterator
+    }.groupByKey().map { case (b, it) =>
+      val a = new Array[Double](sizes.value(b))
+      it.foreach { case (o, seg) => System.arraycopy(seg, 0, a, o, seg.length) }
+      ABlock(Seq(b), a)
+    }
     GArr(Seq(n), Seq(cs), s.createDataset(packed))
   }
 
