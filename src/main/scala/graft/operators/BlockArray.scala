@@ -221,10 +221,12 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     * entries are coalesced to one shuffle record per (src,dst) block pair
     * by [[piecesByTables]].
     */
-  def take(indices: Seq[Long], axis: Int = 0, targetChunk: Int = 65536): GArr = {
+  def take(indices0: Seq[Long], axis: Int = 0, targetChunk: Int = 65536): GArr = {
     require(axis >= 0 && axis < ndim, s"take: bad axis $axis for ndim $ndim")
     val n = shape(axis)
-    indices.foreach(i => require(i >= 0 && i < n, s"take: index $i out of bounds [0,$n)"))
+    // numpy/dask negative-index wrap-around (np.take semantics)
+    val indices = indices0.map(i => if (i < 0) i + n else i)
+    indices.foreach(i => require(i >= 0 && i < n, s"take: index out of bounds for length $n"))
     val k = indices.length.toLong
     val axisChunk = math.max(1, math.min(targetChunk,
       if (chunks(axis).nonEmpty) chunks(axis).max else targetChunk))
@@ -353,7 +355,11 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
         }
       }
     }
-    GArr(outLens, newChunks, assemble(pieces, newChunks))
+    val outBlocks = assemble(pieces, newChunks)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    outBlocks.count() // materialize before dropping the mask cache
+    maskCached.unpersist()
+    GArr(outLens, newChunks, outBlocks)
   }
 
   /** Rechunk a 1-D array onto EXACT target chunk boundaries (not just a
@@ -465,67 +471,235 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     }
   }
 
-  /** Fancy indexing of a 1-D array by a DISTRIBUTED integer index array
+  /** Fancy indexing by a DISTRIBUTED integer index array along one axis
     * (reference `array/slicing.py:992` `slice_with_int_dask_array_on_axis`):
-    * `x[idx]` where `idx` is itself a [[GArr]] whose values are (integral)
-    * positions into `this`. Output keeps `idx`'s shape and chunks. Fully
-    * distributed — no index ever reaches the driver: requests are keyed by
-    * source block (exchange 1: idx bytes only), values are looked up in a
-    * co-group against the source blocks, and results scatter to the output
-    * grid (exchange 2). The scale path when the index is too big to hold
-    * driver-side.
+    * `x[..., idx, ...]` where `idx` is itself a 1-D [[GArr]] whose values
+    * are (integral) positions into this array's `axis`. The output keeps
+    * this array's shape with the indexed axis replaced by `idx`'s length
+    * and chunks. Negative indices wrap numpy-style. Fully distributed — no
+    * index ever reaches the driver: requests are keyed by the source AXIS
+    * block (exchange 1: idx bytes only), values are looked up in a
+    * co-group against the source blocks sharing that axis coordinate, and
+    * results scatter to the output grid (exchange 2). The scale path when
+    * the index is too big to hold driver-side.
+    *
+    * `salt > 1` replicates each source block across `salt` co-group keys
+    * and spreads requests across them by output position — the skew guard
+    * for a degenerate index where everyone asks for positions in one hot
+    * block (bounded ×salt duplication of source bytes, ÷salt per-task
+    * request load).
     */
-  def takeArr(idx: GArr): GArr = {
-    require(ndim == 1 && idx.ndim == 1, "takeArr: both arrays must be 1-D")
+  def takeArr(idx: GArr, axis: Int = 0, salt: Int = 1): GArr = {
+    require(idx.ndim == 1, "takeArr: index array must be 1-D")
+    require(axis >= 0 && axis < ndim, s"takeArr: bad axis $axis for ndim $ndim")
+    require(salt >= 1)
     val s = spark
     import s.implicits._
-    val S = startsOf(chunks(0))
-    val n = shape(0)
+    val S = startsOf(chunks(axis))
+    val n = shape(axis)
     val idxStarts = startsOf(idx.chunks(0))
-    val outChunks = idx.chunks(0)
-    val dstGrid = Seq(outChunks.length)
-    // (src block, out position, src local offset)
+    val outAxisChunks = idx.chunks(0)
+    val newChunks = chunks.updated(axis, outAxisChunks)
+    val outLens = shape.updated(axis, idx.shape(0))
+    val dstGrid = newChunks.map(_.length)
+    val T = startsOf(outAxisChunks)
+    val nd = ndim
+    val ax = axis
+    val nSalt = salt
+    val srcChunksB = chunks.map(_.toArray)
+    val newChunksB = newChunks.map(_.toArray)
+    // (group key = srcAxisBlock*salt + pos%salt, out axis position, src local axis offset)
     val requests = idx.blocks.flatMap { b =>
       val g0 = idxStarts(b.bid(0))
-      val out = new Array[(Int, Long, Int)](b.data.length)
+      val out = new Array[(Long, Long, Int)](b.data.length)
       var i = 0
       while (i < b.data.length) {
-        val srcIdx = b.data(i).toLong
-        require(srcIdx >= 0 && srcIdx < n, s"takeArr: index $srcIdx out of bounds [0,$n)")
+        val raw = b.data(i).toLong
+        val srcIdx = if (raw < 0) raw + n else raw // numpy negative-index wrap
+        require(srcIdx >= 0 && srcIdx < n, s"takeArr: index $raw out of bounds for length $n")
         val ib = blockOf(S, srcIdx)
-        out(i) = (ib, g0 + i, (srcIdx - S(ib)).toInt)
+        val gpos = g0 + i
+        out(i) = (ib.toLong * nSalt + (gpos % nSalt), gpos, (srcIdx - S(ib)).toInt)
         i += 1
       }
       out
     }
-    // tag-union co-group: src blocks (tag 0) with their requests (tag 1);
-    // one exchange carrying the source blocks once plus the index rows
-    val tagged = blocks.map(b => (b.bid(0), 0, b.data, 0L, 0))
-      .union(requests.map(r => (r._1, 1, Array.empty[Double], r._2, r._3)))
-    val T = startsOf(outChunks)
+    // tag-union co-group: every source block sharing the axis coordinate
+    // (tag 0, replicated across salts) with that coordinate's requests
+    // (tag 1); one exchange carrying the source blocks `salt` times plus
+    // the index rows
+    val tagged = blocks.flatMap { b =>
+      val base = b.bid(ax).toLong * nSalt
+      (0 until nSalt).iterator.map(sl => (base + sl, 0, b.bid, b.data, 0L, 0))
+    }.union(requests.map(r => (r._1, 1, Seq.empty[Int], Array.empty[Double], r._2, r._3)))
     val pieces = tagged.groupByKey(_._1).flatMapGroups { (_, it) =>
-      var data: Array[Double] = null
+      val srcs = scala.collection.mutable.ArrayBuffer[(Seq[Int], Array[Double])]()
       val reqs = scala.collection.mutable.ArrayBuilder.make[(Long, Int)]
       it.foreach { row =>
-        if (row._2 == 0) data = row._3 else reqs += ((row._4, row._5))
+        if (row._2 == 0) srcs += ((row._3, row._4)) else reqs += ((row._5, row._6))
       }
       val rs = reqs.result()
-      if (data == null || rs.isEmpty) Iterator.empty
-      else {
+      if (srcs.isEmpty || rs.isEmpty) Iterator.empty
+      else srcs.iterator.flatMap { case (bid, data) =>
+        val sdims = Array.tabulate(nd)(d => srcChunksB(d)(bid(d)))
+        val sstr = cStridesI(sdims)
         val out = scala.collection.mutable.LinkedHashMap[Long, PieceBuf]()
-        var i = 0
-        while (i < rs.length) {
-          val (gpos, srcLocal) = rs(i)
+        var r = 0
+        while (r < rs.length) {
+          val (gpos, srcLocal) = rs(r)
           val jb = blockOf(T, gpos)
-          val key = linearBidL(Seq(jb), dstGrid)
-          out.getOrElseUpdate(key, new PieceBuf(key, Seq(jb)))
-            .add((gpos - T(jb)).toInt, data(srcLocal))
-          i += 1
+          val dstBid = bid.updated(ax, jb)
+          val key = linearBidL(dstBid, dstGrid)
+          val ddims = Array.tabulate(nd)(d => newChunksB(d)(dstBid(d)))
+          val dstr = cStridesI(ddims)
+          val buf = out.getOrElseUpdate(key, new PieceBuf(key, dstBid))
+          // walk the non-axis lanes of this requested coordinate
+          val lanes = sdims.clone(); lanes(ax) = 1
+          val t = new Array[Int](nd)
+          val total = lanes.product
+          var p = 0
+          while (p < total) {
+            var so = 0; var doff = 0; var d = 0
+            while (d < nd) {
+              val td = if (d == ax) srcLocal else t(d)
+              val od = if (d == ax) (gpos - T(jb)).toInt else t(d)
+              so += td * sstr(d)
+              doff += od * dstr(d)
+              d += 1
+            }
+            buf.add(doff, data(so))
+            incOdo(t, lanes)
+            p += 1
+          }
+          r += 1
         }
         out.valuesIterator.map(_.toPiece)
       }
     }
-    GArr(idx.shape, Seq(outChunks), assemble(pieces, Seq(outChunks)))
+    GArr(outLens, newChunks, assemble(pieces, newChunks))
+  }
+
+  /** numpy fancy setitem `x[idx] = value` with BOTH the integer index and
+    * the values distributed (reference `array/slicing.py:1464`
+    * `setitem_array`, the int-array-index branch). 1-D base; `value` is
+    * aligned to `idx`'s chunks. Duplicate indices resolve LAST-wins in
+    * index order (numpy's sequential-store semantics): writes carry their
+    * global index-order, key by this array's block, and each block keeps
+    * the max-order write per offset before one overlay co-group applies
+    * them. Nothing driver-side.
+    */
+  def updatedFancy(idx: GArr, value: GArr): GArr = {
+    require(ndim == 1 && idx.ndim == 1 && value.ndim == 1,
+      "updatedFancy: 1-D base, index, and value")
+    require(idx.shape == value.shape,
+      s"updatedFancy: value shape ${value.shape} != index shape ${idx.shape}")
+    val s = spark
+    import s.implicits._
+    val vAligned = if (value.chunks == idx.chunks) value else value.regridTo(idx.chunks(0))
+    val S = startsOf(chunks(0))
+    val n = shape(0)
+    val idxStarts = startsOf(idx.chunks(0))
+    val g = grid
+    val l = idx.blocks.map(b => (b.bid(0), b.data))
+    val r = vAligned.blocks.map(b => (b.bid(0), b.data))
+    // per-element writes: (target block, target local off, index order, value)
+    val writes = l.joinWith(r, l("_1") === r("_1")).flatMap { case ((ib0, ixs), (_, vs)) =>
+      val g0 = idxStarts(ib0)
+      val out = new Array[(Int, Int, Long, Double)](ixs.length)
+      var i = 0
+      while (i < ixs.length) {
+        val raw = ixs(i).toLong
+        val tgt = if (raw < 0) raw + n else raw // numpy negative-index wrap
+        require(tgt >= 0 && tgt < n, s"updatedFancy: index $raw out of bounds for length $n")
+        val xb = blockOf(S, tgt)
+        out(i) = (xb, (tgt - S(xb)).toInt, g0 + i, vs(i))
+        i += 1
+      }
+      out
+    }
+    val pieces = writes.groupByKey(_._1).mapGroups { (xb, it) =>
+      val best = scala.collection.mutable.HashMap[Int, (Long, Double)]()
+      it.foreach { case (_, off, ord, v) =>
+        val cur = best.get(off)
+        if (cur.isEmpty || cur.get._1 < ord) best(off) = (ord, v)
+      }
+      val buf = new PieceBuf(linearBidL(Seq(xb), g), Seq(xb))
+      best.foreach { case (off, (_, v)) => buf.add(off, v) }
+      buf.toPiece
+    }
+    overlay(pieces)
+  }
+
+  /** numpy masked setitem `x[mask] = values` with an ARRAY right-hand side
+    * (reference `array/slicing.py:1464` `setitem_array`, the bool-index
+    * branch; the scalar form is [[maskedFill]]). 1-D base; mask has this
+    * array's shape/chunks; `values` is 1-D of length = selected count,
+    * consumed in C order of the selected positions. Counts-prefix ranks
+    * each selected position (O(nblocks) driver state, as [[booleanMask]]);
+    * ranks fetch their value through a takeArr-style co-group keyed by
+    * VALUE block, and the writes overlay onto the original blocks.
+    */
+  def maskedAssign(mask: GArr, values: GArr): GArr = {
+    require(ndim == 1 && mask.ndim == 1 && values.ndim == 1,
+      "maskedAssign: 1-D base, mask, and values")
+    require(shape == mask.shape && chunks == mask.chunks,
+      s"maskedAssign requires identical base/mask shape+chunks: $shape vs ${mask.shape}")
+    val s = spark
+    import s.implicits._
+    val maskCached = mask.blocks
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val counts = maskCached.map(b => (b.bid(0), b.data.count(_ != 0.0).toLong)).collect().toMap
+    val nb = grid(0)
+    val offsets = new Array[Long](nb + 1)
+    var ib = 0
+    while (ib < nb) { offsets(ib + 1) = offsets(ib) + counts.getOrElse(ib, 0L); ib += 1 }
+    val k = offsets(nb)
+    require(values.shape == Seq(k),
+      s"maskedAssign: values length ${values.shape.head} != selected count $k")
+    val V = startsOf(values.chunks(0))
+    val g = grid
+    val bcOff = s.sparkContext.broadcast(offsets)
+    // requests: (value block, value local off, target block, target local off)
+    val requests = maskCached.flatMap { b =>
+      val out = scala.collection.mutable.ArrayBuilder.make[(Int, Int, Int, Int)]
+      val g0 = bcOff.value(b.bid(0))
+      var rank = 0
+      var i = 0
+      while (i < b.data.length) {
+        if (b.data(i) != 0.0) {
+          val gr = g0 + rank
+          val vb = blockOf(V, gr)
+          out += ((vb, (gr - V(vb)).toInt, b.bid(0), i))
+          rank += 1
+        }
+        i += 1
+      }
+      out.result()
+    }
+    val piecesIn = values.blocks.map(b => (b.bid(0), 0, b.data, 0, 0, 0))
+      .union(requests.map(r => (r._1, 1, Array.empty[Double], r._3, r._4, r._2)))
+    val pieces = piecesIn.groupByKey(_._1).flatMapGroups { (_, it) =>
+      var data: Array[Double] = null
+      val reqs = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+      it.foreach { row =>
+        if (row._2 == 0) data = row._3 else reqs += ((row._4, row._5, row._6))
+      }
+      if (data == null || reqs.isEmpty) Iterator.empty
+      else {
+        val out = scala.collection.mutable.LinkedHashMap[Int, PieceBuf]()
+        reqs.foreach { case (xb, xOff, vLocal) =>
+          out.getOrElseUpdate(xb, new PieceBuf(linearBidL(Seq(xb), g), Seq(xb)))
+            .add(xOff, data(vLocal))
+        }
+        out.valuesIterator.map(_.toPiece)
+      }
+    }
+    val res = overlay(pieces)
+    val outBlocks = res.blocks
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    outBlocks.count() // materialize before dropping the mask cache
+    maskCached.unpersist()
+    res.copy(blocks = outBlocks)
   }
 
   /** numpy `__setitem__` with a scalar — `x[start:stop:step, ...] = v`
@@ -535,6 +709,9 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     */
   def updatedSlice(specs: Seq[(Long, Long, Long)], scalar: Double): GArr = {
     require(specs.length == ndim)
+    specs.zip(shape).foreach { case ((start, _, step), len) =>
+      require(start >= 0 && step > 0 && start <= len, s"bad slice ($start,_,$step) on dim $len")
+    }
     val st = chunks.map(startsOf)
     val nd = ndim
     mapBlocks { (bid, data) =>

@@ -56,10 +56,12 @@ object Zarr {
     * `to_zarr` which requires regular chunks.
     */
   def toZarr(a: GArr, path: String, compressor: String = "zlib",
-             level: Int = 1): Unit = {
+             level: Int = 1, dimensionSeparator: String = "."): Unit = {
     require(a.ndim >= 1, "toZarr: 0-d arrays unsupported")
     require(compressor == "zlib" || compressor == "null",
       s"toZarr: unsupported compressor $compressor")
+    require(dimensionSeparator == "." || dimensionSeparator == "/",
+      s"toZarr: dimension_separator must be '.' or '/', got $dimensionSeparator")
     val regular = a.chunks.forall { cs =>
       cs.dropRight(1).forall(_ == cs.head) && cs.last <= cs.head && cs.last > 0
     }
@@ -70,7 +72,13 @@ object Zarr {
     val chunksOf = arr.chunks.map(_.toArray)
     val nd = arr.ndim
     val useZlib = compressor == "zlib"
-    arr.blocks.rdd.map { b =>
+    val sepW = dimensionSeparator
+    // one Configuration/FileSystem per PARTITION, not per block (rebuilding
+    // a Hadoop conf per record is pure overhead on large grids)
+    arr.blocks.rdd.mapPartitions { it =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(path), IO.rebuildConf(kvs))
+      it.map { b =>
       val dims = Array.tabulate(nd)(d => chunksOf(d)(b.bid(d)))
       val total = fullChunk.product
       val full = new Array[Double](total)
@@ -102,13 +110,14 @@ object Zarr {
       bb.asDoubleBuffer().put(full)
       val raw = bb.array()
       val payload = if (useZlib) deflate(raw, level) else raw
-      val name = b.bid.mkString(".")
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        java.net.URI.create(path), IO.rebuildConf(kvs))
+      val name = b.bid.mkString(sepW)
       val attempt = Option(org.apache.spark.TaskContext.get())
         .map(_.taskAttemptId()).getOrElse(0L)
-      val tmp = new org.apache.hadoop.fs.Path(path, s".$name.$attempt.tmp")
       val dest = new org.apache.hadoop.fs.Path(path, name)
+      // the temp file lives NEXT TO the destination (same parent), so the
+      // "/" nested layout commits with the same single rename
+      val tmp = new org.apache.hadoop.fs.Path(
+        dest.getParent, s".${dest.getName}.$attempt.tmp")
       val out = fs.create(tmp, true)
       out.write(payload)
       out.close()
@@ -117,6 +126,7 @@ object Zarr {
         else throw new java.io.IOException(s"toZarr: commit rename failed for $dest")
       }
       1L
+      }
     }.count(): Unit
     val comp =
       if (useZlib) s"""{"id": "zlib", "level": $level}""" else "null"
@@ -129,7 +139,7 @@ object Zarr {
          | "fill_value": 0.0,
          | "order": "C",
          | "filters": null,
-         | "dimension_separator": "."}""".stripMargin
+         | "dimension_separator": "$sepW"}""".stripMargin
     val fs = org.apache.hadoop.fs.FileSystem.get(
       java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
     val mOut = fs.create(new org.apache.hadoop.fs.Path(path, ".zarray"), true)
@@ -171,7 +181,22 @@ object Zarr {
       val n = root.path("dimension_separator")
       if (n.isMissingNode || n.isNull) "." else n.asText()
     }
-    val fill = root.path("fill_value").asDouble(0.0)
+    // the v2 spec encodes non-finite float fills as the STRINGS "NaN" /
+    // "Infinity" / "-Infinity"; silently reading those as 0.0 would
+    // corrupt every missing-chunk read
+    val fillNode = root.path("fill_value")
+    val fill: Double =
+      if (fillNode.isMissingNode || fillNode.isNull) 0.0
+      else if (fillNode.isNumber) fillNode.asDouble()
+      else if (fillNode.isTextual) fillNode.asText() match {
+        case "NaN" => Double.NaN
+        case "Infinity" => Double.PositiveInfinity
+        case "-Infinity" => Double.NegativeInfinity
+        case other => throw new IllegalArgumentException(
+          s"fromZarr: unsupported fill_value string \"$other\"")
+      }
+      else throw new IllegalArgumentException(
+        s"fromZarr: unsupported fill_value node $fillNode")
     val shape = (0 until root.path("shape").size())
       .map(i => root.path("shape").get(i).asLong())
     val fullChunk = (0 until root.path("chunks").size())

@@ -22,6 +22,26 @@ class BagLinalgStreamSpec extends SparkTestBase {
     assert(folded == Map(1 -> 1, 2 -> 4, 3 -> 9, 4 -> 4))
   }
 
+  test("bag: accumulate prefix scan matches driver scan under any partitioning") {
+    val xs = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5)
+    val want = xs.scanLeft(0)(_ + _).tail // running sums, no initial
+    for (np <- Seq(1, 3, 7)) {
+      val b = GBag[Int](spark.createDataset(xs).repartitionByRange(np, col("value")))
+      // repartitionByRange reorders; scan the ACTUAL partition order
+      val got = b.accumulate(_ + _).compute().toSeq
+      val inOrder = b.compute().toSeq
+      assert(got == inOrder.scanLeft(0)(_ + _).tail, s"np=$np")
+    }
+    // coalesce(1) pins the original order — exact driver parity + initial
+    val b1 = GBag[Int](spark.createDataset(xs).coalesce(1))
+    assert(b1.accumulate(_ + _).compute().toSeq == want)
+    assert(b1.accumulate(_ + _, initial = Some(100)).compute().toSeq ==
+      xs.scanLeft(100)(_ + _))
+    // non-commutative (but associative) binop: string concat
+    val bs = GBag[String](spark.createDataset(Seq("a", "b", "c", "d")).coalesce(1))
+    assert(bs.accumulate(_ + _).compute().toSeq == Seq("a", "ab", "abc", "abcd"))
+  }
+
   test("bag: joinBy and product") {
     val l = GBag.fromSeq(spark, Seq((1, "a"), (2, "b")), 2)
     val r = GBag.fromSeq(spark, Seq((1, "X"), (3, "Y")), 2)

@@ -143,6 +143,85 @@ class FancyIndexSpec extends SparkTestBase {
     }
   }
 
+  test("take: negative indices wrap like np.take") {
+    val a = GArr.fromFunction(spark, Seq(11L), Seq(3))(f1)
+    val t = a.take(Seq(-1L, 0L, -11L, 5L))
+    assert(vec(t).toSeq == Seq(10L, 0L, 0L, 5L).map(i => f1(Array(i))))
+  }
+
+  test("takeArr along axis 1 of a 2-D array: distributed index, dense parity") {
+    val a = GArr.fromFunction(spark, Seq(6L, 13L), Seq(2, 4))(f2)
+    // duplicates, out of order, and a negative (wrapping) index
+    val cols = Seq(12L, 0L, 7L, 7L, -1L, 3L, 9L)
+    val idx = GArr.fromFunction(spark, Seq(cols.length.toLong), Seq(3))(g =>
+      cols(g(0).toInt).toDouble)
+    val t = a.takeArr(idx, axis = 1)
+    assert(t.shape == Seq(6L, cols.length.toLong))
+    assert(t.chunks(1) == idx.chunks(0))
+    val g = indexed(t)
+    val wrapped = cols.map(c => if (c < 0) c + 13 else c)
+    for (i <- 0 until 6; j <- wrapped.indices)
+      assert(g((i * cols.length + j).toLong) == f2(Array(i.toLong, wrapped(j))), s"($i,$j)")
+  }
+
+  test("takeArr along axis 0 of a 2-D array") {
+    val a = GArr.fromFunction(spark, Seq(9L, 4L), Seq(4, 2))(f2)
+    val rows = Seq(8L, 8L, 1L, 5L, 0L)
+    val idx = GArr.fromFunction(spark, Seq(5L), Seq(2))(g => rows(g(0).toInt).toDouble)
+    val t = a.takeArr(idx, axis = 0)
+    assert(t.shape == Seq(5L, 4L) && t.chunks(0) == idx.chunks(0))
+    val g = indexed(t)
+    for (i <- rows.indices; j <- 0 until 4)
+      assert(g((i * 4 + j).toLong) == f2(Array(rows(i), j.toLong)), s"($i,$j)")
+  }
+
+  test("takeArr: salted gather (salt=3) matches unsalted result") {
+    val a = GArr.fromFunction(spark, Seq(40L), Seq(11))(f1)
+    // degenerate skew: every request hits source block 0
+    val idx = GArr.fromFunction(spark, Seq(17L), Seq(4))(g => (g(0) % 5).toDouble)
+    val plain = a.takeArr(idx)
+    val salted = a.takeArr(idx, axis = 0, salt = 3)
+    assert(salted.shape == plain.shape && salted.chunks == plain.chunks)
+    assert(vec(salted).toSeq == vec(plain).toSeq)
+  }
+
+  test("updatedFancy: duplicate indices resolve last-wins, value regrid-aligned") {
+    val a = GArr.fromFunction(spark, Seq(30L), Seq(7))(f1)
+    // positions 4 and 28 written twice — the LATER index-order value wins
+    val positions = Seq(4L, 11L, 28L, 4L, -2L, 19L)
+    val idx = GArr.fromFunction(spark, Seq(6L), Seq(2))(g => positions(g(0).toInt).toDouble)
+    // value chunking differs from idx chunking on purpose (forces align)
+    val v = GArr.fromFunction(spark, Seq(6L), Seq(4))(g => 500.0 + g(0))
+    val u = a.updatedFancy(idx, v)
+    assert(u.shape == a.shape && u.chunks == a.chunks)
+    val dense = Array.tabulate(30)(i => f1(Array(i.toLong)))
+    positions.zipWithIndex.foreach { case (p, j) =>
+      dense(if (p < 0) (p + 30).toInt else p.toInt) = 500.0 + j
+    }
+    assert(vec(u).toSeq == dense.toSeq)
+  }
+
+  test("maskedAssign: array values consumed in C order of selections") {
+    val a = GArr.fromFunction(spark, Seq(20L), Seq(3))(f1)
+    // mask true at global positions ≡ 0 (mod 3), same chunks as the base
+    val mask = GArr.fromFunction(spark, Seq(20L), Seq(3))(g => if (g(0) % 3 == 0) 1.0 else 0.0)
+    val k = (0 until 20).count(_ % 3 == 0)
+    val values = GArr.fromFunction(spark, Seq(k.toLong), Seq(2))(g => 100.0 * (1 + g(0)))
+    val u = a.maskedAssign(mask, values)
+    assert(u.shape == a.shape && u.chunks == a.chunks)
+    val dense = Array.tabulate(20)(i => f1(Array(i.toLong)))
+    var r = 0
+    for (i <- 0 until 20 if i % 3 == 0) { dense(i) = 100.0 * (1 + r); r += 1 }
+    assert(vec(u).toSeq == dense.toSeq)
+  }
+
+  test("maskedAssign: wrong value length is rejected loudly") {
+    val a = GArr.fromFunction(spark, Seq(10L), Seq(4))(f1)
+    val mask = GArr.fromFunction(spark, Seq(10L), Seq(4))(g => if (g(0) < 4) 1.0 else 0.0)
+    val bad = GArr.fromFunction(spark, Seq(3L), Seq(3))(g => g(0).toDouble)
+    intercept[IllegalArgumentException] { a.maskedAssign(mask, bad) }
+  }
+
   test("updatedSlice array: 2-D block assignment across chunk boundaries") {
     val a = GArr.fromFunction(spark, Seq(6L, 7L), Seq(2, 3))(f2)
     val v = GArr.fromFunction(spark, Seq(3L, 3L), Seq(2, 2))(g => -(1.0 + g(0) * 3 + g(1)))

@@ -62,4 +62,93 @@ class RandomArrSpec extends SparkTestBase {
     val counts = v.groupBy(identity).map(_._2.length)
     assert(counts.forall(c => c > 800 && c < 1200))
   }
+
+  private def meanVar(v: Array[Double]): (Double, Double) = {
+    val m = v.sum / v.length
+    (m, v.map(x => (x - m) * (x - m)).sum / v.length)
+  }
+
+  test("inversion long tail: supports and analytic means") {
+    val n = 4000L
+    val c = Seq(512)
+    val gum = vec(GArrRandom.gumbel(spark, Seq(n), c, 21L))
+    assert(math.abs(gum.sum / gum.length - 0.5772) < 0.08, "gumbel mean≈γ")
+    val lap = vec(GArrRandom.laplace(spark, Seq(n), c, 22L))
+    val (lm, lv) = meanVar(lap)
+    assert(math.abs(lm) < 0.08 && math.abs(lv - 2.0) < 0.3, s"laplace $lm $lv")
+    val lgt = vec(GArrRandom.logistic(spark, Seq(n), c, 23L))
+    val (gm, gv) = meanVar(lgt)
+    assert(math.abs(gm) < 0.1 && math.abs(gv - math.Pi * math.Pi / 3.0) < 0.5, s"logistic $gm $gv")
+    val wei = vec(GArrRandom.weibull(spark, Seq(n), c, 24L, a = 2.0))
+    assert(wei.forall(_ >= 0.0))
+    assert(math.abs(wei.sum / wei.length - 0.8862) < 0.05, "weibull(2) mean=Γ(1.5)")
+    val ray = vec(GArrRandom.rayleigh(spark, Seq(n), c, 25L))
+    assert(ray.forall(_ >= 0.0))
+    assert(math.abs(ray.sum / ray.length - 1.2533) < 0.05, "rayleigh mean=√(π/2)")
+    val par = vec(GArrRandom.pareto(spark, Seq(n), c, 26L, a = 3.0))
+    assert(par.forall(_ >= 0.0))
+    assert(math.abs(par.sum / par.length - 0.5) < 0.08, "pareto(3) mean=1/2")
+    val tri = vec(GArrRandom.triangular(spark, Seq(n), c, 27L, 0.0, 1.0, 2.0))
+    assert(tri.forall(x => x >= 0.0 && x <= 2.0))
+    assert(math.abs(tri.sum / tri.length - 1.0) < 0.05, "triangular mean")
+    val geo = vec(GArrRandom.geometric(spark, Seq(n), c, 28L, p = 0.25))
+    assert(geo.forall(x => x == math.floor(x) && x >= 1.0))
+    assert(math.abs(geo.sum / geo.length - 4.0) < 0.25, "geometric(0.25) mean=4")
+    val pow = vec(GArrRandom.power(spark, Seq(n), c, 29L, a = 3.0))
+    assert(pow.forall(x => x >= 0.0 && x <= 1.0))
+    assert(math.abs(pow.sum / pow.length - 0.75) < 0.03, "power(3) mean=3/4")
+    val lgn = vec(GArrRandom.lognormal(spark, Seq(n), c, 30L, 0.0, 0.5))
+    assert(lgn.forall(_ > 0.0))
+    assert(math.abs(lgn.sum / lgn.length - math.exp(0.125)) < 0.06, "lognormal mean")
+    val cau = vec(GArrRandom.standardCauchy(spark, Seq(n), c, 31L))
+    // Cauchy has no mean; check the median instead (≈0) and heavy tails
+    val sorted = cau.sorted
+    assert(math.abs(sorted(cau.length / 2)) < 0.1, "cauchy median≈0")
+    assert(cau.exists(_.abs > 20.0), "cauchy heavy tails")
+  }
+
+  test("gamma family: gamma/beta/chisquare/standard_t/f moments") {
+    val n = 4000L
+    val c = Seq(512)
+    val gam = vec(GArrRandom.gamma(spark, Seq(n), c, 41L, gshape = 3.0, gscale = 2.0))
+    val (gm, gv) = meanVar(gam)
+    assert(gam.forall(_ > 0.0))
+    assert(math.abs(gm - 6.0) < 0.3 && math.abs(gv - 12.0) < 2.0, s"gamma $gm $gv")
+    // shape < 1 exercises the boost path
+    val gs = vec(GArrRandom.standardGamma(spark, Seq(n), c, 42L, gshape = 0.5))
+    assert(gs.forall(_ >= 0.0))
+    assert(math.abs(gs.sum / gs.length - 0.5) < 0.08, "gamma(0.5) mean")
+    val bet = vec(GArrRandom.beta(spark, Seq(n), c, 43L, a = 2.0, b = 5.0))
+    assert(bet.forall(x => x > 0.0 && x < 1.0))
+    assert(math.abs(bet.sum / bet.length - 2.0 / 7.0) < 0.02, "beta(2,5) mean")
+    val chi = vec(GArrRandom.chisquare(spark, Seq(n), c, 44L, df = 4.0))
+    assert(chi.forall(_ > 0.0))
+    assert(math.abs(chi.sum / chi.length - 4.0) < 0.25, "chisquare(4) mean")
+    val t8 = vec(GArrRandom.standardT(spark, Seq(n), c, 45L, df = 8.0))
+    val (tm, tv) = meanVar(t8)
+    assert(math.abs(tm) < 0.08 && math.abs(tv - 8.0 / 6.0) < 0.3, s"t(8) $tm $tv")
+    val f812 = vec(GArrRandom.fDist(spark, Seq(n), c, 46L, dfnum = 8.0, dfden = 12.0))
+    assert(f812.forall(_ > 0.0))
+    assert(math.abs(f812.sum / f812.length - 1.2) < 0.15, "F(8,12) mean=12/10")
+  }
+
+  test("negative_binomial / hypergeometric: integral support and means") {
+    val n = 4000L
+    val c = Seq(512)
+    val nb = vec(GArrRandom.negativeBinomial(spark, Seq(n), c, 51L, n = 5.0, p = 0.5))
+    assert(nb.forall(x => x == math.floor(x) && x >= 0.0))
+    assert(math.abs(nb.sum / nb.length - 5.0) < 0.3, "negbinom(5,0.5) mean=5")
+    val hyp = vec(GArrRandom.hypergeometric(spark, Seq(n), c, 52L, 20, 30, 10))
+    assert(hyp.forall(x => x == math.floor(x) && x >= 0.0 && x <= 10.0))
+    assert(math.abs(hyp.sum / hyp.length - 4.0) < 0.15, "hypergeom mean=n·K/N")
+  }
+
+  test("rejection samplers are rechunk-invariant too (substream counters)") {
+    val a = vec(GArrRandom.gamma(spark, Seq(300L), Seq(7), 61L, gshape = 2.5))
+    val b = vec(GArrRandom.gamma(spark, Seq(300L), Seq(64), 61L, gshape = 2.5))
+    assert(a.toSeq == b.toSeq)
+    val c1 = vec(GArrRandom.beta(spark, Seq(300L), Seq(11), 62L, 2.0, 3.0))
+    val c2 = vec(GArrRandom.beta(spark, Seq(300L), Seq(128), 62L, 2.0, 3.0))
+    assert(c1.toSeq == c2.toSeq)
+  }
 }

@@ -55,6 +55,42 @@ class ZarrSpec extends SparkTestBase {
     }
   }
 
+  test("dimension_separator '/': nested chunk layout roundtrips") {
+    val dir = java.nio.file.Files.createTempDirectory("zarr_nested").toString
+    val a = GArr.fromFunction(spark, Seq(5L, 6L), Seq(2, 3))(f2)
+    Zarr.toZarr(a, dir, compressor = "zlib", level = 1, dimensionSeparator = "/")
+    // chunks live under nested dirs: <dir>/0/0, <dir>/2/1, ...
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "0", "0")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "2", "1")))
+    val b = Zarr.fromZarr(spark, dir)
+    assert(b.shape == Seq(5L, 6L))
+    assert(indexed(b) == indexed(a))
+  }
+
+  test("string fill_value encodings: NaN reads as NaN, junk is rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("zarr_fill").toString
+    val a = GArr.fromFunction(spark, Seq(4L), Seq(2))(g => g(0).toDouble)
+    Zarr.toZarr(a, dir, compressor = "null")
+    // rewrite .zarray with a doubled shape (chunk (2) missing -> fill) and
+    // the spec's string "NaN" fill encoding
+    val zp = java.nio.file.Paths.get(dir, ".zarray")
+    val meta = new String(java.nio.file.Files.readAllBytes(zp), "UTF-8")
+      .replace("\"fill_value\": 0.0", "\"fill_value\": \"NaN\"")
+      .replace("\"shape\": [4]", "\"shape\": [6]")
+    java.nio.file.Files.write(zp, meta.getBytes("UTF-8"))
+    // drop Hadoop LocalFS's checksum sidecar — we rewrote the file directly
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, "..zarray.crc"))
+    val b = Zarr.fromZarr(spark, dir)
+    assert(b.shape == Seq(6L))
+    val got = indexed(b)
+    assert((0 until 4).forall(i => got(i.toLong) == i.toDouble))
+    assert(got(4L).isNaN && got(5L).isNaN)
+    // a non-spec string must fail loudly, not silently read as 0.0
+    val bad = meta.replace("\"NaN\"", "\"not-a-number\"")
+    java.nio.file.Files.write(zp, bad.getBytes("UTF-8"))
+    intercept[IllegalArgumentException] { Zarr.fromZarr(spark, dir) }
+  }
+
   test("toZarr output is byte-compatible: decompress with java zlib == <f8 rows") {
     val dir = java.nio.file.Files.createTempDirectory("zarr_bytes").toString
     val a = GArr.fromFunction(spark, Seq(4L, 4L), Seq(2, 2))(g => g(0) * 10.0 + g(1))
