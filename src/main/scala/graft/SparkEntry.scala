@@ -2094,6 +2094,90 @@ object SparkEntry {
       val mask = rowSums.scalarMap(v => if (v > 2550.0) 1.0 else 0.0)
       x.compressArr(mask, axis = 0).sumAxis(1).toIndexedDF
         .select(col("idx"), col("value").cast("long").as("s"))
+    },
+
+    // ---- random long-tail, invertible case (dask.array.random gumbel,
+    // random.py:1-1113): gumbel(0,1) is an exact -ln(-ln(1-u)) transform of
+    // the SAME counter-based 53-bit draws q167 pins bit-exactly, so the
+    // oracle recomputes the whole chain in DuckDB (scaled 1e4 to absorb
+    // cross-libm ulp drift, the q157 float protocol).
+    "q171_random_gumbel" -> { (s, dir) =>
+      import graft.operators.GArrRandom
+      GArrRandom.gumbel(s, Seq(4096L), Seq(512), seed = 42L).toIndexedDF
+        .select(col("idx"),
+          floor(col("value") * 10000 + lit(0.5)).cast("long").as("g4"))
+    },
+
+    // ---- fancy setitem with a DISTRIBUTED index AND value (dask
+    // x[idx] = v, slicing.py:1464 setitem_array): duplicate targets must
+    // resolve LAST-wins in index order; the value array is chunked
+    // differently from the index (forces the align regrid). Values are
+    // 10000+j, so last-wins == MAX(j) per target — exactly restatable.
+    "q172_fancy_setitem" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      def head(n: Int) = li.sort(liTotalOrder.map(col): _*).limit(n)
+      val x = GArr.fromColumn(head(4096), "l_quantity", liTotalOrder, chunk = 512)
+      val idxSrc = head(500)
+        .withColumn("pos", ((col("l_partkey") * 3) % 4096).cast("double"))
+      val idx = GArr.fromColumn(idxSrc, "pos", liTotalOrder, chunk = 128)
+      val v = GArr.fromFunction(s, Seq(500L), Seq(100))(g => 10000.0 + g(0))
+      x.updatedFancy(idx, v).toIndexedDF
+        .agg(sum((col("idx") % 9973 + 1) * col("value").cast("long")).as("wsum"),
+          sum(when(col("value") >= 10000.0, 1L).otherwise(0L)).as("hits"))
+    },
+
+    // ---- distributed integer-array indexing along a NON-ZERO axis (dask
+    // x[:, idx] with idx a dask array, slicing.py:992 applies along any
+    // axis): column-gather of a 60x100 matrix through a chunked index —
+    // requests co-group by axis block, full lanes scatter; 2400-cell dump.
+    "q173_takearr_axis" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      def head(n: Int) = li.sort(liTotalOrder.map(col): _*).limit(n)
+      val x = GArr.fromColumn(head(6000), "l_quantity", liTotalOrder, chunk = 512)
+        .reshape(Seq(60L, 100L), Seq(16, 32))
+      val idxSrc = head(40).withColumn("pos", (col("l_partkey") % 100).cast("double"))
+      val idx = GArr.fromColumn(idxSrc, "pos", liTotalOrder, chunk = 16)
+      x.takeArr(idx, axis = 1).toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("q"))
+    },
+
+    // ---- masked setitem with an ARRAY right-hand side (dask x[mask] = v,
+    // slicing.py:1464 setitem_array bool branch): the mask is derived from
+    // the array itself and the VALUES come from a booleanMask selection of
+    // the same array (scaled), so the rank->value plumbing (counts-prefix
+    // + value-block co-group) is exercised end-to-end with nothing
+    // driver-known: result == where(q>=30, 1000q+7, q).
+    "q174_masked_assign" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      def head(n: Int) = li.sort(liTotalOrder.map(col): _*).limit(n)
+      val x = GArr.fromColumn(head(6000), "l_quantity", liTotalOrder, chunk = 512)
+        .persist()
+      val m = x.mapBlocks((_, d) => d.map(v => if (v >= 30.0) 1.0 else 0.0))
+      val values = x.booleanMask(m, targetChunk = 1000)
+        .scalarMap(v => v * 1000.0 + 7.0)
+      x.maskedAssign(m, values).toIndexedDF
+        .agg(sum((col("idx") % 9973 + 1) * col("value").cast("long")).as("wsum"),
+          max(col("value").cast("long")).as("mx"))
+    },
+
+    // ---- bag accumulate (dask Bag.accumulate, bag/core.py:1465): the
+    // two-phase distributed prefix scan over a range-partitioned ordered
+    // bag; binop carries (rightmost rn, running sum), so the output IS the
+    // (idx, cumulative) pair stream — exact BIGINT arithmetic.
+    "q175_bag_accumulate" -> { (s, dir) =>
+      import graft.api.GBag
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val sorted = li.sort(liTotalOrder.map(col): _*).limit(3000)
+        .select(col("l_quantity").cast("long")).as[Long]
+      val withRn = sorted.rdd.zipWithIndex().map { case (q, i) => (i, q) }
+      val ds = s.createDataset(withRn)
+        .repartitionByRange(6, col("_1")).sortWithinPartitions("_1")
+      GBag(ds).accumulate((a, b) => (b._1, a._2 + b._2))
+        .toDF("idx", "cum").select(col("idx"), col("cum"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -4157,5 +4241,73 @@ object SparkEntry {
         |      FROM t WHERE rn < 6000 GROUP BY 1),
         |k AS (SELECT s, row_number() OVER (ORDER BY row) - 1 AS nr
         |      FROM r WHERE s > 2550)
-        |SELECT CAST(nr AS BIGINT) AS idx, s FROM k""".stripMargin)
+        |SELECT CAST(nr AS BIGINT) AS idx, s FROM k""".stripMargin,
+
+    // q171: gumbel(0,1) = -ln(-ln(1-u)) over the exact q167 bit chain;
+    // emitted as the 1e4-scaled integer (identical floor(x*1e4+0.5) on
+    // both sides — cross-libm ln drift is ~1e-11 after scaling).
+    "q171_random_gumbel" -> (duckHashMacros +
+      """CREATE OR REPLACE TEMP MACRO smix64(x) AS
+        |  xor(m64b(m64a(x)), m64b(m64a(x)) // 2147483648);
+        |WITH i AS (SELECT CAST(range AS HUGEINT) AS f FROM range(4096)),
+        |b AS (SELECT CAST(f AS BIGINT) AS idx,
+        |        CAST(smix64((wmul64(CAST(42 AS HUGEINT), CAST(2685821657736338717 AS HUGEINT))
+        |                     + wmul64(f, CAST(15074714826142052245 AS HUGEINT))
+        |                     + 7146057691288625177)
+        |                    % 18446744073709551616) // 2048 AS BIGINT) AS bits
+        |      FROM i)
+        |SELECT idx,
+        |       CAST(FLOOR(-ln(-ln(1.0 - bits / 9007199254740992.0)) * 10000 + 0.5) AS BIGINT) AS g4
+        |FROM b""".stripMargin),
+
+    // q172: x[idx] = 10000+j with duplicate targets — last-wins in index
+    // order == MAX(j) per target because the value is monotone in j.
+    "q172_fancy_setitem" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q, CAST(l_partkey AS BIGINT) AS pk,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |i AS (SELECT rn AS j, (pk * 3) % 4096 AS tgt FROM t WHERE rn < 500),
+        |w AS (SELECT tgt, 10000 + MAX(j) AS val FROM i GROUP BY tgt),
+        |v AS (SELECT t.rn, COALESCE(w.val, t.q) AS val
+        |      FROM t LEFT JOIN w ON t.rn = w.tgt WHERE t.rn < 4096)
+        |SELECT CAST(SUM((rn % 9973 + 1) * val) AS BIGINT) AS wsum,
+        |       CAST(SUM(CASE WHEN val >= 10000 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        |FROM v""".stripMargin,
+
+    // q173: column-gather of the 60x100 matrix by idx = pk % 100 of the
+    // first 40 rows; output flat C-order cells of the 60x40 result.
+    "q173_takearr_axis" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q, CAST(l_partkey AS BIGINT) AS pk,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |i AS (SELECT rn AS j, pk % 100 AS pos FROM t WHERE rn < 40),
+        |r AS (SELECT range AS row FROM range(60))
+        |SELECT CAST(r.row * 40 + i.j AS BIGINT) AS idx, t2.q AS q
+        |FROM r CROSS JOIN i JOIN t t2 ON t2.rn = r.row * 100 + i.pos""".stripMargin,
+
+    // q174: x[mask] = selected*1000+7 where mask = (q>=30) and the values
+    // are the booleanMask selection of x itself — relationally this is
+    // just where(q>=30, 1000q+7, q).
+    "q174_masked_assign" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |v AS (SELECT rn, CASE WHEN q >= 30 THEN q * 1000 + 7 ELSE q END AS val
+        |      FROM t WHERE rn < 6000)
+        |SELECT CAST(SUM((rn % 9973 + 1) * val) AS BIGINT) AS wsum,
+        |       CAST(MAX(val) AS BIGINT) AS mx
+        |FROM v""".stripMargin,
+
+    // q175: bag accumulate == the running-sum window over the total order.
+    "q175_bag_accumulate" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem)
+        |SELECT CAST(rn AS BIGINT) AS idx,
+        |       CAST(SUM(q) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |FROM t WHERE rn < 3000""".stripMargin)
 }
