@@ -339,6 +339,114 @@ object GArrRandom {
     }
   }
 
+  /** `wald(mean, scale)` (inverse Gaussian) — Michael-Schucany-Haas
+    * transform: one normal + one uniform, no rejection.
+    */
+  def wald(s: SparkSession, shape: Seq[Long], chunkSizes: Seq[Int],
+           seed: Long, mean: Double, scale: Double): GArr = {
+    require(mean > 0.0 && scale > 0.0)
+    elementwise(s, shape, chunkSizes, seed, 0L) { d =>
+      val next = drawCounter(d)
+      val z = normalDraw(next)
+      val v = z * z
+      val x = mean + mean * mean * v / (2.0 * scale) -
+        mean / (2.0 * scale) * math.sqrt(4.0 * mean * scale * v + mean * mean * v * v)
+      val u = next()
+      if (u <= mean / (mean + x)) x else mean * mean / x
+    }
+  }
+
+  /** `zipf(a)` — Devroye's rejection-inversion (the numpy sampler shape):
+    * support {1,2,…}, P(k) ∝ k^(−a), a > 1.
+    */
+  def zipf(s: SparkSession, shape: Seq[Long], chunkSizes: Seq[Int],
+           seed: Long, a: Double): GArr = {
+    require(a > 1.0, s"zipf: a=$a must be > 1")
+    val am1 = a - 1.0
+    val b = math.pow(2.0, am1)
+    elementwise(s, shape, chunkSizes, seed, 0L) { d =>
+      val next = drawCounter(d)
+      var res = 0.0
+      while (res == 0.0) {
+        val u = 1.0 - next()
+        val v = next()
+        val x = math.floor(math.pow(u, -1.0 / am1))
+        if (x >= 1.0 && x < 9.0e18) {
+          val t = math.pow(1.0 + 1.0 / x, am1)
+          if (v * x * (t - 1.0) / (b - 1.0) <= t / b) res = x
+        }
+      }
+      res
+    }
+  }
+
+  /** `vonmises(mu, kappa)` — Best-Fisher (1979) wrapped rejection, the
+    * numpy sampler; κ→0 degenerates to uniform on (−π, π].
+    */
+  def vonmises(s: SparkSession, shape: Seq[Long], chunkSizes: Seq[Int],
+               seed: Long, mu: Double, kappa: Double): GArr = {
+    require(kappa >= 0.0)
+    if (kappa < 1e-8)
+      elementwise(s, shape, chunkSizes, seed, 0L)(d => math.Pi * (2.0 * d(0) - 1.0) + mu)
+    else {
+      val tau = 1.0 + math.sqrt(1.0 + 4.0 * kappa * kappa)
+      val rho = (tau - math.sqrt(2.0 * tau)) / (2.0 * kappa)
+      val r = (1.0 + rho * rho) / (2.0 * rho)
+      elementwise(s, shape, chunkSizes, seed, 0L) { d =>
+        val next = drawCounter(d)
+        var f = 0.0
+        var accepted = false
+        while (!accepted) {
+          val u1 = next()
+          val z = math.cos(math.Pi * u1)
+          f = (1.0 + r * z) / (r + z)
+          val c = kappa * (r - f)
+          val u2 = next() + java.lang.Double.MIN_VALUE
+          if (c * (2.0 - c) - u2 > 0.0 || math.log(c / u2) + 1.0 - c >= 0.0) accepted = true
+        }
+        val u3 = next()
+        val theta = mu + math.signum(u3 - 0.5) * math.acos(f)
+        // wrap into (−π, π]
+        val w = math.IEEEremainder(theta, 2.0 * math.Pi)
+        if (w <= -math.Pi) w + 2.0 * math.Pi else w
+      }
+    }
+  }
+
+  /** `multinomial(n, pvals)` — output shape is `shape :+ pvals.length`
+    * (numpy appends the category axis). Every category cell of one draw
+    * replays the SAME n substream picks (the flat counter covers only the
+    * leading dims), so the counts are consistent per draw and still
+    * rechunk-invariant; O(n·k) work per draw.
+    */
+  def multinomial(s: SparkSession, shape: Seq[Long], chunkSizes: Seq[Int],
+                  seed: Long, n: Int, pvals: Seq[Double]): GArr = {
+    require(n >= 0 && pvals.nonEmpty && pvals.forall(_ >= 0.0))
+    require(math.abs(pvals.sum - 1.0) < 1e-9, s"multinomial: pvals sum ${pvals.sum} != 1")
+    val k = pvals.length
+    val cum = pvals.scanLeft(0.0)(_ + _).tail.toArray
+    val leadStrides = cStrides(shape)
+    val nd0 = shape.length
+    GArr.fromFunction(s, shape :+ k.toLong, chunkSizes :+ k) { g =>
+      var flat = 0L
+      var d = 0
+      while (d < nd0) { flat += g(d) * leadStrides(d); d += 1 }
+      val j = g(nd0).toInt
+      val fl = flat
+      var hits = 0
+      var t = 0
+      while (t < n) {
+        val u = u01(rng(seed, t.toLong, fl))
+        // linear scan of the cumulative table (k is small)
+        var bucket = 0
+        while (bucket < k - 1 && u >= cum(bucket)) bucket += 1
+        if (bucket == j) hits += 1
+        t += 1
+      }
+      hits.toDouble
+    }
+  }
+
   /** `hypergeometric(ngood, nbad, nsample)` by exact sequential sampling
     * without replacement — O(nsample) substream draws per element.
     */

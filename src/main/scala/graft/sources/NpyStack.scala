@@ -66,12 +66,14 @@ object NpyStack {
     val kvs = IO.hadoopConfKVs(spark)
     val chunks0 = a.chunks.head.toArray
     val restDims = a.shape.drop(1).map(_.toInt).toArray
-    a.blocks.rdd.map { b =>
+    a.blocks.rdd.mapPartitions { it =>
+      // one Configuration/FileSystem per partition, not per block
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(path), IO.rebuildConf(kvs))
+      it.map { b =>
       val i = b.bid.head
       val dims = chunks0(i) +: restDims.toSeq
       val hdr = npyHeader(dims)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        java.net.URI.create(path), IO.rebuildConf(kvs))
       val attempt = Option(org.apache.spark.TaskContext.get())
         .map(_.taskAttemptId()).getOrElse(0L)
       val tmp = new org.apache.hadoop.fs.Path(path, s".$i.npy.$attempt.tmp")
@@ -101,6 +103,7 @@ object NpyStack {
         else throw new java.io.IOException(s"to_npy_stack: commit rename failed for $dest")
       }
       1L
+      }
     }.count(): Unit
     // driver-side metadata (dask writes a pickled `info`; JSON here)
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -143,6 +143,41 @@ class RandomArrSpec extends SparkTestBase {
     assert(math.abs(hyp.sum / hyp.length - 4.0) < 0.15, "hypergeom mean=n·K/N")
   }
 
+  test("wald / zipf / vonmises: supports and analytic moments") {
+    val n = 4000L
+    val c = Seq(512)
+    val w = vec(GArrRandom.wald(spark, Seq(n), c, 71L, mean = 2.0, scale = 6.0))
+    assert(w.forall(_ > 0.0))
+    assert(math.abs(w.sum / w.length - 2.0) < 0.12, "wald mean")
+    val z = vec(GArrRandom.zipf(spark, Seq(n), c, 72L, a = 3.0))
+    assert(z.forall(x => x == math.floor(x) && x >= 1.0))
+    // P(1) = 1/ζ(3) ≈ 0.8319
+    val p1 = z.count(_ == 1.0).toDouble / z.length
+    assert(math.abs(p1 - 0.8319) < 0.03, s"zipf(3) P(1)=$p1")
+    val vm = vec(GArrRandom.vonmises(spark, Seq(n), c, 73L, mu = 0.5, kappa = 4.0))
+    assert(vm.forall(x => x > -math.Pi && x <= math.Pi + 0.5))
+    // circular mean direction ≈ mu for concentrated kappa
+    val cm = math.atan2(vm.map(math.sin).sum, vm.map(math.cos).sum)
+    assert(math.abs(cm - 0.5) < 0.08, s"vonmises circular mean $cm")
+  }
+
+  test("multinomial: per-draw counts sum to n, category means = n·p") {
+    val m = GArrRandom.multinomial(spark, Seq(500L), Seq(64), 81L, n = 20,
+      pvals = Seq(0.5, 0.3, 0.2))
+    assert(m.shape == Seq(500L, 3L))
+    val g = m.toIndexedDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = Array.tabulate(500, 3)((i, j) => g((i * 3 + j).toLong))
+    assert(rows.forall(r => r.sum == 20.0), "each draw's counts sum to n")
+    val means = (0 until 3).map(j => rows.map(_(j)).sum / 500.0)
+    assert(math.abs(means(0) - 10.0) < 0.5 && math.abs(means(1) - 6.0) < 0.5 &&
+      math.abs(means(2) - 4.0) < 0.5, s"category means $means")
+    // rechunk-invariance across the leading axis
+    val m2 = GArrRandom.multinomial(spark, Seq(500L), Seq(17), 81L, n = 20,
+      pvals = Seq(0.5, 0.3, 0.2))
+    val g2 = m2.toIndexedDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(g == g2)
+  }
+
   test("rejection samplers are rechunk-invariant too (substream counters)") {
     val a = vec(GArrRandom.gamma(spark, Seq(300L), Seq(7), 61L, gshape = 2.5))
     val b = vec(GArrRandom.gamma(spark, Seq(300L), Seq(64), 61L, gshape = 2.5))
