@@ -837,4 +837,485 @@ object Linalg {
     }
     out
   }
+
+  // ---- blocked triangular solve / solve / inv / Cholesky ---------------
+  // (reference `dask/array/linalg.py:1114` solve_triangular, `:1208`
+  // solve, `:1268` inv, `:1295` cholesky). Same delivery discipline as
+  // [[lu]]: nb sequential rounds; within each round the solved row (or
+  // factor panel) reaches the trailing blocks by a size-gated choice of
+  // driver broadcast (bounded by a constant, zero shuffles) vs
+  // executor-side fanout + one co-partitioned cogroup (panels replicate;
+  // trailing blocks never move).
+
+  /** Rectangular B-side state: ((bi, bj), col-major b×colChunks(bj)). */
+  private type BState = RDD[((Int, Int), Array[Double])]
+
+  /** X = L⁻¹·RHS for lower L (col-major n×n), RHS n×cw col-major. */
+  private[graft] def solveLowerLeftRect(l: Array[Double], rhs: Array[Double],
+                                        n: Int, cw: Int, unit: Boolean): Array[Double] = {
+    val x = rhs.clone()
+    var c = 0
+    while (c < cw) {
+      var r = 0
+      while (r < n) {
+        var s = x(c * n + r)
+        var m = 0
+        while (m < r) { s -= l(m * n + r) * x(c * n + m); m += 1 }
+        x(c * n + r) = if (unit) s else s / l(r * n + r)
+        r += 1
+      }
+      c += 1
+    }
+    x
+  }
+
+  /** X = U⁻¹·RHS for upper U (col-major n×n), RHS n×cw col-major. */
+  private[graft] def solveUpperLeftRect(u: Array[Double], rhs: Array[Double],
+                                        n: Int, cw: Int): Array[Double] = {
+    val x = rhs.clone()
+    var c = 0
+    while (c < cw) {
+      var r = n - 1
+      while (r >= 0) {
+        var s = x(c * n + r)
+        var m = r + 1
+        while (m < n) { s -= u(m * n + r) * x(c * n + m); m += 1 }
+        x(c * n + r) = s / u(r * n + r)
+        r -= 1
+      }
+      c += 1
+    }
+    x
+  }
+
+  /** C(n×cw) − A(n×n)·X(n×cw), col-major, allocating. */
+  private[graft] def matmulSubRect(cM: Array[Double], a: Array[Double],
+                                   x: Array[Double], n: Int, cw: Int): Array[Double] = {
+    val out = cM.clone()
+    var j = 0
+    while (j < cw) {
+      var m = 0
+      while (m < n) {
+        val xmj = x(j * n + m)
+        if (xmj != 0.0) {
+          var r = 0
+          while (r < n) { out(j * n + r) -= a(m * n + r) * xmj; r += 1 }
+        }
+        m += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** C − A·Bᵀ (col-major n×n), allocating — the Cholesky trailing kernel. */
+  private[graft] def matmulSubNT(cM: Array[Double], a: Array[Double],
+                                 bM: Array[Double], n: Int): Array[Double] = {
+    val out = cM.clone()
+    var j = 0
+    while (j < n) {
+      var m = 0
+      while (m < n) {
+        val bjm = bM(m * n + j) // B(j,m) = (Bᵀ)(m,j)
+        if (bjm != 0.0) {
+          var r = 0
+          while (r < n) { out(j * n + r) -= a(m * n + r) * bjm; r += 1 }
+        }
+        m += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Dense lower Cholesky of a col-major n×n SPD block (driver/executor
+    * leaf — the `np.linalg.cholesky` of the reference's task graph).
+    */
+  private[graft] def localChol(a: Array[Double], n: Int): Array[Double] = {
+    val l = new Array[Double](n * n)
+    var c = 0
+    while (c < n) {
+      var s = a(c * n + c)
+      var m = 0
+      while (m < c) { val v = l(m * n + c); s -= v * v; m += 1 }
+      require(s > 0.0, s"cholesky: matrix not positive definite (pivot $s at column $c)")
+      val lcc = math.sqrt(s)
+      l(c * n + c) = lcc
+      var r = c + 1
+      while (r < n) {
+        var t = a(c * n + r)
+        m = 0
+        while (m < c) { t -= l(m * n + r) * l(m * n + c); m += 1 }
+        l(c * n + r) = t / lcc
+        r += 1
+      }
+      c += 1
+    }
+    l
+  }
+
+  /** X with X·Lᵀ = A for lower L (col-major n×n) — the Cholesky panel
+    * kernel `A_ki · L_ii⁻ᵀ`.
+    */
+  private[graft] def solveLowerRightT(a: Array[Double], l: Array[Double], n: Int): Array[Double] = {
+    val x = a.clone()
+    var j = 0
+    while (j < n) {
+      var m = 0
+      while (m < j) {
+        val lmj = l(m * n + j) // L(j,m) = (Lᵀ)(m,j)
+        if (lmj != 0.0) {
+          var r = 0
+          while (r < n) { x(j * n + r) -= x(m * n + r) * lmj; r += 1 }
+        }
+        m += 1
+      }
+      val ljj = l(j * n + j)
+      var r = 0
+      while (r < n) { x(j * n + r) /= ljj; r += 1 }
+      j += 1
+    }
+    x
+  }
+
+  /** GArr with uniform row chunks `b` (any column chunking) → the keyed
+    * col-major rectangular block state the triangular solver iterates on.
+    * Narrow map — only the per-block layout transposes.
+    */
+  private def garrToRectState(bArr: GArr, b: Int): (BState, Array[Int]) = {
+    require(bArr.ndim == 2, s"triangular solve rhs must be 2-D: ${bArr.shape}")
+    require(bArr.chunks(0).forall(_ == b),
+      s"rhs row chunks must equal the block size $b (rechunk first): ${bArr.chunks(0)}")
+    val colChunks = bArr.chunks(1).toArray
+    val st = bArr.blocks.rdd.map { blk =>
+      val nc = colChunks(blk.bid(1))
+      val d = blk.data
+      val cm = new Array[Double](d.length)
+      var c = 0
+      while (c < nc) {
+        var r = 0
+        while (r < b) { cm(c * b + r) = d(r * nc + c); r += 1 }
+        c += 1
+      }
+      ((blk.bid(0), blk.bid(1)), cm)
+    }
+    (st, colChunks)
+  }
+
+  /** Keyed col-major rectangular state → GArr (row-major blocks). */
+  private def rectStateToGArr(spark: org.apache.spark.sql.SparkSession,
+                              st: BState, b: Int, nRowBlocks: Int,
+                              colChunks: Array[Int]): GArr = {
+    import spark.implicits._
+    val ds = st.map { case ((bi, bj), cm) =>
+      val nc = colChunks(bj)
+      val rm = new Array[Double](cm.length)
+      var c = 0
+      while (c < nc) {
+        var r = 0
+        while (r < b) { rm(r * nc + c) = cm(c * b + r); r += 1 }
+        c += 1
+      }
+      ABlock(Seq(bi, bj), rm)
+    }.toDS()
+    GArr(Seq(b.toLong * nRowBlocks, colChunks.map(_.toLong).sum),
+      Seq(Seq.fill(nRowBlocks)(b), colChunks.toSeq), ds)
+  }
+
+  /** Blocked triangular solve `T·X = B` (reference `array/linalg.py:1114`
+    * `solve_triangular`): T an `(bi, bj, col-major data)` b×b block
+    * DataFrame (only the `lower` half is read; absent blocks are zero),
+    * B a chunked 2-D GArr whose row chunks equal `b`. nb sequential
+    * rounds of forward (lower) or backward (upper) block substitution;
+    * T is static, so its diagonal is pre-collected in ONE job when it
+    * fits 4× the panel budget (vs [[lu]], which must re-collect its
+    * mutating diagonal every round).
+    */
+  def solveTriangular(tBlocks: DataFrame, blockSize: Int, bArr: GArr,
+                      lower: Boolean, unitDiag: Boolean = false,
+                      panelBroadcastBytes: Long = 16L << 20): GArr = {
+    val spark = tBlocks.sparkSession
+    val sc = spark.sparkContext
+    val b = blockSize
+    val tRdd: BState = tBlocks.select(col("bi"), col("bj"), col("data")).rdd
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+    val tCached = tRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nb = (bArr.shape(0) / b).toInt
+    val (st0, colChunks) = garrToRectState(bArr, b)
+    val mCols = colChunks.map(_.toLong).sum
+    val partitioner = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(nb * colChunks.length, sc.defaultParallelism * 2)))
+    var state: BState = st0.partitionBy(partitioner)
+    state.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // static diagonal: one collect job for the whole solve when small
+    val diagBytes = nb.toLong * b * b * 8
+    val preDiag: Map[Int, Array[Double]] =
+      if (diagBytes <= 4 * panelBroadcastBytes)
+        tCached.filter { case ((x, y), _) => x == y }.collect()
+          .map { case ((x, _), d) => x -> d }.toMap
+      else Map.empty
+    val order = if (lower) 0 until nb else (nb - 1) to 0 by -1
+    try {
+      var round = 0
+      for (i <- order) {
+        round += 1
+        val diag = preDiag.getOrElse(i,
+          tCached.filter(_._1 == (i, i)).map(_._2).collect()(0))
+        val bcDiag = sc.broadcast(diag)
+        val afterSolve = state.mapPartitions(_.map { case ((bi, bj), d) =>
+          if (bi == i) {
+            val cw = d.length / b
+            val x = if (lower) solveLowerLeftRect(bcDiag.value, d, b, cw, unitDiag)
+            else solveUpperLeftRect(bcDiag.value, d, b, cw)
+            ((bi, bj), x)
+          } else ((bi, bj), d)
+        }, preservesPartitioning = true)
+        afterSolve.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val remaining = if (lower) nb - i - 1 else i
+        if (remaining > 0) {
+          val panelBytes = (remaining.toLong * b * b + b * mCols) * 8
+          val next: BState =
+            if (panelBytes <= panelBroadcastBytes) {
+              val xRow = afterSolve.filter(_._1._1 == i).collect()
+                .map { case ((_, bj), d) => bj -> d }.toMap
+              val tCol = tCached.filter { case ((bi, bj), _) =>
+                bj == i && (if (lower) bi > i else bi < i)
+              }.collect().map { case ((bi, _), d) => bi -> d }.toMap
+              val bcP = sc.broadcast((tCol, xRow))
+              afterSolve.mapPartitions(_.map { case ((bi, bj), d) =>
+                val trailing = if (lower) bi > i else bi < i
+                if (trailing) {
+                  val (tc, xr) = bcP.value
+                  tc.get(bi) match { // absent = zero block of T: no-op
+                    case Some(a) =>
+                      ((bi, bj), matmulSubRect(d, a, xr(bj), b, d.length / b))
+                    case None => ((bi, bj), d)
+                  }
+                } else ((bi, bj), d)
+              }, preservesPartitioning = true)
+            } else {
+              // executor-side fanout (true = the T column-panel factor)
+              val tReps = tCached.flatMap { case ((bi, bj), d) =>
+                if (bj == i && (if (lower) bi > i else bi < i))
+                  colChunks.indices.iterator.map(j2 => ((bi, j2), (true, d)))
+                else Iterator.empty
+              }
+              val xReps = afterSolve.flatMap { case ((bi, bj), d) =>
+                if (bi == i) {
+                  val ks = if (lower) (i + 1) until nb else 0 until i
+                  ks.iterator.map(k2 => ((k2, bj), (false, d)))
+                } else Iterator.empty
+              }
+              afterSolve.cogroup(tReps.union(xReps), partitioner)
+                .mapValues { case (base, ps) =>
+                  val d = base.head
+                  ps.collectFirst { case (true, p) => p } match {
+                    case Some(a) =>
+                      val xr = ps.collectFirst { case (false, p) => p }.get
+                      matmulSubRect(d, a, xr, b, d.length / b)
+                    case None => d
+                  }
+                }
+            }
+          next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          if (round % 8 == 0) next.localCheckpoint()
+          next.count() // materialize BEFORE dropping parents
+          state.unpersist(false)
+          afterSolve.unpersist(false)
+          state = next
+        } else {
+          afterSolve.count()
+          state.unpersist(false)
+          state = afterSolve
+        }
+      }
+      val out = rectStateToGArr(spark, state, b, nb, colChunks)
+      out.persist()
+      out.blocks.count() // materialize before the state RDD unpersists
+      out
+    } finally { state.unpersist(false); tCached.unpersist(false) }
+  }
+
+  /** GArr-level `solve_triangular(t, b)` — square-chunk T bridge. */
+  def solveTriangular(t: GArr, bArr: GArr, lower: Boolean): GArr = {
+    val (df, bs) = garrToBlocks(t)
+    solveTriangular(df, bs, bArr, lower)
+  }
+
+  /** dask `solve(a, b)` (reference `array/linalg.py:1208`): blocked LU
+    * with block-diagonal pivoting, then two distributed triangular
+    * solves — `X = U⁻¹·(L⁻¹·(Pᵀ·B))`. The row permutation is per block
+    * row (each block row carries its own pivot order σᵢ), so `Pᵀ·B` is a
+    * pure narrow map over B's row blocks.
+    */
+  def solve(a: GArr, bArr: GArr,
+            panelBroadcastBytes: Long = 16L << 20): GArr = {
+    val (df, bs) = garrToBlocks(a)
+    val f = lu(df, bs, panelBroadcastBytes)
+    require(bArr.ndim == 2 && bArr.chunks(0).forall(_ == bs),
+      s"solve: rhs row chunks must equal the LU block size $bs: ${bArr.chunks}")
+    val sc = a.blocks.sparkSession.sparkContext
+    val bcPerms = sc.broadcast(f.perms)
+    val spark = a.blocks.sparkSession
+    import spark.implicits._
+    val pB = GArr(bArr.shape, bArr.chunks, bArr.blocks.map { blk =>
+      val sigma = bcPerms.value(blk.bid(0))
+      val nc = blk.data.length / bs
+      val out = new Array[Double](blk.data.length)
+      var r = 0
+      while (r < bs) {
+        System.arraycopy(blk.data, sigma(r) * nc, out, r * nc, nc)
+        r += 1
+      }
+      ABlock(blk.bid, out)
+    })
+    val y = solveTriangular(f.l, bs, pB, lower = true, unitDiag = true,
+      panelBroadcastBytes = panelBroadcastBytes)
+    val x = solveTriangular(f.u, bs, y, lower = false,
+      panelBroadcastBytes = panelBroadcastBytes)
+    f.l.unpersist(); f.u.unpersist(); y.unpersist()
+    x
+  }
+
+  /** dask `inv(a)` (reference `array/linalg.py:1268`): `solve(a, I)` with
+    * a distributed identity right-hand side on a's chunk grid.
+    */
+  def inv(a: GArr, panelBroadcastBytes: Long = 16L << 20): GArr = {
+    require(a.ndim == 2 && a.shape(0) == a.shape(1), s"inv needs square: ${a.shape}")
+    val bs = a.chunks(0).head
+    val ident = GArr.eye(a.blocks.sparkSession, a.shape(0), bs)
+    solve(a, ident, panelBroadcastBytes)
+  }
+
+  /** Blocked lower Cholesky `A = L·Lᵀ` (reference `array/linalg.py:1295`):
+    * right-looking rounds over the lower-half block state — diagonal
+    * factorization (executor-collected b² leaf), column-panel right-solve
+    * `L_ki = A_ki·L_ii⁻ᵀ`, then the symmetric trailing update
+    * `A_kj −= L_ki·L_jiᵀ` with the same size-gated panel delivery as
+    * [[lu]]. Only the lower half is stored or touched (half of [[lu]]'s
+    * traffic); the strict upper half of the input is never read.
+    * Returns the lower-factor block DataFrame (bi ≥ bj blocks only).
+    */
+  def cholesky(aBlocks: DataFrame, blockSize: Int,
+               panelBroadcastBytes: Long = 16L << 20): DataFrame = {
+    val spark = aBlocks.sparkSession
+    val sc = spark.sparkContext
+    val b = blockSize
+    val nb = {
+      val mx = aBlocks.agg(max(col("bi")), max(col("bj"))).first()
+      math.max(mx.getInt(0), mx.getInt(1)) + 1
+    }
+    val partitioner = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(nb * (nb + 1) / 2, sc.defaultParallelism * 2)))
+    var state: RDD[((Int, Int), Array[Double])] = aBlocks
+      .where(col("bi") >= col("bj"))
+      .select(col("bi"), col("bj"), col("data")).rdd
+      .map { r =>
+        val d = r.getSeq[Double](2).toArray
+        require(d.length == b * b, s"cholesky: block must be ${b}x$b, got ${d.length}")
+        ((r.getInt(0), r.getInt(1)), d)
+      }.partitionBy(partitioner)
+    state.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (i <- 0 until nb) {
+        val diag = state.filter(_._1 == (i, i)).map(_._2).collect()(0)
+        val lii = localChol(diag, b)
+        val bc = sc.broadcast(lii)
+        val afterPanel = state.mapPartitions(_.map { case ((bi, bj), d) =>
+          if (bi == i && bj == i) ((bi, bj), bc.value)
+          else if (bj == i && bi > i) ((bi, bj), solveLowerRightT(d, bc.value, b))
+          else ((bi, bj), d)
+        }, preservesPartitioning = true)
+        afterPanel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (i < nb - 1) {
+          val panelBytes = (nb - i - 1).toLong * b * b * 8
+          val next: RDD[((Int, Int), Array[Double])] =
+            if (panelBytes <= panelBroadcastBytes) {
+              val panel = afterPanel
+                .filter { case ((bi, bj), _) => bj == i && bi > i }
+                .collect().map { case ((bi, _), d) => bi -> d }.toMap
+              val bcP = sc.broadcast(panel)
+              afterPanel.mapPartitions(_.map { case ((bi, bj), d) =>
+                if (bi > i && bj > i) {
+                  val p = bcP.value
+                  ((bi, bj), matmulSubNT(d, p(bi), p(bj), b))
+                } else ((bi, bj), d)
+              }, preservesPartitioning = true)
+            } else {
+              // panel block (p, i) is the LEFT factor for trailing keys
+              // (p, j), i<j≤p, and the TRANSPOSED-RIGHT factor for keys
+              // (k, p), p≤k<nb
+              val replicas = afterPanel.flatMap { case ((bi, bj), d) =>
+                if (bj == i && bi > i)
+                  ((i + 1) to bi).iterator.map(j2 => ((bi, j2), (true, d))) ++
+                    (bi until nb).iterator.map(k2 => ((k2, bi), (false, d)))
+                else Iterator.empty
+              }
+              afterPanel.cogroup(replicas, partitioner)
+                .mapValues { case (base, ps) =>
+                  val d = base.head
+                  ps.collectFirst { case (true, p) => p } match {
+                    case Some(lk) =>
+                      val lj = ps.collectFirst { case (false, p) => p }.get
+                      matmulSubNT(d, lk, lj, b)
+                    case None => d
+                  }
+                }
+            }
+          next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          if ((i + 1) % 8 == 0) next.localCheckpoint()
+          next.count()
+          state.unpersist(false)
+          afterPanel.unpersist(false)
+          state = next
+        } else {
+          afterPanel.count()
+          state.unpersist(false)
+          state = afterPanel
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bi", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("bj", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("data",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+      import org.apache.spark.sql.Row
+      val rows = state.map { case ((bi, bj), d) =>
+        val out = if (bi == bj) {
+          val ld = new Array[Double](b * b)
+          var c = 0
+          while (c < b) { var r = c; while (r < b) { ld(c * b + r) = d(c * b + r); r += 1 }; c += 1 }
+          ld
+        } else d
+        Row(bi, bj, out.toSeq)
+      }
+      val df = spark.createDataFrame(rows, schema).cache()
+      df.count() // materialize before the state RDD unpersists
+      df
+    } finally state.unpersist(false)
+  }
+
+  /** GArr-level `cholesky(a)` — returns the FULL lower-triangular chunked
+    * array (explicit zero blocks above the diagonal, so it composes with
+    * matmul/norm like any other GArr).
+    */
+  def cholesky(a: GArr): GArr = {
+    val (df, bs) = garrToBlocks(a)
+    val nb = (a.shape(0) / bs).toInt
+    val lowerDf = cholesky(df, bs)
+    val spark = a.blocks.sparkSession
+    import spark.implicits._
+    val lower = lowerDf.select(col("bi"), col("bj"), col("data"))
+      .as[(Int, Int, Seq[Double])].map { case (bi, bj, d) =>
+        val rm = new Array[Double](bs * bs)
+        var c = 0
+        while (c < bs) { var r = 0; while (r < bs) { rm(r * bs + c) = d(c * bs + r); r += 1 }; c += 1 }
+        ABlock(Seq(bi, bj), rm)
+      }
+    val zeros = spark.range(nb.toLong * nb).map { flat: java.lang.Long =>
+      val bi = (flat.longValue / nb).toInt; val bj = (flat.longValue % nb).toInt
+      ABlock(Seq(bi, bj), new Array[Double](bs * bs))
+    }.filter(blk => blk.bid(0) < blk.bid(1))
+    GArr(a.shape, a.chunks, lower.union(zeros))
+  }
 }
