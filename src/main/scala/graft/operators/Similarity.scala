@@ -281,34 +281,41 @@ object Similarity {
     * first two centroid components (enough to pin the whole fit, since
     * any divergence propagates through the final assignment counts).
     */
-  def kmeans(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-             iters: Int = 2, maxCodebook: Int = 65536): DataFrame = {
-    require(k >= 1 && k <= maxCodebook, s"k must be in [1, $maxCodebook]")
+  /** The Lloyd assignment UDF: nearest centroid by squared L2, smallest
+    * cell on ties (strict `<`) — shared by [[kmeans]] and
+    * [[semanticDedup]].
+    */
+  private def cellAssigner(spark: org.apache.spark.sql.SparkSession,
+                           c: Array[Array[Double]]) = {
+    val bc = spark.sparkContext.broadcast(c)
+    udf((v: Seq[Float]) => {
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < cs.length) {
+        val ce = cs(ci); var d = 0.0; var i = 0
+        while (i < ce.length) { val t = v(i) - ce(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = ci } // strict < keeps smallest cell on ties
+        ci += 1
+      }
+      best
+    })
+  }
+
+  /** Rounded Lloyd training (k lowest-id seeds, centroid means rounded
+    * half-up to 1e-6 per update for engine-independence): the centroid
+    * array [[kmeans]] summarizes and [[semanticDedup]] clusters with.
+    */
+  private def lloydTrain(corpus: DataFrame, idCol: String, vecCol: String,
+                         k: Int, iters: Int): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     val init = corpus.select(col(idCol).cast("long"), col(vecCol))
       .orderBy(col(idCol).cast("long")).limit(k).collect()
     require(init.length == k, s"corpus has fewer than k=$k vectors")
     var cents: Array[Array[Double]] =
       init.map(_.getSeq[Float](1).iterator.map(_.toDouble).toArray)
-
-    def assigner(c: Array[Array[Double]]) = {
-      val bc = spark.sparkContext.broadcast(c)
-      udf((v: Seq[Float]) => {
-        val cs = bc.value
-        var best = 0; var bestD = Double.MaxValue
-        var ci = 0
-        while (ci < cs.length) {
-          val ce = cs(ci); var d = 0.0; var i = 0
-          while (i < ce.length) { val t = v(i) - ce(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = ci } // strict < keeps smallest cell on ties
-          ci += 1
-        }
-        best
-      })
-    }
-
     for (_ <- 1 to iters) {
-      val assigned = corpus.select(assigner(cents)(col(vecCol)).as("cell"),
+      val assigned = corpus.select(cellAssigner(spark, cents)(col(vecCol)).as("cell"),
         col(vecCol).as("__v"))
       val updated = assigned
         .select(col("cell"), posexplode(col("__v")).as(Seq("dim", "x")))
@@ -321,6 +328,15 @@ object Similarity {
       }
       cents = next
     }
+    cents
+  }
+
+  def kmeans(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+             iters: Int = 2, maxCodebook: Int = 65536): DataFrame = {
+    require(k >= 1 && k <= maxCodebook, s"k must be in [1, $maxCodebook]")
+    val spark = corpus.sparkSession
+    val cents = lloydTrain(corpus, idCol, vecCol, k, iters)
+    def assigner(c: Array[Array[Double]]) = cellAssigner(spark, c)
 
     // return contract reports the first two centroid components; pad a
     // 1-dim space with 0.0 rather than crashing on c(1)
@@ -336,6 +352,42 @@ object Similarity {
       .groupBy("cell").agg(count(lit(1)).as("n"))
       .join(broadcast(centFrame), Seq("cell"), "right")
       .select(col("cell"), coalesce(col("n"), lit(0L)).as("n"), col("c0"), col("c1"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication of an embedding corpus. Coarse k-means clustering
+    * (the rounded Lloyd of [[kmeans]], so cluster assignment is
+    * engine-replicable), then EXACT pairwise cosine *within each
+    * cluster only*; a vector is dropped when a same-cluster mate with a
+    * smaller id sits at cosine ≥ `tau` (keep-lowest-id, the paper's
+    * "keep one per semantic duplicate group" rule made deterministic).
+    *
+    * Scale shape: the pair join is keyed by cluster cell — the corpus
+    * never self-joins globally. Cluster population is ~n/k, so pair work
+    * is n²/k; k is the knob the paper also turns (their 50k clusters on
+    * LAION). Zero-norm vectors have no cosine and are always kept.
+    *
+    * Returns the SURVIVORS: (id, cell).
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int = 2, tau: Double = 0.95): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = lloydTrain(corpus, idCol, vecCol, k, iters)
+    val assigned = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("__v"),
+      cellAssigner(spark, cents)(col(vecCol)).as("cell"),
+      vecNorm(col(vecCol)).as("__n"))
+    val a = assigned.filter(col("__n") > 0)
+      .select(col("id"), col("cell"), col("__v"), col("__n"))
+    val b = a.select(col("id").as("id_b"), col("cell"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    // dropped = has a smaller-id cluster-mate above the threshold
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id_b") < col("id"))
+      .filter(vecDot(col("__v"), col("__vb")) / (col("__n") * col("__nb")) >= tau)
+      .select(col("id")).distinct()
+    assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("cell"))
   }
 
   /** Bucketed ANN: candidates restricted to the query's bucket, then exact

@@ -132,4 +132,28 @@ class KmeansStreamDedupSpec extends SparkTestBase {
     assert(got("b") == Set(2.0), s"late duplicate below the watermark must be dropped: $got")
     assert(got("m") == Set(3.0))
   }
+
+  test("semanticDedup drops near-identical vectors within a cluster, keeps lowest id") {
+    // cluster A around (0,1): ids 0,2,4 nearly parallel (cos≈1) + id 6
+    // orthogonal-ish; cluster B around (10,0): ids 1,3 nearly parallel.
+    val rows = Seq(
+      vecRow(0L, Array(0.0f, 1.0f)),
+      vecRow(2L, Array(0.001f, 1.0f)),    // dup of 0
+      vecRow(4L, Array(0.0f, 0.98f)),     // dup of 0 (same direction)
+      vecRow(6L, Array(1.0f, 1.0f)),      // 45° off — survives at tau=.99
+      vecRow(1L, Array(10.0f, 0.0f)),
+      vecRow(3L, Array(10.0f, 0.05f)),    // dup of 1
+      vecRow(5L, Array(0.0f, 0.0f))       // zero-norm: always kept
+    )
+    val df = spark.createDataset(rows).toDF("vec_id", "embedding").repartition(3)
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding", k = 2, iters = 2,
+      tau = 0.99).collect().map(_.getLong(0)).toSet
+    assert(out == Set(0L, 1L, 5L, 6L), s"survivors: $out")
+    // partition-layout independence (content-keyed, like every dedup tier)
+    val out1 = Similarity.semanticDedup(
+      spark.createDataset(rows).toDF("vec_id", "embedding").repartition(1),
+      "vec_id", "embedding", k = 2, iters = 2, tau = 0.99)
+      .collect().map(_.getLong(0)).toSet
+    assert(out1 == out)
+  }
 }
