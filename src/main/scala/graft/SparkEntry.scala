@@ -2178,6 +2178,54 @@ object SparkEntry {
         .repartitionByRange(6, col("_1")).sortWithinPartitions("_1")
       GBag(ds).accumulate((a, b) => (b._1, a._2 + b._2))
         .toDF("idx", "cum").select(col("idx"), col("cum"))
+    },
+
+    // ---- SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse k-means
+    // clusters, EXACT within-cluster cosine, keep-lowest-id — the
+    // embedding-level dedup a training corpus runs after MinHash. Pair
+    // space is n²/k (cluster-bucketed), never a global self-join. The
+    // stride subset keeps the oracle's quadratic replica bounded at gate
+    // scale (same protocol as q61). tau = 0.3 because the synthetic
+    // embeddings plant no true near-dups (corpus max cosine ≈ 0.6) —
+    // the machinery and engine-agreement are what's under test here;
+    // real corpora run 0.9+ (the spec test pins the semantics).
+    "q176_semantic_dedup" -> { (s, dir) =>
+      graft.operators.Similarity.semanticDedup(
+        t(s, dir, "embeddings").filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 8, iters = 2, tau = 0.3)
+    },
+
+    // ---- routines long tail (dask/array/routines.py): ediff1d +
+    // flatnonzero chained — consecutive diffs of the total-ordered
+    // quantity vector, then the flat C-order indices of the nonzero
+    // diffs via the counts-prefix boolean-mask compaction (no sort).
+    "q177_flatnonzero_diff" -> { (s, dir) =>
+      import graft.operators.{ArrayRoutines, GArr}
+      val li = t(s, dir, "lineitem")
+      val x = GArr.fromColumn(li.sort(liTotalOrder.map(col): _*).limit(4096),
+        "l_quantity", liTotalOrder, chunk = 512)
+      ArrayRoutines.flatnonzero(ArrayRoutines.ediff1d(x)).toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("pos"))
+    },
+
+    // ---- masked arrays (dask/array/ma.py): mask quantities in [10,30],
+    // per-row valid count / masked sum / masked mean over the 60x100
+    // matrix — np.ma reduction semantics (masked cells contribute
+    // nothing; mean divides by the VALID count, not the axis length).
+    "q178_masked_mean" -> { (s, dir) =>
+      import graft.operators.{GArr, MaskedArr}
+      val li = t(s, dir, "lineitem")
+      val x = GArr.fromColumn(li.sort(liTotalOrder.map(col): _*).limit(6000),
+        "l_quantity", liTotalOrder, chunk = 512)
+        .reshape(Seq(60L, 100L), Seq(16, 32)).persist()
+      val m = MaskedArr.maskedInside(x, 10.0, 30.0)
+      val c = m.countAxis(1).toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("c"))
+      val sm = m.sumAxis(1).toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("s"))
+      val mn = m.meanAxis(1).toIndexedDF.select(col("idx"), col("value").as("mean"))
+      c.join(sm, "idx").join(mn, "idx")
+        .select(col("idx"), col("c"), col("s"), col("mean"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -4309,5 +4357,92 @@ object SparkEntry {
         |  FROM lineitem)
         |SELECT CAST(rn AS BIGINT) AS idx,
         |       CAST(SUM(q) OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-        |FROM t WHERE rn < 3000""".stripMargin)
+        |FROM t WHERE rn < 3000""".stripMargin,
+
+    // q176: the full SemDeDup chain restated — the q126 Lloyd replica
+    // (k=8 seeds by lowest id, 2 iterations, centroid means rounded
+    // half-up at 1e-6, ties to the lowest cell) on the odd-id subset,
+    // then exact within-cluster cosine with keep-lowest-id survivors.
+    // vec_dot is bit-identical to list_inner_product (index-order double
+    // accumulation), so the >= tau comparison agrees exactly.
+    "q176_semantic_dedup" ->
+      """CREATE OR REPLACE TEMP MACRO r6m(x) AS floor(x * 1e6 + 0.5) / 1e6;
+        |WITH corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |              WHERE vec_id % 2 = 1),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+        |         v AS cv
+        |       FROM (SELECT * FROM corp ORDER BY vec_id LIMIT 8)),
+        |a1 AS (SELECT vec_id, v, cell FROM (
+        |        SELECT vec_id, v, cell, row_number() OVER (
+        |          PARTITION BY vec_id ORDER BY d, cell) AS rk
+        |        FROM (SELECT corp.vec_id, corp.v, c0.cell,
+        |          list_sum(list_transform(range(1, len(corp.v) + 1),
+        |            i -> (corp.v[i] - c0.cv[i]) * (corp.v[i] - c0.cv[i]))) AS d
+        |          FROM corp, c0)) WHERE rk = 1),
+        |u1 AS (SELECT cell, list(m ORDER BY dim) AS uv FROM (
+        |        SELECT cell, dim, r6m(avg(x)) AS m FROM (
+        |          SELECT cell, unnest(range(1, len(v) + 1)) AS dim,
+        |                 unnest(v) AS x FROM a1)
+        |        GROUP BY cell, dim) GROUP BY cell),
+        |c1 AS (SELECT c0.cell, coalesce(u1.uv, c0.cv) AS cv
+        |       FROM c0 LEFT JOIN u1 USING (cell)),
+        |a2 AS (SELECT vec_id, v, cell FROM (
+        |        SELECT vec_id, v, cell, row_number() OVER (
+        |          PARTITION BY vec_id ORDER BY d, cell) AS rk
+        |        FROM (SELECT corp.vec_id, corp.v, c1.cell,
+        |          list_sum(list_transform(range(1, len(corp.v) + 1),
+        |            i -> (corp.v[i] - c1.cv[i]) * (corp.v[i] - c1.cv[i]))) AS d
+        |          FROM corp, c1)) WHERE rk = 1),
+        |u2 AS (SELECT cell, list(m ORDER BY dim) AS uv FROM (
+        |        SELECT cell, dim, r6m(avg(x)) AS m FROM (
+        |          SELECT cell, unnest(range(1, len(v) + 1)) AS dim,
+        |                 unnest(v) AS x FROM a2)
+        |        GROUP BY cell, dim) GROUP BY cell),
+        |c2 AS (SELECT c1.cell, coalesce(u2.uv, c1.cv) AS cv
+        |       FROM c1 LEFT JOIN u2 USING (cell)),
+        |af AS (SELECT vec_id, cell FROM (
+        |        SELECT vec_id, cell, row_number() OVER (
+        |          PARTITION BY vec_id ORDER BY d, cell) AS rk
+        |        FROM (SELECT corp.vec_id, c2.cell,
+        |          list_sum(list_transform(range(1, len(corp.v) + 1),
+        |            i -> (corp.v[i] - c2.cv[i]) * (corp.v[i] - c2.cv[i]))) AS d
+        |          FROM corp, c2)) WHERE rk = 1),
+        |nm AS (SELECT corp.vec_id, corp.v,
+        |         sqrt(list_inner_product(corp.v, corp.v)) AS nrm FROM corp),
+        |pr AS (SELECT af.vec_id, af.cell, nm.v, nm.nrm
+        |       FROM af JOIN nm USING (vec_id) WHERE nm.nrm > 0),
+        |dropped AS (SELECT DISTINCT a.vec_id FROM pr a JOIN pr b
+        |       ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |       WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3)
+        |SELECT CAST(af.vec_id AS BIGINT) AS id, af.cell FROM af
+        |WHERE af.vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+
+    // q177: ediff1d = q[i+1]-q[i] over the total order; flatnonzero = the
+    // positions (in a fresh dense index) where the diff is nonzero.
+    "q177_flatnonzero_diff" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |d AS (SELECT a.rn AS i, b.q - a.q AS dv
+        |      FROM t a JOIN t b ON b.rn = a.rn + 1 WHERE a.rn < 4095),
+        |nz AS (SELECT i, row_number() OVER (ORDER BY i) - 1 AS k
+        |       FROM d WHERE dv <> 0)
+        |SELECT CAST(k AS BIGINT) AS idx, CAST(i AS BIGINT) AS pos FROM nz""".stripMargin,
+
+    // q178: np.ma reductions — valid = quantity OUTSIDE [10,30]; masked
+    // mean = exact integer sum / valid count (one double division, both
+    // engines bit-identical).
+    "q178_masked_mean" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |cells AS (SELECT rn // 100 AS row, q FROM t WHERE rn < 6000),
+        |agg AS (SELECT row, count(*) FILTER (q < 10 OR q > 30) AS c,
+        |          coalesce(sum(q) FILTER (q < 10 OR q > 30), 0) AS s
+        |        FROM cells GROUP BY row)
+        |SELECT CAST(row AS BIGINT) AS idx, CAST(c AS BIGINT) AS c,
+        |       CAST(s AS BIGINT) AS s, CAST(s AS DOUBLE) / c AS mean
+        |FROM agg""".stripMargin)
 }

@@ -127,6 +127,69 @@ final class GBag[T](val ds: Dataset[T]) extends Serializable {
   def toTextfiles(path: String): Unit =
     ds.map(x => String.valueOf(x))(org.apache.spark.sql.Encoders.STRING)
       .toDF("value").write.mode("overwrite").text(path)
+
+  /** bag `take(k)` (`bag/core.py:1420`) — first k elements; like the
+    * reference, reads as few partitions as satisfy k.
+    */
+  def take(k: Int): Seq[T] = ds.head(k).toSeq
+
+  /** bag `remove(predicate)` (`bag/core.py:709`) — filter-out. */
+  def remove(p: T => Boolean): GBag[T] = new GBag(ds.filter((t: T) => !p(t)))
+
+  /** bag `flatten` (`bag/core.py:1474`) — concat one nesting level. */
+  def flatten[U: Encoder](implicit ev: T => IterableOnce[U]): GBag[U] =
+    new GBag(ds.flatMap(t => ev(t)))
+
+  /** bag `random_sample(prob, random_state)` (`bag/core.py:674`):
+    * Bernoulli per element, deterministic for a given seed AND layout
+    * (the reference's contract is the same — its per-partition Random
+    * streams change if the bag repartitions).
+    */
+  def randomSample(prob: Double, seed: Long)(
+      implicit e: Encoder[T], ct: scala.reflect.ClassTag[T]): GBag[T] = {
+    require(prob >= 0 && prob <= 1, s"prob must be in [0, 1]: $prob")
+    val p = prob; val s0 = seed
+    val sampled = ds.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val rng = new java.util.Random(s0 * 1099511628211L + pi) // per-partition substream
+      it.filter(_ => rng.nextDouble() < p)
+    }
+    new GBag(spark.createDataset(sampled))
+  }
+
+  /** The scalar reduction tier (`bag/core.py:1077-1147`): count / sum /
+    * min / max / any / all / mean / var / std. sum/mean/var ship one
+    * (count, sum, sumsq) triple per partition — the reference's
+    * split_every combine tree is Spark's tree aggregation.
+    */
+  def count(): Long = ds.count()
+  def sum()(implicit num: Numeric[T]): T = ds.reduce((a, b) => num.plus(a, b))
+  def min()(implicit ord: Ordering[T]): T = ds.reduce((a, b) => ord.min(a, b))
+  def max()(implicit ord: Ordering[T]): T = ds.reduce((a, b) => ord.max(a, b))
+  def any(p: T => Boolean): Boolean = !ds.filter(p).isEmpty
+  def all(p: T => Boolean): Boolean = ds.filter((t: T) => !p(t)).isEmpty
+
+  private def moments()(implicit num: Numeric[T]): (Long, Double, Double) =
+    ds.rdd.mapPartitions { it =>
+      var n = 0L; var s = 0.0; var ss = 0.0
+      it.foreach { t => val x = num.toDouble(t); n += 1; s += x; ss += x * x }
+      Iterator.single((n, s, ss))
+    }.reduce { case ((n1, s1, q1), (n2, s2, q2)) => (n1 + n2, s1 + s2, q1 + q2) }
+
+  /** bag `mean` (`bag/core.py:1125`). */
+  def mean()(implicit num: Numeric[T]): Double = {
+    val (n, s, _) = moments(); s / n
+  }
+
+  /** bag `var(ddof)` (`bag/core.py:1141`) — population variance at
+    * ddof=0, matching the reference default.
+    */
+  def variance(ddof: Int = 0)(implicit num: Numeric[T]): Double = {
+    val (n, s, ss) = moments()
+    (ss - s * s / n) / (n - ddof)
+  }
+
+  def std(ddof: Int = 0)(implicit num: Numeric[T]): Double =
+    math.sqrt(variance(ddof))
 }
 
 object GBag {

@@ -83,6 +83,34 @@ final case class MaskedArr(data: GArr, mask: GArr, fillValue: Double = 1e20) {
       mask.elemwise(bad)((a, b) => if (a != 0.0 || b != 0.0) 1.0 else 0.0),
       fillValue)
   }
+
+  /** `np.ma.compressed` — the VALID cells as a 1-D array (C order):
+    * boolean-mask compaction with the inverted mask.
+    */
+  def compressed(chunk: Int = 65536): GArr = {
+    val df = ArrayRoutines.ravel(data, chunk)
+    val mf0 = ArrayRoutines.ravel(mask.scalarMap(m => 1.0 - m), chunk)
+    val mf = if (mf0.chunks == df.chunks) mf0 else mf0.rechunkTo(df.chunks)
+    df.booleanMask(mf)
+  }
+
+  /** `ma.nonzero` (`ma.py:217`): nonzero of `data * ~mask` — masked cells
+    * never count as nonzero.
+    */
+  def nonzero(): Seq[GArr] =
+    ArrayRoutines.nonzero(data.elemwise(mask)((x, m) => if (m != 0.0) 0.0 else x))
+
+  /** `ma.where(cond, x, y)` (`ma.py:222`) — per-cell pick; chosen cell's
+    * mask travels with its payload (np.ma.where semantics).
+    */
+  def maWhere(cond: GArr, other: MaskedArr): MaskedArr =
+    MaskedArr(data.where(cond, other.data), mask.where(cond, other.mask), fillValue)
+
+  /** `ma.ones_like` / `ma.zeros_like` (`ma.py:199,205`): payload replaced,
+    * mask preserved, per np.ma.
+    */
+  def onesLike: MaskedArr = copy(data = data.scalarMap(_ => 1.0))
+  def zerosLike: MaskedArr = copy(data = data.scalarMap(_ => 0.0))
 }
 
 object MaskedArr {
@@ -128,4 +156,18 @@ object MaskedArr {
     val lo = math.min(v1, v2); val hi = math.max(v1, v2)
     new MaskedArr(a, a.scalarMap(x => if (x < lo || x > hi) 1.0 else 0.0))
   }
+
+  /** The `_wrap_masked` comparison family (`ma.py:30-48`):
+    * masked_greater / greater_equal / less / less_equal / not_equal.
+    */
+  def maskedGreater(a: GArr, v: Double): MaskedArr =
+    new MaskedArr(a, a.scalarMap(x => if (x > v) 1.0 else 0.0))
+  def maskedGreaterEqual(a: GArr, v: Double): MaskedArr =
+    new MaskedArr(a, a.scalarMap(x => if (x >= v) 1.0 else 0.0))
+  def maskedLess(a: GArr, v: Double): MaskedArr =
+    new MaskedArr(a, a.scalarMap(x => if (x < v) 1.0 else 0.0))
+  def maskedLessEqual(a: GArr, v: Double): MaskedArr =
+    new MaskedArr(a, a.scalarMap(x => if (x <= v) 1.0 else 0.0))
+  def maskedNotEqual(a: GArr, v: Double): MaskedArr =
+    new MaskedArr(a, a.scalarMap(x => if (x != v) 1.0 else 0.0))
 }

@@ -22,6 +22,34 @@ class BagLinalgStreamSpec extends SparkTestBase {
     assert(folded == Map(1 -> 1, 2 -> 4, 3 -> 9, 4 -> 4))
   }
 
+  test("bag: take/remove/flatten/random_sample and the scalar reduction tier") {
+    val b = GBag.fromSeq(spark, Seq(1, 2, 2, 3, 3, 3, 4), npartitions = 3)
+    assert(b.take(3).length == 3)
+    assert(b.remove(_ % 2 == 0).compute().sorted.toSeq == Seq(1, 3, 3, 3))
+    assert(b.count() == 7L)
+    assert(b.sum() == 18)
+    assert(b.min() == 1 && b.max() == 4)
+    assert(b.any(_ > 3) && !b.any(_ > 4))
+    assert(b.all(_ >= 1) && !b.all(_ > 1))
+    assert(b.mean() == 18.0 / 7)
+    val xs = Seq(1, 2, 2, 3, 3, 3, 4).map(_.toDouble)
+    val m = xs.sum / xs.length
+    val popVar = xs.map(x => (x - m) * (x - m)).sum / xs.length
+    assert(math.abs(b.variance() - popVar) < 1e-12)
+    assert(math.abs(b.std() - math.sqrt(popVar)) < 1e-12)
+    assert(math.abs(b.variance(ddof = 1) - popVar * 7 / 6) < 1e-12)
+    // flatten: one nesting level
+    val nested = GBag.fromSeq(spark, Seq(Seq(1, 2), Seq(3), Seq.empty[Int]), 2)
+    assert(nested.flatten[Int].compute().sorted.toSeq == Seq(1, 2, 3))
+    // random_sample: deterministic for (seed, layout); prob bounds enforced
+    val big = GBag.fromSeq(spark, 1 to 1000, npartitions = 4)
+    val s1 = big.randomSample(0.3, seed = 7).compute().toSeq
+    val s2 = big.randomSample(0.3, seed = 7).compute().toSeq
+    assert(s1 == s2, "same seed + layout must reproduce")
+    assert(s1.length > 200 && s1.length < 400, s"~30% expected, got ${s1.length}")
+    assertThrows[IllegalArgumentException](big.randomSample(1.5, 1))
+  }
+
   test("bag: accumulate prefix scan matches driver scan under any partitioning") {
     val xs = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5)
     val want = xs.scanLeft(0)(_ + _).tail // running sums, no initial

@@ -143,4 +143,33 @@ class RoutinesMaSpec extends SparkTestBase {
     val mv = MaskedArr.maskedValues(a, 2.0 + 1e-9)
     assert(values1d(mv.getmaskarray) == Seq(0, 1, 0, 0, 0, 0).map(_.toDouble))
   }
+
+  test("ma: comparison constructors, compressed, nonzero, where, ones/zeros_like") {
+    val a = arr1d(Seq(1, 2, 3, 4, 5, 6).map(_.toDouble), 2)
+    assert(values1d(MaskedArr.maskedGreater(a, 4.0).getmaskarray) ==
+      Seq(0, 0, 0, 0, 1, 1).map(_.toDouble))
+    assert(values1d(MaskedArr.maskedGreaterEqual(a, 4.0).getmaskarray) ==
+      Seq(0, 0, 0, 1, 1, 1).map(_.toDouble))
+    assert(values1d(MaskedArr.maskedLess(a, 3.0).getmaskarray) ==
+      Seq(1, 1, 0, 0, 0, 0).map(_.toDouble))
+    assert(values1d(MaskedArr.maskedLessEqual(a, 3.0).getmaskarray) ==
+      Seq(1, 1, 1, 0, 0, 0).map(_.toDouble))
+    assert(values1d(MaskedArr.maskedNotEqual(a, 3.0).getmaskarray) ==
+      Seq(1, 1, 0, 1, 1, 1).map(_.toDouble))
+    // compressed: valid cells only, C order
+    val mw = MaskedArr.maskedWhere(a.scalarMap(v => if (v % 2 == 0) 1.0 else 0.0), a)
+    assert(values1d(mw.compressed()) == Seq(1.0, 3.0, 5.0))
+    // ma.nonzero: masked cells never count as nonzero; payload zeros don't either
+    val withZero = a.scalarMap(v => if (v == 4.0) 0.0 else v)
+    val nz = MaskedArr.maskedEqual(withZero, 2.0).nonzero()
+    assert(values1d(nz.head) == Seq(0.0, 2.0, 4.0, 5.0)) // flat idx of 1,3,5,6
+    // ma.where: chosen cell's mask travels with its payload
+    val other = MaskedArr.maskedEqual(a.scalarMap(_ + 10), 13.0)
+    val cond = a.scalarMap(v => if (v <= 3.0) 1.0 else 0.0)
+    val picked = mw.maWhere(cond, other)
+    assert(values1d(picked.getdata) == Seq(1, 2, 3, 14, 15, 16).map(_.toDouble))
+    assert(values1d(picked.getmaskarray) == Seq(0, 1, 0, 0, 0, 0).map(_.toDouble))
+    assert(values1d(mw.onesLike.getdata) == Seq.fill(6)(1.0))
+    assert(values1d(mw.zerosLike.getmaskarray) == values1d(mw.getmaskarray))
+  }
 }
