@@ -2226,6 +2226,99 @@ object SparkEntry {
       val mn = m.meanAxis(1).toIndexedDF.select(col("idx"), col("value").as("mean"))
       c.join(sm, "idx").join(mn, "idx")
         .select(col("idx"), col("c"), col("s"), col("mean"))
+    },
+
+    // ---- multi-dim FFT (dask/array/fft.py fft2/ifft2): 64x32 integer
+    // grid -> forward 2-D transform -> inverse -> round(re) recovers the
+    // exact integers (double roundtrip error ~1e-12 relative, integers
+    // < 2^7, so rounding is exact at any gate scale). The transform
+    // itself is pinned by q180's spectrum identities — this query pins
+    // the INVERSE path.
+    "q179_fft2_roundtrip" -> { (s, dir) =>
+      import graft.operators.{CArr, ComplexFft, GArr}
+      val li = t(s, dir, "lineitem")
+      val x = GArr.fromColumn(li.sort(liTotalOrder.map(col): _*).limit(2048),
+        "l_quantity", liTotalOrder, chunk = 512)
+        .reshape(Seq(64L, 32L), Seq(16, 16))
+      ComplexFft.ifft2(ComplexFft.fft2(CArr.fromReal(x))).reArr
+        .toIndexedDF
+        .select(col("idx"), round(col("value")).cast("long").as("v"))
+    },
+
+    // ---- forward-transform identities the oracle can restate exactly:
+    // the DC bin of a 2-D DFT is the plain sum, and Parseval gives
+    // sum|X|^2 = N * sum x^2 — both integers after rounding, so a
+    // "transform" that was secretly the identity (which would also pass
+    // q179) fails here.
+    "q180_fft_parseval" -> { (s, dir) =>
+      import graft.operators.{CArr, ComplexFft, GArr}
+      val li = t(s, dir, "lineitem")
+      val x = GArr.fromColumn(li.sort(liTotalOrder.map(col): _*).limit(2048),
+        "l_quantity", liTotalOrder, chunk = 512)
+        .reshape(Seq(64L, 32L), Seq(16, 16))
+      val f = ComplexFft.fft2(CArr.fromReal(x)).persist()
+      val dc = f.reArr.toIndexedDF.where(col("idx") === 0L)
+        .select(round(col("value")).cast("long").as("dc"))
+      val power = f.reArr.elemwise(f.imArr)((r, i) => r * r + i * i).sumAll
+      val ps = s.range(1).select(
+        lit(math.round(power / 2048.0)).as("parseval"))
+      dc.crossJoin(ps)
+    },
+
+    // ---- sliding_window_view (array/lib/stride_tricks.py) + narrow
+    // trailing-axis reductions: 7-wide windows over the total-ordered
+    // quantity vector; per-window sum and min are exact BIGINTs the
+    // oracle restates as frame window functions.
+    "q181_sliding_window" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      val sw = GArr.fromColumn(li.sort(liTotalOrder.map(col): _*).limit(4096),
+        "l_quantity", liTotalOrder, chunk = 512)
+        .slidingWindowAxis(0, 7).persist()
+      val sums = sw.sumAxis(1).toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("wsum"))
+      val mins = sw.minAxis(1).toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("wmin"))
+      sums.join(mins, "idx").select(col("idx"), col("wsum"), col("wmin"))
+    },
+
+    // ---- unravel_index / ravel_multi_index (routines.py): flat indices
+    // mod 120 decomposed over dims (4,5,6) and re-raveled — exact integer
+    // div/mod on both engines, elementwise narrow maps + co-gridded zips.
+    "q182_unravel_ravel" -> { (s, dir) =>
+      import graft.operators.{ArrayRoutines, GArr}
+      val ord = t(s, dir, "orders")
+        .sort("o_orderkey").limit(1024)
+        .select(col("o_orderkey"), (col("o_orderkey") % 120).cast("double").as("k"))
+      val idx = GArr.fromColumn(ord, "k", Seq("o_orderkey"), chunk = 200)
+      val dims = Seq(4L, 5L, 6L)
+      val coords = ArrayRoutines.unravelIndex(idx, dims)
+      val rav = ArrayRoutines.ravelMultiIndex(coords, dims)
+      def c(a: GArr, name: String) = a.toIndexedDF
+        .select(col("idx"), col("value").cast("long").as(name))
+      c(coords(0), "c0").join(c(coords(1), "c1"), "idx")
+        .join(c(coords(2), "c2"), "idx").join(c(rav, "rav"), "idx")
+        .select(col("idx"), col("c0"), col("c1"), col("c2"), col("rav"))
+    },
+
+    // ---- meshgrid (routines.py, 'xy' indexing): coordinate grids from
+    // the region x nation key vectors, combined elementwise on the shared
+    // chunk grid the broadcast outputs land on — the oracle is the plain
+    // cross join.
+    "q183_meshgrid" -> { (s, dir) =>
+      import graft.operators.{ArrayRoutines, GArr}
+      val nk = t(s, dir, "nation").sort("n_nationkey")
+        .select((col("n_nationkey") + 1).cast("double").as("x"), col("n_nationkey"))
+      val rk = t(s, dir, "region").sort("r_regionkey")
+        .select((col("r_regionkey") + 2).cast("double").as("y"), col("r_regionkey"))
+      val x = GArr.fromColumn(nk, "x", Seq("n_nationkey"), chunk = 8)
+      val y = GArr.fromColumn(rk, "y", Seq("r_regionkey"), chunk = 2)
+      val Seq(gx, gy) = ArrayRoutines.meshgrid(Seq(x, y)) // shape (5, 25)
+      val prod = gx.elemwise(gy)(_ * _)
+      def c(a: GArr, name: String) = a.toIndexedDF
+        .select(col("idx"), col("value").cast("long").as(name))
+      c(gx, "xv").join(c(gy, "yv"), "idx").join(c(prod, "xy"), "idx")
+        .select(col("idx"), col("xv"), col("yv"), col("xy"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -4444,5 +4537,71 @@ object SparkEntry {
         |        FROM cells GROUP BY row)
         |SELECT CAST(row AS BIGINT) AS idx, CAST(c AS BIGINT) AS c,
         |       CAST(s AS BIGINT) AS s, CAST(s AS DOUBLE) / c AS mean
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin,
+
+    // q179: ifft2(fft2(x)) recovers x exactly after rounding — the oracle
+    // is the source grid itself (the forward transform is pinned by q180,
+    // whose identities an identity "transform" cannot satisfy).
+    "q179_fft2_roundtrip" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem)
+        |SELECT CAST(rn AS BIGINT) AS idx, CAST(q AS BIGINT) AS v
+        |FROM t WHERE rn < 2048""".stripMargin,
+
+    // q180: DC bin = plain sum; Parseval: sum|X|^2 / N = sum x^2 — both
+    // exact integers, unfakeable by a pass-through.
+    "q180_fft_parseval" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem)
+        |SELECT CAST(sum(q) AS BIGINT) AS dc,
+        |       CAST(sum(q * q) AS BIGINT) AS parseval
+        |FROM t WHERE rn < 2048""".stripMargin,
+
+    // q181: sliding windows restated as frame window functions over the
+    // proven-total 5-column order (window starts 0..4089 for n=4096, w=7).
+    "q181_sliding_window" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |w AS (SELECT rn,
+        |        sum(q) OVER (ORDER BY rn ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS wsum,
+        |        min(q) OVER (ORDER BY rn ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING) AS wmin
+        |      FROM t WHERE rn < 4096)
+        |SELECT CAST(rn AS BIGINT) AS idx, CAST(wsum AS BIGINT) AS wsum,
+        |       CAST(wmin AS BIGINT) AS wmin
+        |FROM w WHERE rn < 4090""".stripMargin,
+
+    // q182: unravel over dims (4,5,6) = (k/30, k%30/6, k%6); ravel folds
+    // back — exact integer div/mod on both engines.
+    "q182_unravel_ravel" ->
+      """WITH o AS (
+        |  SELECT o_orderkey % 120 AS k,
+        |         row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+        |  FROM orders ORDER BY o_orderkey LIMIT 1024)
+        |SELECT CAST(rn AS BIGINT) AS idx,
+        |       CAST(k // 30 AS BIGINT) AS c0,
+        |       CAST((k % 30) // 6 AS BIGINT) AS c1,
+        |       CAST(k % 6 AS BIGINT) AS c2,
+        |       CAST(k AS BIGINT) AS rav
+        |FROM o""".stripMargin,
+
+    // q183: meshgrid 'xy' over (nationkey+1, regionkey+2) = the cross
+    // join laid out in C order over shape (nregion, nnation).
+    "q183_meshgrid" ->
+      """WITH n AS (SELECT n_nationkey + 1 AS xv,
+        |             row_number() OVER (ORDER BY n_nationkey) - 1 AS j,
+        |             count(*) OVER () AS nn
+        |           FROM nation),
+        |r AS (SELECT r_regionkey + 2 AS yv,
+        |        row_number() OVER (ORDER BY r_regionkey) - 1 AS i
+        |      FROM region)
+        |SELECT CAST(r.i * n.nn + n.j AS BIGINT) AS idx,
+        |       CAST(n.xv AS BIGINT) AS xv, CAST(r.yv AS BIGINT) AS yv,
+        |       CAST(n.xv * r.yv AS BIGINT) AS xy
+        |FROM n CROSS JOIN r""".stripMargin)
 }

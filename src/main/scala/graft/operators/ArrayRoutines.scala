@@ -254,4 +254,81 @@ object ArrayRoutines {
       if (p < n) Some(a.slice(Seq((p, n, 1L)))) else None).flatten
     GArr.concatenate(0, parts)
   }
+
+  /** `np.unravel_index(indices, dims)` (`routines.py` unravel_index):
+    * per-output-dimension narrow maps — coordinate d of flat index i is
+    * `(i / stride(d)) % dims(d)`, exact in Long for any index < 2⁵³.
+    */
+  def unravelIndex(a: GArr, dims: Seq[Long]): Seq[GArr] = {
+    require(dims.forall(_ > 0), s"unravelIndex: bad dims $dims")
+    val strides = dims.scanRight(1L)(_ * _).tail
+    dims.indices.map { d =>
+      val str = strides(d); val dim = dims(d)
+      a.scalarMap(x => ((x.toLong / str) % dim).toDouble)
+    }
+  }
+
+  /** `np.ravel_multi_index(coords, dims)` (`routines.py`
+    * ravel_multi_index): a left fold of co-gridded blockwise zips —
+    * acc·dims(d) + coord(d), exact in the double's 53-bit integer range.
+    */
+  def ravelMultiIndex(coords: Seq[GArr], dims: Seq[Long]): GArr = {
+    require(coords.nonEmpty && coords.length == dims.length,
+      "ravelMultiIndex: one coordinate array per dimension")
+    coords.tail.zip(dims.tail).foldLeft(coords.head) { case (acc, (c, dim)) =>
+      acc.elemwise(c)((a, b) => a * dim + b)
+    }
+  }
+
+  /** `np.meshgrid` over 1-D chunked inputs (`routines.py` meshgrid —
+    * dask lowers it to broadcast ops; same here): output i keeps array
+    * i's values along its own axis and is tiled along every other, via
+    * [[GArr.expandDims]] + the narrow [[GArr.broadcastAxis]]. With
+    * evenly-chunked inputs the N outputs land on ONE shared chunk grid,
+    * so downstream elementwise combinations (the typical use) are
+    * co-partitioned block zips.
+    */
+  def meshgrid(arrs: Seq[GArr], indexing: String = "xy"): Seq[GArr] = {
+    require(arrs.nonEmpty && arrs.forall(_.ndim == 1), "meshgrid takes 1-D arrays")
+    require(indexing == "xy" || indexing == "ij", s"meshgrid: bad indexing '$indexing'")
+    val n = arrs.length
+    // numpy 'xy' (the default) swaps the first two output axes vs 'ij'
+    def axisOf(i: Int): Int =
+      if (indexing == "xy" && n >= 2) (if (i == 0) 1 else if (i == 1) 0 else i) else i
+    val ownerOf = (0 until n).map(pos => (0 until n).find(i => axisOf(i) == pos).get)
+    val outShape = ownerOf.map(arrs(_).shape.head)
+    val chunkOf = ownerOf.map(arrs(_).chunks.head.head)
+    arrs.zipWithIndex.map { case (x, i) =>
+      val ax = axisOf(i)
+      var g = x
+      var d = 0
+      while (d < ax) { g = g.expandDims(0); d += 1 }
+      d = ax + 1
+      while (d < n) { g = g.expandDims(d); d += 1 }
+      (0 until n).filter(_ != ax).foldLeft(g)((acc, pos) =>
+        acc.broadcastAxis(pos, outShape(pos), chunkOf(pos)))
+    }
+  }
+
+  /** `np.indices(shape)` — one grid-parallel [[GArr.fromFunction]] per
+    * dimension, zero driver data (the creation-suite pattern).
+    */
+  def indicesArr(s: org.apache.spark.sql.SparkSession, shape: Seq[Long],
+                 chunkSizes: Seq[Int]): Seq[GArr] =
+    shape.indices.map(d => GArr.fromFunction(s, shape, chunkSizes)(g => g(d).toDouble))
+
+  /** `np.apply_over_axes(func, a, axes)` (`routines.py` apply_over_axes):
+    * fold `f` over the axes in order; when `f` reduces the axis away
+    * (our reduction methods drop it), re-insert it at length 1 exactly as
+    * numpy does, so later axis numbers keep their meaning.
+    */
+  def applyOverAxes(a: GArr, axes: Seq[Int])(f: (GArr, Int) => GArr): GArr =
+    axes.foldLeft(a) { (acc, ax0) =>
+      val ax = if (ax0 < 0) ax0 + acc.ndim else ax0
+      val r = f(acc, ax)
+      if (r.ndim == acc.ndim) r
+      else if (r.ndim == acc.ndim - 1) r.expandDims(ax)
+      else throw new IllegalArgumentException(
+        s"applyOverAxes: function changed ndim ${acc.ndim} -> ${r.ndim}")
+    }
 }

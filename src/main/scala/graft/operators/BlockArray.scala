@@ -1691,6 +1691,107 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     mapped.regrid(specs, shape, chunks)
   }
 
+  /** numpy/dask `sliding_window_view` along one axis (reference
+    * `array/lib/stride_tricks.py`: dask lowers it through `map_overlap`
+    * with a one-sided depth of `w−1` and a new trailing window axis —
+    * same decomposition here). Each block pulls up to `w−1` trailing
+    * hyperplanes from its right neighbors (only the halo slabs cross the
+    * wire, one shuffle), then emits its windows as a block with a new
+    * LAST axis of length `w`; the output stays chunked exactly like the
+    * input on every other axis, so downstream reductions over the window
+    * axis (rolling sums/means as `sum(axis=-1)`) are narrow.
+    *
+    * numpy semantics: output axis length n−w+1; trailing source blocks
+    * that start past the last window start contribute halo only and emit
+    * no block (the output grid along `axis` is the surviving prefix).
+    */
+  def slidingWindowAxis(axis: Int, w: Int): GArr = {
+    require(ndim >= 1 && axis >= 0 && axis < ndim, s"slidingWindowAxis: bad axis $axis")
+    val n = shape(axis)
+    require(w >= 1 && w <= n, s"slidingWindowAxis: window $w out of range for axis length $n")
+    val s = spark
+    import s.implicits._
+    val nd = ndim
+    val ax = axis
+    val srcStarts = chunks.map(startsOf)
+    val axisStarts = srcStarts(ax)
+    val axisChunks = chunks(ax).toArray
+    val gFull = grid
+    val depth = w - 1
+    val lastStart = n - w // last valid window start (global)
+    // output chunking along the axis: per surviving source block, its
+    // window-start count; all other axes keep their chunking; the window
+    // axis is one chunk of w
+    val coreLens = axisChunks.indices.map { i =>
+      val g0 = axisStarts(i)
+      math.max(0L, math.min(g0 + axisChunks(i), lastStart + 1) - g0).toInt
+    }
+    val kept = coreLens.count(_ > 0)
+    require(kept > 0, "slidingWindowAxis: no windows")
+    val outAxisChunks = coreLens.take(kept)
+    val pieces = blocks.flatMap { b =>
+      val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), b.bid(d)))
+      val alen = sdims(ax)
+      val abid = b.bid(ax)
+      val g0 = axisStarts(abid)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Seq[Int], Int, Array[Double])]()
+      if (abid < kept)
+        out += ((linearBidL(b.bid, gFull), b.bid, 0, b.data))
+      // b's head lands in left neighbors' after-halo (placement is the
+      // axis offset inside the destination's halo-extended block)
+      var m = abid - 1
+      while (m >= 0 && axisStarts(m) + axisChunks(m) > g0 - depth) {
+        if (m < kept) {
+          val eM = axisStarts(m) + axisChunks(m)
+          val hi = math.min(g0 + alen, eM + depth)
+          if (hi > g0) {
+            val dst = b.bid.updated(ax, m)
+            out += ((linearBidL(dst, gFull), dst,
+              (axisChunks(m) + (g0 - eM)).toInt,
+              slabOf(b.data, sdims, ax, 0, (hi - g0).toInt)))
+          }
+        }
+        m -= 1
+      }
+      out
+    }
+    val assembled = pieces.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val ps = it.toArray
+      val bid = ps.head._2
+      val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), bid(d)))
+      val alen = sdims(ax)
+      val g0 = axisStarts(bid(ax))
+      val after = math.min(depth.toLong, n - (g0 + alen)).toInt
+      val cnt = (math.min(g0 + alen, lastStart + 1) - g0).toInt
+      if (cnt <= 0) Iterator.empty
+      else {
+        val hdims = sdims.clone(); hdims(ax) = alen + after
+        val halo = new Array[Double](hdims.product)
+        ps.foreach { case (_, _, place, data) =>
+          val planes = data.length / math.max(1, hdims.product / hdims(ax))
+          placeSlab(data, halo, hdims, ax, place, place + planes)
+        }
+        val hstr = cStridesI(hdims)
+        val coreDims = sdims.clone(); coreDims(ax) = cnt
+        val total = coreDims.product
+        val out = new Array[Double](total * w)
+        val t = new Array[Int](nd)
+        var i = 0
+        while (i < total) {
+          var baseH = 0; var d = 0
+          while (d < nd) { baseH += t(d) * hstr(d); d += 1 }
+          var q = 0
+          while (q < w) { out(i * w + q) = halo(baseH + q * hstr(ax)); q += 1 }
+          incOdo(t, coreDims)
+          i += 1
+        }
+        Iterator.single(ABlock(bid :+ 0, out))
+      }
+    }
+    GArr(shape.updated(ax, lastStart + 1) :+ w.toLong,
+      chunks.updated(ax, outAxisChunks) :+ Seq(w), assembled)
+  }
+
   /** dask `coarsen` (`array/routines.py` coarsen): block-reduce
     * downsampling — each non-overlapping `factors(d)`-sized hyperrectangle
     * reduces to one cell via `reduce` seeded with the first element. Pure

@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** The `dask/array/fft.py` transform surface — fft/ifft/fft2/fftn,
+  * rfft/irfft, hfft/ihfft, and the distributed complex four-step —
+  * checked against direct O(n²) DFTs on multi-chunk arrays.
+  */
+class ComplexFftSpec extends SparkTestBase {
+
+  private def arr1d(vals: Seq[Double], chunk: Int): GArr = {
+    val v = vals.toArray
+    GArr.fromFunction(spark, Seq(v.length.toLong), Seq(chunk))(g => v(g(0).toInt))
+  }
+
+  private def arr2d(rows: Seq[Seq[Double]], cr: Int, cc: Int): GArr = {
+    val v = rows.map(_.toArray).toArray
+    GArr.fromFunction(spark, Seq(v.length.toLong, v.head.length.toLong), Seq(cr, cc))(
+      g => v(g(0).toInt)(g(1).toInt))
+  }
+
+  private def cellsC(x: CArr): (Map[Long, Double], Map[Long, Double]) = {
+    val re = x.reArr.toIndexedDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val im = x.imArr.toIndexedDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    (re, im)
+  }
+
+  /** Direct DFT of a complex sequence, sign e^{-2πikn/N}. */
+  private def dft(re: Array[Double], im: Array[Double]): (Array[Double], Array[Double]) = {
+    val n = re.length
+    val or = new Array[Double](n); val oi = new Array[Double](n)
+    for (k <- 0 until n; j <- 0 until n) {
+      val ang = -2.0 * math.Pi * k * j / n
+      val c = math.cos(ang); val s = math.sin(ang)
+      or(k) += re(j) * c - im(j) * s
+      oi(k) += re(j) * s + im(j) * c
+    }
+    (or, oi)
+  }
+
+  private val eps = 1e-9
+
+  test("fftAxis on a multi-chunk 1-D array matches the direct DFT (n=12, non-pow2)") {
+    val v = (0 until 12).map(i => math.sin(i * 0.7) + i % 3)
+    val x = ComplexFft.fftArr(arr1d(v, 5), 0)
+    val (re, im) = cellsC(x)
+    val (er, ei) = dft(v.toArray, new Array[Double](12))
+    for (k <- 0 until 12) {
+      assert(math.abs(re(k) - er(k)) < eps, s"re[$k]")
+      assert(math.abs(im(k) - ei(k)) < eps, s"im[$k]")
+    }
+  }
+
+  test("ifftAxis inverts fftAxis on complex input with nonzero imaginary part") {
+    val vr = (0 until 10).map(i => (i * i % 7).toDouble)
+    val vi = (0 until 10).map(i => (3 * i % 5).toDouble)
+    val x = CArr.fromParts(arr1d(vr, 4), arr1d(vi, 4))
+    val back = ComplexFft.ifftAxis(ComplexFft.fftAxis(x, 0), 0)
+    val (re, im) = cellsC(back)
+    for (k <- 0 until 10) {
+      assert(math.abs(re(k) - vr(k)) < eps, s"re[$k]")
+      assert(math.abs(im(k) - vi(k)) < eps, s"im[$k]")
+    }
+  }
+
+  test("fft2 on a 2-D multi-chunk array matches the direct 2-D DFT; ifft2 inverts it") {
+    val rows = (0 until 6).map(r => (0 until 8).map(c => ((r * 8 + c) % 11).toDouble))
+    val a = arr2d(rows, 4, 3)
+    val f = ComplexFft.fft2(CArr.fromReal(a))
+    // direct: DFT rows then columns (separable)
+    val tmpR = Array.ofDim[Double](6, 8); val tmpI = Array.ofDim[Double](6, 8)
+    for (r <- 0 until 6) {
+      val (or, oi) = dft(rows(r).toArray, new Array[Double](8))
+      tmpR(r) = or; tmpI(r) = oi
+    }
+    val expR = Array.ofDim[Double](6, 8); val expI = Array.ofDim[Double](6, 8)
+    for (c <- 0 until 8) {
+      val (or, oi) = dft(Array.tabulate(6)(tmpR(_)(c)), Array.tabulate(6)(tmpI(_)(c)))
+      for (r <- 0 until 6) { expR(r)(c) = or(r); expI(r)(c) = oi(r) }
+    }
+    val (re, im) = cellsC(f)
+    for (r <- 0 until 6; c <- 0 until 8) {
+      assert(math.abs(re(r * 8L + c) - expR(r)(c)) < 1e-8, s"re[$r,$c]")
+      assert(math.abs(im(r * 8L + c) - expI(r)(c)) < 1e-8, s"im[$r,$c]")
+    }
+    val back = ComplexFft.ifft2(f).reArr.toIndexedDF.collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    for (r <- 0 until 6; c <- 0 until 8)
+      assert(math.abs(back(r * 8L + c) - rows(r)(c)) < 1e-8, s"roundtrip[$r,$c]")
+  }
+
+  test("rfftAxis keeps bins 0..n/2 of the full transform; irfft inverts for even and odd n") {
+    val v = (0 until 8).map(i => math.cos(i * 1.1) * 3 + i)
+    val a = arr1d(v, 3)
+    val half = ComplexFft.rfftAxis(a, 0)
+    assert(half.shape == Seq(5L))
+    val (hr, hi) = cellsC(half)
+    val (er, ei) = dft(v.toArray, new Array[Double](8))
+    for (k <- 0 to 4) {
+      assert(math.abs(hr(k) - er(k)) < eps, s"rfft re[$k]")
+      assert(math.abs(hi(k) - ei(k)) < eps, s"rfft im[$k]")
+    }
+    val back = ComplexFft.irfftAxis(half, 0)
+    assert(back.shape == Seq(8L))
+    val bv = back.toIndexedDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (k <- 0 until 8) assert(math.abs(bv(k) - v(k)) < eps, s"irfft[$k]")
+    // odd n needs the explicit length (numpy irfft(x, n=9))
+    val v9 = (0 until 9).map(i => (i % 4).toDouble - 1)
+    val h9 = ComplexFft.rfftAxis(arr1d(v9, 4), 0)
+    assert(h9.shape == Seq(5L))
+    val b9 = ComplexFft.irfftAxis(h9, 0, 9L).toIndexedDF.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (k <- 0 until 9) assert(math.abs(b9(k) - v9(k)) < eps, s"irfft odd[$k]")
+  }
+
+  test("hfft(ihfft(a), n) == a — the numpy Hermitian pair identity") {
+    val v = (0 until 10).map(i => (i * 7 % 13).toDouble)
+    val a = arr1d(v, 4)
+    val spec = ComplexFft.ihfftAxis(a, 0)
+    assert(spec.shape == Seq(6L))
+    val back = ComplexFft.hfftAxis(spec, 0, 10L)
+    val bv = back.toIndexedDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (k <- 0 until 10) assert(math.abs(bv(k) - v(k)) < eps, s"hfft∘ihfft[$k]")
+  }
+
+  test("fftn over a 3-D array equals axis-by-axis composition and inverts under ifftn") {
+    val f3 = GArr.fromFunction(spark, Seq(3L, 4L, 5L), Seq(2, 3, 2))(
+      g => ((g(0) * 20 + g(1) * 5 + g(2)) % 7).toDouble)
+    val fwd = ComplexFft.fftn(CArr.fromReal(f3))
+    val byAxis = ComplexFft.fftAxis(ComplexFft.fftAxis(ComplexFft.fftArr(f3, 0), 1), 2)
+    val (ar, ai) = cellsC(fwd)
+    val (br, bi) = cellsC(byAxis)
+    for (i <- 0L until 60L) {
+      assert(math.abs(ar(i) - br(i)) < 1e-8, s"fftn re[$i]")
+      assert(math.abs(ai(i) - bi(i)) < 1e-8, s"fftn im[$i]")
+    }
+    val back = ComplexFft.ifftn(fwd).reArr.toIndexedDF.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (i <- 0 until 60)
+      assert(math.abs(back(i) - ((i / 20 * 20 + i % 20 / 5 * 5 + i % 5) % 7)) < 1e-8)
+  }
+
+  test("distributed four-step fft1dC matches the direct DFT on complex multi-chunk input") {
+    val n = 24 // n2=4, n1=6 — both phases non-trivial at targetElems=8
+    val vr = (0 until n).map(i => math.sin(i * 0.37) + (i % 5))
+    val vi = (0 until n).map(i => math.cos(i * 0.21) - (i % 3))
+    val x = CArr.fromParts(arr1d(vr, 7), arr1d(vi, 7))
+    val got = ComplexFft.fft1dC(x, targetElems = 8).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val (er, ei) = dft(vr.toArray, vi.toArray)
+    for (k <- 0 until n) {
+      assert(math.abs(got(k)._1 - er(k)) < 1e-8, s"re[$k]")
+      assert(math.abs(got(k)._2 - ei(k)) < 1e-8, s"im[$k]")
+    }
+  }
+
+  test("distributed ifft1d recovers the signal from its directly-computed spectrum") {
+    val n = 18
+    val v = (0 until n).map(i => ((i * 11) % 7).toDouble)
+    val (sr, si) = dft(v.toArray, new Array[Double](n))
+    val spec = CArr.fromParts(
+      arr1d(sr.toIndexedSeq, 5), arr1d(si.toIndexedSeq, 5))
+    val got = ComplexFft.ifft1d(spec, targetElems = 8).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for (k <- 0 until n) {
+      assert(math.abs(got(k)._1 - v(k)) < 1e-8, s"re[$k]")
+      assert(math.abs(got(k)._2) < 1e-8, s"im[$k]")
+    }
+  }
+
+  test("complex rechunk moves both planes in one packed shuffle and preserves values") {
+    val vr = (0 until 15).map(_.toDouble)
+    val vi = (0 until 15).map(i => (i * i).toDouble)
+    val x = CArr.fromParts(arr1d(vr, 4), arr1d(vi, 4))
+    val y = x.rechunkTo(Seq(Seq(6, 6, 3)))
+    assert(y.chunks == Seq(Seq(6, 6, 3)))
+    val (re, im) = cellsC(y)
+    for (k <- 0 until 15) {
+      assert(re(k) == vr(k)); assert(im(k) == vi(k))
+    }
+  }
+}
