@@ -2319,6 +2319,48 @@ object SparkEntry {
         .select(col("idx"), col("value").cast("long").as(name))
       c(gx, "xv").join(c(gy, "yv"), "idx").join(c(prod, "xy"), "idx")
         .select(col("idx"), col("xv"), col("yv"), col("xy"))
+    },
+
+    // ---- numpy pad mode family (creation.py pad): wrap, symmetric,
+    // edge, and the whole-axis maximum stat mode over the total-ordered
+    // quantity vector — each mode's padded vector restated exactly in SQL
+    // (pads are slices/statistics of the same integer sequence).
+    "q184_pad_modes" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      val x = GArr.fromColumn(li.sort(liTotalOrder.map(col): _*).limit(500),
+        "l_quantity", liTotalOrder, chunk = 128).persist()
+      def dump(a: GArr, tag: String) = a.toIndexedDF
+        .select(lit(tag).as("mode"), col("idx"),
+          col("value").cast("long").as("v"))
+      dump(x.padWrapAxis(0, 2, 2), "wrap")
+        .unionAll(dump(x.padSymmetricAxis(0, 3, 4), "symmetric"))
+        .unionAll(dump(x.padEdgeAxis(0, 1, 1), "edge"))
+        .unionAll(dump(x.padStatAxis(0, 5, 5, "maximum"), "maximum"))
+    },
+
+    // ---- image.imread (array/image.py): 8 BMP files round-tripped
+    // through the repo's byte-level 24-bit codec — quantities mod 256
+    // become pixel bytes, the sorted-glob stack re-linearizes them in the
+    // exact source order, so the oracle is the plain prefix. Exercises
+    // the executor-side decode path end-to-end at every gate scale.
+    "q185_imread_stack" -> { (s, dir) =>
+      import graft.operators.{GArr, Multimodal}
+      import graft.sources.Images
+      val li = t(s, dir, "lineitem")
+      val q = GArr.fromColumn(li.sort(liTotalOrder.map(col): _*).limit(192),
+        "l_quantity", liTotalOrder, chunk = 192)
+        .toIndexedDF.collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+      val dir2 = java.nio.file.Files.createTempDirectory("q185_bmp")
+      val h = 2; val w = 4
+      for (i <- 0 until 8) {
+        val rgb = new Array[Byte](h * w * 3)
+        for (j <- 0 until 24) rgb(j) = q(i * 24 + j).toInt.toByte
+        java.nio.file.Files.write(dir2.resolve(f"img$i%02d.bmp"),
+          Multimodal.encodeBmp24(w, h, rgb))
+      }
+      Images.imreadBmp(s, s"$dir2/*.bmp").toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("v"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -4603,5 +4645,49 @@ object SparkEntry {
         |SELECT CAST(r.i * n.nn + n.j AS BIGINT) AS idx,
         |       CAST(n.xv AS BIGINT) AS xv, CAST(r.yv AS BIGINT) AS yv,
         |       CAST(n.xv * r.yv AS BIGINT) AS xy
-        |FROM n CROSS JOIN r""".stripMargin)
+        |FROM n CROSS JOIN r""".stripMargin,
+
+    // q184: each pad mode's cells as index arithmetic over the same
+    // 500-element integer sequence (wrap = tail|x|head, symmetric =
+    // reversed head|x|reversed tail, edge = endpoint copies, maximum =
+    // whole-axis max fill).
+    "q184_pad_modes" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem QUALIFY rn < 500),
+        |g AS (SELECT range AS i FROM range(510)),
+        |wrap AS (SELECT 'wrap' AS mode, g.i AS idx,
+        |           (SELECT q FROM t WHERE rn = CASE WHEN g.i < 2 THEN 498 + g.i
+        |                                            WHEN g.i < 502 THEN g.i - 2
+        |                                            ELSE g.i - 502 END) AS v
+        |         FROM g WHERE g.i < 504),
+        |sym AS (SELECT 'symmetric' AS mode, g.i AS idx,
+        |          (SELECT q FROM t WHERE rn = CASE WHEN g.i < 3 THEN 2 - g.i
+        |                                           WHEN g.i < 503 THEN g.i - 3
+        |                                           ELSE 1002 - g.i END) AS v
+        |        FROM g WHERE g.i < 507),
+        |edge AS (SELECT 'edge' AS mode, g.i AS idx,
+        |           (SELECT q FROM t WHERE rn = CASE WHEN g.i < 1 THEN 0
+        |                                            WHEN g.i < 501 THEN g.i - 1
+        |                                            ELSE 499 END) AS v
+        |         FROM g WHERE g.i < 502),
+        |mx AS (SELECT 'maximum' AS mode, g.i AS idx,
+        |         CASE WHEN g.i < 5 OR g.i >= 505 THEN (SELECT max(q) FROM t)
+        |              ELSE (SELECT q FROM t WHERE rn = g.i - 5) END AS v
+        |       FROM g WHERE g.i < 510)
+        |SELECT mode, CAST(idx AS BIGINT) AS idx, CAST(v AS BIGINT) AS v
+        |FROM (SELECT * FROM wrap UNION ALL SELECT * FROM sym
+        |      UNION ALL SELECT * FROM edge UNION ALL SELECT * FROM mx)""".stripMargin,
+
+    // q185: the BMP encode -> sorted-glob imread -> stack linearization is
+    // the identity on the source byte order, so the oracle is the plain
+    // 192-row prefix (quantities are < 256, byte-exact).
+    "q185_imread_stack" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem)
+        |SELECT CAST(rn AS BIGINT) AS idx, CAST(q AS BIGINT) AS v
+        |FROM t WHERE rn < 192""".stripMargin)
 }

@@ -1992,6 +1992,140 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     if (parts.length == 1) this else GArr.concatenate(axis, parts)
   }
 
+  /** numpy `pad(mode='wrap')` along one axis (reference `array/creation.py
+    * :1113` pad_reuse 'wrap'): before-pad = the axis tail, after-pad = the
+    * axis head — two slices + concat, payload moved O(pad · plane).
+    */
+  def padWrapAxis(axis: Int, before: Int, after: Int): GArr = {
+    val n = shape(axis)
+    require(before >= 0 && after >= 0 && before <= n && after <= n,
+      s"wrap pad ($before,$after) must be <= axis length $n")
+    val full = shape.indices.map(d => (0L, shape(d), 1L))
+    def seg(a: Long, b: Long): GArr =
+      slice(full.updated(axis, (a, b, 1L)))
+        .rechunkTo(chunks.updated(axis, GArr.evenChunks(b - a, math.max(1, (b - a).toInt))))
+    val parts = Seq(
+      if (before > 0) Some(seg(n - before, n)) else None,
+      Some(this),
+      if (after > 0) Some(seg(0L, after)) else None).flatten
+    if (parts.length == 1) this else GArr.concatenate(axis, parts)
+  }
+
+  /** numpy `pad(mode='symmetric')` — reflect INCLUDING the edge plane
+    * (creation.py:1117 pad_reuse 'reflect'/'symmetric' differ by exactly
+    * this one plane): before-pad = head reversed, after-pad = tail
+    * reversed.
+    */
+  def padSymmetricAxis(axis: Int, before: Int, after: Int): GArr = {
+    val n = shape(axis)
+    require(before >= 0 && after >= 0 && before <= n && after <= n,
+      s"symmetric pad ($before,$after) must be <= axis length $n")
+    val full = shape.indices.map(d => (0L, shape(d), 1L))
+    def seg(a: Long, b: Long): GArr =
+      slice(full.updated(axis, (a, b, 1L)))
+        .rechunkTo(chunks.updated(axis, GArr.evenChunks(b - a, math.max(1, (b - a).toInt))))
+    val parts = Seq(
+      if (before > 0) Some(seg(0L, before).flipAxis(axis)) else None,
+      Some(this),
+      if (after > 0) Some(seg(n - after, n).flipAxis(axis)) else None).flatten
+    if (parts.length == 1) this else GArr.concatenate(axis, parts)
+  }
+
+  /** Narrow position-aware elementwise map: `f(value, globalAxisCoord)` —
+    * the building block for coordinate-dependent fills (linear_ramp pads,
+    * windowing tapers). Zero shuffle.
+    */
+  def mapWithAxisCoord(axis: Int)(f: (Double, Long) => Double): GArr = {
+    require(axis >= 0 && axis < ndim)
+    val s = spark
+    import s.implicits._
+    val nd = ndim
+    val ax = axis
+    val srcStarts = chunks.map(startsOf)
+    copy(blocks = blocks.map { b =>
+      val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), b.bid(d)))
+      val g0 = srcStarts(ax)(b.bid(ax))
+      val o = new Array[Double](b.data.length)
+      val t = new Array[Int](nd)
+      var i = 0
+      while (i < o.length) { o(i) = f(b.data(i), g0 + t(ax)); incOdo(t, sdims); i += 1 }
+      ABlock(b.bid, o)
+    })
+  }
+
+  /** numpy `pad(mode='linear_ramp', end_values=)` (creation.py:997
+    * linear_ramp_chunk): each pad cell interpolates between `end_value`
+    * and its edge-plane value — edge broadcast + a position-aware narrow
+    * map, matching numpy's linspace(end, edge, pad+1) sampling exactly.
+    */
+  def padLinearRampAxis(axis: Int, before: Int, after: Int,
+                        endBefore: Double = 0.0, endAfter: Double = 0.0): GArr = {
+    require(before >= 0 && after >= 0)
+    val full = shape.indices.map(d => (0L, shape(d), 1L))
+    val n = shape(axis)
+    def edgeRep(at: Long, rep: Int): GArr =
+      slice(full.updated(axis, (at, at + 1, 1L)))
+        .rechunkTo(chunks.updated(axis, Seq(1)))
+        .broadcastAxis(axis, rep.toLong, chunk = rep)
+    val bPad =
+      if (before > 0) Some(edgeRep(0L, before).mapWithAxisCoord(axis)(
+        (edge, g) => endBefore + (edge - endBefore) * g.toDouble / before))
+      else None
+    val aPad =
+      if (after > 0) Some(edgeRep(n - 1, after).mapWithAxisCoord(axis)(
+        (edge, g) => edge + (endAfter - edge) * (g + 1).toDouble / after))
+      else None
+    val parts = Seq(bPad, Some(this), aPad).flatten
+    if (parts.length == 1) this else GArr.concatenate(axis, parts)
+  }
+
+  /** numpy `pad` stat modes maximum/minimum/mean/median (creation.py:1147
+    * pad_stats with the default whole-axis stat_length): one axis
+    * reduction, re-expanded and broadcast into the pad slabs.
+    */
+  def padStatAxis(axis: Int, before: Int, after: Int, stat: String): GArr = {
+    require(before >= 0 && after >= 0)
+    val reduced = stat match {
+      case "maximum" => maxAxis(axis)
+      case "minimum" => minAxis(axis)
+      case "mean"    => meanAxis(axis)
+      case "median"  => medianAxis(axis)
+      case other => throw new IllegalArgumentException(
+        s"padStatAxis: unknown stat '$other' (maximum | minimum | mean | median)")
+    }
+    val plane = reduced.expandDims(axis)
+    def rep(k: Int): GArr = plane.broadcastAxis(axis, k.toLong, chunk = k)
+    val parts = Seq(
+      if (before > 0) Some(rep(before)) else None,
+      Some(this),
+      if (after > 0) Some(rep(after)) else None).flatten
+    if (parts.length == 1) this else GArr.concatenate(axis, parts)
+  }
+
+  /** numpy/dask `pad` over all axes (reference `array/creation.py:1237`
+    * pad: dispatch on mode, padding axis by axis so corner regions see
+    * earlier pads as data — numpy's own composition order).
+    */
+  def pad(padWidth: Seq[(Int, Int)], mode: String = "constant",
+          constant: Double = 0.0, endValue: Double = 0.0): GArr = {
+    require(padWidth.length == ndim, s"pad needs one (before,after) per axis")
+    padWidth.zipWithIndex.foldLeft(this) { case (acc, ((b, a), ax)) =>
+      if (b == 0 && a == 0) acc
+      else mode match {
+        case "constant"    => acc.padAxis(ax, b, a, constant)
+        case "edge"        => acc.padEdgeAxis(ax, b, a)
+        case "reflect"     => acc.padReflectAxis(ax, b, a)
+        case "symmetric"   => acc.padSymmetricAxis(ax, b, a)
+        case "wrap"        => acc.padWrapAxis(ax, b, a)
+        case "linear_ramp" => acc.padLinearRampAxis(ax, b, a, endValue, endValue)
+        case "maximum" | "minimum" | "mean" | "median" =>
+          acc.padStatAxis(ax, b, a, mode)
+        case other => throw new IllegalArgumentException(
+          s"pad: unknown mode '$other'")
+      }
+    }
+  }
+
   /** numpy `squeeze(axis)` — drop a length-1 axis; pure metadata relabel,
     * zero shuffle.
     */
