@@ -1,0 +1,214 @@
+package graft.diagnostics
+
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+
+import scala.collection.mutable
+
+/** The `dask/diagnostics` module re-expressed on Spark's listener bus.
+  *
+  * dask's diagnostics are scheduler callbacks (`diagnostics/profile.py:18`
+  * Profiler, `:122` ResourceProfiler, `:298` CacheProfiler,
+  * `progress.py:32` ProgressBar) hooking its local get(); the Spark-first
+  * analog of a scheduler callback is a [[SparkListener]] on the driver's
+  * listener bus — the same task-grain visibility without touching the
+  * executor hot path, and it works identically on a 1000-executor cluster
+  * (events stream back on the existing heartbeat channels; nothing here
+  * is local-mode-only).
+  *
+  * `visualize()` (bokeh plots) is descoped — the records are the
+  * contract; any plotting stack can consume them.
+  */
+object Diagnostics {
+
+  /** dask `Profiler` TaskData (profile.py:26-31: key, task, start, end,
+    * worker id) — here one record per Spark TASK with its stage (the
+    * plan-fragment analog of the dask key), timing, locality, and the
+    * byte-level metrics dask cannot see.
+    */
+  final case class TaskData(stageId: Int, taskId: Long, launchTime: Long,
+                            finishTime: Long, workerId: String,
+                            inputBytes: Long, shuffleReadBytes: Long,
+                            shuffleWriteBytes: Long, spillBytes: Long)
+
+  /** dask `CacheProfiler` CacheData (profile.py:301-306: key, metric,
+    * cache entry/exit times) — here one record per cached BLOCK: entry
+    * when first stored, exit when dropped, metric = bytes (dask's
+    * suggested `nbytes` metric is the built-in).
+    */
+  final case class CacheData(blockId: String, bytes: Long,
+                             cacheTime: Long, var freeTime: Long)
+
+  /** dask `ResourceProfiler` ResourceData (profile.py:229: timestamp,
+    * mem, cpu) — driver-side samples; on a cluster the executor-level
+    * equivalents stream through TaskData's metrics.
+    */
+  final case class ResourceData(ts: Long, usedHeapBytes: Long, systemLoad: Double)
+
+  /** Task-level profiler. Usage (the dask context-manager shape):
+    * {{{
+    * val prof = new Profiler(spark); prof.register()
+    * try { ... run queries ... } finally prof.unregister()
+    * prof.results  // Seq[TaskData]
+    * }}}
+    */
+  final class Profiler(spark: SparkSession) extends SparkListener {
+    private val buf = mutable.ArrayBuffer.empty[TaskData]
+
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
+      val ti = e.taskInfo
+      val m = e.taskMetrics
+      if (ti != null && m != null)
+        buf += TaskData(e.stageId, ti.taskId, ti.launchTime, ti.finishTime,
+          s"${ti.executorId}@${ti.host}",
+          m.inputMetrics.bytesRead,
+          m.shuffleReadMetrics.totalBytesRead,
+          m.shuffleWriteMetrics.bytesWritten,
+          m.memoryBytesSpilled + m.diskBytesSpilled)
+    }
+
+    def results: Seq[TaskData] = synchronized(buf.toSeq)
+    def clear(): Unit = synchronized(buf.clear())
+    def register(): Unit = spark.sparkContext.addSparkListener(this)
+    def unregister(): Unit = {
+      Diagnostics.quiesce(() => synchronized(buf.size))
+      spark.sparkContext.removeSparkListener(this)
+    }
+  }
+
+  /** dask `ProgressBar` (progress.py:32): per-job textual progress —
+    * finished/total tasks with a dask-style bar, emitted at most every
+    * `minIntervalMs` plus a guaranteed terminal 100% line per job.
+    */
+  final class ProgressBar(spark: SparkSession, out: String => Unit = println,
+                          width: Int = 40, minIntervalMs: Long = 100)
+      extends SparkListener {
+    private var total = 0L
+    private var done = 0L
+    private var lastEmit = 0L
+    private val emitted = mutable.ArrayBuffer.empty[String]
+
+    override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
+      synchronized { total += e.stageInfo.numTasks }
+
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = synchronized {
+      done += 1
+      val now = System.currentTimeMillis()
+      if (now - lastEmit >= minIntervalMs || done == total) {
+        lastEmit = now
+        val frac = if (total == 0) 1.0 else done.toDouble / total
+        val filled = (frac * width).toInt
+        val line = "[" + "#" * filled + " " * (width - filled) +
+          f"] | ${frac * 100}%3.0f%% ($done/$total tasks)"
+        emitted += line
+        out(line)
+      }
+    }
+
+    def lines: Seq[String] = synchronized(emitted.toSeq)
+    def register(): Unit = spark.sparkContext.addSparkListener(this)
+    def unregister(): Unit = {
+      Diagnostics.quiesce(() => synchronized(done))
+      spark.sparkContext.removeSparkListener(this)
+    }
+  }
+
+  /** dask `CacheProfiler`: block-level cache residency via the storage
+    * events the bus already carries — entry on the first non-NONE store,
+    * exit when the block drops to NONE (unpersist/eviction).
+    */
+  final class CacheProfiler(spark: SparkSession) extends SparkListener {
+    private val live = mutable.LinkedHashMap.empty[String, CacheData]
+    private val doneBuf = mutable.ArrayBuffer.empty[CacheData]
+
+    override def onBlockUpdated(e: SparkListenerBlockUpdated): Unit = synchronized {
+      val info = e.blockUpdatedInfo
+      val id = info.blockId.name
+      val stored = info.storageLevel != StorageLevel.NONE &&
+        (info.memSize > 0 || info.diskSize > 0)
+      if (stored) {
+        if (!live.contains(id))
+          live(id) = CacheData(id, info.memSize + info.diskSize,
+            System.currentTimeMillis(), -1L)
+      } else live.remove(id).foreach { cd =>
+        cd.freeTime = System.currentTimeMillis()
+        doneBuf += cd
+      }
+    }
+
+    /** `unpersist` surfaces as one RDD-level event (not per-block NONE
+      * updates) — free every live block of that RDD.
+      */
+    override def onUnpersistRDD(e: SparkListenerUnpersistRDD): Unit = synchronized {
+      val prefix = s"rdd_${e.rddId}_"
+      val now = System.currentTimeMillis()
+      live.keys.filter(_.startsWith(prefix)).toSeq.foreach { id =>
+        val cd = live.remove(id).get
+        cd.freeTime = now
+        doneBuf += cd
+      }
+    }
+
+    /** Freed blocks first (complete residency windows), then still-live. */
+    def results: Seq[CacheData] = synchronized((doneBuf ++ live.values).toSeq)
+    def register(): Unit = spark.sparkContext.addSparkListener(this)
+    def unregister(): Unit = {
+      Diagnostics.quiesce(() => synchronized(doneBuf.size + live.size))
+      spark.sparkContext.removeSparkListener(this)
+    }
+  }
+
+  /** dask `ResourceProfiler`: a sampler thread polling driver JVM heap +
+    * system load every `intervalMs` (dask polls its worker process the
+    * same way from a tracker process, profile.py:234).
+    */
+  final class ResourceProfiler(intervalMs: Long = 100) {
+    private val buf = mutable.ArrayBuffer.empty[ResourceData]
+    @volatile private var running = false
+    private var thread: Thread = _
+
+    def register(): Unit = {
+      running = true
+      thread = new Thread(() => {
+        val mem = java.lang.management.ManagementFactory.getMemoryMXBean
+        val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        while (running) {
+          val sample = ResourceData(System.currentTimeMillis(),
+            mem.getHeapMemoryUsage.getUsed, os.getSystemLoadAverage)
+          buf.synchronized(buf += sample)
+          Thread.sleep(intervalMs)
+        }
+      }, "graft-resource-profiler")
+      thread.setDaemon(true)
+      thread.start()
+    }
+
+    def unregister(): Unit = { running = false; if (thread != null) thread.join(5000) }
+    def results: Seq[ResourceData] = buf.synchronized(buf.toSeq)
+  }
+
+  /** Drain the async listener bus with public API only: poll a monotone
+    * event counter until it stops moving (the bus has no public flush).
+    */
+  private[diagnostics] def quiesce(count: () => Long, settleMs: Long = 250,
+                                   maxMs: Long = 10000): Unit = {
+    val deadline = System.currentTimeMillis() + maxMs
+    var last = count()
+    var stableSince = System.currentTimeMillis()
+    while (System.currentTimeMillis() < deadline &&
+           System.currentTimeMillis() - stableSince < settleMs) {
+      Thread.sleep(25)
+      val now = count()
+      if (now != last) { last = now; stableSince = System.currentTimeMillis() }
+    }
+  }
+
+  /** The dask context-manager convenience: profile one block of work. */
+  def withProfiler[T](spark: SparkSession)(body: => T): (T, Seq[TaskData]) = {
+    val p = new Profiler(spark)
+    p.register()
+    val r = try body finally p.unregister()
+    (r, p.results)
+  }
+}
