@@ -284,6 +284,101 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
   def combineFirst(other: GDF, valueCol: String): GDF =
     alignedBinop(other, valueCol, valueCol, valueCol)(coalesce(_, _))
 
+  /** pandas `combine(other, func)` (`_collection.py` combine): align both
+    * frames on the index (full outer) and apply `op` to every SHARED value
+    * column; one-sided columns pass through with nulls on the absent side,
+    * exactly pandas' NaN fill. One join — the per-column ops ride the same
+    * exchange.
+    */
+  def combine(other: GDF)(op: (Column, Column) => Column): GDF = {
+    val ix = index.orElse(other.index).getOrElse(throw new IllegalStateException(
+      "combine needs an index on at least one side (setIndex/withIndex)")).cols
+    require(ix.forall(df.columns.contains) && ix.forall(other.df.columns.contains),
+      s"both sides need index columns $ix")
+    val lVals = df.columns.filterNot(ix.contains)
+    val rVals = other.df.columns.filterNot(ix.contains)
+    val shared = lVals.filter(rVals.contains)
+    val l = df.select(ix.map(col) ++ lVals.map(c => col(c).as(s"__l_$c")): _*)
+    val r = other.df.select(ix.map(col) ++ rVals.map(c => col(c).as(s"__r_$c")): _*)
+    val joined = l.join(r, ix, "full_outer")
+    val out = (lVals ++ rVals).distinct.map { c =>
+      if (shared.contains(c)) op(col(s"__l_$c"), col(s"__r_$c")).as(c)
+      else if (lVals.contains(c)) col(s"__l_$c").as(c)
+      else col(s"__r_$c").as(c)
+    }
+    new GDF(joined.select(ix.map(col) ++ out: _*), Some(IndexMeta(ix, sorted = false)))
+  }
+
+  /** pandas/dask `align(other, join=)` (`_collection.py` align): both
+    * frames reindexed to the SAME label set — the joined index — with
+    * nulls where a side lacks a label. ONE shuffle builds the label set;
+    * each side then left-joins its values back onto it (broadcast-eligible
+    * label frames stay broadcast under AQE).
+    */
+  def align(other: GDF, how: String = "outer"): (GDF, GDF) = {
+    val ix = index.orElse(other.index).getOrElse(throw new IllegalStateException(
+      "align needs an index on at least one side (setIndex/withIndex)")).cols
+    require(Set("outer", "inner", "left", "right").contains(how), s"align: bad join '$how'")
+    val lLabels = df.select(ix.map(col): _*).distinct()
+    val rLabels = other.df.select(ix.map(col): _*).distinct()
+    val labels = how match {
+      case "outer" => lLabels.unionByName(rLabels).distinct()
+      case "inner" => lLabels.intersect(rLabels)
+      case "left"  => lLabels
+      case "right" => rLabels
+    }
+    def reindex(side: GDF): GDF =
+      new GDF(labels.join(side.df, ix, "left"), Some(IndexMeta(ix, sorted = false)))
+    (reindex(this), reindex(other))
+  }
+
+  /** pandas `select_dtypes(include/exclude)`: schema-driven projection,
+    * resolved driver-side — the executed plan is a plain column-pruned
+    * select. Dtype names accept Spark type names plus the pandas-ish
+    * categories `number`, `floating`, `integer`, `object`, `bool`,
+    * `datetime`.
+    */
+  def selectDtypes(include: Seq[String] = Nil, exclude: Seq[String] = Nil): GDF = {
+    require(include.nonEmpty || exclude.nonEmpty,
+      "select_dtypes needs include and/or exclude")
+    def cats(dt: DataType): Set[String] = dt.typeName match {
+      case t @ ("integer" | "long" | "short" | "byte") => Set(t, "integer", "number")
+      case t @ ("double" | "float") => Set(t, "floating", "number")
+      case t if t.startsWith("decimal") => Set(t, "decimal", "number")
+      case "string" => Set("string", "object")
+      case "boolean" => Set("boolean", "bool")
+      case t @ ("timestamp" | "timestamp_ntz" | "date") => Set(t, "datetime")
+      case t => Set(t)
+    }
+    val ixCols = index.map(_.cols).getOrElse(Nil)
+    val keep = df.schema.fields.filter { f =>
+      val cs = cats(f.dataType)
+      val in = include.isEmpty || include.exists(cs.contains)
+      in && !exclude.exists(cs.contains)
+    }.map(_.name)
+    new GDF(df.select((ixCols ++ keep.filterNot(ixCols.contains)).map(col): _*), index)
+  }
+
+  /** dask `memory_usage_per_partition(deep=)`: per-partition row count and
+    * byte estimate — sampled SizeEstimator average × rows, computed in one
+    * narrow pass (no shuffle, nothing driver-side but the tiny result).
+    */
+  def memoryUsagePerPartition(sampleRows: Int = 128): DataFrame = {
+    val s = spark
+    import s.implicits._
+    df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var n = 0L; var sampled = 0L; var sn = 0
+      it.foreach { r =>
+        n += 1
+        if (sn < sampleRows) {
+          sampled += org.apache.spark.util.SizeEstimator.estimate(r); sn += 1
+        }
+      }
+      val bytes = if (sn == 0) 0L else (sampled.toDouble / sn * n).toLong
+      Iterator((pid, n, bytes))
+    }.toDF("partition", "rows", "estimated_bytes")
+  }
+
   /** pandas `merge(indicator=True)` — adds a `_merge` column marking each
     * row as left_only / right_only / both (`_merge.py:76`). Implemented
     * with presence flags carried through the join, so it costs nothing
