@@ -2361,6 +2361,22 @@ object SparkEntry {
       }
       Images.imreadBmp(s, s"$dir2/*.bmp").toIndexedDF
         .select(col("idx"), col("value").cast("long").as("v"))
+    },
+
+    // ---- FFT convolution (scipy/dask fftconvolve 'full'): 300-tap signal
+    // (*) 40-tap kernel via zero-pad -> fft -> hadamard -> ifft; integer
+    // inputs round exactly, and the oracle is the direct O(na*nb)
+    // join-aggregate — two INDEPENDENT algorithms for the same sequence.
+    "q186_fft_convolve" -> { (s, dir) =>
+      import graft.operators.{ComplexFft, GArr}
+      val li = t(s, dir, "lineitem")
+      val a = GArr.fromColumn(li.sort(liTotalOrder.map(col): _*).limit(300),
+        "l_quantity", liTotalOrder, chunk = 64)
+      val ords = t(s, dir, "orders").sort("o_orderkey").limit(40)
+        .select(col("o_orderkey"), (col("o_orderkey") % 9 + 1).cast("double").as("b"))
+      val b = GArr.fromColumn(ords, "b", Seq("o_orderkey"), chunk = 16)
+      ComplexFft.fftConvolve(a, b).toIndexedDF
+        .select(col("idx"), round(col("value")).cast("long").as("v"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -4689,5 +4705,19 @@ object SparkEntry {
         |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
         |  FROM lineitem)
         |SELECT CAST(rn AS BIGINT) AS idx, CAST(q AS BIGINT) AS v
-        |FROM t WHERE rn < 192""".stripMargin)
+        |FROM t WHERE rn < 192""".stripMargin,
+
+    // q186: the direct convolution sum — every output index k has at
+    // least one (i, k-i) pair because 0..299 + 0..39 covers 0..338.
+    "q186_fft_convolve" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem QUALIFY rn < 300),
+        |o AS (SELECT o_orderkey % 9 + 1 AS b,
+        |        row_number() OVER (ORDER BY o_orderkey) - 1 AS rn
+        |      FROM orders ORDER BY o_orderkey LIMIT 40)
+        |SELECT CAST(t.rn + o.rn AS BIGINT) AS idx,
+        |       CAST(sum(t.q * o.b) AS BIGINT) AS v
+        |FROM t, o GROUP BY 1""".stripMargin)
 }

@@ -1939,9 +1939,13 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     */
   def padAxis(axis: Int, before: Int, after: Int, value: Double = 0.0): GArr = {
     require(before >= 0 && after >= 0)
+    // the pad region follows the array's own chunk granularity along the
+    // axis — a multi-million-element pad must NOT become one block (a
+    // single 100MB+ task/row); grid-parallel like every creation op
+    val axisChunk = math.max(1, chunks(axis).max)
     def padArr(len: Int): GArr = {
       val padShape = shape.updated(axis, len.toLong)
-      val padChunks = chunks.updated(axis, Seq(len))
+      val padChunks = chunks.updated(axis, GArr.evenChunks(len.toLong, axisChunk))
       GArr.fromChunksGrid(spark, padShape, padChunks)((_, dims) =>
         Array.fill(dims.product)(value))
     }

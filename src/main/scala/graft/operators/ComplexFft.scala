@@ -92,6 +92,52 @@ final case class CArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[C
     CArr.unpack(packed.slice(specs :+ (0L, 2L, 1L), targetChunk))
 
   def flipAxis(axis: Int): CArr = CArr.unpack(packed.flipAxis(axis))
+
+  /** Elementwise complex multiply (the spectral-domain operator behind FFT
+    * convolution): one co-gridded block zip, complex (a+bi)(c+di) per cell.
+    */
+  def hadamard(other: CArr): CArr = {
+    require(shape == other.shape && chunks == other.chunks,
+      s"hadamard requires identical chunk grids: $shape/$chunks vs ${other.shape}/${other.chunks}")
+    val s = spark; import s.implicits._
+    val g = grid
+    val l = blocks.map(b => (GArr.linearBidL(b.bid, g), b))
+    val r = other.blocks.map(b => (GArr.linearBidL(b.bid, g), b))
+    val joined = l.joinWith(r, l("_1") === r("_1"))
+    copy(blocks = joined.map { case ((_, a), (_, b)) =>
+      val n = a.re.length
+      val or = new Array[Double](n); val oi = new Array[Double](n)
+      var j = 0
+      while (j < n) {
+        or(j) = a.re(j) * b.re(j) - a.im(j) * b.im(j)
+        oi(j) = a.re(j) * b.im(j) + a.im(j) * b.re(j)
+        j += 1
+      }
+      CBlock(a.bid, or, oi)
+    })
+  }
+
+  /** |z| per cell as a real array — narrow. */
+  def magnitude: GArr = {
+    val s = spark; import s.implicits._
+    GArr(shape, chunks, blocks.map { b =>
+      val o = new Array[Double](b.re.length)
+      var j = 0
+      while (j < o.length) { o(j) = math.hypot(b.re(j), b.im(j)); j += 1 }
+      ABlock(b.bid, o)
+    })
+  }
+
+  /** arg(z) per cell (numpy `angle`) — narrow. */
+  def angle: GArr = {
+    val s = spark; import s.implicits._
+    GArr(shape, chunks, blocks.map { b =>
+      val o = new Array[Double](b.re.length)
+      var j = 0
+      while (j < o.length) { o(j) = math.atan2(b.im(j), b.re(j)); j += 1 }
+      ABlock(b.bid, o)
+    })
+  }
 }
 
 object CArr {
@@ -151,7 +197,7 @@ object CArr {
   */
 object ComplexFft {
   import GArr.{startsOf, chunkDim, cStridesI}
-  import SpectralFft.fftLocalAny
+  import SpectralFft.{fftLocal, fftLocalAny}
 
   /** FFT (or inverse FFT, numpy "backward" norm: ifft scales by 1/n) along
     * one axis. One rechunk shuffle if the axis is multi-chunk, then narrow.
@@ -305,15 +351,18 @@ object ComplexFft {
   // real-input variant and the algorithm notes).
   // --------------------------------------------------------------------
 
-  /** Four-step FFT of a COMPLEX 1-D [[CArr]] — identical phase structure
-    * to [[SpectralFft.fft1d]] (two all-to-all strip exchanges, local FFTs
-    * sized to `targetElems`), with the imaginary plane carried through
-    * phase 1 (the real-input variant elides it). Returns (k, re, im).
+  /** Phases 1–2 of the four-step FFT of a COMPLEX 1-D [[CArr]] — identical
+    * phase structure to [[SpectralFft.fft1d]] (two all-to-all strip
+    * exchanges, local FFTs sized to `targetElems`), with the imaginary
+    * plane carried through phase 1 (the real-input variant elides it).
+    * Returns the row-strip pieces plus the (n1, n2, w1) decomposition; the
+    * callers finalize to bins-as-rows ([[fft1dC]]) or to a chunked
+    * spectrum array ([[fft1dArr]]).
     */
-  def fft1dC(x: CArr, targetElems: Int = 65536): DataFrame = {
-    require(x.ndim == 1, "fft1dC takes a 1-D array")
+  private def fourStepRowPieces(x: CArr, targetElems: Int): (Dataset[CPiece], Int, Int, Int) = {
+    require(x.ndim == 1, "four-step FFT takes a 1-D array")
     val n = x.shape.head
-    require(n >= 1, "fft1dC needs a nonempty array")
+    require(n >= 1, "four-step FFT needs a nonempty array")
     val s = x.blocks.sparkSession
     import s.implicits._
     val n2 = {
@@ -411,7 +460,14 @@ object ComplexFft {
           CPiece(t, offs, ore, oim)
         }
     }
+    (rowPieces, n1, n2, w1)
+  }
 
+  /** Distributed complex four-step FFT, bins as (k, re, im) rows. */
+  def fft1dC(x: CArr, targetElems: Int = 65536): DataFrame = {
+    val s = x.blocks.sparkSession
+    import s.implicits._
+    val (rowPieces, n1, n2, w1) = fourStepRowPieces(x, targetElems)
     // phase 3: per-row-strip FFTs over n2, emit final bins
     rowPieces.groupByKey(_.strip).flatMapGroups { (t, it) =>
       val rows = math.min(w1, n1 - t * w1)
@@ -441,6 +497,90 @@ object ComplexFft {
     }.toDF("k", "re", "im")
   }
 
+  /** Distributed complex four-step FFT returning a CHUNKED spectrum [[CArr]]
+    * (grid `evenChunks(n, outChunk)`): phase 3 scatters each row-strip's
+    * bins straight to their destination blocks — one extra exchange over
+    * [[fft1dC]], and the spectrum stays a first-class chunked array that
+    * composes with hadamard/slice/inverse WITHOUT ever forming a
+    * single-block (single-row) array. This is what keeps fftConvolve
+    * distributed at any n: no block exceeds `outChunk` elements regardless
+    * of total length.
+    */
+  def fft1dArr(x: CArr, targetElems: Int = 65536, outChunk: Int = 65536): CArr = {
+    val s = x.blocks.sparkSession
+    import s.implicits._
+    val n = x.shape.head
+    val (rowPieces, n1, n2, w1) = fourStepRowPieces(x, targetElems)
+    val outChunks = GArr.evenChunks(n, outChunk)
+    val oc = outChunk
+    // phase 3: per-row-strip FFTs over n2, bins bucketed per destination
+    // block of the output grid
+    val pieces = rowPieces.groupByKey(_.strip).flatMapGroups { (t, it) =>
+      val rows = math.min(w1, n1 - t * w1)
+      val re = new Array[Double](rows * n2)
+      val im = new Array[Double](rows * n2)
+      it.foreach { p =>
+        var i = 0
+        while (i < p.offs.length) { re(p.offs(i)) = p.re(i); im(p.offs(i)) = p.im(i); i += 1 }
+      }
+      val tre = new Array[Double](n2)
+      val tim = new Array[Double](n2)
+      val bufs = scala.collection.mutable.LinkedHashMap[Int,
+        (scala.collection.mutable.ArrayBuilder[Int],
+         scala.collection.mutable.ArrayBuilder[Double],
+         scala.collection.mutable.ArrayBuilder[Double])]()
+      var r = 0
+      while (r < rows) {
+        val k1 = t * w1 + r
+        System.arraycopy(re, r * n2, tre, 0, n2)
+        System.arraycopy(im, r * n2, tim, 0, n2)
+        fftLocalAny(tre, tim)
+        var k2 = 0
+        while (k2 < n2) {
+          val k = k1 + n1.toLong * k2
+          val dst = (k / oc).toInt
+          val (ob, rb, ib) = bufs.getOrElseUpdate(dst,
+            (scala.collection.mutable.ArrayBuilder.make[Int],
+             scala.collection.mutable.ArrayBuilder.make[Double],
+             scala.collection.mutable.ArrayBuilder.make[Double]))
+          ob += (k % oc).toInt
+          rb += tre(k2)
+          ib += tim(k2)
+          k2 += 1
+        }
+        r += 1
+      }
+      bufs.iterator.map { case (dst, (ob, rb, ib)) =>
+        CPiece(dst, ob.result(), rb.result(), ib.result())
+      }
+    }
+    val blocks = pieces.groupByKey(_.strip).mapGroups { (dst, it) =>
+      val size = outChunks(dst)
+      val re = new Array[Double](size)
+      val im = new Array[Double](size)
+      it.foreach { p =>
+        var i = 0
+        while (i < p.offs.length) { re(p.offs(i)) = p.re(i); im(p.offs(i)) = p.im(i); i += 1 }
+      }
+      CBlock(Seq(dst), re, im)
+    }
+    CArr(Seq(n), Seq(outChunks), blocks)
+  }
+
+  /** Distributed 1-D inverse FFT as a chunked array (backward norm):
+    * ifft(x) = conj(fft(conj x))/n, narrow on both ends of [[fft1dArr]].
+    */
+  def ifft1dArr(x: CArr, targetElems: Int = 65536, outChunk: Int = 65536): CArr = {
+    val n = x.shape.head
+    fft1dArr(x.conj, targetElems, outChunk)
+      .mapParts { (r, i) =>
+        val or = new Array[Double](r.length); val oi = new Array[Double](i.length)
+        var j = 0
+        while (j < r.length) { or(j) = r(j) / n; oi(j) = -i(j) / n; j += 1 }
+        (or, oi)
+      }
+  }
+
   /** Distributed 1-D inverse FFT (backward norm): conj → four-step fft →
     * conj/n, folded into the output projection so it adds no extra pass.
     */
@@ -449,5 +589,150 @@ object ComplexFft {
     import org.apache.spark.sql.functions.col
     fft1dC(x.conj, targetElems)
       .select(col("k"), (col("re") / n).as("re"), (-col("im") / n).as("im"))
+  }
+
+  /** FFT convolution along one axis — scipy/dask `fftconvolve` 'full'
+    * mode: zero-pad both arrays to n = na + nb − 1, transform, multiply
+    * spectra cell-wise ([[CArr.hadamard]], one co-gridded zip — both
+    * transforms land on the SAME grid by construction), inverse-transform,
+    * take the real plane. For integer inputs the result rounds exactly,
+    * which is what the oracle pins. O((n log n)/p) per lane vs the O(na·nb)
+    * direct form — the standard large-kernel path.
+    */
+  /** Overlap-add convolution — scipy `oaconvolve`, the small-kernel scale
+    * path: the kernel (driver-small, like any broadcast dimension) ships
+    * in the task closure; each signal block convolves LOCALLY (pow2 FFT of
+    * blockLen+nb−1) and emits its length-(blockLen+nb−1) segment, which
+    * overlaps the next block's head by nb−1; segments are split on the
+    * output grid and SUMMED in one shuffle. No global transform, no
+    * all-to-all: O(n log L) work and one exchange of n + grid·nb values,
+    * regardless of total signal length — for nb ≪ n this beats the
+    * spectral path by the two four-step all-to-alls it never pays.
+    */
+  def oaConvolve(a: GArr, kernel: Array[Double]): GArr = {
+    require(a.ndim == 1, "oaConvolve is the 1-D form")
+    val nb = kernel.length
+    require(nb >= 1, "empty kernel")
+    val na = a.shape.head
+    val nOut = na + nb - 1
+    val s = a.blocks.sparkSession
+    import s.implicits._
+    val starts = startsOf(a.chunks.head)
+    val outChunks = GArr.evenChunks(nOut, math.max(a.chunks.head.max, nb))
+    val outStarts = startsOf(outChunks)
+    val oc = outChunks.toArray
+    val kern = kernel
+    val pieces = a.blocks.flatMap { blk =>
+      val la = blk.data.length
+      val segLen = la + nb - 1
+      // local convolution: pow2 FFT when it pays, direct for tiny kernels
+      val seg =
+        if (nb <= 32 || segLen <= 64) {
+          val o = new Array[Double](segLen)
+          var i = 0
+          while (i < la) {
+            val v = blk.data(i)
+            if (v != 0.0) {
+              var j = 0
+              while (j < nb) { o(i + j) += v * kern(j); j += 1 }
+            }
+            i += 1
+          }
+          o
+        } else {
+          var m = 1
+          while (m < segLen) m <<= 1
+          val xr = new Array[Double](m); val xi = new Array[Double](m)
+          val yr = new Array[Double](m); val yi = new Array[Double](m)
+          System.arraycopy(blk.data, 0, xr, 0, la)
+          System.arraycopy(kern, 0, yr, 0, nb)
+          fftLocalAny(xr, xi); fftLocalAny(yr, yi)
+          var k = 0
+          while (k < m) {
+            val r = xr(k) * yr(k) - xi(k) * yi(k)
+            val i2 = xr(k) * yi(k) + xi(k) * yr(k)
+            xr(k) = r; xi(k) = i2
+            k += 1
+          }
+          // inverse: conj -> fft -> conj/m, reusing the forward kernel
+          k = 0; while (k < m) { xi(k) = -xi(k); k += 1 }
+          fftLocal(xr, xi)
+          val o = new Array[Double](segLen)
+          k = 0; while (k < segLen) { o(k) = xr(k) / m; k += 1 }
+          o
+        }
+      // split the segment on the output grid; overlaps SUM at assembly
+      val g0 = starts(blk.bid.head)
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Array[Double])]()
+      var d = java.util.Arrays.binarySearch(outStarts, g0) match {
+        case i if i >= 0 => i
+        case i => -i - 2
+      }
+      var pos = 0L
+      while (pos < segLen && d < oc.length) {
+        val dStart = outStarts(d)
+        val dLen = oc(d)
+        val lo = math.max(g0 + pos, dStart)
+        val hi = math.min(g0 + segLen, dStart + dLen)
+        if (hi > lo) {
+          val sub = new Array[Double]((hi - lo).toInt)
+          System.arraycopy(seg, (lo - g0).toInt, sub, 0, sub.length)
+          out += (((d, (lo - dStart).toInt, sub)))
+          pos = hi - g0
+        }
+        d += 1
+      }
+      out
+    }
+    val blocks = pieces.groupByKey(_._1).mapGroups { (d, it) =>
+      val acc = new Array[Double](oc(d))
+      it.foreach { case (_, off, sub) =>
+        var i = 0
+        while (i < sub.length) { acc(off + i) += sub(i); i += 1 }
+      }
+      ABlock(Seq(d), acc)
+    }
+    GArr(Seq(nOut), Seq(outChunks), blocks)
+  }
+
+  def fftConvolve(a: GArr, b: GArr, axis: Int = 0): GArr = {
+    require(a.ndim == b.ndim, "fftConvolve: rank mismatch")
+    require(a.shape.indices.filter(_ != axis).forall(d => a.shape(d) == b.shape(d)),
+      s"fftConvolve: non-axis shapes must match: ${a.shape} vs ${b.shape}")
+    val na = a.shape(axis); val nb = b.shape(axis)
+    val nOut = na + nb - 1
+    if (a.ndim == 1 && nb <= (1 << 20) && nb * 4 <= na) {
+      // small-kernel fast path: overlap-add with the kernel as a broadcast
+      // side (the merge.py is_broadcast_join analog for signal processing)
+      val kernel = b.toIndexedDF.collect().sortBy(_.getLong(0)).map(_.getDouble(1))
+      oaConvolve(a, kernel)
+    } else if (a.ndim == 1) {
+      // the scale path: distributed four-step on BOTH sides. Convolution
+      // admits any fft length >= nOut, so pad to the next power of two —
+      // the four-step then splits into two perfectly balanced pow2 phases
+      // (scipy's fftconvolve does the same next_fast_len padding), and no
+      // single task ever holds the whole axis.
+      var nFFT = 1L
+      while (nFFT < nOut) nFFT <<= 1
+      val pa = a.padAxis(0, 0, (nFFT - na).toInt)
+      val pb = b.padAxis(0, 0, (nFFT - nb).toInt)
+      // strip/chunk sizing: ~16 strips per side floor, 1M-element ceiling —
+      // small transforms stay parallel, huge ones amortize the two
+      // all-to-alls over meaningful local FFT work (8–16 MB per task)
+      val te = math.max(65536L, math.min(1L << 20, nFFT / 16)).toInt
+      val fa = fft1dArr(CArr.fromReal(pa), te, te)
+      val fb = fft1dArr(CArr.fromReal(pb), te, te)
+      val full = ifft1dArr(fa.hadamard(fb), te, te)
+      full.slice(Seq((0L, nOut, 1L))).reArr
+    } else {
+      // ndim batch form: axis made block-local (dask's own fft contract),
+      // every other axis keeps its chunking and its parallelism
+      val pa = a.padAxis(axis, 0, (nOut - na).toInt)
+      val pb = b.padAxis(axis, 0, (nOut - nb).toInt)
+      val target = pa.chunks.updated(axis, Seq(nOut.toInt))
+      val fa = fftAxis(CArr.fromReal(pa.rechunkTo(target)), axis)
+      val fb = fftAxis(CArr.fromReal(pb.rechunkTo(target)), axis)
+      ifftAxis(fa.hadamard(fb), axis).reArr
+    }
   }
 }

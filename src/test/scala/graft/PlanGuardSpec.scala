@@ -156,6 +156,21 @@ class PlanGuardSpec extends SparkTestBase {
     assert(shuffles(p) == 2, s"takeArr exchange count changed:\n$p")
   }
 
+  test("GArr.slidingWindowAxis: the one-sided halo gather costs exactly ONE shuffle") {
+    import graft.operators.GArr
+    val a = GArr.fromFunction(spark, Seq(400L), Seq(64))(g => (g(0) % 9).toDouble)
+    val p = noAqePlan(a.slidingWindowAxis(0, 7).blockSums)
+    assert(shuffles(p) == 1, s"sliding window grew a shuffle:\n$p")
+  }
+
+  test("ComplexFft.fftAxis on a block-local axis: ZERO exchanges (pure narrow lanes)") {
+    import graft.operators.{ComplexFft, GArr}
+    val a = GArr.fromFunction(spark, Seq(8L, 64L), Seq(4, 64))(g => (g(0) * 64 + g(1)) % 11)
+    val p = noAqePlan(ComplexFft.fftArr(a, 1).reArr.blockSums)
+    assert(collectAll(p).count(_.isInstanceOf[Exchange]) == 0,
+      s"single-chunk-axis fft must stay narrow:\n$p")
+  }
+
   test("einsum matmul form: partial->final typed agg, no global sort") {
     import graft.operators.{Einsum, GArr}
     val a = GArr.fromFunction(spark, Seq(48L, 32L), Seq(16, 16))(g => (g(0) * 7 + g(1)) % 5)

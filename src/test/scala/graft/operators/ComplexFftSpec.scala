@@ -168,6 +168,82 @@ class ComplexFftSpec extends SparkTestBase {
     }
   }
 
+  test("hadamard / magnitude / angle complex cell ops") {
+    val x = CArr.fromParts(arr1d(Seq(1, 0, 2).map(_.toDouble), 2),
+                           arr1d(Seq(0, 1, -1).map(_.toDouble), 2))
+    val y = CArr.fromParts(arr1d(Seq(3, 2, 0).map(_.toDouble), 2),
+                           arr1d(Seq(1, -1, 2).map(_.toDouble), 2))
+    val (hr, hi) = cellsC(x.hadamard(y))
+    // (1+0i)(3+1i)=3+1i ; (0+1i)(2-1i)=1+2i ; (2-1i)(0+2i)=2+4i
+    assert(hr(0) == 3.0 && hi(0) == 1.0)
+    assert(hr(1) == 1.0 && hi(1) == 2.0)
+    assert(hr(2) == 2.0 && hi(2) == 4.0)
+    val mag = x.magnitude.toIndexedDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(mag(0) == 1.0 && mag(1) == 1.0 && math.abs(mag(2) - math.sqrt(5)) < eps)
+    val ang = x.angle.toIndexedDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ang(0) == 0.0 && math.abs(ang(1) - math.Pi / 2) < eps)
+  }
+
+  test("fftConvolve 'full' matches the direct integer convolution on multi-chunk inputs") {
+    val av = Seq(1, 2, 3, 4, 5, 0, 2, 1).map(_.toDouble)
+    val bv = Seq(2, 0, 1, 3).map(_.toDouble)
+    val out = ComplexFft.fftConvolve(arr1d(av, 3), arr1d(bv, 2))
+    assert(out.shape == Seq(11L))
+    val got = out.toIndexedDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (k <- 0 until 11) {
+      val expect = (0 until 8).map(i =>
+        if (k - i >= 0 && k - i < 4) av(i) * bv(k - i) else 0.0).sum
+      assert(math.abs(got(k) - expect) < 1e-9, s"conv[$k]: ${got(k)} vs $expect")
+    }
+  }
+
+  test("overlap-add convolution matches direct convolution across block boundaries") {
+    val av = (0 until 50).map(i => ((i * 17) % 23 - 5).toDouble)
+    val bv = Seq(2.0, -1.0, 0.5, 3.0, 1.0)
+    // oa path explicitly (multi-chunk signal, kernel spans block joins)
+    val out = ComplexFft.oaConvolve(arr1d(av, 7), bv.toArray)
+    assert(out.shape == Seq(54L))
+    val got = out.toIndexedDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (k <- 0 until 54) {
+      val expect = av.indices.map(i =>
+        if (k - i >= 0 && k - i < 5 ) av(i) * bv(k - i) else 0.0).sum
+      assert(math.abs(got(k) - expect) < 1e-9, s"oa[$k]")
+    }
+    // the dispatcher picks overlap-add for a small kernel (nb*4 <= na) and
+    // must agree with the local-FFT per-block path (nb > 32 branch)
+    val bigK = (0 until 40).map(i => ((i * 7) % 11 - 3).toDouble)
+    val sig = (0 until 400).map(i => ((i * 29) % 31 - 9).toDouble)
+    val viaDispatch = ComplexFft.fftConvolve(arr1d(sig, 64), arr1d(bigK, 16))
+      .toIndexedDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (k <- 0 until 439) {
+      val expect = sig.indices.map(i =>
+        if (k - i >= 0 && k - i < 40) sig(i) * bigK(k - i) else 0.0).sum
+      assert(math.abs(viaDispatch(k) - expect) < 1e-7, s"dispatch[$k]")
+    }
+  }
+
+  test("fft1dArr chunked spectrum matches fft1dC rows bin-for-bin; ifft1dArr inverts") {
+    val n = 24
+    val vr = (0 until n).map(i => (i * 5 % 11).toDouble)
+    val vi = (0 until n).map(i => (i % 4).toDouble)
+    val x = CArr.fromParts(arr1d(vr, 7), arr1d(vi, 7))
+    val arr = ComplexFft.fft1dArr(x, targetElems = 8, outChunk = 5)
+    assert(arr.chunks == Seq(Seq(5, 5, 5, 5, 4)))
+    val (ar, ai) = cellsC(arr)
+    val rows = ComplexFft.fft1dC(x, targetElems = 8).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for (k <- 0 until n) {
+      assert(math.abs(ar(k) - rows(k)._1) < 1e-12, s"re[$k]")
+      assert(math.abs(ai(k) - rows(k)._2) < 1e-12, s"im[$k]")
+    }
+    val back = ComplexFft.ifft1dArr(arr, targetElems = 8, outChunk = 7)
+    val (br, bi) = cellsC(back)
+    for (k <- 0 until n) {
+      assert(math.abs(br(k) - vr(k)) < 1e-9, s"inv re[$k]")
+      assert(math.abs(bi(k) - vi(k)) < 1e-9, s"inv im[$k]")
+    }
+  }
+
   test("complex rechunk moves both planes in one packed shuffle and preserves values") {
     val vr = (0 until 15).map(_.toDouble)
     val vi = (0 until 15).map(i => (i * i).toDouble)
