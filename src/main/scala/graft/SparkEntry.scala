@@ -2377,6 +2377,20 @@ object SparkEntry {
       val b = GArr.fromColumn(ords, "b", Seq("o_orderkey"), chunk = 16)
       ComplexFft.fftConvolve(a, b).toIndexedDF
         .select(col("idx"), round(col("value")).cast("long").as("v"))
+    },
+
+    // ---- argtopk (reductions.py argtopk): per-row indices of the top-5
+    // quantities over the 60x100 matrix — the candidate-sketch tree merge
+    // with the deterministic smaller-index tie-break the oracle restates
+    // as row_number() OVER (ORDER BY q DESC, col).
+    "q187_argtopk" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      val x = GArr.fromColumn(li.sort(liTotalOrder.map(col): _*).limit(6000),
+        "l_quantity", liTotalOrder, chunk = 512)
+        .reshape(Seq(60L, 100L), Seq(16, 32))
+      x.argtopkAxis(1, 5).toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("v"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -4719,5 +4733,18 @@ object SparkEntry {
         |      FROM orders ORDER BY o_orderkey LIMIT 40)
         |SELECT CAST(t.rn + o.rn AS BIGINT) AS idx,
         |       CAST(sum(t.q * o.b) AS BIGINT) AS v
-        |FROM t, o GROUP BY 1""".stripMargin)
+        |FROM t, o GROUP BY 1""".stripMargin,
+
+    // q187: argtopk = per-row rank by (q DESC, col ASC), first 5 columns.
+    "q187_argtopk" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem QUALIFY rn < 6000),
+        |cells AS (SELECT rn // 100 AS row, rn % 100 AS col, q FROM t),
+        |r AS (SELECT row, col,
+        |        row_number() OVER (PARTITION BY row ORDER BY q DESC, col) - 1 AS j
+        |      FROM cells)
+        |SELECT CAST(row * 5 + j AS BIGINT) AS idx, CAST(col AS BIGINT) AS v
+        |FROM r WHERE j < 5""".stripMargin)
 }

@@ -1996,6 +1996,211 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     if (parts.length == 1) this else GArr.concatenate(axis, parts)
   }
 
+  /** numpy/dask `argtopk(k, axis)` (reference `array/reductions.py`
+    * argtopk — the index-returning sibling of topk): same per-lane
+    * candidate sketch and map-side-combined tree merge as [[topkAxis]],
+    * carrying (value, GLOBAL axis index) pairs; ties break toward the
+    * SMALLER index (deterministic, matching a stable argsort), k>0 takes
+    * the largest values, k<0 the smallest. Output extent |k| along the
+    * axis, values are the winning indices.
+    */
+  def argtopkAxis(axis: Int, k: Int): GArr = {
+    require(ndim >= 1 && axis >= 0 && axis < ndim && k != 0)
+    val kk = math.min(math.abs(k).toLong, shape(axis)).toInt
+    val desc = k > 0
+    val s = spark
+    import s.implicits._
+    val nd = ndim
+    val ax = axis
+    val srcStarts = chunks.map(startsOf)
+    val restGrid = { val g = grid; (0 until nd).filter(_ != ax).map(g) }
+    // (value, idx) candidate ordering: better = larger value (desc) /
+    // smaller value (asc); equal values -> smaller index wins
+    def better(v1: Double, i1: Long, v2: Double, i2: Long): Boolean =
+      if (v1 != v2) (if (desc) v1 > v2 else v1 < v2) else i1 < i2
+    val partials = blocks.map { b =>
+      val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), b.bid(d)))
+      val g0 = srcStarts(ax)(b.bid(ax))
+      val restDims = Array.tabulate(nd - 1)(j => sdims(if (j < ax) j else j + 1))
+      val restTotal = if (restDims.isEmpty) 1 else restDims.product
+      val rstr = cStridesI(restDims)
+      val lanesV = Array.fill(restTotal)(scala.collection.mutable.ArrayBuffer.empty[Double])
+      val lanesI = Array.fill(restTotal)(scala.collection.mutable.ArrayBuffer.empty[Long])
+      val t = new Array[Int](nd)
+      var i = 0
+      while (i < b.data.length) {
+        var ro = 0; var j = 0; var q = 0
+        while (j < nd) { if (j != ax) { ro += t(j) * rstr(q); q += 1 }; j += 1 }
+        lanesV(ro) += b.data(i)
+        lanesI(ro) += g0 + t(ax)
+        incOdo(t, sdims)
+        i += 1
+      }
+      val width = math.min(kk, sdims(ax))
+      val outV = new Array[Double](restTotal * width)
+      val outI = new Array[Long](restTotal * width)
+      var lane = 0
+      while (lane < restTotal) {
+        val order = lanesI(lane).indices.sortWith((p, q) =>
+          better(lanesV(lane)(p), lanesI(lane)(p), lanesV(lane)(q), lanesI(lane)(q)))
+        var j = 0
+        while (j < width) {
+          outV(lane * width + j) = lanesV(lane)(order(j))
+          outI(lane * width + j) = lanesI(lane)(order(j))
+          j += 1
+        }
+        lane += 1
+      }
+      val restBid = (0 until nd).filter(_ != ax).map(b.bid)
+      (linearBidL(restBid, restGrid), restBid, restTotal, outV, outI)
+    }
+    val reduced = partials.groupByKey(_._1)
+      .reduceGroups { (x, y) =>
+        val restTotal = x._3
+        val w1 = x._4.length / restTotal
+        val w2 = y._4.length / restTotal
+        val wo = math.min(w1 + w2, kk)
+        val outV = new Array[Double](restTotal * wo)
+        val outI = new Array[Long](restTotal * wo)
+        var lane = 0
+        while (lane < restTotal) {
+          // merge two sorted candidate lists, keep the best wo
+          var p = 0; var q = 0; var j = 0
+          while (j < wo) {
+            val takeX = q >= w2 || (p < w1 && better(
+              x._4(lane * w1 + p), x._5(lane * w1 + p),
+              y._4(lane * w2 + q), y._5(lane * w2 + q)))
+            if (takeX) { outV(lane * wo + j) = x._4(lane * w1 + p)
+              outI(lane * wo + j) = x._5(lane * w1 + p); p += 1 }
+            else { outV(lane * wo + j) = y._4(lane * w2 + q)
+              outI(lane * wo + j) = y._5(lane * w2 + q); q += 1 }
+            j += 1
+          }
+          lane += 1
+        }
+        (x._1, x._2, restTotal, outV, outI)
+      }
+      .map { case (_, (_, restBid, restTotal, _, mergedI)) =>
+        val width = mergedI.length / restTotal
+        val outDims = Array.tabulate(nd) { d =>
+          if (d == ax) kk else chunkDim(srcStarts(d), restBid(if (d < ax) d else d - 1))
+        }
+        val out = new Array[Double](outDims.product)
+        val ostr = cStridesI(outDims)
+        var lane = 0
+        while (lane < restTotal) {
+          val full = new Array[Int](nd)
+          var rem = lane; var j = nd - 2
+          while (j >= 0) {
+            val d = if (j < ax) j else j + 1
+            full(d) = rem % outDims(d); rem /= outDims(d)
+            j -= 1
+          }
+          var aj = 0
+          while (aj < kk) {
+            var off = 0; var d = 0
+            while (d < nd) { off += (if (d == ax) aj else full(d)) * ostr(d); d += 1 }
+            out(off) = mergedI(lane * width + aj).toDouble
+            aj += 1
+          }
+          lane += 1
+        }
+        ABlock(restBid.patch(ax, Seq(0), 0), out)
+      }
+    GArr(shape.updated(ax, kk.toLong),
+      chunks.updated(ax, Seq(kk)), reduced)
+  }
+
+  /** numpy `nanquantile`/`nanmedian` along an axis: [[quantileAxis]]'s
+    * single-chunk-axis contract with NaNs dropped per lane before the
+    * linear interpolation; an all-NaN lane yields NaN (numpy semantics).
+    */
+  def nanquantileAxis(axis: Int, q: Double): GArr = {
+    require(q >= 0.0 && q <= 1.0, s"quantile q must be in [0,1]: $q")
+    require(ndim >= 1 && axis >= 0 && axis < ndim)
+    val single =
+      if (chunks(axis).length == 1) this
+      else rechunkTo(chunks.updated(axis, Seq(shape(axis).toInt)))
+    val s = spark
+    import s.implicits._
+    val nd = ndim
+    val srcStarts = single.chunks.map(startsOf)
+    val qq = q
+    val ax = axis
+    val reduced = single.blocks.map { b =>
+      val sdims = Array.tabulate(nd)(d => chunkDim(srcStarts(d), b.bid(d)))
+      val alen = sdims(ax)
+      val restDims = Array.tabulate(nd - 1)(j => sdims(if (j < ax) j else j + 1))
+      val restTotal = if (restDims.isEmpty) 1 else restDims.product
+      val out = new Array[Double](restTotal)
+      val lane = new Array[Double](alen)
+      val t = new Array[Int](nd)
+      var r = 0
+      while (r < restTotal) {
+        var rem = r; var j = nd - 2
+        while (j >= 0) {
+          val d = if (j < ax) j else j + 1
+          t(d) = rem % restDims(j); rem /= restDims(j)
+          j -= 1
+        }
+        val str = cStridesI(sdims)
+        var base = 0; var d = 0
+        while (d < nd) { if (d != ax) base += t(d) * str(d); d += 1 }
+        var m = 0
+        var a = 0
+        while (a < alen) {
+          val v = b.data(base + a * str(ax))
+          if (!v.isNaN) { lane(m) = v; m += 1 }
+          a += 1
+        }
+        if (m == 0) out(r) = Double.NaN
+        else {
+          java.util.Arrays.sort(lane, 0, m)
+          val pos = qq * (m - 1)
+          val lo = pos.toInt
+          val hi = math.min(lo + 1, m - 1)
+          val frac = pos - lo
+          out(r) = lane(lo) * (1.0 - frac) + lane(hi) * frac
+        }
+        r += 1
+      }
+      ABlock((0 until nd).filter(_ != ax).map(b.bid), out)
+    }
+    GArr((0 until nd).filter(_ != ax).map(shape),
+      (0 until nd).filter(_ != ax).map(single.chunks), reduced)
+  }
+
+  def nanmedianAxis(axis: Int): GArr = nanquantileAxis(axis, 0.5)
+
+  /** numpy `nanprod`: NaNs contribute the identity (an all-NaN lane gives
+    * 1.0, the empty product — numpy semantics), riding [[prodAxis]].
+    */
+  def nanprodAxis(axis: Int): GArr =
+    scalarMap(v => if (v.isNaN) 1.0 else v).prodAxis(axis)
+
+  /** numpy `moveaxis(src, dst)` — a transpose permutation (zero shuffle). */
+  def moveaxis(src0: Int, dst0: Int): GArr = {
+    val src = if (src0 < 0) src0 + ndim else src0
+    val dst = if (dst0 < 0) dst0 + ndim else dst0
+    require(src >= 0 && src < ndim && dst >= 0 && dst < ndim)
+    if (src == dst) this
+    else transpose((0 until ndim).filter(_ != src).patch(dst, Seq(src), 0))
+  }
+
+  /** numpy `rollaxis(axis, start)` — the legacy moveaxis variant. */
+  def rollaxis(axis: Int, start: Int = 0): GArr = {
+    val st = if (start > axis) start - 1 else start
+    moveaxis(axis, st)
+  }
+
+  /** numpy `trace` of a 2-D array: diagonal extraction + the tree-reduce
+    * sum (no materialized intermediate beyond the diagonal's blocks).
+    */
+  def trace: Double = {
+    require(ndim == 2, "trace takes a 2-D array")
+    diagonal(0, 1).sumAll
+  }
+
   /** numpy `pad(mode='wrap')` along one axis (reference `array/creation.py
     * :1113` pad_reuse 'wrap'): before-pad = the axis tail, after-pad = the
     * axis head — two slices + concat, payload moved O(pad · plane).
