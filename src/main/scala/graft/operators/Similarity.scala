@@ -377,17 +377,37 @@ object Similarity {
       col(vecCol).as("__v"),
       cellAssigner(spark, cents)(col(vecCol)).as("cell"),
       vecNorm(col(vecCol)).as("__n"))
-    val a = assigned.filter(col("__n") > 0)
-      .select(col("id"), col("cell"), col("__v"), col("__n"))
+    // COLLAPSE-EXACT-FIRST (the q61/q103 lesson applied to SemDeDup): the
+    // quadratic within-cluster join runs on one representative per
+    // DISTINCT vector, never on replicas. This is semantics-preserving,
+    // not an approximation: an identical pair has cosine exactly 1 >= tau,
+    // so every non-minimal replica is dropped by its own group's min-id
+    // mate, and a representative survives iff no distinct cluster-mate
+    // with a smaller MIN replica id clears tau — precisely the original
+    // "exists a smaller-id cluster-mate above threshold" rule. Identical
+    // vectors always share a cell (assignment is a pure function of the
+    // vector), so collapsing cannot split a group across cells. Pair
+    // space becomes (#distinct)^2/k regardless of how many times a crawl
+    // replicates a document — the axis a real corpus actually grows on.
+    val groups = assigned.filter(col("__n") > 0)
+      .groupBy(col("__v"))
+      .agg(min(col("id")).as("id"), min(col("cell")).as("cell"),
+        min(col("__n")).as("__n"))
+    val a = groups.select(col("id"), col("cell"), col("__v"), col("__n"))
     val b = a.select(col("id").as("id_b"), col("cell"),
       col("__v").as("__vb"), col("__n").as("__nb"))
-    // dropped = has a smaller-id cluster-mate above the threshold
-    val dropped = a.join(b, Seq("cell"))
+    // dropped representative = has a smaller-min-id distinct cluster-mate
+    // above the threshold
+    val droppedRep = a.join(b, Seq("cell"))
       .filter(col("id_b") < col("id"))
       .filter(vecDot(col("__v"), col("__vb")) / (col("__n") * col("__nb")) >= tau)
       .select(col("id")).distinct()
-    assigned.join(dropped, Seq("id"), "left_anti")
-      .select(col("id"), col("cell"))
+    val keptRep = a.select(col("id"))
+      .join(droppedRep, Seq("id"), "left_anti")
+    // zero-norm rows keep their original fate (never compared, never
+    // dropped); everything else survives only as a surviving representative
+    assigned.filter(col("__n") === 0).select(col("id"), col("cell"))
+      .unionByName(assigned.join(keptRep, Seq("id")).select(col("id"), col("cell")))
   }
 
   /** Bucketed ANN: candidates restricted to the query's bucket, then exact
