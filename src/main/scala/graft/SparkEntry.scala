@@ -2391,6 +2391,34 @@ object SparkEntry {
         .reshape(Seq(60L, 100L), Seq(16, 32))
       x.argtopkAxis(1, 5).toIndexedDF
         .select(col("idx"), col("value").cast("long").as("v"))
+    },
+
+    // ---- ndim setitem chain (dask x[idx] = v / x[mask] = v on a MATRIX,
+    // slicing.py:1464 setitem_array, the r10 ndim generalization): fancy
+    // ROW assignment on a 64x64 matrix (duplicate target rows — last-wins
+    // per whole row, value chunked off both grids to force the rechunk
+    // align), then a masked assignment whose values are the booleanMask
+    // selection of the updated matrix itself (so ndim global-C-order rank
+    // -> value plumbing is exercised with nothing driver-known).
+    // Relationally: rows hit by idx become 20000+100*max(j)+col, then every
+    // cell >= 20000 becomes val*10+3.
+    "q188_setitem_2d" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      def head(n: Int) = li.sort(liTotalOrder.map(col): _*).limit(n)
+      val x = GArr.fromColumn(head(4096), "l_quantity", liTotalOrder, chunk = 512)
+        .reshape(Seq(64L, 64L), Seq(16, 16))
+      val idxSrc = head(20)
+        .withColumn("pos", ((col("l_partkey") * 7) % 64).cast("double"))
+      val idx = GArr.fromColumn(idxSrc, "pos", liTotalOrder, chunk = 8)
+      val v = GArr.fromFunction(s, Seq(20L, 64L), Seq(8, 32))(g =>
+        20000.0 + g(0) * 100 + g(1))
+      val y = x.updatedFancy(idx, v, axis = 0).persist()
+      val m = y.mapBlocks((_, d) => d.map(vv => if (vv >= 20000.0) 1.0 else 0.0))
+      val values = y.booleanMask(m, targetChunk = 500).scalarMap(vv => vv * 10.0 + 3.0)
+      y.maskedAssign(m, values).toIndexedDF
+        .agg(sum((col("idx") % 9973 + 1) * col("value").cast("long")).as("wsum"),
+          sum(when(col("value") >= 200000.0, 1L).otherwise(0L)).as("hits"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -4746,5 +4774,25 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY row ORDER BY q DESC, col) - 1 AS j
         |      FROM cells)
         |SELECT CAST(row * 5 + j AS BIGINT) AS idx, CAST(col AS BIGINT) AS v
-        |FROM r WHERE j < 5""".stripMargin)
+        |FROM r WHERE j < 5""".stripMargin,
+
+    // q188: fancy ROW setitem (last-wins == MAX(j) per target row, value
+    // monotone in j) then elementwise masked reassignment of every updated
+    // cell — relationally a two-step CASE chain over the 64x64 flatten.
+    "q188_setitem_2d" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q, CAST(l_partkey AS BIGINT) AS pk,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |i AS (SELECT rn AS j, (pk * 7) % 64 AS tgt FROM t WHERE rn < 20),
+        |w AS (SELECT tgt, MAX(j) AS j FROM i GROUP BY tgt),
+        |cells AS (SELECT rn AS f, rn // 64 AS r, rn % 64 AS c, q FROM t WHERE rn < 4096),
+        |v1 AS (SELECT f, CASE WHEN w.tgt IS NOT NULL THEN 20000 + 100 * w.j + c
+        |                      ELSE q END AS val
+        |       FROM cells LEFT JOIN w ON cells.r = w.tgt),
+        |v2 AS (SELECT f, CASE WHEN val >= 20000 THEN val * 10 + 3 ELSE val END AS val
+        |       FROM v1)
+        |SELECT CAST(SUM((f % 9973 + 1) * val) AS BIGINT) AS wsum,
+        |       CAST(SUM(CASE WHEN val >= 200000 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        |FROM v2""".stripMargin)
 }

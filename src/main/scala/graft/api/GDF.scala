@@ -285,10 +285,12 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
     alignedBinop(other, valueCol, valueCol, valueCol)(coalesce(_, _))
 
   /** pandas `combine(other, func)` (`_collection.py` combine): align both
-    * frames on the index (full outer) and apply `op` to every SHARED value
-    * column; one-sided columns pass through with nulls on the absent side,
-    * exactly pandas' NaN fill. One join — the per-column ops ride the same
-    * exchange.
+    * frames on the index (full outer) and apply `op` to EVERY column in the
+    * union — pandas calls func with a NaN-filled series for the side that
+    * lacks the column, so one-sided columns get `op(col, null)` /
+    * `op(null, col)` (e.g. combine with fmax NaN-propagates one-sided
+    * columns, exactly as the reference does). One join — the per-column ops
+    * ride the same exchange.
     */
   def combine(other: GDF)(op: (Column, Column) => Column): GDF = {
     val ix = index.orElse(other.index).getOrElse(throw new IllegalStateException(
@@ -301,10 +303,13 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
     val l = df.select(ix.map(col) ++ lVals.map(c => col(c).as(s"__l_$c")): _*)
     val r = other.df.select(ix.map(col) ++ rVals.map(c => col(c).as(s"__r_$c")): _*)
     val joined = l.join(r, ix, "full_outer")
+    // typed nulls for the absent side so op sees the present column's type
+    val jTypes = joined.schema.fields.map(f => f.name -> f.dataType).toMap
     val out = (lVals ++ rVals).distinct.map { c =>
       if (shared.contains(c)) op(col(s"__l_$c"), col(s"__r_$c")).as(c)
-      else if (lVals.contains(c)) col(s"__l_$c").as(c)
-      else col(s"__r_$c").as(c)
+      else if (lVals.contains(c))
+        op(col(s"__l_$c"), lit(null).cast(jTypes(s"__l_$c"))).as(c)
+      else op(lit(null).cast(jTypes(s"__r_$c")), col(s"__r_$c")).as(c)
     }
     new GDF(joined.select(ix.map(col) ++ out: _*), Some(IndexMeta(ix, sorted = false)))
   }

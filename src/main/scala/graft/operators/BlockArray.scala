@@ -579,51 +579,108 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     GArr(outLens, newChunks, assemble(pieces, newChunks))
   }
 
-  /** numpy fancy setitem `x[idx] = value` with BOTH the integer index and
-    * the values distributed (reference `array/slicing.py:1464`
-    * `setitem_array`, the int-array-index branch). 1-D base; `value` is
-    * aligned to `idx`'s chunks. Duplicate indices resolve LAST-wins in
-    * index order (numpy's sequential-store semantics): writes carry their
-    * global index-order, key by this array's block, and each block keeps
-    * the max-order write per offset before one overlay co-group applies
-    * them. Nothing driver-side.
+  /** numpy fancy setitem `x[..., idx, ...] = value` along `axis` with BOTH
+    * the integer index and the values distributed (reference
+    * `array/slicing.py:1464` `setitem_array`, the int-array-index branch).
+    * ndim base; `idx` is 1-D; `value.shape == x.shape` with `axis` replaced
+    * by `idx`'s length, aligned to this array's chunks off-axis and `idx`'s
+    * chunks on-axis (one rechunk shuffle if it isn't already). Duplicate
+    * indices resolve LAST-wins in index order (numpy's sequential-store
+    * semantics, per whole axis-slice): writes carry their global
+    * index-order, key by this array's block, and each block keeps the
+    * max-order write per offset before one overlay co-group applies them.
+    * Nothing driver-side; shuffle volume is O(|value|) writes + the overlay.
     */
-  def updatedFancy(idx: GArr, value: GArr): GArr = {
-    require(ndim == 1 && idx.ndim == 1 && value.ndim == 1,
-      "updatedFancy: 1-D base, index, and value")
-    require(idx.shape == value.shape,
-      s"updatedFancy: value shape ${value.shape} != index shape ${idx.shape}")
+  def updatedFancy(idx: GArr, value: GArr, axis: Int = 0): GArr = {
+    require(idx.ndim == 1, "updatedFancy: index array must be 1-D")
+    require(axis >= 0 && axis < ndim, s"updatedFancy: bad axis $axis for ndim $ndim")
+    require(value.ndim == ndim &&
+      value.shape == shape.updated(axis, idx.shape(0)),
+      s"updatedFancy: value shape ${value.shape} must be ${shape.updated(axis, idx.shape(0))}")
     val s = spark
     import s.implicits._
-    val vAligned = if (value.chunks == idx.chunks) value else value.regridTo(idx.chunks(0))
-    val S = startsOf(chunks(0))
-    val n = shape(0)
+    val targetValueChunks = chunks.updated(axis, idx.chunks(0))
+    val vAligned =
+      if (value.chunks == targetValueChunks) value else value.rechunkTo(targetValueChunks)
+    val S = startsOf(chunks(axis))
+    val n = shape(axis)
     val idxStarts = startsOf(idx.chunks(0))
     val g = grid
+    val nd = ndim
+    val ax = axis
+    val srcChunksB = chunks.map(_.toArray)
+    val valChunksB = targetValueChunks.map(_.toArray)
     val l = idx.blocks.map(b => (b.bid(0), b.data))
-    val r = vAligned.blocks.map(b => (b.bid(0), b.data))
-    // per-element writes: (target block, target local off, index order, value)
-    val writes = l.joinWith(r, l("_1") === r("_1")).flatMap { case ((ib0, ixs), (_, vs)) =>
-      val g0 = idxStarts(ib0)
-      val out = new Array[(Int, Int, Long, Double)](ixs.length)
-      var i = 0
-      while (i < ixs.length) {
-        val raw = ixs(i).toLong
-        val tgt = if (raw < 0) raw + n else raw // numpy negative-index wrap
-        require(tgt >= 0 && tgt < n, s"updatedFancy: index $raw out of bounds for length $n")
-        val xb = blockOf(S, tgt)
-        out(i) = (xb, (tgt - S(xb)).toInt, g0 + i, vs(i))
-        i += 1
+    val r = vAligned.blocks.map(b => (b.bid(ax), b.bid, b.data))
+    // packed per (value block → target block) write pieces carrying the
+    // index order of each write for last-wins resolution
+    val writes = l.joinWith(r, l("_1") === r("_1"))
+      .flatMap { case ((j, ixs), (_, vbid, vdata)) =>
+        val g0 = idxStarts(j)
+        val alen = ixs.length
+        // per axis-local lane: target axis block + local offset
+        val tb = new Array[Int](alen); val tloc = new Array[Int](alen)
+        var i = 0
+        while (i < alen) {
+          val raw = ixs(i).toLong
+          val tgt = if (raw < 0) raw + n else raw // numpy negative-index wrap
+          require(tgt >= 0 && tgt < n, s"updatedFancy: index $raw out of bounds for length $n")
+          val xb = blockOf(S, tgt)
+          tb(i) = xb; tloc(i) = (tgt - S(xb)).toInt
+          i += 1
+        }
+        val vdims = Array.tabulate(nd)(d => valChunksB(d)(vbid(d)))
+        val vstr = cStridesI(vdims)
+        // destination strides cached per touched target axis block
+        val dstrCache = scala.collection.mutable.HashMap[Int, Array[Int]]()
+        def dstrOf(xb: Int): Array[Int] = dstrCache.getOrElseUpdate(xb, {
+          val ddims = Array.tabulate(nd)(d =>
+            if (d == ax) srcChunksB(ax)(xb) else vdims(d))
+          cStridesI(ddims)
+        })
+        val out = scala.collection.mutable.LinkedHashMap[Long, (Seq[Int],
+          scala.collection.mutable.ArrayBuilder[Int],
+          scala.collection.mutable.ArrayBuilder[Double],
+          scala.collection.mutable.ArrayBuilder[Long])]()
+        val t = new Array[Int](nd)
+        val total = vdims.product
+        var p = 0
+        while (p < total) {
+          val ia = t(ax)
+          val dstBid = vbid.updated(ax, tb(ia))
+          val key = linearBidL(dstBid, g)
+          val dstr = dstrOf(tb(ia))
+          var so = 0; var doff = 0; var d = 0
+          while (d < nd) {
+            so += t(d) * vstr(d)
+            doff += (if (d == ax) tloc(ia) else t(d)) * dstr(d)
+            d += 1
+          }
+          val slot = out.getOrElseUpdate(key, (dstBid,
+            scala.collection.mutable.ArrayBuilder.make[Int],
+            scala.collection.mutable.ArrayBuilder.make[Double],
+            scala.collection.mutable.ArrayBuilder.make[Long]))
+          slot._2 += doff; slot._3 += vdata(so); slot._4 += (g0 + ia)
+          incOdo(t, vdims)
+          p += 1
+        }
+        out.iterator.map { case (key, (bid, offs, vals, ords)) =>
+          (key, bid, offs.result(), vals.result(), ords.result())
+        }
       }
-      out
-    }
-    val pieces = writes.groupByKey(_._1).mapGroups { (xb, it) =>
+    val pieces = writes.groupByKey(_._1).mapGroups { (key, it) =>
       val best = scala.collection.mutable.HashMap[Int, (Long, Double)]()
-      it.foreach { case (_, off, ord, v) =>
-        val cur = best.get(off)
-        if (cur.isEmpty || cur.get._1 < ord) best(off) = (ord, v)
+      var bid: Seq[Int] = null
+      it.foreach { case (_, pbid, offs, vals, ords) =>
+        bid = pbid
+        var i = 0
+        while (i < offs.length) {
+          val cur = best.get(offs(i))
+          if (cur.isEmpty || cur.get._1 < ords(i)) best(offs(i)) = (ords(i), vals(i))
+          i += 1
+        }
       }
-      val buf = new PieceBuf(linearBidL(Seq(xb), g), Seq(xb))
+      val buf = new PieceBuf(key, bid)
       best.foreach { case (off, (_, v)) => buf.add(off, v) }
       buf.toPiece
     }
@@ -632,18 +689,21 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
 
   /** numpy masked setitem `x[mask] = values` with an ARRAY right-hand side
     * (reference `array/slicing.py:1464` `setitem_array`, the bool-index
-    * branch; the scalar form is [[maskedFill]]). 1-D base; mask has this
+    * branch; the scalar form is [[maskedFill]]). ndim base; mask has this
     * array's shape/chunks; `values` is 1-D of length = selected count,
-    * consumed in C order of the selected positions. Counts-prefix ranks
-    * each selected position (O(nblocks) driver state, as [[booleanMask]]);
-    * ranks fetch their value through a takeArr-style co-group keyed by
-    * VALUE block, and the writes overlay onto the original blocks.
+    * consumed in global C order of the selected positions. 1-D bases take
+    * the counts-prefix path (O(nblocks) driver state, as [[booleanMask]]);
+    * ndim ≥ 2 ranks selected positions by a distributed sort on the global
+    * flat index (block-local order does not partition global C order —
+    * same reasoning as the ndim [[booleanMask]] branch). Ranks fetch their
+    * value through a takeArr-style co-group keyed by VALUE block, and the
+    * writes overlay onto the original blocks.
     */
   def maskedAssign(mask: GArr, values: GArr): GArr = {
-    require(ndim == 1 && mask.ndim == 1 && values.ndim == 1,
-      "maskedAssign: 1-D base, mask, and values")
+    require(values.ndim == 1, "maskedAssign: values must be 1-D")
     require(shape == mask.shape && chunks == mask.chunks,
       s"maskedAssign requires identical base/mask shape+chunks: $shape vs ${mask.shape}")
+    if (ndim > 1) return maskedAssignNd(mask, values)
     val s = spark
     import s.implicits._
     val maskCached = mask.blocks
@@ -699,6 +759,76 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     outBlocks.count() // materialize before dropping the mask cache
     maskCached.unpersist()
+    res.copy(blocks = outBlocks)
+  }
+
+  /** ndim ≥ 2 branch of [[maskedAssign]]: selected positions carry their
+    * global flat C index; a distributed sortByKey + zipWithIndex assigns
+    * each its C-order rank (the value it consumes), then the value lookup
+    * is the same VALUE-block co-group as the 1-D path and the writes
+    * overlay. Only the k SELECTED positions ride the sort, never the array.
+    */
+  private def maskedAssignNd(mask: GArr, values: GArr): GArr = {
+    val s = spark
+    import s.implicits._
+    val g = grid
+    val sh = shape
+    val st = chunks.map(startsOf)
+    val nd = ndim
+    val strides = cStrides(sh)
+    // (global flat C index, (target block key, target bid, target local off))
+    val selected = mask.blocks.rdd.flatMap { b =>
+      val bid = b.bid
+      val dims = Array.tabulate(nd)(d => chunkDim(st(d), bid(d)))
+      val gstart = Array.tabulate(nd)(d => st(d)(bid(d)))
+      val key = linearBidL(bid, g)
+      val out = scala.collection.mutable.ArrayBuilder.make[(Long, (Long, Seq[Int], Int))]
+      val loc = new Array[Int](nd)
+      var i = 0
+      while (i < b.data.length) {
+        if (b.data(i) != 0.0) {
+          var f = 0L; var d = 0
+          while (d < nd) { f += (gstart(d) + loc(d)) * strides(d); d += 1 }
+          out += ((f, (key, bid, i)))
+        }
+        incOdo(loc, dims)
+        i += 1
+      }
+      out.result()
+    }.sortByKey().map(_._2).zipWithIndex()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val k = selected.count()
+    require(values.shape == Seq(k),
+      s"maskedAssign: values length ${values.shape.head} != selected count $k")
+    val V = startsOf(values.chunks(0))
+    // requests keyed by VALUE block: (value local off, target key, bid, off)
+    val requests = s.createDataset(selected.map { case ((key, bid, off), rank) =>
+      val vb = blockOf(V, rank)
+      (vb, 1, Array.empty[Double], key, bid, off, (rank - V(vb)).toInt)
+    })
+    val piecesIn = values.blocks
+      .map(b => (b.bid(0), 0, b.data, 0L, Seq.empty[Int], 0, 0))
+      .union(requests.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7)))
+    val pieces = piecesIn.groupByKey(_._1).flatMapGroups { (_, it) =>
+      var data: Array[Double] = null
+      val reqs = scala.collection.mutable.ArrayBuffer[(Long, Seq[Int], Int, Int)]()
+      it.foreach { row =>
+        if (row._2 == 0) data = row._3 else reqs += ((row._4, row._5, row._6, row._7))
+      }
+      if (data == null || reqs.isEmpty) Iterator.empty
+      else {
+        val out = scala.collection.mutable.LinkedHashMap[Long, PieceBuf]()
+        reqs.foreach { case (key, bid, off, vLocal) =>
+          out.getOrElseUpdate(key, new PieceBuf(key, bid)).add(off, data(vLocal))
+        }
+        out.valuesIterator.map(_.toPiece)
+      }
+    }
+    val res = overlay(pieces)
+    val outBlocks = res.blocks
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    outBlocks.count() // materialize before dropping the rank cache
+    selected.unpersist()
     res.copy(blocks = outBlocks)
   }
 

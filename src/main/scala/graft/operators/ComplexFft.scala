@@ -309,10 +309,34 @@ object ComplexFft {
     * + concat, all one-shuffle packed ops), inverse-transform, return the
     * real plane. `n` defaults to 2·(m−1) as in numpy.
     */
-  def irfftAxis(x: CArr, axis: Int = 0, n0: Long = -1L): GArr = {
-    val m = x.shape(axis)
-    val n = if (n0 > 0) n0 else 2L * (m - 1)
+  def irfftAxis(x0: CArr, axis: Int = 0, n0: Long = -1L): GArr = {
+    val m0 = x0.shape(axis)
+    val n = if (n0 > 0) n0 else 2L * (m0 - 1)
     require(n >= 1, s"irfft output length $n must be >= 1")
+    // numpy semantics for n > 2*(m-1): the half-spectrum is zero-padded to
+    // n/2+1 bins BEFORE the Hermitian mirror is built (numpy irfft pads the
+    // missing high-frequency bins with zeros). Without this the mirror slice
+    // below would be clamped to the available bins and silently return a
+    // wrong-length result.
+    val bins = n / 2 + 1
+    val x =
+      if (m0 >= bins) x0
+      else {
+        val s = x0.blocks.sparkSession
+        val padLen = bins - m0
+        val ck = math.max(1, x0.chunks(axis).max)
+        val axChunks = {
+          val full = (padLen / ck).toInt
+          val rem = (padLen % ck).toInt
+          Seq.fill(full)(ck) ++ (if (rem > 0) Seq(rem) else Nil)
+        }
+        val padShape = x0.shape.indices.map(d => if (d == axis) padLen else x0.shape(d))
+        val padChunks = x0.shape.indices.map(d => if (d == axis) axChunks else x0.chunks(d))
+        val z = GArr.fromChunksGrid(s, padShape, padChunks)((_, dims) =>
+          new Array[Double](dims.product))
+        CArr.concatenate(axis, Seq(x0, CArr.fromReal(z)))
+      }
+    val m = x.shape(axis)
     val mUse = math.min(m, n / 2 + 1)
     val headSpecs = x.shape.indices.map(d =>
       if (d == axis) (0L, mUse, 1L) else (0L, x.shape(d), 1L))

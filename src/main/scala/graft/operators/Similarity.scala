@@ -367,10 +367,23 @@ object Similarity {
     * is n²/k; k is the knob the paper also turns (their 50k clusters on
     * LAION). Zero-norm vectors have no cosine and are always kept.
     *
+    * Degenerate-cell guard (`maxCellSize`, the [[Dedup.lshCandidates]]
+    * maxBucketSize idea): a Lloyd cell whose DISTINCT-representative
+    * population exceeds the bound is split into ceil(pop/maxCellSize)
+    * hash-derived sub-cells before the pairwise join, so a pathological
+    * embedding distribution (all vectors in one cell) still produces
+    * bounded per-task pair counts instead of one n² task. Within-sub-cell
+    * comparison is the documented approximation for oversized cells —
+    * exact duplicates are unaffected (they collapse to one representative
+    * BEFORE splitting), and normal corpora (pop ≤ maxCellSize everywhere)
+    * are byte-identical to the uncapped rule.
+    *
     * Returns the SURVIVORS: (id, cell).
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-                    k: Int, iters: Int = 2, tau: Double = 0.95): DataFrame = {
+                    k: Int, iters: Int = 2, tau: Double = 0.95,
+                    maxCellSize: Int = 100000): DataFrame = {
+    require(maxCellSize >= 1, s"maxCellSize must be >= 1, got $maxCellSize")
     val spark = corpus.sparkSession
     val cents = lloydTrain(corpus, idCol, vecCol, k, iters)
     val assigned = corpus.select(col(idCol).cast("long").as("id"),
@@ -389,25 +402,44 @@ object Similarity {
     // vector), so collapsing cannot split a group across cells. Pair
     // space becomes (#distinct)^2/k regardless of how many times a crawl
     // replicates a document — the axis a real corpus actually grows on.
-    val groups = assigned.filter(col("__n") > 0)
+    val participating = assigned.filter(col("__n") > 0)
+    val groups = participating
       .groupBy(col("__v"))
       .agg(min(col("id")).as("id"), min(col("cell")).as("cell"),
         min(col("__n")).as("__n"))
-    val a = groups.select(col("id"), col("cell"), col("__v"), col("__n"))
-    val b = a.select(col("id").as("id_b"), col("cell"),
+    // Oversized-cell split: cellPop has <= k rows (broadcast-cheap); a cell
+    // over the bound gets a deterministic sub-cell key from the vector hash
+    // so the pair join's per-task work stays bounded.
+    val cellPop = groups.groupBy(col("cell")).agg(count(lit(1)).as("__pop"))
+    val nSub = when(col("__pop") > maxCellSize,
+      ceil(col("__pop").cast("double") / maxCellSize).cast("int")).otherwise(lit(1))
+    val subbed = groups.join(broadcast(cellPop), Seq("cell"))
+      .withColumn("__sub", pmod(hash(col("__v")), nSub).cast("int"))
+    val a = subbed.select(col("id"), col("cell"), col("__sub"), col("__v"), col("__n"))
+    val b = a.select(col("id").as("id_b"), col("cell"), col("__sub"),
       col("__v").as("__vb"), col("__n").as("__nb"))
     // dropped representative = has a smaller-min-id distinct cluster-mate
-    // above the threshold
-    val droppedRep = a.join(b, Seq("cell"))
+    // above the threshold.
+    // Tau-boundary note (documented semantics): exact duplicates are ALWAYS
+    // collapsed to their min-id representative, even at tau = 1.0 where a
+    // floating-point cosine dot(v,v)/(norm*norm) could round to 0.999...;
+    // "identical vectors are semantic duplicates at any threshold" is the
+    // paper's intent and the behavior we commit to.
+    val droppedRep = a.join(b, Seq("cell", "__sub"))
       .filter(col("id_b") < col("id"))
       .filter(vecDot(col("__v"), col("__vb")) / (col("__n") * col("__nb")) >= tau)
       .select(col("id")).distinct()
     val keptRep = a.select(col("id"))
       .join(droppedRep, Seq("id"), "left_anti")
-    // zero-norm rows keep their original fate (never compared, never
-    // dropped); everything else survives only as a surviving representative
-    assigned.filter(col("__n") === 0).select(col("id"), col("cell"))
-      .unionByName(assigned.join(keptRep, Seq("id")).select(col("id"), col("cell")))
+    // Keep-by-default for non-comparable rows: whatever the participation
+    // filter rejected (zero / NaN / null norms — Spark's NaN ordering
+    // differs from IEEE, so we complement the SAME filter via left_anti
+    // rather than risk a second predicate disagreeing with it) keeps its
+    // original fate. Everything comparable survives only as a surviving
+    // representative (non-minimal exact replicas collapse to min id).
+    participating.join(keptRep, Seq("id")).select(col("id"), col("cell"))
+      .unionByName(assigned.join(participating.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("cell")))
   }
 
   /** Bucketed ANN: candidates restricted to the query's bucket, then exact

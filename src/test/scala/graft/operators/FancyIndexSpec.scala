@@ -222,6 +222,85 @@ class FancyIndexSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { a.maskedAssign(mask, bad) }
   }
 
+  test("updatedFancy 2-D axis 0: duplicate rows last-wins, cross-chunk, negative index") {
+    val a = GArr.fromFunction(spark, Seq(9L, 5L), Seq(4, 2))(f2)
+    // row 7 written twice (orders 0 and 3 — order 3 wins), -1 wraps to row 8
+    val rows = Seq(7L, 2L, -1L, 7L)
+    val idx = GArr.fromFunction(spark, Seq(4L), Seq(3))(g => rows(g(0).toInt).toDouble)
+    // value chunking deliberately off both grids (forces the rechunk align)
+    val v = GArr.fromFunction(spark, Seq(4L, 5L), Seq(2, 3))(g => 1000.0 + 10.0 * g(0) + g(1))
+    val u = a.updatedFancy(idx, v, axis = 0)
+    assert(u.shape == a.shape && u.chunks == a.chunks)
+    val dense = Array.tabulate(9, 5)((i, j) => f2(Array(i.toLong, j.toLong)))
+    rows.zipWithIndex.foreach { case (r0, ord) =>
+      val r = if (r0 < 0) (r0 + 9).toInt else r0.toInt
+      for (j <- 0 until 5) dense(r)(j) = 1000.0 + 10.0 * ord + j
+    }
+    val g = indexed(u)
+    for (i <- 0 until 9; j <- 0 until 5)
+      assert(g((i * 5 + j).toLong) == dense(i)(j), s"($i,$j)")
+  }
+
+  test("updatedFancy 2-D axis 1: column assignment across chunk boundaries") {
+    val a = GArr.fromFunction(spark, Seq(6L, 11L), Seq(3, 4))(f2)
+    val cols = Seq(10L, 0L, 4L, 10L, 6L) // col 10 twice — order 3 wins
+    val idx = GArr.fromFunction(spark, Seq(5L), Seq(2))(g => cols(g(0).toInt).toDouble)
+    val v = GArr.fromFunction(spark, Seq(6L, 5L), Seq(2, 2))(g => -(100.0 + 10.0 * g(0) + g(1)))
+    val u = a.updatedFancy(idx, v, axis = 1)
+    assert(u.shape == a.shape && u.chunks == a.chunks)
+    val dense = Array.tabulate(6, 11)((i, j) => f2(Array(i.toLong, j.toLong)))
+    cols.zipWithIndex.foreach { case (c, ord) =>
+      for (i <- 0 until 6) dense(i)(c.toInt) = -(100.0 + 10.0 * i + ord)
+    }
+    val g = indexed(u)
+    for (i <- 0 until 6; j <- 0 until 11)
+      assert(g((i * 11 + j).toLong) == dense(i)(j), s"($i,$j)")
+  }
+
+  test("updatedFancy 3-D middle axis matches dense reference") {
+    val f3: Array[Long] => Double = g => 1.0 + g(0) * 100 + g(1) * 10 + g(2)
+    val a = GArr.fromFunction(spark, Seq(3L, 7L, 4L), Seq(2, 3, 2))(f3)
+    val lanes = Seq(6L, 1L, 6L) // lane 6 twice — last write (order 2) wins
+    val idx = GArr.fromFunction(spark, Seq(3L), Seq(2))(g => lanes(g(0).toInt).toDouble)
+    val v = GArr.fromFunction(spark, Seq(3L, 3L, 4L), Seq(2, 2, 3))(g =>
+      5000.0 + g(0) * 100 + g(1) * 10 + g(2))
+    val u = a.updatedFancy(idx, v, axis = 1)
+    assert(u.shape == a.shape && u.chunks == a.chunks)
+    val dense = Array.tabulate(3, 7, 4)((i, j, k) => f3(Array(i.toLong, j.toLong, k.toLong)))
+    lanes.zipWithIndex.foreach { case (l, ord) =>
+      for (i <- 0 until 3; k <- 0 until 4)
+        dense(i)(l.toInt)(k) = 5000.0 + i * 100 + ord * 10 + k
+    }
+    val g = indexed(u)
+    for (i <- 0 until 3; j <- 0 until 7; k <- 0 until 4)
+      assert(g((i * 28 + j * 4 + k).toLong) == dense(i)(j)(k), s"($i,$j,$k)")
+  }
+
+  test("maskedAssign 2-D: values consumed in GLOBAL C order across blocks") {
+    val a = GArr.fromFunction(spark, Seq(6L, 7L), Seq(2, 3))(f2)
+    // mask selects (i + j) % 3 == 0 — crosses every chunk boundary, and
+    // block-local order differs from global C order for this grid
+    val mask = GArr.fromFunction(spark, Seq(6L, 7L), Seq(2, 3))(g =>
+      if ((g(0) + g(1)) % 3 == 0) 1.0 else 0.0)
+    val k = (for (i <- 0 until 6; j <- 0 until 7) yield (i, j)).count { case (i, j) => (i + j) % 3 == 0 }
+    val values = GArr.fromFunction(spark, Seq(k.toLong), Seq(3))(g => 900.0 + g(0))
+    val u = a.maskedAssign(mask, values)
+    assert(u.shape == a.shape && u.chunks == a.chunks)
+    val dense = Array.tabulate(6, 7)((i, j) => f2(Array(i.toLong, j.toLong)))
+    var r = 0
+    for (i <- 0 until 6; j <- 0 until 7 if (i + j) % 3 == 0) { dense(i)(j) = 900.0 + r; r += 1 }
+    val g = indexed(u)
+    for (i <- 0 until 6; j <- 0 until 7)
+      assert(g((i * 7 + j).toLong) == dense(i)(j), s"($i,$j)")
+  }
+
+  test("maskedAssign 2-D: wrong value length is rejected loudly") {
+    val a = GArr.fromFunction(spark, Seq(4L, 4L), Seq(2, 2))(f2)
+    val mask = GArr.fromFunction(spark, Seq(4L, 4L), Seq(2, 2))(g => if (g(0) == g(1)) 1.0 else 0.0)
+    val bad = GArr.fromFunction(spark, Seq(2L), Seq(2))(g => g(0).toDouble)
+    intercept[IllegalArgumentException] { a.maskedAssign(mask, bad) }
+  }
+
   test("updatedSlice array: 2-D block assignment across chunk boundaries") {
     val a = GArr.fromFunction(spark, Seq(6L, 7L), Seq(2, 3))(f2)
     val v = GArr.fromFunction(spark, Seq(3L, 3L), Seq(2, 2))(g => -(1.0 + g(0) * 3 + g(1)))
