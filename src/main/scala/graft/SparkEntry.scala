@@ -55,6 +55,38 @@ object SparkEntry {
     dest.setLastModified(mtime): Unit
   }
 
+  /** Deterministic-wall-time wrapper for the streaming replay queries
+    * (q142/q144/q145/q146). Two sources of run-to-run bench variance are
+    * pinned here (the replays swung 2-5x across measurement contexts):
+    * (1) the state-store partition count — each micro-batch commits one
+    * state store per shuffle partition, and 32 tiny commits x several
+    * batches dominated (and randomized) these sub-second replays, so the
+    * replay runs at 4 partitions and the session setting is restored
+    * after; (2) checkpoint/watch-dir I/O — /tmp is disk here, so the run
+    * directory lives on tmpfs (/dev/shm) when available and is deleted
+    * afterwards (the memory sink holds the result rows; the files are
+    * not needed once processAllAvailable returns). `body` receives
+    * (runDir, runId).
+    */
+  private def replayRun[T](s: SparkSession)(body: (String, String) => T): T = {
+    val run = java.util.UUID.randomUUID.toString.replace("-", "")
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) "/dev/shm/graft_stream"
+               else "/tmp/graft_stream"
+    val runDir = s"$base/$run"
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try body(runDir, run)
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }
+        f.delete(): Unit
+      }
+      rm(new java.io.File(runDir))
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_agg")(spark, "/root/testdata/sf0.001")
@@ -1517,24 +1549,25 @@ object SparkEntry {
         col("user_id").cast("long").as("user_id"),
         col("ts").cast("timestamp").as("ts"),
         round(col("value") * 100).as("value"))
-      val run = java.util.UUID.randomUUID.toString.replace("-", "")
-      val inPath = s"/tmp/graft_stream/sess_in_$run"
-      src.write.mode("overwrite").parquet(inPath)
-      val stream = s.readStream.schema(src.schema).parquet(inPath)
-        .as[graft.streaming.StreamOps.SessionEvent]
-      val qn = s"q142_sessions_$run"
-      val query = graft.streaming.StreamOps.sessionize(stream, gapSeconds = 43200L)
-        .writeStream.format("memory").queryName(qn).outputMode("update")
-        .option("checkpointLocation", s"/tmp/graft_stream/sess_ck_$run")
-        .start()
-      query.processAllAvailable()
-      query.stop()
-      // the post-batch watermark advance fires event-time timeouts, which
-      // re-emit a user's final session unchanged (same state snapshot) —
-      // the update-mode memory sink appends both, so dedupe exactly
-      s.table(qn).select(col("user_id"), col("n_events"),
-          col("total").cast("long").as("total_cents"))
-        .distinct()
+      replayRun(s) { (runDir, run) =>
+        val inPath = s"$runDir/sess_in"
+        src.write.mode("overwrite").parquet(inPath)
+        val stream = s.readStream.schema(src.schema).parquet(inPath)
+          .as[graft.streaming.StreamOps.SessionEvent]
+        val qn = s"q142_sessions_$run"
+        val query = graft.streaming.StreamOps.sessionize(stream, gapSeconds = 43200L)
+          .writeStream.format("memory").queryName(qn).outputMode("update")
+          .option("checkpointLocation", s"$runDir/sess_ck")
+          .start()
+        query.processAllAvailable()
+        query.stop()
+        // the post-batch watermark advance fires event-time timeouts, which
+        // re-emit a user's final session unchanged (same state snapshot) —
+        // the update-mode memory sink appends both, so dedupe exactly
+        s.table(qn).select(col("user_id"), col("n_events"),
+            col("total").cast("long").as("total_cents"))
+          .distinct()
+      }
     },
     // ---- ext: exact duplicated-span scrub (Lee et al. substring dedup):
     // tokens whose surrounding 8-gram occurs in >= 2 distinct docs are
@@ -1568,31 +1601,32 @@ object SparkEntry {
         col("event_id").cast("long").as("event_id"),
         col("ts").cast("timestamp").as("ts"),
         round(col("value") * 100).cast("long").as("cents"))
-      val run = java.util.UUID.randomUUID.toString.replace("-", "")
-      val watch = s"/tmp/graft_stream/wagg_in_$run"
-      val maxTs = src.agg(max(col("ts"))).head.getTimestamp(0)
-      def syn(id: Long, offMs: Long) =
-        Seq((id, new java.sql.Timestamp(maxTs.getTime + offMs), 0L))
-          .toDF("event_id", "ts", "cents")
-      val base = java.lang.System.currentTimeMillis()
-      writeStreamFile(src.filter(col("event_id") % 4 =!= 0 || col("ts") === lit(maxTs)),
-        watch, "b1", base - 40000)
-      writeStreamFile(syn(-1L, 0L), watch, "b2", base - 30000)
-      writeStreamFile(src.filter(col("event_id") % 4 === 0 && col("ts") < lit(maxTs)),
-        watch, "b3", base - 20000)
-      writeStreamFile(syn(-2L, 90L * 24 * 3600 * 1000), watch, "b4", base - 10000)
-      val stream = s.readStream.schema(src.schema)
-        .option("maxFilesPerTrigger", "1").parquet(watch)
-      val qn = s"q144_wagg_$run"
-      val query = graft.streaming.StreamOps
-        .windowedAgg(stream, "ts", "1 hour", "2 hours", "cents")
-        .writeStream.format("memory").queryName(qn).outputMode("append")
-        .option("checkpointLocation", s"/tmp/graft_stream/wagg_ck_$run")
-        .start()
-      query.processAllAvailable()
-      query.stop()
-      s.table(qn).filter(col("ts") <= lit(maxTs))
-        .select(col("ts"), col("n"), col("sum_value"))
+      replayRun(s) { (runDir, run) =>
+        val watch = s"$runDir/wagg_in"
+        val maxTs = src.agg(max(col("ts"))).head.getTimestamp(0)
+        def syn(id: Long, offMs: Long) =
+          Seq((id, new java.sql.Timestamp(maxTs.getTime + offMs), 0L))
+            .toDF("event_id", "ts", "cents")
+        val base = java.lang.System.currentTimeMillis()
+        writeStreamFile(src.filter(col("event_id") % 4 =!= 0 || col("ts") === lit(maxTs)),
+          watch, "b1", base - 40000)
+        writeStreamFile(syn(-1L, 0L), watch, "b2", base - 30000)
+        writeStreamFile(src.filter(col("event_id") % 4 === 0 && col("ts") < lit(maxTs)),
+          watch, "b3", base - 20000)
+        writeStreamFile(syn(-2L, 90L * 24 * 3600 * 1000), watch, "b4", base - 10000)
+        val stream = s.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watch)
+        val qn = s"q144_wagg_$run"
+        val query = graft.streaming.StreamOps
+          .windowedAgg(stream, "ts", "1 hour", "2 hours", "cents")
+          .writeStream.format("memory").queryName(qn).outputMode("append")
+          .option("checkpointLocation", s"$runDir/wagg_ck")
+          .start()
+        query.processAllAvailable()
+        query.stop()
+        s.table(qn).filter(col("ts") <= lit(maxTs))
+          .select(col("ts"), col("n"), col("sum_value"))
+      }
     },
     // ---- ext: streaming exact dedup replayed through the REAL
     // dropDuplicatesWithinWatermark operator across two micro-batches
@@ -1610,22 +1644,23 @@ object SparkEntry {
         col("ts").cast("timestamp").as("ts"),
         col("user_id").cast("long").as("user_id"),
         col("event_type"))
-      val run = java.util.UUID.randomUUID.toString.replace("-", "")
-      val watch = s"/tmp/graft_stream/dedup_in_$run"
-      val base = java.lang.System.currentTimeMillis()
-      writeStreamFile(src.filter(col("event_id") % 5 =!= 0), watch, "b1", base - 10000)
-      writeStreamFile(src.filter(col("event_id") % 5 === 0), watch, "b2", base)
-      val stream = s.readStream.schema(src.schema)
-        .option("maxFilesPerTrigger", "1").parquet(watch)
-      val qn = s"q145_dedup_$run"
-      val query = graft.streaming.StreamOps
-        .dedupStream(stream, "ts", "90 days", Seq("user_id", "event_type"))
-        .writeStream.format("memory").queryName(qn).outputMode("append")
-        .option("checkpointLocation", s"/tmp/graft_stream/dedup_ck_$run")
-        .start()
-      query.processAllAvailable()
-      query.stop()
-      s.table(qn).select(col("user_id"), col("event_type"))
+      replayRun(s) { (runDir, run) =>
+        val watch = s"$runDir/dedup_in"
+        val base = java.lang.System.currentTimeMillis()
+        writeStreamFile(src.filter(col("event_id") % 5 =!= 0), watch, "b1", base - 10000)
+        writeStreamFile(src.filter(col("event_id") % 5 === 0), watch, "b2", base)
+        val stream = s.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watch)
+        val qn = s"q145_dedup_$run"
+        val query = graft.streaming.StreamOps
+          .dedupStream(stream, "ts", "90 days", Seq("user_id", "event_type"))
+          .writeStream.format("memory").queryName(qn).outputMode("append")
+          .option("checkpointLocation", s"$runDir/dedup_ck")
+          .start()
+        query.processAllAvailable()
+        query.stop()
+        s.table(qn).select(col("user_id"), col("event_type"))
+      }
     },
     // ---- ext: stream-static broadcast enrichment (left join keeps
     // stream rows with no dimension match), replayed through the real
@@ -1639,19 +1674,20 @@ object SparkEntry {
       val dim = t(s, dir, "customer")
         .filter(col("c_custkey") % 3 =!= 0) // 1/3 of stream rows miss → nulls
         .select(col("c_custkey").cast("long").as("user_id"), col("c_mktsegment"))
-      val run = java.util.UUID.randomUUID.toString.replace("-", "")
-      val watch = s"/tmp/graft_stream/enrich_in_$run"
-      writeStreamFile(src, watch, "b1", java.lang.System.currentTimeMillis())
-      val stream = s.readStream.schema(src.schema).parquet(watch)
-      val qn = s"q146_enrich_$run"
-      val query = graft.streaming.StreamOps.enrich(stream, dim, Seq("user_id"))
-        .writeStream.format("memory").queryName(qn).outputMode("append")
-        .option("checkpointLocation", s"/tmp/graft_stream/enrich_ck_$run")
-        .start()
-      query.processAllAvailable()
-      query.stop()
-      s.table(qn).groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      replayRun(s) { (runDir, run) =>
+        val watch = s"$runDir/enrich_in"
+        writeStreamFile(src, watch, "b1", java.lang.System.currentTimeMillis())
+        val stream = s.readStream.schema(src.schema).parquet(watch)
+        val qn = s"q146_enrich_$run"
+        val query = graft.streaming.StreamOps.enrich(stream, dim, Seq("user_id"))
+          .writeStream.format("memory").queryName(qn).outputMode("append")
+          .option("checkpointLocation", s"$runDir/enrich_ck")
+          .start()
+        query.processAllAvailable()
+        query.stop()
+        s.table(qn).groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      }
     },
     // ---- §2.11 blocked LU (`dask/array/linalg.py:978` — the last linalg
     // descope, lifted): a 4×4 integer matrix from lineitem aggregates,
@@ -2419,6 +2455,23 @@ object SparkEntry {
       y.maskedAssign(m, values).toIndexedDF
         .agg(sum((col("idx") % 9973 + 1) * col("value").cast("long")).as("wsum"),
           sum(when(col("value") >= 200000.0, 1L).otherwise(0L)).as("hits"))
+    },
+
+    // ---- rfft/irfft Hermitian roundtrip (dask fft.py rfft/irfft): the
+    // half-spectrum keeps bins 0..n/2; irfft rebuilds the mirror
+    // X[n-k] = conj(X[k]) and inverse-transforms. On integer input the
+    // roundtrip is exact to fp rounding, so the oracle is the identity on
+    // the total-ordered head — gating the mirror/flip/concat path (and the
+    // backward-norm 1/n) that q179/q180 (fft2/fftn) do not touch.
+    "q189_rfft_roundtrip" -> { (s, dir) =>
+      import graft.operators.{ComplexFft, GArr}
+      val li = t(s, dir, "lineitem")
+      val x = GArr.fromColumn(li.sort(liTotalOrder.map(col): _*).limit(4096),
+        "l_quantity", liTotalOrder, chunk = 512)
+      val half = ComplexFft.rfftAxis(x, 0) // 2049 Hermitian bins
+      ComplexFft.irfftAxis(half, 0).toIndexedDF
+        .select(col("idx"),
+          floor(col("value") + lit(0.5)).cast("long").as("q"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -4794,5 +4847,14 @@ object SparkEntry {
         |       FROM v1)
         |SELECT CAST(SUM((f % 9973 + 1) * val) AS BIGINT) AS wsum,
         |       CAST(SUM(CASE WHEN val >= 200000 THEN 1 ELSE 0 END) AS BIGINT) AS hits
-        |FROM v2""".stripMargin)
+        |FROM v2""".stripMargin,
+
+    // q189: irfft(rfft(x)) == x exactly (after fp rounding) — identity on
+    // the total-ordered head.
+    "q189_rfft_roundtrip" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem)
+        |SELECT CAST(rn AS BIGINT) AS idx, q FROM t WHERE rn < 4096""".stripMargin)
 }

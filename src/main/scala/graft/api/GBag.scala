@@ -156,6 +156,104 @@ final class GBag[T](val ds: Dataset[T]) extends Serializable {
     new GBag(spark.createDataset(sampled))
   }
 
+  /** dask `bag.random.sample(population, k)` (`bag/random.py:12`):
+    * exactly k UNIQUE elements chosen uniformly without replacement.
+    * Re-expressed Spark-first as POSITION sampling instead of the
+    * reference's merged per-partition reservoirs: pass 1 ships only the
+    * O(npartitions) per-partition counts to the driver; the driver draws
+    * a uniform k-subset of [0, n) with Floyd's algorithm (O(k) state, no
+    * rejection loop, unbiased); pass 2 is one narrow per-partition gather
+    * of the chosen local offsets — no shuffle at any scale. Deterministic
+    * for a given seed AND layout (the [[randomSample]] contract). Throws
+    * if k exceeds the population (reference `_finalize_sample`).
+    */
+  def sample(k: Int, seed: Long)(
+      implicit e: Encoder[T], ct: scala.reflect.ClassTag[T]): GBag[T] = {
+    require(k >= 0, "Cannot take a negative number of samples")
+    if (k == 0) return new GBag(ds.limit(0))
+    val rdd0 = ds.rdd
+    val counts = partitionCounts(rdd0)
+    val n = counts.sum
+    if (k > n) throw new IllegalArgumentException("Sample larger than population")
+    // Floyd's uniform k-subset of [0, n)
+    val rng = new java.util.Random(seed)
+    val chosen = scala.collection.mutable.HashSet[Long]()
+    var j = n - k
+    while (j < n) {
+      val t = math.floorMod(rng.nextLong(), j + 1)
+      if (!chosen.add(t)) chosen.add(j): Unit
+      j += 1
+    }
+    gatherPositions(rdd0, counts, chosen.toArray.map((_, 1)))
+  }
+
+  /** dask `bag.random.choices(population, k)` (`bag/random.py:40`):
+    * k elements chosen uniformly WITH replacement — k independent
+    * position draws on the driver (O(k) state), then the same narrow
+    * positional gather as [[sample]], emitting an element once per time
+    * its position was drawn.
+    */
+  def choices(k: Int, seed: Long)(
+      implicit e: Encoder[T], ct: scala.reflect.ClassTag[T]): GBag[T] = {
+    require(k >= 0, "Cannot take a negative number of samples")
+    if (k == 0) return new GBag(ds.limit(0))
+    val rdd0 = ds.rdd
+    val counts = partitionCounts(rdd0)
+    val n = counts.sum
+    require(n > 0, "choices of an empty bag")
+    val rng = new java.util.Random(seed)
+    val wanted = Array.fill(k)(math.floorMod(rng.nextLong(), n))
+      .groupBy(identity).map { case (p, a) => (p, a.length) }.toArray
+    gatherPositions(rdd0, counts, wanted)
+  }
+
+  private def partitionCounts(rdd: org.apache.spark.rdd.RDD[T]): Array[Long] = {
+    val m = rdd.mapPartitionsWithIndex((pi, it) =>
+      Iterator.single((pi, it.size.toLong))).collect().toMap
+    Array.tabulate(rdd.getNumPartitions)(pi => m.getOrElse(pi, 0L))
+  }
+
+  /** Emit the elements at the given global positions (with multiplicity):
+    * positions split into per-partition sorted local-offset lists
+    * (broadcast, O(k)), then each partition scans once with a cursor.
+    */
+  private def gatherPositions(rdd: org.apache.spark.rdd.RDD[T], counts: Array[Long],
+                              wanted: Array[(Long, Int)])(
+      implicit e: Encoder[T], ct: scala.reflect.ClassTag[T]): GBag[T] = {
+    val offsets = counts.scanLeft(0L)(_ + _)
+    def partOf(pos: Long): Int = {
+      var lo = 0; var hi = counts.length - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (offsets(mid) <= pos) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+    val byPart: Map[Int, Array[(Long, Int)]] = wanted
+      .groupBy { case (pos, _) => partOf(pos) }
+      .map { case (pi, a) =>
+        (pi, a.map { case (pos, c) => (pos - offsets(pi), c) }.sortBy(_._1))
+      }
+    val bc = spark.sparkContext.broadcast(byPart)
+    val picked = rdd.mapPartitionsWithIndex { (pi, it) =>
+      bc.value.get(pi) match {
+        case None => Iterator.empty
+        case Some(reqs) =>
+          var cursor = 0
+          var off = 0L
+          it.flatMap { t =>
+            var copies = 0
+            if (cursor < reqs.length && reqs(cursor)._1 == off) {
+              copies = reqs(cursor)._2; cursor += 1
+            }
+            off += 1
+            if (copies == 0) Iterator.empty else Iterator.fill(copies)(t)
+          }
+      }
+    }
+    new GBag(spark.createDataset(picked))
+  }
+
   /** The scalar reduction tier (`bag/core.py:1077-1147`): count / sum /
     * min / max / any / all / mean / var / std. sum/mean/var ship one
     * (count, sum, sumsq) triple per partition — the reference's

@@ -93,8 +93,20 @@ object Ufuncs {
   def signbit(c: Column): Column = signbitUdf(c.cast("double"))
   def absolute(c: Column): Column = abs(c)
   def fabs(c: Column): Column = abs(c)
+  /** numpy maximum/minimum PROPAGATE NaN. Spark orders NaN LARGEST
+    * (unlike IEEE), so greatest already propagates it but least would
+    * skip it — minimum needs the explicit NaN guard.
+    */
   def maximum(a: Column, b: Column): Column = greatest(a, b)
-  def minimum(a: Column, b: Column): Column = least(a, b)
+  def minimum(a: Column, b: Column): Column =
+    when(isnan(a) || isnan(b), lit(Double.NaN)).otherwise(least(a, b))
+  /** numpy fmax/fmin IGNORE NaN (return the other operand; NaN only when
+    * both are NaN).
+    */
+  def fmax(a: Column, b: Column): Column =
+    when(isnan(a), b).when(isnan(b), a).otherwise(greatest(a, b))
+  def fmin(a: Column, b: Column): Column =
+    when(isnan(a), b).when(isnan(b), a).otherwise(least(a, b))
   /** magnitude of a with the sign of b (numpy copysign; b = ±0 maps to +). */
   def copysign(a: Column, b: Column): Column =
     when(b < 0, -abs(a)).otherwise(abs(a))
@@ -134,6 +146,47 @@ object Ufuncs {
       .otherwise(org.apache.spark.sql.functions.log(c / (lit(1.0) - c)))
   /** fractional and integral parts (numpy modf), both with x's sign. */
   def modf(c: Column): Column = struct((c - trunc(c)).as("frac"), trunc(c).as("int"))
+
+  /** numpy frexp: x = mantissa · 2^exponent with 0.5 <= |mantissa| < 1
+    * (0 → (0, 0)). The log2-derived exponent candidate is corrected by one
+    * where floating-point log rounding lands outside the half-open
+    * mantissa interval, so exact powers of two stay exact.
+    */
+  def frexp(c: Column): Column = {
+    val e0 = when(c === 0 || isnan(c), lit(0.0))
+      .otherwise(org.apache.spark.sql.functions.floor(
+        org.apache.spark.sql.functions.log(2.0, abs(c))) + 1.0)
+    val m0 = c / pow(lit(2.0), e0)
+    val e1 = when(abs(m0) >= 1.0, e0 + 1.0)
+      .when(abs(m0) < 0.5 && c =!= 0, e0 - 1.0)
+      .otherwise(e0)
+    struct(
+      when(c === 0 || isnan(c), c).otherwise(c / pow(lit(2.0), e1)).as("mantissa"),
+      e1.as("exponent"))
+  }
+
+  /** numpy isposinf / isneginf. */
+  def isposinf(c: Column): Column = c === lit(Double.PositiveInfinity)
+  def isneginf(c: Column): Column = c === lit(Double.NegativeInfinity)
+
+  /** numpy i0 — modified Bessel function of the first kind, order 0, via
+    * the Abramowitz & Stegun 9.8.1/9.8.2 polynomial pair (|rel err| <
+    * 1.6e-7 small-arg, < 1.9e-7 large-arg) — a codegen'd piecewise
+    * polynomial, no UDF.
+    */
+  def i0(c: Column): Column = {
+    val ax = abs(c)
+    val tS = (ax / 3.75) * (ax / 3.75)
+    def poly(t: Column, ks: Seq[Double]): Column =
+      ks.reverse.foldLeft(lit(0.0): Column)((acc, k) => acc * t + k)
+    val small = poly(tS, Seq(1.0, 3.5156229, 3.0899424, 1.2067492,
+      0.2659732, 0.0360768, 0.0045813))
+    val tL = lit(3.75) / ax
+    val large = org.apache.spark.sql.functions.exp(ax) / sqrt(ax) *
+      poly(tL, Seq(0.39894228, 0.01328592, 0.00225319, -0.00157565,
+        0.00916281, -0.02057706, 0.02635537, -0.01647633, 0.00392377))
+    when(ax <= 3.75, small).otherwise(large)
+  }
 
   // integer number theory (numpy gcd/lcm) — Euclid's loop needs real
   // iteration, so these are the module's only UDFs; still one jitted

@@ -72,6 +72,55 @@ object ArrayRoutines {
   /** `np.ediff1d(a)` — consecutive differences of the flattened array. */
   def ediff1d(a: GArr, chunk: Int = 65536): GArr = ravel(a, chunk).diffAxis(0)
 
+  /** `np.unique(a)` values form (`routines.py:1769`): sorted distinct
+    * values of the flattened input. Distinct + range-sort shuffle; the
+    * data-dependent output length forces a compute barrier exactly as the
+    * reference's unknown-chunks output does.
+    */
+  def unique(a: GArr, chunk: Int = 65536): GArr = {
+    val df = ravel(a).toIndexedDF.select(col("value")).distinct()
+    GArr.fromColumn(df, "value", Seq("value"), chunk)
+  }
+
+  /** `np.unique(a, return_counts=True)` — (values, counts) as two aligned
+    * sorted 1-D arrays (one groupBy replaces the reference's per-chunk
+    * unique + merge).
+    */
+  def uniqueCounts(a: GArr, chunk: Int = 65536): (GArr, GArr) = {
+    val df = ravel(a).toIndexedDF.groupBy(col("value"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    (GArr.fromColumn(df, "value", Seq("value"), chunk),
+      GArr.fromColumn(df, "cnt", Seq("value"), chunk))
+  }
+
+  /** `np.tril_indices(n, k, m)` (`routines.py:2594` — nonzero over the
+    * rectangular tri mask, the reference's own composition): Seq(rows,
+    * cols) coordinate arrays of the lower triangle in C order.
+    */
+  def trilIndices(s: org.apache.spark.sql.SparkSession, n: Long, k: Long = 0L,
+                  m: Long = -1L, chunk: Int = 4096): Seq[GArr] = {
+    val cols = if (m > 0) m else n
+    nonzero(GArr.fromFunction(s, Seq(n, cols), Seq(chunk, chunk))(g =>
+      if (g(1) - g(0) <= k) 1.0 else 0.0))
+  }
+
+  /** `np.triu_indices(n, k, m)` (`routines.py:2606`). */
+  def triuIndices(s: org.apache.spark.sql.SparkSession, n: Long, k: Long = 0L,
+                  m: Long = -1L, chunk: Int = 4096): Seq[GArr] = {
+    val cols = if (m > 0) m else n
+    nonzero(GArr.fromFunction(s, Seq(n, cols), Seq(chunk, chunk))(g =>
+      if (g(1) - g(0) >= k) 1.0 else 0.0))
+  }
+
+  /** dask `push(array, n=None, axis)` (`overlap.py:895`, bottleneck-style
+    * forward-fill of NaN along an axis): the reference's cumreduction
+    * with "fill with last seen" is exactly a two-phase [[GArr.scanAxis]]
+    * in the last-non-NaN monoid — leading NaNs stay NaN. The n-limited
+    * variant composes per the reference (arange distance + where).
+    */
+  def push(a: GArr, axis: Int): GArr =
+    a.scanAxis(axis)((acc, x) => if (x.isNaN) acc else x)
+
   /** `np.extract(cond, a)` — compacted values where cond ≠ 0 (C order);
     * rides the boolean-mask counts-prefix path.
     */

@@ -402,7 +402,11 @@ object Similarity {
     // vector), so collapsing cannot split a group across cells. Pair
     // space becomes (#distinct)^2/k regardless of how many times a crawl
     // replicates a document — the axis a real corpus actually grows on.
-    val participating = assigned.filter(col("__n") > 0)
+    // Participation filter: comparable rows need a positive FINITE norm.
+    // Spark orders NaN LARGER than any numeric (unlike IEEE), so a bare
+    // `__n > 0` would let a NaN-norm row into the pair join where its NaN
+    // cosine compares >= tau and wrongly drops it — exclude NaN explicitly.
+    val participating = assigned.filter(col("__n") > 0 && !isnan(col("__n")))
     val groups = participating
       .groupBy(col("__v"))
       .agg(min(col("id")).as("id"), min(col("cell")).as("cell"),

@@ -99,6 +99,51 @@ class UfuncsSpec extends SparkTestBase {
     assert(inf == Seq(false, true, true, false))
   }
 
+  test("minimum/maximum propagate NaN; fmax/fmin ignore it (numpy split)") {
+    val df = Seq((Double.NaN, 5.0), (5.0, Double.NaN), (2.0, 7.0),
+      (Double.NaN, Double.NaN)).toDF("a", "b")
+    val r = df.select(
+      Ufuncs.maximum(col("a"), col("b")).as("mx"),
+      Ufuncs.minimum(col("a"), col("b")).as("mn"),
+      Ufuncs.fmax(col("a"), col("b")).as("fx"),
+      Ufuncs.fmin(col("a"), col("b")).as("fn")).collect()
+    assert(r(0).getDouble(0).isNaN && r(0).getDouble(1).isNaN)
+    assert(r(0).getDouble(2) == 5.0 && r(0).getDouble(3) == 5.0)
+    assert(r(1).getDouble(2) == 5.0 && r(1).getDouble(3) == 5.0)
+    assert(r(2).getDouble(0) == 7.0 && r(2).getDouble(1) == 2.0)
+    assert(r(2).getDouble(2) == 7.0 && r(2).getDouble(3) == 2.0)
+    assert(r(3).toSeq.forall(_.asInstanceOf[Double].isNaN))
+  }
+
+  test("frexp: 0.5 <= |mantissa| < 1, exact on powers of two; isposinf/isneginf") {
+    val xs = Seq(8.0, 1.0, 0.5, -3.0, 0.0, 1e-300, 6.5e200)
+    val r = xs.toDF("x").select(Ufuncs.frexp(col("x")).as("f")).collect()
+      .map(row => (row.getStruct(0).getDouble(0), row.getStruct(0).getDouble(1)))
+    xs.zip(r).foreach { case (x, (m, e)) =>
+      if (x == 0.0) assert(m == 0.0 && e == 0.0)
+      else {
+        assert(math.abs(m) >= 0.5 && math.abs(m) < 1.0, s"mantissa $m of $x")
+        assert(m * math.pow(2.0, e) == x, s"recompose $x")
+      }
+    }
+    assert(r(0) == ((0.5, 4.0)) && r(1) == ((0.5, 1.0)) && r(2) == ((0.5, 0.0)))
+    val inf = Seq(Double.PositiveInfinity, Double.NegativeInfinity, 1.0).toDF("x")
+      .select(Ufuncs.isposinf(col("x")).as("p"), Ufuncs.isneginf(col("x")).as("n"))
+      .collect().map(row => (row.getBoolean(0), row.getBoolean(1))).toSeq
+    assert(inf == Seq((true, false), (false, true), (false, false)))
+  }
+
+  test("i0 matches reference values within the A&S polynomial tolerance") {
+    // scipy.special.i0 reference values
+    val ref = Map(0.0 -> 1.0, 1.0 -> 1.2660658777520084,
+      3.75 -> 9.118945958491711, 10.0 -> 2815.716628466254)
+    val r = ref.keys.toSeq.sorted.toDF("x").select(col("x"), Ufuncs.i0(col("x")).as("y"))
+      .collect().map(row => row.getDouble(0) -> row.getDouble(1)).toMap
+    ref.foreach { case (x, want) =>
+      assert(math.abs(r(x) - want) / math.max(want, 1.0) < 2e-7, s"i0($x) = ${r(x)} vs $want")
+    }
+  }
+
   test("nan-reduction family skips NaN; nansum of all-NaN is 0") {
     val df = Seq(1.0, Double.NaN, 3.0, Double.NaN, 5.0).toDF("x")
     val r = df.agg(

@@ -50,6 +50,48 @@ class BagLinalgStreamSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](big.randomSample(1.5, 1))
   }
 
+  test("bag: random.sample — exact k, unique, deterministic, any partitioning") {
+    val xs = (1 to 500).toSeq
+    for (np <- Seq(1, 3, 7)) {
+      val b = GBag.fromSeq(spark, xs, npartitions = np)
+      val s1 = b.sample(40, seed = 11).compute().toSeq
+      assert(s1.length == 40, s"np=$np exact k")
+      assert(s1.distinct.length == 40, s"np=$np without replacement")
+      assert(s1.forall(xs.contains), s"np=$np subset of population")
+      assert(b.sample(40, seed = 11).compute().toSeq.sorted == s1.sorted,
+        s"np=$np same seed reproduces")
+    }
+    val b = GBag.fromSeq(spark, xs, npartitions = 4)
+    assert(b.sample(40, seed = 1).compute().toSet != b.sample(40, seed = 2).compute().toSet,
+      "different seeds draw different subsets")
+    // k == n returns the whole population; k > n rejects (reference
+    // _finalize_sample raises "Sample larger than population")
+    assert(b.sample(500, seed = 3).compute().sorted.toSeq == xs)
+    assertThrows[IllegalArgumentException](b.sample(501, seed = 3).compute())
+    assert(b.sample(0, seed = 4).compute().isEmpty)
+    // distribution sanity: mean of a 150-of-3000 sample near population mean
+    val big = GBag.fromSeq(spark, (1 to 3000).map(_.toDouble), npartitions = 6)
+    val m = big.sample(150, seed = 99).compute().sum / 150.0
+    assert(math.abs(m - 1500.5) < 250, s"sample mean $m implausible for uniform draw")
+  }
+
+  test("bag: random.choices — exact k WITH replacement, deterministic") {
+    val xs = (1 to 50).toSeq
+    for (np <- Seq(1, 3, 7)) {
+      val b = GBag.fromSeq(spark, xs, npartitions = np)
+      val c1 = b.choices(30, seed = 5).compute().toSeq
+      assert(c1.length == 30, s"np=$np exact k")
+      assert(c1.forall(xs.contains), s"np=$np values from population")
+      assert(b.choices(30, seed = 5).compute().sorted.toSeq == c1.sorted,
+        s"np=$np same seed reproduces")
+    }
+    // k > n is legal with replacement — pigeonhole forces duplicates
+    val tiny = GBag.fromSeq(spark, Seq(1, 2, 3), npartitions = 2)
+    val c = tiny.choices(10, seed = 8).compute().toSeq
+    assert(c.length == 10 && c.distinct.length < c.length)
+    assertThrows[IllegalArgumentException](tiny.choices(-1, 0).compute())
+  }
+
   test("bag: accumulate prefix scan matches driver scan under any partitioning") {
     val xs = Seq(3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5)
     val want = xs.scanLeft(0)(_ + _).tail // running sums, no initial

@@ -113,6 +113,36 @@ class ComplexFftSpec extends SparkTestBase {
     for (k <- 0 until 9) assert(math.abs(b9(k) - v9(k)) < eps, s"irfft odd[$k]")
   }
 
+  test("irfft zero-pads the half-spectrum when n > 2*(m-1) — numpy pad semantics") {
+    val v = (0 until 8).map(i => math.sin(i * 0.7) * 2 + (i % 3))
+    val half = ComplexFft.rfftAxis(arr1d(v, 3), 0) // m = 5 bins
+    val n = 16 // > 2*(m-1) = 8: bins 5..8 must be ZERO-padded before the mirror
+    val back = ComplexFft.irfftAxis(half, 0, n.toLong)
+    assert(back.shape == Seq(n.toLong), s"got ${back.shape}")
+    // reference: inverse DFT of the Hermitian extension of the zero-padded
+    // half spectrum [X0..X4, 0, 0, 0, 0, conj mirror]
+    val (er, ei) = dft(v.toArray, new Array[Double](8))
+    val yr = new Array[Double](n); val yi = new Array[Double](n)
+    for (k <- 0 to 4) { yr(k) = er(k); yi(k) = ei(k) }
+    for (k <- n / 2 + 1 until n) { yr(k) = yr(n - k); yi(k) = -yi(n - k) }
+    val exp = Array.tabulate(n) { t =>
+      (0 until n).map(k => yr(k) * math.cos(2 * math.Pi * k * t / n)
+        - yi(k) * math.sin(2 * math.Pi * k * t / n)).sum / n
+    }
+    val bv = back.toIndexedDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (t <- 0 until n) assert(math.abs(bv(t) - exp(t)) < 1e-8, s"irfft pad[$t]")
+    // hfft rides the same path: hfft(x, n) = n * irfft(conj(x), n)
+    val hf = ComplexFft.hfftAxis(half, 0, n.toLong)
+    assert(hf.shape == Seq(n.toLong))
+    val hv = hf.toIndexedDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // conj flips the imaginary plane: same real-part formula with +yi
+    val expH = Array.tabulate(n) { t =>
+      (0 until n).map(k => yr(k) * math.cos(2 * math.Pi * k * t / n)
+        + yi(k) * math.sin(2 * math.Pi * k * t / n)).sum
+    }
+    for (t <- 0 until n) assert(math.abs(hv(t) - expH(t)) < 1e-7, s"hfft pad[$t]")
+  }
+
   test("hfft(ihfft(a), n) == a — the numpy Hermitian pair identity") {
     val v = (0 until 10).map(i => (i * 7 % 13).toDouble)
     val a = arr1d(v, 4)

@@ -156,4 +156,30 @@ class KmeansStreamDedupSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(out1 == out)
   }
+
+  test("semanticDedup caps a degenerate all-one-cell corpus (bounded pair space)") {
+    // adversarial shape: every vector points into the same narrow cone, so
+    // Lloyd puts ALL of them in one cell — without the cap that is one n²
+    // task. maxCellSize=8 splits the 60-distinct-vector cell into hash
+    // sub-cells. tau = 1.0: only EXACT duplicates collapse (the documented
+    // tau-boundary semantics), and they collapse BEFORE the split, so the
+    // sub-cells cannot separate them; every distinct vector must survive.
+    val distinct = (0 until 60).map { i =>
+      vecRow(i.toLong, Array(100.0f, i * 1e-3f))
+    }
+    val dups = Seq(vecRow(100L, Array(100.0f, 7e-3f)),   // exact dup of id 7
+                   vecRow(101L, Array(100.0f, 7e-3f)))   // and again
+    val nanRow = Seq(vecRow(102L, Array(Float.NaN, 1.0f))) // non-comparable: kept
+    val df = spark.createDataset(distinct ++ dups ++ nanRow)
+      .toDF("vec_id", "embedding").repartition(4)
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding",
+      k = 4, iters = 2, tau = 1.0, maxCellSize = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(out.contains(7L) && !out.contains(100L) && !out.contains(101L),
+      s"exact replicas must collapse to min id even under the cell split: $out")
+    assert(out.contains(102L), s"NaN-norm row must keep its original fate: $out")
+    assert((0 until 60).forall(i => out.contains(i.toLong)),
+      s"distinct vectors must all survive at tau=1.0: $out")
+    assert(out.size == 61, s"60 distinct + the NaN row: $out")
+  }
 }

@@ -172,4 +172,51 @@ class RoutinesMaSpec extends SparkTestBase {
     assert(values1d(mw.onesLike.getdata) == Seq.fill(6)(1.0))
     assert(values1d(mw.zerosLike.getmaskarray) == values1d(mw.getmaskarray))
   }
+
+  test("unique / uniqueCounts: sorted distinct of a multi-chunk 2-D array") {
+    val a = GArr.fromFunction(spark, Seq(4L, 5L), Seq(2, 2))(g => ((g(0) * 5 + g(1)) % 6).toDouble)
+    assert(values1d(ArrayRoutines.unique(a)) == Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0))
+    val (vals, cnts) = ArrayRoutines.uniqueCounts(a)
+    assert(values1d(vals) == Seq(0.0, 1.0, 2.0, 3.0, 4.0, 5.0))
+    // 20 cells over residues mod 6: 0,1 appear 4x (residues hit twice in
+    // the wrap), the rest 3x — check against a driver recount
+    val dense = for (i <- 0 until 4; j <- 0 until 5) yield ((i * 5 + j) % 6).toDouble
+    val want = dense.groupBy(identity).toSeq.sortBy(_._1).map(_._2.length.toDouble)
+    assert(values1d(cnts) == want)
+  }
+
+  test("trilIndices / triuIndices match numpy's nonzero(tri) composition") {
+    // rectangular 4x6, k = 1
+    val tl = ArrayRoutines.trilIndices(spark, 4L, k = 1L, m = 6L, chunk = 3)
+    val wantTl = for (i <- 0 until 4; j <- 0 until 6 if j - i <= 1) yield (i, j)
+    assert(values1d(tl(0)) == wantTl.map(_._1.toDouble))
+    assert(values1d(tl(1)) == wantTl.map(_._2.toDouble))
+    val tu = ArrayRoutines.triuIndices(spark, 4L, k = -1L, m = 6L, chunk = 3)
+    val wantTu = for (i <- 0 until 4; j <- 0 until 6 if j - i >= -1) yield (i, j)
+    assert(values1d(tu(0)) == wantTu.map(_._1.toDouble))
+    assert(values1d(tu(1)) == wantTu.map(_._2.toDouble))
+  }
+
+  test("push forward-fills NaN along an axis across chunk boundaries") {
+    val v = Seq(Double.NaN, 1.0, Double.NaN, Double.NaN, 4.0, Double.NaN,
+      Double.NaN, Double.NaN, 8.0, Double.NaN)
+    val a = arr1d(v, 3)
+    val got = values1d(ArrayRoutines.push(a, 0))
+    val want = Seq(Double.NaN, 1.0, 1.0, 1.0, 4.0, 4.0, 4.0, 4.0, 8.0, 8.0)
+    assert(got.head.isNaN, "leading NaN stays NaN")
+    assert(got.tail == want.tail)
+    // 2-D along axis 0: each column fills independently
+    val m = GArr.fromFunction(spark, Seq(5L, 3L), Seq(2, 2))(g =>
+      if ((g(0) + g(1)) % 2 == 0) Double.NaN else (g(0) * 3 + g(1)).toDouble)
+    val p = ArrayRoutines.push(m, 0)
+    val c = cells(p)
+    val dense = Array.tabulate(5, 3)((i, j) =>
+      if ((i + j) % 2 == 0) Double.NaN else (i * 3 + j).toDouble)
+    for (j <- 0 until 3; i <- 1 until 5; if dense(i)(j).isNaN)
+      dense(i)(j) = dense(i - 1)(j)
+    for (i <- 0 until 5; j <- 0 until 3) {
+      val w = dense(i)(j); val g = c(i.toLong * 3 + j)
+      assert((w.isNaN && g.isNaN) || w == g, s"push2d($i,$j): $g vs $w")
+    }
+  }
 }
