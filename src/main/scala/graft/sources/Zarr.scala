@@ -66,68 +66,12 @@ object Zarr {
       cs.dropRight(1).forall(_ == cs.head) && cs.last <= cs.head && cs.last > 0
     }
     val arr = if (regular) a else a.rechunk(a.chunks.map(_.max))
-    val spark = arr.blocks.sparkSession
-    val kvs = IO.hadoopConfKVs(spark)
     val fullChunk = arr.chunks.map(_.head).toArray
-    val chunksOf = arr.chunks.map(_.toArray)
-    val nd = arr.ndim
+    writeChunkFiles(arr, path, fullChunk, compressor == "zlib", level,
+      dimensionSeparator, Array.fill(arr.ndim)(0))
+    val spark = arr.blocks.sparkSession
     val useZlib = compressor == "zlib"
     val sepW = dimensionSeparator
-    // one Configuration/FileSystem per PARTITION, not per block (rebuilding
-    // a Hadoop conf per record is pure overhead on large grids)
-    arr.blocks.rdd.mapPartitions { it =>
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        java.net.URI.create(path), IO.rebuildConf(kvs))
-      it.map { b =>
-      val dims = Array.tabulate(nd)(d => chunksOf(d)(b.bid(d)))
-      val total = fullChunk.product
-      val full = new Array[Double](total)
-      // copy the (possibly smaller) edge block into the padded full chunk,
-      // one last-dim row at a time (both are C order)
-      val rowLen = dims(nd - 1)
-      val nRows = dims.product / math.max(rowLen, 1)
-      val srcStr = Array.tabulate(nd)(d => dims.drop(d + 1).product)
-      val dstStr = Array.tabulate(nd)(d => fullChunk.drop(d + 1).product)
-      val loc = new Array[Int](nd)
-      var r = 0
-      while (r < nRows) {
-        var dOff = 0
-        var sOff = 0
-        var d = 0
-        while (d < nd - 1) { dOff += loc(d) * dstStr(d); sOff += loc(d) * srcStr(d); d += 1 }
-        System.arraycopy(b.data, sOff, full, dOff, rowLen)
-        // advance the row odometer (all dims but the last)
-        var k = nd - 2
-        var carry = true
-        while (k >= 0 && carry) {
-          loc(k) += 1
-          if (loc(k) == dims(k)) { loc(k) = 0; k -= 1 } else carry = false
-        }
-        r += 1
-      }
-      val bb = java.nio.ByteBuffer.allocate(8 * total)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.asDoubleBuffer().put(full)
-      val raw = bb.array()
-      val payload = if (useZlib) deflate(raw, level) else raw
-      val name = b.bid.mkString(sepW)
-      val attempt = Option(org.apache.spark.TaskContext.get())
-        .map(_.taskAttemptId()).getOrElse(0L)
-      val dest = new org.apache.hadoop.fs.Path(path, name)
-      // the temp file lives NEXT TO the destination (same parent), so the
-      // "/" nested layout commits with the same single rename
-      val tmp = new org.apache.hadoop.fs.Path(
-        dest.getParent, s".${dest.getName}.$attempt.tmp")
-      val out = fs.create(tmp, true)
-      out.write(payload)
-      out.close()
-      if (!fs.rename(tmp, dest)) {
-        if (fs.exists(dest)) fs.delete(tmp, false)
-        else throw new java.io.IOException(s"toZarr: commit rename failed for $dest")
-      }
-      1L
-      }
-    }.count(): Unit
     val comp =
       if (useZlib) s"""{"id": "zlib", "level": $level}""" else "null"
     val meta =
@@ -145,6 +89,141 @@ object Zarr {
     val mOut = fs.create(new org.apache.hadoop.fs.Path(path, ".zarray"), true)
     mOut.write(meta.getBytes("UTF-8"))
     mOut.close()
+  }
+
+  /** Grid-parallel chunk-file writer shared by [[toZarr]] and
+    * [[storeZarr]]: each block pads (C-order row copies) into the store's
+    * full chunk shape, encodes, and commits `<bid + bidOffset>` with a
+    * same-parent temp + rename (first winner). One Configuration /
+    * FileSystem per PARTITION, not per block.
+    */
+  private def writeChunkFiles(arr: GArr, path: String, fullChunk: Array[Int],
+                              useZlib: Boolean, level: Int, sepW: String,
+                              bidOffset: Array[Int]): Unit = {
+    val spark = arr.blocks.sparkSession
+    val kvs = IO.hadoopConfKVs(spark)
+    val chunksOf = arr.chunks.map(_.toArray)
+    val nd = arr.ndim
+    arr.blocks.rdd.mapPartitions { it =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        java.net.URI.create(path), IO.rebuildConf(kvs))
+      it.map { b =>
+        val dims = Array.tabulate(nd)(d => chunksOf(d)(b.bid(d)))
+        val total = fullChunk.product
+        val full = new Array[Double](total)
+        // copy the (possibly smaller) edge block into the padded full chunk,
+        // one last-dim row at a time (both are C order)
+        val rowLen = dims(nd - 1)
+        val nRows = dims.product / math.max(rowLen, 1)
+        val srcStr = Array.tabulate(nd)(d => dims.drop(d + 1).product)
+        val dstStr = Array.tabulate(nd)(d => fullChunk.drop(d + 1).product)
+        val loc = new Array[Int](nd)
+        var r = 0
+        while (r < nRows) {
+          var dOff = 0
+          var sOff = 0
+          var d = 0
+          while (d < nd - 1) { dOff += loc(d) * dstStr(d); sOff += loc(d) * srcStr(d); d += 1 }
+          System.arraycopy(b.data, sOff, full, dOff, rowLen)
+          // advance the row odometer (all dims but the last)
+          var k = nd - 2
+          var carry = true
+          while (k >= 0 && carry) {
+            loc(k) += 1
+            if (loc(k) == dims(k)) { loc(k) = 0; k -= 1 } else carry = false
+          }
+          r += 1
+        }
+        val bb = java.nio.ByteBuffer.allocate(8 * total)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.asDoubleBuffer().put(full)
+        val raw = bb.array()
+        val payload = if (useZlib) deflate(raw, level) else raw
+        val name = b.bid.zip(bidOffset).map { case (i, o) => i + o }.mkString(sepW)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val dest = new org.apache.hadoop.fs.Path(path, name)
+        // the temp file lives NEXT TO the destination (same parent), so the
+        // "/" nested layout commits with the same single rename
+        val tmp = new org.apache.hadoop.fs.Path(
+          dest.getParent, s".${dest.getName}.$attempt.tmp")
+        val out = fs.create(tmp, true)
+        out.write(payload)
+        out.close()
+        // rename-to-existing returns false on most filesystems. An existing
+        // dest is either a prior store's chunk being OVERWRITTEN (storeZarr
+        // region write) or a speculative duplicate of this very block
+        // (identical bytes) — replacing it is correct in both cases.
+        if (!fs.rename(tmp, dest)) {
+          if (fs.exists(dest)) {
+            fs.delete(dest, false)
+            if (!fs.rename(tmp, dest) && !fs.exists(dest))
+              throw new java.io.IOException(s"zarr: commit rename failed for $dest")
+          } else throw new java.io.IOException(s"zarr: commit rename failed for $dest")
+        }
+        1L
+      }
+    }.count(): Unit
+  }
+
+  /** dask `store` / `to_zarr(..., region=...)` (`array/core.py:4063`
+    * store): write `a` into an ALIGNED region of an EXISTING zarr v2
+    * array, starting at `offset` (one entry per dim). The aligned
+    * contract — offset a multiple of the target chunk shape per dim, and
+    * the region end either chunk-aligned or touching the array edge —
+    * means every written block owns WHOLE target chunks, so the store is
+    * one narrow grid-parallel pass with no read-modify-write and no
+    * cross-writer locks (the reference's unaligned store path serializes
+    * writers through a lock; at 100 TB you want this form). `.zarray`
+    * metadata and chunks outside the region are untouched.
+    */
+  def storeZarr(a: GArr, path: String, offset: Seq[Long]): Unit = {
+    val spark = a.blocks.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(path), spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(path, ".zarray")
+    val bytes = new Array[Byte](fs.getFileStatus(metaPath).getLen.toInt)
+    val in = fs.open(metaPath)
+    try in.readFully(0, bytes) finally in.close()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(bytes)
+    require(root.path("zarr_format").asInt() == 2, "storeZarr: zarr v2 only")
+    require(root.path("dtype").asText() == "<f8",
+      s"storeZarr: target dtype ${root.path("dtype").asText()} unsupported (<f8 only)")
+    require(root.path("order").asText() == "C", "storeZarr: F order unsupported")
+    val compNode = root.path("compressor")
+    val useZlib =
+      if (compNode.isNull) false
+      else if (compNode.path("id").asText() == "zlib") true
+      else throw new IllegalArgumentException(
+        s"storeZarr: compressor ${compNode.path("id")} unsupported")
+    val level = if (useZlib) compNode.path("level").asInt(1) else 1
+    val sep = {
+      val n = root.path("dimension_separator")
+      if (n.isMissingNode || n.isNull) "." else n.asText()
+    }
+    val shape = (0 until root.path("shape").size())
+      .map(i => root.path("shape").get(i).asLong())
+    val fullChunk = (0 until root.path("chunks").size())
+      .map(i => root.path("chunks").get(i).asInt()).toArray
+    val nd = shape.length
+    require(a.ndim == nd && offset.length == nd,
+      s"storeZarr: ndim mismatch (target $nd, array ${a.ndim}, offset ${offset.length})")
+    for (d <- 0 until nd) {
+      val end = offset(d) + a.shape(d)
+      require(offset(d) >= 0 && end <= shape(d),
+        s"storeZarr: region [${offset(d)}, $end) outside target dim $d of ${shape(d)}")
+      require(offset(d) % fullChunk(d) == 0,
+        s"storeZarr: offset ${offset(d)} not aligned to target chunk ${fullChunk(d)} on dim $d")
+      require(end % fullChunk(d) == 0 || end == shape(d),
+        s"storeZarr: region end $end neither chunk-aligned nor at the array edge on dim $d " +
+          "(unaligned stores need read-modify-write; realign the region or rechunk the target)")
+    }
+    // align a's grid to the target chunk shape (one rechunk shuffle at most)
+    val want = a.shape.zip(fullChunk.toSeq).map { case (l, c) => GArr.evenChunks(l, c) }
+    val arr = if (a.chunks == want) a else a.rechunkTo(want)
+    writeChunkFiles(arr, path, fullChunk, useZlib, level, sep,
+      Array.tabulate(nd)(d => (offset(d) / fullChunk(d)).toInt))
   }
 
   /** Read a zarr v2 array at `<path>` as a [[GArr]]: one small driver read

@@ -281,4 +281,87 @@ class BlockArrayPropSpec extends SparkTestBase {
     val mx = indexed(a.nanargmaxAxis(0))
     assert(mx(0L) == 0.0 && mx(1L) == 1.0 && mx(2L) == -1.0)
   }
+
+  test("random ndim updatedFancy along every axis vs dense last-wins reference") {
+    val rnd = new scala.util.Random(20260815)
+    for (trial <- 0 until 10) {
+      val nd = 1 + rnd.nextInt(3)
+      val shape = Seq.fill(nd)(2 + rnd.nextInt(6))
+      val chunks = shape.map(s => 1 + rnd.nextInt(s))
+      val n = shape.product
+      val vals = Array.fill(n)(math.floor(rnd.nextDouble() * 90))
+      val strides = shape.scanRight(1)(_ * _).tail
+      val a = GArr.fromFunction(spark, shape.map(_.toLong), chunks)(g =>
+        vals(g.zip(strides).map { case (x, s) => x * s }.sum.toInt))
+      val ax = rnd.nextInt(nd)
+      val k = 1 + rnd.nextInt(shape(ax) + 2) // duplicates + negatives likely
+      val idxVals = Array.fill(k)(rnd.nextInt(2 * shape(ax)) - shape(ax))
+      val idx = GArr.fromFunction(spark, Seq(k.toLong), Seq(1 + rnd.nextInt(k)))(g =>
+        idxVals(g(0).toInt).toDouble)
+      val vShape = shape.updated(ax, k)
+      val vChunks = vShape.map(s => 1 + rnd.nextInt(s))
+      val vStrides = vShape.scanRight(1)(_ * _).tail
+      val v = GArr.fromFunction(spark, vShape.map(_.toLong), vChunks)(g =>
+        1000.0 + g.zip(vStrides).map { case (x, s) => x * s }.sum)
+      val got = a.updatedFancy(idx, v, ax)
+      // dense last-wins reference: apply writes in index order
+      val dense = vals.clone()
+      for (j <- 0 until k) {
+        val tgt = if (idxVals(j) < 0) idxVals(j) + shape(ax) else idxVals(j)
+        // every cell of value-slab j writes into base-slab tgt
+        val lanes = vShape.updated(ax, 1)
+        val t = Array.fill(nd)(0)
+        var p = 0
+        val total = lanes.product
+        while (p < total) {
+          val vg = t.toSeq.updated(ax, j)
+          val bg = t.toSeq.updated(ax, tgt)
+          val vOff = vg.zip(vStrides).map { case (x, s) => x * s }.sum
+          val bOff = bg.zip(strides).map { case (x, s) => x * s }.sum
+          dense(bOff) = 1000.0 + vOff
+          // odometer over non-axis dims
+          var d = nd - 1
+          var carry = true
+          while (carry && d >= 0) {
+            if (d == ax) d -= 1
+            else {
+              t(d) += 1
+              if (t(d) == lanes(d)) { t(d) = 0; d -= 1 } else carry = false
+            }
+          }
+          p += 1
+        }
+      }
+      checkEqual(got, new Dense(shape.map(_.toLong), dense),
+        s"trial$trial nd=$nd ax=$ax shape=$shape chunks=$chunks k=$k idx=${idxVals.toSeq}")
+      assert(got.chunks == a.chunks, s"trial$trial output keeps the base grid")
+    }
+  }
+
+  test("random ndim maskedAssign vs dense global-C-order reference") {
+    val rnd = new scala.util.Random(9915)
+    for (trial <- 0 until 8) {
+      val nd = 1 + rnd.nextInt(3)
+      val shape = Seq.fill(nd)(2 + rnd.nextInt(6))
+      val chunks = shape.map(s => 1 + rnd.nextInt(s))
+      val n = shape.product
+      val vals = Array.fill(n)(math.floor(rnd.nextDouble() * 90))
+      val sel = Array.fill(n)(rnd.nextBoolean())
+      if (!sel.exists(identity)) sel(0) = true // empty-selection edge is q-gated elsewhere
+      val strides = shape.scanRight(1)(_ * _).tail
+      def off(g: Seq[Int]) = g.zip(strides).map { case (x, s) => x * s }.sum
+      val a = GArr.fromFunction(spark, shape.map(_.toLong), chunks)(g => vals(off(g.map(_.toInt)).toInt))
+      val mask = GArr.fromFunction(spark, shape.map(_.toLong), chunks)(g =>
+        if (sel(off(g.map(_.toInt)).toInt)) 1.0 else 0.0)
+      val k = sel.count(identity)
+      val values = GArr.fromFunction(spark, Seq(k.toLong), Seq(1 + rnd.nextInt(k + 1)))(g =>
+        500.0 + g(0))
+      val got = a.maskedAssign(mask, values)
+      val dense = vals.clone()
+      var r = 0
+      for (i <- 0 until n if sel(i)) { dense(i) = 500.0 + r; r += 1 }
+      checkEqual(got, new Dense(shape.map(_.toLong), dense),
+        s"trial$trial nd=$nd shape=$shape chunks=$chunks k=$k")
+    }
+  }
 }

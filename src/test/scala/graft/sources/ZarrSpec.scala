@@ -108,4 +108,32 @@ class ZarrSpec extends SparkTestBase {
     assert(Seq(bb.getDouble(0), bb.getDouble(8), bb.getDouble(16), bb.getDouble(24)) ==
       Seq(20.0, 21.0, 30.0, 31.0))
   }
+
+  test("storeZarr: aligned region write updates only the region's chunks") {
+    val dir = java.nio.file.Files.createTempDirectory("zarr_store").toString
+    // target: 8x6 of f2, chunks 2x3
+    val base = GArr.fromFunction(spark, Seq(8L, 6L), Seq(2, 3))(f2)
+    Zarr.toZarr(base, dir, compressor = "zlib", level = 1)
+    // region: rows 2..5 (offset 2, aligned; end 6, aligned), all cols —
+    // written from an array on a DIFFERENT chunking (forces the rechunk)
+    val patch = GArr.fromFunction(spark, Seq(4L, 6L), Seq(3, 2))(g => -(100.0 + g(0) * 6 + g(1)))
+    Zarr.storeZarr(patch, dir, Seq(2L, 0L))
+    val got = indexed(Zarr.fromZarr(spark, dir))
+    for (i <- 0L until 8L; j <- 0L until 6L) {
+      val want = if (i >= 2 && i < 6) -(100.0 + (i - 2) * 6 + j) else f2(Array(i, j))
+      assert(got(i * 6 + j) == want, s"($i,$j)")
+    }
+    // edge-touching region end: rows 6..7 (end == shape) is legal
+    val tail2 = GArr.fromFunction(spark, Seq(2L, 6L), Seq(2, 3))(_ => 9.5)
+    Zarr.storeZarr(tail2, dir, Seq(6L, 0L))
+    val got2 = indexed(Zarr.fromZarr(spark, dir))
+    for (j <- 0L until 6L) assert(got2(7 * 6 + j) == 9.5)
+    // unaligned offset and interior unaligned end are rejected loudly
+    val one = GArr.fromFunction(spark, Seq(2L, 6L), Seq(2, 3))(_ => 1.0)
+    intercept[IllegalArgumentException] { Zarr.storeZarr(one, dir, Seq(1L, 0L)) }
+    val odd = GArr.fromFunction(spark, Seq(3L, 6L), Seq(2, 3))(_ => 1.0)
+    intercept[IllegalArgumentException] { Zarr.storeZarr(odd, dir, Seq(2L, 0L)) }
+    // out-of-bounds region
+    intercept[IllegalArgumentException] { Zarr.storeZarr(one, dir, Seq(8L, 0L)) }
+  }
 }
