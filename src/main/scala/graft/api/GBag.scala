@@ -104,6 +104,30 @@ final class GBag[T](val ds: Dataset[T]) extends Serializable {
 
   def distinct(): GBag[T] = new GBag(ds.distinct())
 
+  /** bag `groupby(key)` (`bag/core.py:1354`): (key, all elements with that
+    * key) pairs — dask's full-shuffle grouping. Prefer [[foldby]] when an
+    * aggregate suffices (same advice as the reference's docstring): groupby
+    * materializes each group as one in-memory Seq, so a skewed key bounds a
+    * single task's memory, exactly like the reference.
+    */
+  def groupby[K: Encoder](key: T => K)(
+      implicit kv: Encoder[(K, Seq[T])]): Dataset[(K, Seq[T])] =
+    ds.groupByKey(key).mapGroups((k, it) => (k, it.toSeq))
+
+  /** bag `zip(other)` (`bag/core.py` zip): pairwise zip of co-partitioned
+    * bags — same npartitions and per-partition lengths required, as the
+    * reference requires equal partitioning.
+    */
+  def zipBag[U](other: GBag[U])(implicit e: Encoder[(T, U)],
+                                ct: scala.reflect.ClassTag[T],
+                                cu: scala.reflect.ClassTag[U]): GBag[(T, U)] =
+    new GBag(spark.createDataset(ds.rdd.zip(other.ds.rdd)))
+
+  /** bag `unzip` for pair bags: two bags sharing one upstream. */
+  def unzip[A, B](implicit ev: T <:< (A, B), ea: Encoder[A], eb: Encoder[B])
+      : (GBag[A], GBag[B]) =
+    (new GBag(ds.map(t => ev(t)._1)), new GBag(ds.map(t => ev(t)._2)))
+
   /** bag `product` (`bag/core.py:1219`) — cartesian. */
   def product[U](other: GBag[U])(implicit e: Encoder[(T, U)]): Dataset[(T, U)] =
     ds.joinWith(other.ds, org.apache.spark.sql.functions.lit(true), "cross")
@@ -294,4 +318,16 @@ object GBag {
   def apply[T](ds: Dataset[T]): GBag[T] = new GBag(ds)
   def fromSeq[T: Encoder](spark: SparkSession, xs: Seq[T], npartitions: Int = 4): GBag[T] =
     new GBag(spark.createDataset(xs).repartition(npartitions))
+
+  /** `db.range(n, npartitions)` — distributed long range. */
+  def range(spark: SparkSession, n: Long, npartitions: Int = 4): GBag[Long] = {
+    import spark.implicits._
+    new GBag(spark.range(0, n, 1, npartitions).as[Long])
+  }
+
+  /** `db.concat(bags)` — one bag over every input's partitions (union). */
+  def concat[T](bags: Seq[GBag[T]]): GBag[T] = {
+    require(bags.nonEmpty, "concat of nothing")
+    new GBag(bags.map(_.ds).reduce(_ union _))
+  }
 }

@@ -746,6 +746,28 @@ final class GDF(val df: DataFrame, val index: Option[IndexMeta]) {
       index)
   }
 
+  /** pandas `Series.autocorr(lag)` (`_collection.py` autocorr): Pearson
+    * corr of the column with its lag-shifted self over the index order —
+    * the q87 composition as a method (MapOverlap ghost-row shift, so no
+    * single-task global window, then one corr aggregate).
+    */
+  def autocorr(valueCol: String, lag: Int = 1): Double = {
+    val shifted = shift(valueCol, lag, "__lagged__")
+    shifted.df.agg(corr(col(valueCol), col("__lagged__"))).head.getDouble(0)
+  }
+
+  /** pandas `Series.dot(other)` (`_collection.py` dot): sum of the
+    * index-aligned products of two single-value-column frames — one inner
+    * join on the index + one sum (broadcast-eligible under AQE).
+    */
+  def dotSeries(valueCol: String, other: GDF, otherCol: String): Double = {
+    val ix = index.orElse(other.index).getOrElse(throw new IllegalStateException(
+      "dotSeries needs an index on at least one side (setIndex/withIndex)")).cols
+    val l = df.select(ix.map(col) :+ col(valueCol).as("__l__"): _*)
+    val r = other.df.select(ix.map(col) :+ col(otherCol).as("__r__"): _*)
+    l.join(r, ix).agg(sum(col("__l__") * col("__r__"))).head.getDouble(0)
+  }
+
   /** global cumulative aggregates (distributed two-phase prefix scan). */
   def cumsum(valueCol: String, out: String): GDF = cumOp(valueCol, out, graft.operators.Cumulative.CumSum)
   def cumprod(valueCol: String, out: String): GDF = cumOp(valueCol, out, graft.operators.Cumulative.CumProd)

@@ -62,6 +62,28 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk").cast("int").as("rk"))
   }
 
+  /** Recall@k of an approximate top-k result against the exact one: both
+    * inputs are (query_id, neighbor_id, ...) frames as produced by
+    * [[bruteForceTopK]] / [[annTopK]] / [[ivfTopK]] / [[pqTopK]]. Returns
+    * (query_id, hits, truth_n, recall) per query — the evaluation harness
+    * every ANN deployment needs before trusting a bucketing config (the
+    * reference ships no counterpart; recall tuning there is ad hoc). One
+    * semi-join-shaped inner join on (query, neighbor) + one aggregate;
+    * broadcast-eligible when the query set is small.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id")).distinct()
+    val t = exact.select(col("query_id"), col("neighbor_id")).distinct()
+    val truth = t.groupBy("query_id").agg(count(lit(1)).as("truth_n"))
+    val hits = t.join(a, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    truth.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("truth_n"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("truth_n")).as("recall"))
+  }
+
   private val bucketUdf = udf((v: Seq[Float], planes: Int) =>
     Hashing.signBucket(v.toArray, planes))
 

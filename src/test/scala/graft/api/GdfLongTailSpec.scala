@@ -42,6 +42,22 @@ class GdfLongTailSpec extends SparkTestBase {
     assert(rl.df.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("dotSeries: index-aligned product sum; autocorr matches driver Pearson") {
+    assert(left.dotSeries("v", right, "v") == 20.0 * 200 + 30.0 * 300)
+    // autocorr over a sorted index: lag-1 Pearson of a known series
+    val xs = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 8.0, 7.0)
+    val g = GDF(xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").repartitionByRange(3, col("id"))).setIndex("id")
+    val got = g.autocorr("v", 1)
+    val (a, b) = (xs.dropRight(1), xs.drop(1))
+    def mean(s: Seq[Double]) = s.sum / s.length
+    val (ma, mb) = (mean(a), mean(b))
+    val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+    val ref = cov / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum *
+      b.map(y => (y - mb) * (y - mb)).sum)
+    assert(math.abs(got - ref) < 1e-12, s"$got vs $ref")
+  }
+
   test("select_dtypes by category and exclusion keeps the index") {
     val g = left
     val num = g.selectDtypes(include = Seq("number"))

@@ -112,6 +112,22 @@ class BagLinalgStreamSpec extends SparkTestBase {
     assert(bs.accumulate(_ + _).compute().toSeq == Seq("a", "ab", "abc", "abcd"))
   }
 
+  test("bag: groupby/zipBag/unzip/range/concat surface") {
+    val b = GBag.fromSeq(spark, Seq(1, 2, 3, 4, 5, 6), npartitions = 3)
+    val grouped = b.groupby(_ % 2).collect().toMap
+    assert(grouped(0).sorted == Seq(2, 4, 6) && grouped(1).sorted == Seq(1, 3, 5))
+    // zip requires co-partitioned equal-length sides: derive both from one bag
+    val l = b.map(_ * 10)
+    val z = b.zipBag(l).compute().toMap
+    assert(z == Map(1 -> 10, 2 -> 20, 3 -> 30, 4 -> 40, 5 -> 50, 6 -> 60))
+    val pairs = GBag.fromSeq(spark, Seq((1, "a"), (2, "b")), 2)
+    val (ks, vs) = pairs.unzip[Int, String]
+    assert(ks.compute().sorted.toSeq == Seq(1, 2) && vs.compute().sorted.toSeq == Seq("a", "b"))
+    assert(GBag.range(spark, 5, 2).compute().sorted.toSeq == (0L until 5L))
+    val c = GBag.concat(Seq(b, GBag.fromSeq(spark, Seq(7, 8), 1)))
+    assert(c.compute().sorted.toSeq == (1 to 8))
+  }
+
   test("bag: joinBy and product") {
     val l = GBag.fromSeq(spark, Seq((1, "a"), (2, "b")), 2)
     val r = GBag.fromSeq(spark, Seq((1, "X"), (3, "Y")), 2)

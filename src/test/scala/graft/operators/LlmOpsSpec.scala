@@ -174,6 +174,26 @@ class LlmOpsSpec extends SparkTestBase {
     assert(probed.forall(id => Set(0L, 11L, 14L).contains(id)))
   }
 
+  test("recallAtK: exact-vs-self is 1.0; a pruned approximation scores its overlap") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)),
+      (10L, Array(0.9f, 0.1f, 0.0f)), (11L, Array(0.8f, 0.2f, 0.1f)),
+      (12L, Array(0.1f, 0.9f, 0.2f)), (14L, Array(0.7f, 0.1f, 0.2f))
+    ).toDF("vec_id", "embedding").repartition(3)
+    val queries = vecs.filter(col("vec_id") === 10L)
+    val bf = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 3)
+    val self = Similarity.recallAtK(bf, bf).head()
+    assert(self.getLong(1) == 3L && self.getLong(2) == 3L && self.getDouble(3) == 1.0)
+    // an "approximation" missing one true neighbor scores 2/3
+    val pruned = bf.filter(col("rk") <= 2)
+    val r = Similarity.recallAtK(pruned, bf).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 3L && math.abs(r.getDouble(3) - 2.0 / 3) < 1e-12)
+    // a query with NO approx rows still appears, recall 0
+    val none = bf.filter(col("rk") > 99)
+    val z = Similarity.recallAtK(none, bf).head()
+    assert(z.getLong(1) == 0L && z.getDouble(3) == 0.0)
+  }
+
   test("ngramJaccard is 1 for identical, 0 for disjoint") {
     assert(Hashing.ngramJaccard("a b c", "a b c", 2) == 1.0)
     assert(Hashing.ngramJaccard("a b c", "x y z", 2) == 0.0)
