@@ -374,19 +374,20 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
   /** numpy boolean-mask indexing `x[mask]` with a DISTRIBUTED mask of
     * identical shape/chunks (reference `array/slicing.py:1061`
     * `slice_with_bool_dask_array`): selected elements in global C order,
-    * flattened to 1-D. 1-D inputs take a counts-prefix path (one block
-    * join + O(nblocks) driver counts + one scatter shuffle — no sort);
-    * ndim≥2 falls back to a distributed sortByKey on the global flat
-    * index because block-local order does not partition global C order.
-    * The result is materialized (counted) before return — like dask, the
-    * unknown output length forces a compute barrier.
+    * flattened to 1-D. When block-local order partitions global C order —
+    * 1-D, or ndim chunked ONLY along axis 0 (each block is then one
+    * contiguous C-order range) — a counts-prefix path runs (one block
+    * join + O(nblocks) driver counts + one scatter shuffle, no sort);
+    * otherwise ndim≥2 falls back to a distributed sortByKey on the global
+    * flat index. The result is materialized (counted) before return —
+    * like dask, the unknown output length forces a compute barrier.
     */
   def booleanMask(mask: GArr, targetChunk: Int = 65536): GArr = {
     require(shape == mask.shape && chunks == mask.chunks,
       s"booleanMask requires identical shape/chunks: $shape vs ${mask.shape}")
     val s = spark
     import s.implicits._
-    if (ndim == 1) {
+    if (grid.drop(1).forall(_ == 1)) {
       val l = blocks.map(b => (b.bid(0), b.data))
       val r = mask.blocks.map(b => (b.bid(0), b.data))
       val sel = l.joinWith(r, l("_1") === r("_1")).map { case ((ib, d), (_, m)) =>
@@ -703,7 +704,10 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     require(values.ndim == 1, "maskedAssign: values must be 1-D")
     require(shape == mask.shape && chunks == mask.chunks,
       s"maskedAssign requires identical base/mask shape+chunks: $shape vs ${mask.shape}")
-    if (ndim > 1) return maskedAssignNd(mask, values)
+    // ndim chunked only along axis 0 keeps the counts-prefix path (block
+    // payloads are contiguous C-order ranges there, as in 1-D); anything
+    // else needs the global rank sort
+    if (ndim > 1 && grid.drop(1).exists(_ > 1)) return maskedAssignNd(mask, values)
     val s = spark
     import s.implicits._
     val maskCached = mask.blocks

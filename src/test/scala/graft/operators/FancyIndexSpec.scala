@@ -294,6 +294,30 @@ class FancyIndexSpec extends SparkTestBase {
       assert(g((i * 7 + j).toLong) == dense(i)(j), s"($i,$j)")
   }
 
+  test("booleanMask/maskedAssign 2-D chunked only along axis 0: counts-prefix path") {
+    // grid (4,1): block payloads are contiguous C-order ranges, so the
+    // no-sort counts-prefix path must produce the same global order the
+    // sort path would
+    val a = GArr.fromFunction(spark, Seq(8L, 5L), Seq(2, 5))(f2)
+    assert(a.grid == Seq(4, 1))
+    val m = a.mapBlocks((_, d) => d.map(v => if (v % 3.0 == 0.0) 1.0 else 0.0))
+    val sel = a.booleanMask(m, targetChunk = 4)
+    val ref = (for (i <- 0L until 8L; j <- 0L until 5L) yield f2(Array(i, j)))
+      .filter(_ % 3.0 == 0.0)
+    assert(sel.shape == Seq(ref.length.toLong))
+    assert(vec(sel).toSeq == ref)
+    // masked assign through the same path
+    val values = GArr.fromFunction(spark, Seq(ref.length.toLong), Seq(3))(g => 700.0 + g(0))
+    val u = a.maskedAssign(m, values)
+    val g = indexed(u)
+    var r = 0
+    for (i <- 0 until 8; j <- 0 until 5) {
+      val orig = f2(Array(i.toLong, j.toLong))
+      val want = if (orig % 3.0 == 0.0) { val w = 700.0 + r; r += 1; w } else orig
+      assert(g((i * 5 + j).toLong) == want, s"($i,$j)")
+    }
+  }
+
   test("maskedAssign 2-D: wrong value length is rejected loudly") {
     val a = GArr.fromFunction(spark, Seq(4L, 4L), Seq(2, 2))(f2)
     val mask = GArr.fromFunction(spark, Seq(4L, 4L), Seq(2, 2))(g => if (g(0) == g(1)) 1.0 else 0.0)
