@@ -169,6 +169,19 @@ object Ufuncs {
   def isposinf(c: Column): Column = c === lit(Double.PositiveInfinity)
   def isneginf(c: Column): Column = c === lit(Double.NegativeInfinity)
 
+  /** dask/pandas isnull / notnull: missing = SQL NULL or NaN. */
+  def isnull(c: Column): Column = c.isNull || isnan(c)
+  def notnull(c: Column): Column = !isnull(c)
+
+  /** numpy divmod: (floor quotient, python-style remainder) as a struct —
+    * the same pairing contract as [[modf]]/[[frexp]]; q = (a - mod(a,b))/b
+    * so q*b + r == a exactly even at sign boundaries.
+    */
+  def divmod(a: Column, b: Column): Column = {
+    val r = mod(a, b)
+    struct(((a - r) / b).as("quot"), r.as("rem"))
+  }
+
   /** numpy i0 — modified Bessel function of the first kind, order 0, via
     * the Abramowitz & Stegun 9.8.1/9.8.2 polynomial pair (|rel err| <
     * 1.6e-7 small-arg, < 1.9e-7 large-arg) — a codegen'd piecewise

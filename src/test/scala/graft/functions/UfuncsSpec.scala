@@ -133,6 +133,18 @@ class UfuncsSpec extends SparkTestBase {
     assert(inf == Seq((true, false), (false, true), (false, false)))
   }
 
+  test("isnull/notnull treat NULL and NaN as missing; divmod pairs recompose") {
+    val df = Seq(Some(1.0), None, Some(Double.NaN)).toDF("x")
+    val nn = df.select(Ufuncs.isnull(col("x")).as("i"), Ufuncs.notnull(col("x")).as("n"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1))).toSeq
+    assert(nn == Seq((false, true), (true, false), (true, false)))
+    // divmod follows numpy: floor quotient, remainder with the divisor's sign
+    val dm = Seq((7.0, 3.0), (-7.0, 3.0), (7.0, -3.0), (-7.0, -3.0)).toDF("a", "b")
+      .select(Ufuncs.divmod(col("a"), col("b")).as("d"))
+      .collect().map(r => (r.getStruct(0).getDouble(0), r.getStruct(0).getDouble(1)))
+    assert(dm.toSeq == Seq((2.0, 1.0), (-3.0, 2.0), (-3.0, -2.0), (2.0, -1.0)))
+  }
+
   test("i0 matches reference values within the A&S polynomial tolerance") {
     // scipy.special.i0 reference values
     val ref = Map(0.0 -> 1.0, 1.0 -> 1.2660658777520084,
