@@ -78,6 +78,12 @@ object SparkEntry {
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try body(runDir, run)
     finally {
+      // every replay names its stream `..._$run`; if the body threw between
+      // start() and its own stop() (e.g. processAllAvailable failed), the
+      // query would outlive this block and race the runDir delete below —
+      // stop any survivor before touching the directory
+      s.streams.active.filter(q => Option(q.name).exists(_.endsWith(run)))
+        .foreach(q => try q.stop() catch { case _: Exception => () })
       s.conf.set("spark.sql.shuffle.partitions", prev)
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rm) }

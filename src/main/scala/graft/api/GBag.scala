@@ -195,10 +195,17 @@ final class GBag[T](val ds: Dataset[T]) extends Serializable {
       implicit e: Encoder[T], ct: scala.reflect.ClassTag[T]): GBag[T] = {
     require(k >= 0, "Cannot take a negative number of samples")
     if (k == 0) return new GBag(ds.limit(0))
-    val rdd0 = ds.rdd
+    // persisted across the two passes: a nondeterministic upstream (e.g. a
+    // shuffle) could otherwise reorder elements between the counts pass and
+    // the gather pass, silently biasing the sample
+    val rdd0 = ds.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = partitionCounts(rdd0)
     val n = counts.sum
-    if (k > n) throw new IllegalArgumentException("Sample larger than population")
+    if (k > n) {
+      rdd0.unpersist(blocking = false)
+      throw new IllegalArgumentException("Sample larger than population")
+    }
     // Floyd's uniform k-subset of [0, n)
     val rng = new java.util.Random(seed)
     val chosen = scala.collection.mutable.HashSet[Long]()
@@ -221,10 +228,14 @@ final class GBag[T](val ds: Dataset[T]) extends Serializable {
       implicit e: Encoder[T], ct: scala.reflect.ClassTag[T]): GBag[T] = {
     require(k >= 0, "Cannot take a negative number of samples")
     if (k == 0) return new GBag(ds.limit(0))
-    val rdd0 = ds.rdd
+    val rdd0 = ds.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = partitionCounts(rdd0)
     val n = counts.sum
-    require(n > 0, "choices of an empty bag")
+    if (n == 0) {
+      rdd0.unpersist(blocking = false)
+      throw new IllegalArgumentException("choices of an empty bag")
+    }
     val rng = new java.util.Random(seed)
     val wanted = Array.fill(k)(math.floorMod(rng.nextLong(), n))
       .groupBy(identity).map { case (p, a) => (p, a.length) }.toArray
@@ -275,7 +286,22 @@ final class GBag[T](val ds: Dataset[T]) extends Serializable {
           }
       }
     }
-    new GBag(spark.createDataset(picked))
+    // Materialize the k-element result (cheap: O(k) distributed) while the
+    // persisted base is still pinned, then verify every requested position
+    // was matched — a count drift between the two passes fails LOUDLY
+    // instead of returning a silently biased/short sample.
+    val got = picked.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gotN = got.count()
+    rdd.unpersist(blocking = false)
+    val want = wanted.map(_._2.toLong).sum
+    if (gotN != want) {
+      got.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"gatherPositions: matched $gotN of $want requested positions — " +
+          "the source changed between the count and gather passes")
+    }
+    new GBag(spark.createDataset(got))
   }
 
   /** The scalar reduction tier (`bag/core.py:1077-1147`): count / sum /

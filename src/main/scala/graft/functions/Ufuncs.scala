@@ -148,20 +148,27 @@ object Ufuncs {
   def modf(c: Column): Column = struct((c - trunc(c)).as("frac"), trunc(c).as("int"))
 
   /** numpy frexp: x = mantissa · 2^exponent with 0.5 <= |mantissa| < 1
-    * (0 → (0, 0)). The log2-derived exponent candidate is corrected by one
-    * where floating-point log rounding lands outside the half-open
-    * mantissa interval, so exact powers of two stay exact.
+    * (0 → (0, 0); non-finite x → (x, 0), numpy's convention — without the
+    * short-circuit, 2^inf makes the mantissa NaN). The log2-derived
+    * exponent candidate is corrected by one where floating-point log
+    * rounding lands outside the half-open mantissa interval, so exact
+    * powers of two stay exact. Caveat: deep in the subnormal range the
+    * log2 candidate can be off by more than the ±1 this correction
+    * recovers; normals are exact.
     */
   def frexp(c: Column): Column = {
-    val e0 = when(c === 0 || isnan(c), lit(0.0))
+    val passThrough = c === 0 || isnan(c) ||
+      c === lit(Double.PositiveInfinity) || c === lit(Double.NegativeInfinity)
+    val e0 = when(passThrough, lit(0.0))
       .otherwise(org.apache.spark.sql.functions.floor(
         org.apache.spark.sql.functions.log(2.0, abs(c))) + 1.0)
     val m0 = c / pow(lit(2.0), e0)
-    val e1 = when(abs(m0) >= 1.0, e0 + 1.0)
-      .when(abs(m0) < 0.5 && c =!= 0, e0 - 1.0)
+    val e1 = when(passThrough, lit(0.0))
+      .when(abs(m0) >= 1.0, e0 + 1.0)
+      .when(abs(m0) < 0.5, e0 - 1.0)
       .otherwise(e0)
     struct(
-      when(c === 0 || isnan(c), c).otherwise(c / pow(lit(2.0), e1)).as("mantissa"),
+      when(passThrough, c).otherwise(c / pow(lit(2.0), e1)).as("mantissa"),
       e1.as("exponent"))
   }
 
@@ -175,11 +182,14 @@ object Ufuncs {
 
   /** numpy divmod: (floor quotient, python-style remainder) as a struct —
     * the same pairing contract as [[modf]]/[[frexp]]; q = (a - mod(a,b))/b
-    * so q*b + r == a exactly even at sign boundaries.
+    * so q*b + r == a exactly even at sign boundaries. A zero divisor
+    * yields (0, 0) — numpy's divmod-by-zero convention — instead of the
+    * silent (null, null) Spark's non-ANSI division would produce.
     */
   def divmod(a: Column, b: Column): Column = {
     val r = mod(a, b)
-    struct(((a - r) / b).as("quot"), r.as("rem"))
+    when(b === 0, struct(lit(0.0).as("quot"), lit(0.0).as("rem")))
+      .otherwise(struct(((a - r) / b).as("quot"), r.as("rem")))
   }
 
   /** numpy i0 — modified Bessel function of the first kind, order 0, via

@@ -150,16 +150,34 @@ object Zarr {
         val out = fs.create(tmp, true)
         out.write(payload)
         out.close()
-        // rename-to-existing returns false on most filesystems. An existing
-        // dest is either a prior store's chunk being OVERWRITTEN (storeZarr
-        // region write) or a speculative duplicate of this very block
-        // (identical bytes) — replacing it is correct in both cases.
-        if (!fs.rename(tmp, dest)) {
-          if (fs.exists(dest)) {
-            fs.delete(dest, false)
-            if (!fs.rename(tmp, dest) && !fs.exists(dest))
-              throw new java.io.IOException(s"zarr: commit rename failed for $dest")
-          } else throw new java.io.IOException(s"zarr: commit rename failed for $dest")
+        // An existing dest is either a prior store's chunk being OVERWRITTEN
+        // (storeZarr region write) or a speculative duplicate of this very
+        // block (identical bytes) — replacing it is correct in both cases.
+        // FileContext.rename with OVERWRITE is a single atomic operation on
+        // HDFS and the local fs, so a reader (or a killed task) can never
+        // observe the store with the chunk MISSING, which the old
+        // delete-then-rename fallback allowed.
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            dest.toUri, fs.getConf)
+          fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch {
+          case _: UnsupportedOperationException | _: java.io.IOException
+              if fs.exists(dest) || fs.exists(tmp) =>
+            // non-atomic fallback for filesystems without a FileContext
+            // binding; if we lose a race to a twin that already committed,
+            // clean up our tmp instead of orphaning it
+            if (!fs.rename(tmp, dest)) {
+              if (fs.exists(dest)) {
+                fs.delete(dest, false)
+                if (!fs.rename(tmp, dest)) {
+                  if (fs.exists(dest)) fs.delete(tmp, false)
+                  else throw new java.io.IOException(
+                    s"zarr: commit rename failed for $dest")
+                }
+              } else throw new java.io.IOException(
+                s"zarr: commit rename failed for $dest")
+            }
         }
         1L
       }

@@ -127,6 +127,13 @@ class UfuncsSpec extends SparkTestBase {
       }
     }
     assert(r(0) == ((0.5, 4.0)) && r(1) == ((0.5, 1.0)) && r(2) == ((0.5, 0.0)))
+    // numpy: frexp(±inf) = (±inf, 0), frexp(nan) = (nan, 0)
+    val nf = Seq(Double.PositiveInfinity, Double.NegativeInfinity, Double.NaN)
+      .toDF("x").select(Ufuncs.frexp(col("x")).as("f")).collect()
+      .map(row => (row.getStruct(0).getDouble(0), row.getStruct(0).getDouble(1)))
+    assert(nf(0) == ((Double.PositiveInfinity, 0.0)))
+    assert(nf(1) == ((Double.NegativeInfinity, 0.0)))
+    assert(nf(2)._1.isNaN && nf(2)._2 == 0.0)
     val inf = Seq(Double.PositiveInfinity, Double.NegativeInfinity, 1.0).toDF("x")
       .select(Ufuncs.isposinf(col("x")).as("p"), Ufuncs.isneginf(col("x")).as("n"))
       .collect().map(row => (row.getBoolean(0), row.getBoolean(1))).toSeq
@@ -143,6 +150,11 @@ class UfuncsSpec extends SparkTestBase {
       .select(Ufuncs.divmod(col("a"), col("b")).as("d"))
       .collect().map(r => (r.getStruct(0).getDouble(0), r.getStruct(0).getDouble(1)))
     assert(dm.toSeq == Seq((2.0, 1.0), (-3.0, 2.0), (-3.0, -2.0), (2.0, -1.0)))
+    // zero divisor: (0, 0) — numpy's divmod-by-zero convention, not null
+    val dz = Seq((7.0, 0.0)).toDF("a", "b")
+      .select(Ufuncs.divmod(col("a"), col("b")).as("d")).collect()
+      .map(r => (r.getStruct(0).getDouble(0), r.getStruct(0).getDouble(1)))
+    assert(dz.toSeq == Seq((0.0, 0.0)))
   }
 
   test("i0 matches reference values within the A&S polynomial tolerance") {
