@@ -2478,6 +2478,165 @@ object SparkEntry {
       ComplexFft.irfftAxis(half, 0).toIndexedDF
         .select(col("idx"),
           floor(col("value") + lit(0.5)).cast("long").as("q"))
+    },
+
+    // ---- full setitem_array index generality (slicing.py:1464 +
+    // parse_assignment_indices :1236): (1) a 2-D integer index array
+    // (numpy generality past the reference's 1-D limit — flattens to the
+    // C-order write sequence, duplicates last-wins), (2) a mixed tuple of
+    // a DESCENDING stepped slice and a distributed column-index array,
+    // (3) a scalar fill over a strided row x descending column slice pair.
+    // Everything integer-valued, so the oracle is hash-exact.
+    "q190_setitem_mixed" -> { (s, dir) =>
+      import graft.operators.{AssignIdx, GArr}
+      val li = t(s, dir, "lineitem")
+      def head(n: Int) = li.sort(liTotalOrder.map(col): _*).limit(n)
+      val x = GArr.fromColumn(head(4096), "l_quantity", liTotalOrder, chunk = 512)
+        .reshape(Seq(64L, 64L), Seq(16, 16))
+      val idxSrc = head(20)
+        .withColumn("pos", ((col("l_partkey") * 7) % 64).cast("double"))
+      val idx = GArr.fromColumn(idxSrc, "pos", liTotalOrder, chunk = 8)
+        .reshape(Seq(4L, 5L), Seq(2, 3))
+      val v = GArr.fromFunction(s, Seq(4L, 5L, 64L), Seq(2, 3, 32))(g =>
+        20000.0 + (g(0) * 5 + g(1)) * 100 + g(2))
+      val y = x.updatedFancy(idx, v, axis = 0)
+      val colSrc = head(12)
+        .withColumn("pos", ((col("l_suppkey") * 11) % 64).cast("double"))
+      val colIdx = GArr.fromColumn(colSrc, "pos", liTotalOrder, chunk = 5)
+      val v2 = GArr.fromFunction(s, Seq(10L, 12L), Seq(4, 5))(g =>
+        30000.0 + g(0) * 50 + g(1))
+      val z = y.updatedAt(Seq(AssignIdx.Sl(50, 10, -4), AssignIdx.Ix(colIdx)), v2)
+      val w = z.updatedAt(Seq(AssignIdx.Sl(0, 64, 9), AssignIdx.Sl(60, 0, -7)), 77777.0)
+      w.toIndexedDF
+        .agg(sum((col("idx") % 9973 + 1) * col("value").cast("long")).as("wsum"),
+          sum(when(col("value") >= 20000.0, 1L).otherwise(0L)).as("hits"))
+    },
+
+    // ---- TPC-H-shaped macro pipelines (the reference's own public
+    // benchmark suite — BASELINE.md): multi-join + agg + order + limit
+    // composed through the same dataframe API as everything else.
+    // Money math is elementwise-rounded to integer cents with the
+    // IDENTICAL fp expression on both engines, so sums hash-match.
+
+    // Q3 shipping priority: semi-join the filtered-segment customers (FK
+    // N:1, so semi == inner but carries no payload), inner-join lineitem
+    // to the surviving orders, aggregate revenue per order, top 10 with a
+    // total tiebreak order -> one TakeOrdered, no global sort.
+    "q191_tpch_q3" -> { (s, dir) =>
+      val cust = g(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = g(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-07-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        .rename("o_custkey" -> "c_custkey")
+        .merge(cust, on = Seq("c_custkey"), how = "leftsemi")
+      g(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-07-01"))
+        .assign("rev_cents", floor(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * 100 + lit(0.5)).cast("long"))
+        .select("l_orderkey", "rev_cents")
+        .rename("l_orderkey" -> "o_orderkey")
+        .merge(ord, on = Seq("o_orderkey"), how = "inner")
+        .groupby("o_orderkey", "o_orderdate", "o_orderpriority")
+        .aggAliased(("rev_cents", "sum", "revenue_cents"))
+        .sortValues(Seq("revenue_cents", "o_orderdate", "o_orderkey"),
+          ascending = Seq(false, true, true))
+        .headDF(10)
+        .assign("o_orderdate", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .df
+    },
+
+    // Q6 forecast revenue: pure filter + global sum — the pushdown/prune
+    // benchmark shape (PushedFilters carry all four predicates).
+    "q192_tpch_q6" -> { (s, dir) =>
+      g(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01") &&
+          col("l_shipdate") < lit("1996-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .assign("rev_cents", floor(col("l_extendedprice") * col("l_discount") *
+          100 + lit(0.5)).cast("long"))
+        .df.agg(sum("rev_cents").as("revenue_cents"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // Q18 large-volume customers: the HAVING-over-groupby + join-back
+    // shape — the per-order quantity aggregate (map-side partials) feeds
+    // an inner join of orders and the (broadcastable) customer dim, then
+    // one TakeOrdered(100).
+    "q193_tpch_q18" -> { (s, dir) =>
+      val big = g(s, dir, "lineitem")
+        .groupby("l_orderkey").aggAliased(("l_quantity", "sum", "sum_qty"))
+        .filter(col("sum_qty") > 250)
+        .assign("sum_qty", col("sum_qty").cast("long"))
+        .rename("l_orderkey" -> "o_orderkey")
+      g(s, dir, "orders")
+        .merge(big, on = Seq("o_orderkey"), how = "inner")
+        .rename("o_custkey" -> "c_custkey")
+        // customer grows with SF (not broadcast-safe at 100 TB): AQE picks
+        // broadcast at small SF and shuffle-join at scale
+        .merge(g(s, dir, "customer").select("c_custkey", "c_name"),
+          on = Seq("c_custkey"), how = "inner")
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+          "o_totalprice", "sum_qty")
+        .sortValues(Seq("o_totalprice", "o_orderdate", "o_orderkey"),
+          ascending = Seq(false, true, true))
+        .headDF(100)
+        .assign("o_orderdate", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .df
+    },
+
+    // Q5 local-supplier volume: the 6-way star join — region/nation/
+    // supplier broadcast down the dim chain, fact-fact joins shuffle on
+    // their FKs, and the local-supplier predicate (c_nationkey ==
+    // s_nationkey) filters AFTER the customer join, exactly the TPC-H
+    // semantics.
+    "q194_tpch_q5" -> { (s, dir) =>
+      val asiaNations = g(s, dir, "nation")
+        .rename("n_regionkey" -> "r_regionkey")
+        .merge(g(s, dir, "region").filter(col("r_name") === "ASIA"),
+          on = Seq("r_regionkey"), how = "leftsemi")
+        .select("n_nationkey", "n_name")
+      val sup = g(s, dir, "supplier")
+        .rename("s_nationkey" -> "n_nationkey")
+        // nation x region is FIXED-size (25 x 5 rows at every SF): always
+        // broadcast; supplier/customer grow with SF, so those joins are
+        // left to AQE below
+        .merge(asiaNations, on = Seq("n_nationkey"), how = "inner",
+          broadcastRight = true)
+        .select("s_suppkey", "n_nationkey", "n_name")
+      val ord = g(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .select("o_orderkey", "o_custkey")
+      g(s, dir, "lineitem")
+        .assign("rev_cents", floor(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * 100 + lit(0.5)).cast("long"))
+        .select("l_orderkey", "l_suppkey", "rev_cents")
+        .rename("l_suppkey" -> "s_suppkey")
+        .merge(sup, on = Seq("s_suppkey"), how = "inner")
+        .rename("l_orderkey" -> "o_orderkey")
+        .merge(ord, on = Seq("o_orderkey"), how = "inner")
+        .rename("o_custkey" -> "c_custkey")
+        .merge(g(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          on = Seq("c_custkey"), how = "inner", broadcastRight = true)
+        .filter(col("c_nationkey") === col("n_nationkey"))
+        .groupby("n_name")
+        .aggAliased(("rev_cents", "sum", "revenue_cents"))
+        .df
+    },
+
+    // ---- layout-independent exact-k bag sampling (brief ext): the k
+    // documents with the smallest salted content hash — identical under
+    // any partitioning, so DuckDB can recompute the very same draw.
+    "q195_bag_sample_content" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("_1"), col("lang").as("_2"),
+          col("n_chars").cast("long").as("_3"))
+        .as[(Long, String, Long)]
+      new graft.api.GBag(docs).sampleByContent(50, 7L)(r => r._1.toString)
+        .ds.toDF("doc_id", "lang", "n_chars")
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -4862,5 +5021,95 @@ object SparkEntry {
         |  SELECT CAST(l_quantity AS BIGINT) AS q,
         |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
         |  FROM lineitem)
-        |SELECT CAST(rn AS BIGINT) AS idx, q FROM t WHERE rn < 4096""".stripMargin)
+        |SELECT CAST(rn AS BIGINT) AS idx, q FROM t WHERE rn < 4096""".stripMargin,
+
+    // q190: the three setitem forms restated relationally — last-wins per
+    // target row/column is MAX(flattened index) (independent of the
+    // engine's scatter, not circular), the mixed tuple is a row-predicate
+    // x column-join, the scalar fill a pure predicate. Sequential CASE
+    // priority = write order.
+    "q190_setitem_mixed" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q, CAST(l_partkey AS BIGINT) AS pk,
+        |         CAST(l_suppkey AS BIGINT) AS sk,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |i1 AS (SELECT rn AS p, (pk * 7) % 64 AS tgt FROM t WHERE rn < 20),
+        |w1 AS (SELECT tgt, MAX(p) AS p FROM i1 GROUP BY tgt),
+        |i2 AS (SELECT rn AS p, (sk * 11) % 64 AS tgt FROM t WHERE rn < 12),
+        |w2 AS (SELECT tgt, MAX(p) AS p FROM i2 GROUP BY tgt),
+        |cells AS (SELECT rn AS f, rn // 64 AS r, rn % 64 AS c, q FROM t WHERE rn < 4096),
+        |v1 AS (SELECT f, r, c,
+        |         CASE WHEN w1.tgt IS NOT NULL THEN 20000 + 100 * w1.p + c ELSE q END AS val
+        |       FROM cells LEFT JOIN w1 ON cells.r = w1.tgt),
+        |v2 AS (SELECT f, r, c,
+        |         CASE WHEN r BETWEEN 14 AND 50 AND (50 - r) % 4 = 0 AND w2.tgt IS NOT NULL
+        |              THEN 30000 + 50 * ((50 - r) // 4) + w2.p ELSE val END AS val
+        |       FROM v1 LEFT JOIN w2 ON v1.c = w2.tgt),
+        |v3 AS (SELECT f, CASE WHEN r % 9 = 0 AND c % 7 = 4 THEN 77777 ELSE val END AS val
+        |       FROM v2)
+        |SELECT CAST(SUM((f % 9973 + 1) * val) AS BIGINT) AS wsum,
+        |       CAST(SUM(CASE WHEN val >= 20000 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        |FROM v3""".stripMargin,
+
+    "q191_tpch_q3" ->
+      """SELECT o.o_orderkey,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o.o_orderpriority,
+        |       CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < '1998-07-01'
+        |  AND l.l_shipdate > '1998-07-01'
+        |GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue_cents DESC, o.o_orderdate ASC, o.o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q192_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q193_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |       o.o_totalprice, b.sum_qty
+        |FROM big b
+        |JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+
+    "q194_tpch_q5" ->
+      """SELECT n.n_name,
+        |       CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE c.c_nationkey = s.s_nationkey
+        |  AND r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1997-01-01'
+        |GROUP BY n.n_name""".stripMargin,
+
+    // q195: the draw is a pure function of (seed, doc_id) — recomputed
+    // bit-for-bit by the hash64 macro; signed view on both sides so the
+    // rank order agrees with the engine's Long ordering.
+    "q195_bag_sample_content" -> (duckHashMacros +
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (SELECT doc_id, lang, n_chars,
+        |        tosigned(hash64('7|' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR))) AS h
+        |      FROM documents)
+        |ORDER BY h, CAST(doc_id AS VARCHAR)
+        |LIMIT 50""".stripMargin))
 }

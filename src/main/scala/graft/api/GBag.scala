@@ -180,6 +180,34 @@ final class GBag[T](val ds: Dataset[T]) extends Serializable {
     new GBag(spark.createDataset(sampled))
   }
 
+  /** Layout-independent exact-k sampling (brief extension; contrast with
+    * [[sample]]'s positional dask contract, which is deterministic only
+    * per (seed, layout)): every element is ranked by a portable 64-bit
+    * content hash of `keyOf(t)` salted with `seed`, and the k smallest
+    * ranks win — the SAME elements under any partitioning or layout, the
+    * property that makes a sample oracle-checkable (the GDF.hashSampleBy
+    * lesson applied to bags). One TakeOrderedAndProject (per-partition
+    * partial top-k, driver merges only k rows), no shuffle, fully
+    * distributed. Ties (a shared key or a 64-bit collision) break on the
+    * key string; keys should be unique per element for an exact-k draw.
+    */
+  def sampleByContent(k: Int, seed: Long)(keyOf: T => String)(
+      implicit e: Encoder[T]): GBag[T] = {
+    require(k >= 0, "Cannot take a negative number of samples")
+    if (k == 0) return new GBag(ds.limit(0))
+    implicit val te: Encoder[(Long, String, T)] = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING, e)
+    val s0 = seed
+    val ranked = ds.map { t =>
+      val key = keyOf(t)
+      (graft.functions.Hashing.hashString(s"$s0|$key"), key, t)
+    }
+    new GBag(ranked
+      .orderBy(org.apache.spark.sql.functions.col("_1"),
+        org.apache.spark.sql.functions.col("_2"))
+      .limit(k).map(_._3))
+  }
+
   /** dask `bag.random.sample(population, k)` (`bag/random.py:12`):
     * exactly k UNIQUE elements chosen uniformly without replacement.
     * Re-expressed Spark-first as POSITION sampling instead of the

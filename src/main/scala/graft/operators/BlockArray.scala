@@ -17,6 +17,36 @@ final case class ABlock(bid: Seq[Int], data: Array[Double])
 final case class ScatterPiece(key: Long, bid: Seq[Int],
                               offs: Array[Int], vals: Array[Double])
 
+/** One per-dimension assignment index for [[GArr.updatedAt]] — the Scala
+  * spelling of the reference's parsed index tuple
+  * (`dask/array/slicing.py:1236` `parse_assignment_indices`).
+  */
+sealed trait AssignIdx
+object AssignIdx {
+  /** Integer index `x[..., i, ...]` (negative counts from the end); the
+    * dimension is squeezed out of the value's shape, numpy-style.
+    */
+  final case class Pt(i: Long) extends AssignIdx
+  /** Slice with Python `slice.indices` semantics: negative start/stop
+    * count from the end, bounds clamp by step direction, step may be
+    * negative (step == 0 rejected). `Sl(0, Long.MaxValue, 1)` is the full
+    * slice.
+    */
+  final case class Sl(start: Long, stop: Long, step: Long) extends AssignIdx
+  /** Integer index array. ANY ndim (numpy generality — the reference stops
+    * at 1-D, `slicing.py:1390`): an ndim index flattens to C order, which
+    * is numpy's sequential write order, and contributes its full shape to
+    * the value's expected shape. Negative entries wrap.
+    */
+  final case class Ix(idx: GArr) extends AssignIdx
+  /** 1-D boolean mask along the dimension (nonzero = selected), the
+    * reference's bool-1d branch; resolves to [[Ix]] via flatnonzero.
+    */
+  final case class Bx(mask: GArr) extends AssignIdx
+  /** The full slice, for padding index tuples to ndim. */
+  val All: Sl = Sl(0L, Long.MaxValue, 1L)
+}
+
 /** Distributed chunked ndarray — the dask.array collection re-expressed on
   * Spark (reference: `dask/array/core.py:551` map_blocks,
   * `array/blockwise.py:17`, `array/slicing.py`, `array/rechunk.py:270`,
@@ -583,85 +613,290 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
   /** numpy fancy setitem `x[..., idx, ...] = value` along `axis` with BOTH
     * the integer index and the values distributed (reference
     * `array/slicing.py:1464` `setitem_array`, the int-array-index branch).
-    * ndim base; `idx` is 1-D; `value.shape == x.shape` with `axis` replaced
-    * by `idx`'s length, aligned to this array's chunks off-axis and `idx`'s
-    * chunks on-axis (one rechunk shuffle if it isn't already). Duplicate
-    * indices resolve LAST-wins in index order (numpy's sequential-store
-    * semantics, per whole axis-slice): writes carry their global
-    * index-order, key by this array's block, and each block keeps the
-    * max-order write per offset before one overlay co-group applies them.
-    * Nothing driver-side; shuffle volume is O(|value|) writes + the overlay.
+    * ndim base, ANY axis, ANY-ndim index array (the ndim form is numpy
+    * generality beyond the reference, whose `parse_assignment_indices`
+    * stops at 1-D — `slicing.py:1390`): an ndim index flattens to C order,
+    * exactly numpy's sequential write order, so `value.shape ==
+    * x.shape[:axis] ++ idx.shape ++ x.shape[axis+1:]` and duplicate
+    * indices resolve LAST-wins in flattened index order. Implemented as
+    * the all-full-slices case of [[updatedAt]].
     */
   def updatedFancy(idx: GArr, value: GArr, axis: Int = 0): GArr = {
-    require(idx.ndim == 1, "updatedFancy: index array must be 1-D")
     require(axis >= 0 && axis < ndim, s"updatedFancy: bad axis $axis for ndim $ndim")
-    require(value.ndim == ndim &&
-      value.shape == shape.updated(axis, idx.shape(0)),
-      s"updatedFancy: value shape ${value.shape} must be ${shape.updated(axis, idx.shape(0))}")
+    updatedAt(Seq.tabulate(ndim)(d =>
+      if (d == axis) AssignIdx.Ix(idx) else AssignIdx.All), value)
+  }
+
+  /** numpy mixed-tuple setitem `x[i0, i1, ...] = value` (reference
+    * `slicing.py:1464` `setitem_array` over `parse_assignment_indices`
+    * `slicing.py:1236`): one [[AssignIdx]] per base dimension — an integer
+    * (squeezed from the value's shape), a Python-semantics slice (negative
+    * start/stop/step supported), an integer index array, or a 1-D boolean
+    * mask. At most ONE array/mask index per assignment — the reference
+    * contract (`slicing.py:1390` raises beyond one) — but that array may
+    * be ANY ndim (numpy generality): it flattens to C order, numpy's
+    * sequential write order. `value.shape` must equal the implied
+    * selection shape (integer dims squeezed, slice dims their count, the
+    * array contributing its full shape).
+    *
+    * Plan shape: writes are generated per VALUE block — each element's
+    * target coordinate is affine on slice dims (per-dim lane tables,
+    * precomputed once per block) and index-driven on the array dim (ONE
+    * co-partitioned join of index chunks with value chunks on the
+    * array-dim block id) — packed per destination block, reduced
+    * last-wins by flattened index order, and applied with one overlay
+    * co-group onto the original blocks. Shuffle volume is O(|value|)
+    * writes + the base pass; nothing driver-side, so the op scales with
+    * chunk count, not array size. Unlike the round-10 form, off-axis
+    * value chunking is free (targets resolve per element), so no off-axis
+    * rechunk is ever issued.
+    */
+  def updatedAt(indices: Seq[AssignIdx], value: GArr): GArr = {
+    require(indices.length == ndim,
+      s"updatedAt: ${indices.length} indices for ndim $ndim")
+    // boolean masks resolve to their selected positions (reference bool-1d
+    // branch: one narrow nonzero scan, then the integer-array machinery)
+    val resolved: Seq[AssignIdx] = indices.zipWithIndex.map {
+      case (AssignIdx.Bx(m), d) =>
+        require(m.ndim == 1 && m.shape(0) == shape(d),
+          s"updatedAt: boolean index on dim $d must be 1-D of length ${shape(d)}")
+        AssignIdx.Ix(ArrayRoutines.flatnonzero(m,
+          chunk = math.max(1, chunks(d).max)))
+      case (other, _) => other
+    }
+    require(resolved.count(_.isInstanceOf[AssignIdx.Ix]) <= 1,
+      "updatedAt: at most one dimension's index may be an array " +
+        "(reference parse_assignment_indices contract)")
+    val specs = new Array[(Long, Long, Long)](ndim) // resolved slice per dim
+    val lens = new Array[Long](ndim)                // per-dim selection length
+    val squeezed = new Array[Boolean](ndim)         // integer dims (absent in value)
+    var arrIdx: GArr = null
+    var ax = -1
+    resolved.zipWithIndex.foreach {
+      case (AssignIdx.Pt(i0), d) =>
+        val i = if (i0 < 0) i0 + shape(d) else i0
+        require(i >= 0 && i < shape(d),
+          s"updatedAt: index $i0 out of bounds on dim $d (length ${shape(d)})")
+        specs(d) = (i, i + 1, 1); lens(d) = 1; squeezed(d) = true
+      case (AssignIdx.Sl(st0, sp0, step), d) =>
+        val (st, sp, cnt) = resolveSlice(st0, sp0, step, shape(d))
+        specs(d) = (st, sp, step); lens(d) = cnt
+      case (AssignIdx.Ix(ix), d) =>
+        require(ix.ndim >= 1, "updatedAt: index array cannot be 0-d")
+        arrIdx = ix; ax = d; lens(d) = ix.numElements
+      case (AssignIdx.Bx(_), _) =>
+        throw new IllegalStateException("boolean index resolved above")
+    }
+    val implied: Seq[Long] = resolved.zipWithIndex.flatMap {
+      case (AssignIdx.Pt(_), _)  => Nil
+      case (AssignIdx.Ix(ix), _) => ix.shape
+      case (_, d)                => Seq(lens(d))
+    }
+    require(value.shape == implied,
+      s"updatedAt: value shape ${value.shape} must be the selection shape $implied")
+    if (lens.exists(_ == 0)) return this // empty selection: no-op
+    // normalize value to one dim per base dim: flatten an ndim index's dims
+    // to one, then re-insert the squeezed integer dims as size-1
+    var v = value
+    if (ax >= 0 && arrIdx.ndim != 1) {
+      val before = (0 until ax).count(d => !squeezed(d))
+      val collapsedChunk = math.max(1, math.min(arrIdx.numElements, 65536L).toInt)
+      v = v.reshape(
+        v.shape.patch(before, Seq(arrIdx.numElements), arrIdx.ndim),
+        v.chunks.map(_.max).patch(before, Seq(collapsedChunk), arrIdx.ndim))
+      arrIdx = arrIdx.reshape(Seq(arrIdx.numElements), Seq(collapsedChunk))
+    }
+    for (d <- 0 until ndim if squeezed(d)) v = v.expandDims(d)
+    if (ax < 0) {
+      // pure integer/slice assignment: descending slices flip the value and
+      // ride the ascending twin (the reference's negative-step transform,
+      // slicing.py:1347) into the existing stepped-run scatter
+      var vv = v
+      val pos = Seq.tabulate(ndim) { d =>
+        val (st, sp, step) = specs(d)
+        if (step > 0) (st, sp, step)
+        else {
+          vv = vv.flipAxis(d)
+          (st + (lens(d) - 1) * step, st + 1, -step)
+        }
+      }
+      updatedSlice(pos, vv)
+    } else scatterAssignCore(specs, ax, arrIdx, v)
+  }
+
+  /** Scalar-RHS form of [[updatedAt]] — `x[i0, i1, ...] = c`, the
+    * reference's broadcast-a-scalar branch. Pure integer/slice tuples take
+    * the in-place stepped-fill path (no value array at all, no shuffle);
+    * with an array index the scalar expands to a constant value array
+    * chunked like the base (the write volume is the selection size either
+    * way — every selected element must be overwritten).
+    */
+  def updatedAt(indices: Seq[AssignIdx], scalar: Double): GArr = {
+    require(indices.length == ndim,
+      s"updatedAt: ${indices.length} indices for ndim $ndim")
+    val hasArray = indices.exists(i =>
+      i.isInstanceOf[AssignIdx.Ix] || i.isInstanceOf[AssignIdx.Bx])
+    if (!hasArray) {
+      // scalar fill is orientation-free: descending slices just use their
+      // ascending twin directly, no flip needed
+      val pos = indices.zipWithIndex.map {
+        case (AssignIdx.Pt(i0), d) =>
+          val i = if (i0 < 0) i0 + shape(d) else i0
+          require(i >= 0 && i < shape(d),
+            s"updatedAt: index $i0 out of bounds on dim $d (length ${shape(d)})")
+          (i, i + 1, 1L)
+        case (AssignIdx.Sl(st0, sp0, step), d) =>
+          val (st, sp, cnt) = resolveSlice(st0, sp0, step, shape(d))
+          if (step > 0) (st, sp, step)
+          else (st + (cnt - 1) * step, st + 1, -step)
+        case _ => throw new IllegalStateException("no array index here")
+      }
+      if (pos.exists { case (st, sp, _) => sp <= st }) this
+      else updatedSlice(pos, scalar)
+    } else {
+      // resolve masks first so the implied shape is concrete
+      val resolved = indices.zipWithIndex.map {
+        case (AssignIdx.Bx(m), d) =>
+          require(m.ndim == 1 && m.shape(0) == shape(d),
+            s"updatedAt: boolean index on dim $d must be 1-D of length ${shape(d)}")
+          AssignIdx.Ix(ArrayRoutines.flatnonzero(m,
+            chunk = math.max(1, chunks(d).max)))
+        case (other, _) => other
+      }
+      val implied: Seq[Long] = resolved.zipWithIndex.flatMap {
+        case (AssignIdx.Pt(_), _)  => Nil
+        case (AssignIdx.Ix(ix), _) => ix.shape
+        case (AssignIdx.Sl(st0, sp0, step), d) =>
+          Seq(resolveSlice(st0, sp0, step, shape(d))._3)
+        case (AssignIdx.Bx(_), _) =>
+          throw new IllegalStateException("boolean index resolved above")
+      }
+      if (implied.contains(0L)) return this
+      // constant value array, chunked like the base on surviving dims
+      val baseCh = resolved.zipWithIndex.flatMap {
+        case (AssignIdx.Pt(_), _) => Nil
+        case (AssignIdx.Ix(ix), _) => ix.chunks.map(_.max)
+        case (_, d) => Seq(chunks(d).max)
+      }
+      val chPick = implied.zip(baseCh).map { case (l, c) =>
+        math.max(1, math.min(l, c.toLong).toInt)
+      }
+      updatedAt(resolved, GArr.full(spark, implied, chPick, scalar))
+    }
+  }
+
+  /** Python `slice.indices` resolution: negative start/stop count from the
+    * end, bounds clamp by step direction; returns (start, stop, count).
+    */
+  private def resolveSlice(start0: Long, stop0: Long, step: Long,
+                           len: Long): (Long, Long, Long) = {
+    require(step != 0, "updatedAt: slice step cannot be zero")
+    def norm(x: Long) = if (x < 0) x + len else x
+    if (step > 0) {
+      val st = math.min(math.max(norm(start0), 0L), len)
+      val sp = math.min(math.max(norm(stop0), 0L), len)
+      (st, sp, math.max(0L, ceilDiv(sp - st, step)))
+    } else {
+      val st = math.min(math.max(norm(start0), -1L), len - 1)
+      val sp = math.min(math.max(norm(stop0), -1L), len - 1)
+      val cnt = if (st <= sp) 0L else (st - sp - step - 1) / (-step)
+      (st, sp, cnt)
+    }
+  }
+
+  /** Write-piece generation for the one-array-dim case of [[updatedAt]]:
+    * slice dims map affinely through per-dim lane tables, the array dim
+    * through the joined index chunk; duplicate indices resolve last-wins
+    * keyed by the write's global position in the (flattened) index —
+    * numpy's sequential-store order.
+    */
+  private def scatterAssignCore(specs: Array[(Long, Long, Long)], axis: Int,
+                                idx: GArr, value: GArr): GArr = {
     val s = spark
     import s.implicits._
-    val targetValueChunks = chunks.updated(axis, idx.chunks(0))
-    val vAligned =
-      if (value.chunks == targetValueChunks) value else value.rechunkTo(targetValueChunks)
-    val S = startsOf(chunks(axis))
-    val n = shape(axis)
-    val idxStarts = startsOf(idx.chunks(0))
-    val g = grid
-    val nd = ndim
     val ax = axis
-    val srcChunksB = chunks.map(_.toArray)
-    val valChunksB = targetValueChunks.map(_.toArray)
+    val nd = ndim
+    val n = shape(ax)
+    // the join key is the array-dim block id: align value's chunks there
+    // (off-axis chunking stays as-is — targets resolve per element)
+    val vAligned =
+      if (value.chunks(ax) == idx.chunks(0)) value
+      else value.rechunkTo(value.chunks.updated(ax, idx.chunks(0)))
+    val idxStarts = startsOf(idx.chunks(0))
+    val SB: Array[Array[Long]] = chunks.map(startsOf).toArray
+    val vStartsB: Array[Array[Long]] = vAligned.chunks.map(startsOf).toArray
+    val srcChunksB = chunks.map(_.toArray).toArray
+    val g = grid
+    val specsB = specs
     val l = idx.blocks.map(b => (b.bid(0), b.data))
     val r = vAligned.blocks.map(b => (b.bid(ax), b.bid, b.data))
-    // packed per (value block → target block) write pieces carrying the
-    // index order of each write for last-wins resolution
+    // packed per (value block -> target block) write pieces carrying the
+    // flattened index order of each write for last-wins resolution
     val writes = l.joinWith(r, l("_1") === r("_1"))
       .flatMap { case ((j, ixs), (_, vbid, vdata)) =>
         val g0 = idxStarts(j)
-        val alen = ixs.length
-        // per axis-local lane: target axis block + local offset
-        val tb = new Array[Int](alen); val tloc = new Array[Int](alen)
-        var i = 0
-        while (i < alen) {
-          val raw = ixs(i).toLong
-          val tgt = if (raw < 0) raw + n else raw // numpy negative-index wrap
-          require(tgt >= 0 && tgt < n, s"updatedFancy: index $raw out of bounds for length $n")
-          val xb = blockOf(S, tgt)
-          tb(i) = xb; tloc(i) = (tgt - S(xb)).toInt
-          i += 1
-        }
-        val vdims = Array.tabulate(nd)(d => valChunksB(d)(vbid(d)))
+        val vdims = Array.tabulate(nd)(d =>
+          (vStartsB(d)(vbid(d) + 1) - vStartsB(d)(vbid(d))).toInt)
         val vstr = cStridesI(vdims)
-        // destination strides cached per touched target axis block
-        val dstrCache = scala.collection.mutable.HashMap[Int, Array[Int]]()
-        def dstrOf(xb: Int): Array[Int] = dstrCache.getOrElseUpdate(xb, {
-          val ddims = Array.tabulate(nd)(d =>
-            if (d == ax) srcChunksB(ax)(xb) else vdims(d))
-          cStridesI(ddims)
-        })
+        // per-dim lane tables: local value position -> (target block, local)
+        val laneTb = new Array[Array[Int]](nd)
+        val laneTl = new Array[Array[Int]](nd)
+        var d = 0
+        while (d < nd) {
+          val tb = new Array[Int](vdims(d)); val tl = new Array[Int](vdims(d))
+          if (d == ax) {
+            var i = 0
+            while (i < vdims(d)) {
+              val raw = ixs(i).toLong
+              val tgt = if (raw < 0) raw + n else raw // numpy negative wrap
+              require(tgt >= 0 && tgt < n,
+                s"updatedAt: index $raw out of bounds for length $n")
+              val xb = blockOf(SB(d), tgt)
+              tb(i) = xb; tl(i) = (tgt - SB(d)(xb)).toInt
+              i += 1
+            }
+          } else {
+            val (st0, _, step) = specsB(d)
+            val vg0 = vStartsB(d)(vbid(d))
+            var i = 0
+            while (i < vdims(d)) {
+              val tgt = st0 + (vg0 + i) * step
+              val xb = blockOf(SB(d), tgt)
+              tb(i) = xb; tl(i) = (tgt - SB(d)(xb)).toInt
+              i += 1
+            }
+          }
+          laneTb(d) = tb; laneTl(d) = tl
+          d += 1
+        }
+        // destination strides cached per destination block
+        val dstrCache = scala.collection.mutable.HashMap[Long, Array[Int]]()
         val out = scala.collection.mutable.LinkedHashMap[Long, (Seq[Int],
           scala.collection.mutable.ArrayBuilder[Int],
           scala.collection.mutable.ArrayBuilder[Double],
           scala.collection.mutable.ArrayBuilder[Long])]()
         val t = new Array[Int](nd)
+        val dstBid = new Array[Int](nd)
         val total = vdims.product
         var p = 0
         while (p < total) {
-          val ia = t(ax)
-          val dstBid = vbid.updated(ax, tb(ia))
-          val key = linearBidL(dstBid, g)
-          val dstr = dstrOf(tb(ia))
-          var so = 0; var doff = 0; var d = 0
-          while (d < nd) {
-            so += t(d) * vstr(d)
-            doff += (if (d == ax) tloc(ia) else t(d)) * dstr(d)
-            d += 1
+          var key = 0L; var so = 0; var d2 = 0
+          while (d2 < nd) {
+            val b2 = laneTb(d2)(t(d2))
+            dstBid(d2) = b2
+            key = key * g(d2) + b2
+            so += t(d2) * vstr(d2)
+            d2 += 1
           }
-          val slot = out.getOrElseUpdate(key, (dstBid,
+          val dstr = dstrCache.getOrElseUpdate(key,
+            cStridesI(Array.tabulate(nd)(dd => srcChunksB(dd)(dstBid(dd)))))
+          var doff = 0; var d3 = 0
+          while (d3 < nd) { doff += laneTl(d3)(t(d3)) * dstr(d3); d3 += 1 }
+          val slot = out.getOrElseUpdate(key, (dstBid.toVector,
             scala.collection.mutable.ArrayBuilder.make[Int],
             scala.collection.mutable.ArrayBuilder.make[Double],
             scala.collection.mutable.ArrayBuilder.make[Long]))
-          slot._2 += doff; slot._3 += vdata(so); slot._4 += (g0 + ia)
+          slot._2 += doff; slot._3 += vdata(so); slot._4 += (g0 + t(ax))
           incOdo(t, vdims)
           p += 1
         }

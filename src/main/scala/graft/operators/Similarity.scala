@@ -404,7 +404,61 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int = 2, tau: Double = 0.95,
-                    maxCellSize: Int = 100000): DataFrame = {
+                    maxCellSize: Int = 100000): DataFrame =
+    semanticDedupCore(corpus, idCol, vecCol, k, iters, tau, maxCellSize)._1
+
+  /** Cell-cap accounting for one [[semanticDedup]] run (the no-silent-caps
+    * contract): how many Lloyd cells were split by `maxCellSize`, and the
+    * exact fraction of within-cell candidate pairs the split skipped
+    * (pairs straddling two hash sub-cells of a split cell are never
+    * compared — the documented bounded-work tradeoff). Pair counts are
+    * over DISTINCT representatives, the population the join actually sees.
+    */
+  final case class SemDedupStats(cells: Long, splitCells: Long,
+                                 withinCellPairs: Long, comparedPairs: Long) {
+    def skippedPairFraction: Double =
+      if (withinCellPairs == 0L) 0.0
+      else 1.0 - comparedPairs.toDouble / withinCellPairs.toDouble
+  }
+
+  /** [[semanticDedup]] plus its [[SemDedupStats]]: one extra bounded
+    * aggregate (O(#cells + #sub-cells) rows, never row data) over the
+    * sub-celled representatives, logged when any cell was split. Use this
+    * form when the corpus may be pathological (tight embedding mass in few
+    * cells) and the skipped-pair fraction needs to be observable instead
+    * of silent.
+    */
+  def semanticDedupWithStats(corpus: DataFrame, idCol: String, vecCol: String,
+                             k: Int, iters: Int = 2, tau: Double = 0.95,
+                             maxCellSize: Int = 100000): (DataFrame, SemDedupStats) = {
+    val (out, subbed) =
+      semanticDedupCore(corpus, idCol, vecCol, k, iters, tau, maxCellSize)
+    // `div` keeps the pair counts in exact long arithmetic (Spark's `/` is
+    // double division, which loses precision past 2^53 pairs)
+    val perCell = subbed.groupBy(col("cell"), col("__sub"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(sum(col("n")).as("pop"),
+        sum(expr("n * (n - 1) div 2")).as("compared"))
+    val r = perCell.agg(
+      count(lit(1)).as("cells"),
+      sum(when(col("pop") > maxCellSize, 1L).otherwise(0L)).as("split"),
+      sum(expr("pop * (pop - 1) div 2")).as("pairs"),
+      sum(col("compared")).as("compared")).collect()(0)
+    def l(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    val stats = SemDedupStats(l(0), l(1), l(2), l(3))
+    if (stats.splitCells > 0)
+      org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
+        s"semanticDedup: ${stats.splitCells}/${stats.cells} cells exceeded " +
+          s"maxCellSize=$maxCellSize and were hash-split; " +
+          f"${stats.skippedPairFraction * 100}%.2f%% of within-cell pairs " +
+          "were not compared (bounded-work tradeoff)")
+    (out, stats)
+  }
+
+  private def semanticDedupCore(corpus: DataFrame, idCol: String, vecCol: String,
+                                k: Int, iters: Int, tau: Double,
+                                maxCellSize: Int): (DataFrame, DataFrame) = {
     require(maxCellSize >= 1, s"maxCellSize must be >= 1, got $maxCellSize")
     val spark = corpus.sparkSession
     val cents = lloydTrain(corpus, idCol, vecCol, k, iters)
@@ -463,9 +517,10 @@ object Similarity {
     // rather than risk a second predicate disagreeing with it) keeps its
     // original fate. Everything comparable survives only as a surviving
     // representative (non-minimal exact replicas collapse to min id).
-    participating.join(keptRep, Seq("id")).select(col("id"), col("cell"))
+    val out = participating.join(keptRep, Seq("id")).select(col("id"), col("cell"))
       .unionByName(assigned.join(participating.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), col("cell")))
+    (out, subbed)
   }
 
   /** Bucketed ANN: candidates restricted to the query's bucket, then exact

@@ -337,4 +337,139 @@ class FancyIndexSpec extends SparkTestBase {
       assert(g(i * 7 + j) == want, s"($i,$j)")
     }
   }
+
+  // ---- round-11 generality: updatedAt mixed tuples + ndim index arrays --
+
+  test("updatedFancy: 2-D index array flattens to numpy C-order write sequence") {
+    // x[idx2d] = v with idx2d (2,3) incl. duplicates + a negative index;
+    // value shape = idx.shape ++ x.shape[1:] = (2,3,5); last-wins in the
+    // C-order of the index array (numpy sequential-store semantics)
+    val a = GArr.fromFunction(spark, Seq(9L, 5L), Seq(2, 2))(f2)
+    val idxVals = Array(7L, 2L, 7L, -1L, 0L, 2L) // flattened C order
+    val idx = GArr.fromFunction(spark, Seq(2L, 3L), Seq(1, 2))(g =>
+      idxVals((g(0) * 3 + g(1)).toInt).toDouble)
+    val fv: Array[Long] => Double = g => 1000.0 + g(0) * 100 + g(1) * 10 + g(2)
+    val v = GArr.fromFunction(spark, Seq(2L, 3L, 5L), Seq(1, 2, 3))(fv)
+    val u = a.updatedFancy(idx, v, axis = 0)
+    val dense = Array.tabulate(9, 5)((i, j) => f2(Array(i.toLong, j.toLong)))
+    for (p <- idxVals.indices) {
+      val r = (if (idxVals(p) < 0) idxVals(p) + 9 else idxVals(p)).toInt
+      for (j <- 0 until 5)
+        dense(r)(j) = fv(Array(p / 3, p % 3, j.toLong))
+    }
+    val g = indexed(u)
+    for (i <- 0 until 9; j <- 0 until 5)
+      assert(g((i * 5 + j).toLong) == dense(i)(j), s"($i,$j)")
+  }
+
+  test("updatedAt: slice + array index tuple, value off-axis chunking free") {
+    // x[1:8:2, idx] = v — rows from a stepped slice, columns from a
+    // distributed index array with duplicates
+    val a = GArr.fromFunction(spark, Seq(9L, 11L), Seq(3, 4))(f2)
+    val cols = Array(9L, 1L, 9L, 4L)
+    val idx = GArr.fromFunction(spark, Seq(4L), Seq(2))(g => cols(g(0).toInt).toDouble)
+    val fv: Array[Long] => Double = g => -(100.0 + g(0) * 10 + g(1))
+    val v = GArr.fromFunction(spark, Seq(4L, 4L), Seq(3, 3))(fv)
+    val u = a.updatedAt(Seq(AssignIdx.Sl(1, 8, 2), AssignIdx.Ix(idx)), v)
+    val dense = Array.tabulate(9, 11)((i, j) => f2(Array(i.toLong, j.toLong)))
+    for (t <- 0 until 4; p <- cols.indices)
+      dense(1 + 2 * t)(cols(p).toInt) = fv(Array(t.toLong, p.toLong))
+    val g = indexed(u)
+    for (i <- 0 until 9; j <- 0 until 11)
+      assert(g((i * 11 + j).toLong) == dense(i)(j), s"($i,$j)")
+  }
+
+  test("updatedAt: integer (squeezed) + negative-step slice + array on a 3-D base") {
+    // x[2, 6:0:-2, idx] = v with v shape (3, idxLen): the Pt dim is absent
+    // from the value (numpy squeeze), the descending slice maps affinely
+    val f3: Array[Long] => Double = g => 1.0 + g(0) * 100 + g(1) * 10 + g(2)
+    val a = GArr.fromFunction(spark, Seq(4L, 7L, 6L), Seq(2, 3, 2))(f3)
+    val deps = Array(5L, 0L, 5L)
+    val idx = GArr.fromFunction(spark, Seq(3L), Seq(2))(g => deps(g(0).toInt).toDouble)
+    val fv: Array[Long] => Double = g => 9000.0 + g(0) * 10 + g(1)
+    val v = GArr.fromFunction(spark, Seq(3L, 3L), Seq(2, 2))(fv)
+    val u = a.updatedAt(
+      Seq(AssignIdx.Pt(2), AssignIdx.Sl(6, 0, -2), AssignIdx.Ix(idx)), v)
+    val dense = Array.tabulate(4, 7, 6)((i, j, k) => f3(Array(i.toLong, j.toLong, k.toLong)))
+    val rows = Seq(6, 4, 2) // 6:0:-2
+    for (t <- rows.indices; p <- deps.indices)
+      dense(2)(rows(t))(deps(p).toInt) = fv(Array(t.toLong, p.toLong))
+    val g = indexed(u)
+    for (i <- 0 until 4; j <- 0 until 7; k <- 0 until 6)
+      assert(g((i * 42 + j * 6 + k).toLong) == dense(i)(j)(k), s"($i,$j,$k)")
+  }
+
+  test("updatedAt: pure-slice tuple with a negative step flips the value") {
+    // x[8:1:-3, 1:4] = v — no array index: rides updatedSlice after the
+    // reference's negative-step transform (flip + ascending twin)
+    val a = GArr.fromFunction(spark, Seq(9L, 5L), Seq(2, 2))(f2)
+    val fv: Array[Long] => Double = g => -(10.0 + g(0) * 3 + g(1))
+    val v = GArr.fromFunction(spark, Seq(3L, 3L), Seq(2, 2))(fv)
+    val u = a.updatedAt(Seq(AssignIdx.Sl(8, 1, -3), AssignIdx.Sl(1, 4, 1)), v)
+    val dense = Array.tabulate(9, 5)((i, j) => f2(Array(i.toLong, j.toLong)))
+    val rows = Seq(8, 5, 2) // 8:1:-3
+    for (t <- rows.indices; j <- 0 until 3)
+      dense(rows(t))(1 + j) = fv(Array(t.toLong, j.toLong))
+    val g = indexed(u)
+    for (i <- 0 until 9; j <- 0 until 5)
+      assert(g((i * 5 + j).toLong) == dense(i)(j), s"($i,$j)")
+  }
+
+  test("updatedAt: 1-D boolean mask index on one dim resolves via flatnonzero") {
+    // x[:, mask] = v — the reference's bool-1d branch
+    val a = GArr.fromFunction(spark, Seq(4L, 10L), Seq(2, 3))(f2)
+    val mask = GArr.fromFunction(spark, Seq(10L), Seq(3))(g =>
+      if (g(0) % 3 == 1) 1.0 else 0.0) // cols 1,4,7
+    val fv: Array[Long] => Double = g => 5000.0 + g(0) * 10 + g(1)
+    val v = GArr.fromFunction(spark, Seq(4L, 3L), Seq(2, 2))(fv)
+    val u = a.updatedAt(Seq(AssignIdx.All, AssignIdx.Bx(mask)), v)
+    val dense = Array.tabulate(4, 10)((i, j) => f2(Array(i.toLong, j.toLong)))
+    val cols = Seq(1, 4, 7)
+    for (i <- 0 until 4; p <- cols.indices)
+      dense(i)(cols(p)) = fv(Array(i.toLong, p.toLong))
+    val g = indexed(u)
+    for (i <- 0 until 4; j <- 0 until 10)
+      assert(g((i * 10 + j).toLong) == dense(i)(j), s"($i,$j)")
+  }
+
+  test("updatedAt scalar RHS: slice fill and array-index fill") {
+    val a = GArr.fromFunction(spark, Seq(8L, 6L), Seq(3, 2))(f2)
+    // pure slices, one descending: x[7:0:-2, 1:5] = -1 (no flip needed)
+    val u1 = a.updatedAt(Seq(AssignIdx.Sl(7, 0, -2), AssignIdx.Sl(1, 5, 1)), -1.0)
+    val g1 = indexed(u1)
+    for (i <- 0 until 8; j <- 0 until 6) {
+      val hit = Seq(7, 5, 3, 1).contains(i) && j >= 1 && j < 5
+      val want = if (hit) -1.0 else f2(Array(i.toLong, j.toLong))
+      assert(g1((i * 6 + j).toLong) == want, s"($i,$j)")
+    }
+    // with an array index: x[idx, ::2] = 42
+    val idx = GArr.fromFunction(spark, Seq(3L), Seq(2))(g => Seq(6.0, 0.0, 6.0)(g(0).toInt))
+    val u2 = a.updatedAt(Seq(AssignIdx.Ix(idx), AssignIdx.Sl(0, 6, 2)), 42.0)
+    val g2 = indexed(u2)
+    for (i <- 0 until 8; j <- 0 until 6) {
+      val hit = (i == 6 || i == 0) && j % 2 == 0
+      val want = if (hit) 42.0 else f2(Array(i.toLong, j.toLong))
+      assert(g2((i * 6 + j).toLong) == want, s"($i,$j)")
+    }
+  }
+
+  test("updatedAt: two array indices rejected (reference contract); shape mismatch loud") {
+    val a = GArr.fromFunction(spark, Seq(5L, 5L), Seq(2, 2))(f2)
+    val i1 = GArr.fromFunction(spark, Seq(2L), Seq(2))(g => g(0).toDouble)
+    intercept[IllegalArgumentException] {
+      a.updatedAt(Seq(AssignIdx.Ix(i1), AssignIdx.Ix(i1)),
+        GArr.fromFunction(spark, Seq(2L, 2L), Seq(2, 2))(_ => 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      a.updatedAt(Seq(AssignIdx.Ix(i1), AssignIdx.All),
+        GArr.fromFunction(spark, Seq(3L, 5L), Seq(2, 2))(_ => 0.0))
+    }
+  }
+
+  test("updatedAt: empty selection is a no-op") {
+    val a = GArr.fromFunction(spark, Seq(6L), Seq(2))(f1)
+    val u = a.updatedAt(Seq(AssignIdx.Sl(3, 3, 1)),
+      GArr.fromFunction(spark, Seq(0L), Seq(1))(_ => 0.0))
+    assert(vec(u).toSeq == (0L until 6L).map(i => f1(Array(i))))
+  }
 }

@@ -182,4 +182,29 @@ class KmeansStreamDedupSpec extends SparkTestBase {
       s"distinct vectors must all survive at tau=1.0: $out")
     assert(out.size == 61, s"60 distinct + the NaN row: $out")
   }
+
+  test("semanticDedupWithStats reports the split-cell count and exact skipped-pair fraction") {
+    // same adversarial one-cell corpus: the stats variant must surface the
+    // cap's coverage loss (no-silent-caps) instead of leaving it to docs
+    val distinct = (0 until 60).map { i =>
+      vecRow(i.toLong, Array(100.0f, i * 1e-3f))
+    }
+    val df = spark.createDataset(distinct).toDF("vec_id", "embedding").repartition(4)
+    val (outDf, stats) = Similarity.semanticDedupWithStats(df, "vec_id", "embedding",
+      k = 4, iters = 2, tau = 1.0, maxCellSize = 8)
+    assert(outDf.count() == 60)
+    assert(stats.splitCells >= 1, s"the one oversized cell must be reported: $stats")
+    assert(stats.withinCellPairs > stats.comparedPairs,
+      s"a split cell skips cross-sub-cell pairs: $stats")
+    assert(stats.skippedPairFraction > 0.0 && stats.skippedPairFraction < 1.0, s"$stats")
+    // exact accounting: compared = sum over sub-cells of n*(n-1)/2, pairs =
+    // sum over cells of pop*(pop-1)/2 — both over distinct representatives
+    assert(stats.comparedPairs > 0, s"sub-cells still compare within themselves: $stats")
+
+    // a well-behaved corpus (no cell over the bound) reports zero loss
+    val (_, clean) = Similarity.semanticDedupWithStats(df, "vec_id", "embedding",
+      k = 4, iters = 2, tau = 1.0, maxCellSize = 100000)
+    assert(clean.splitCells == 0 && clean.skippedPairFraction == 0.0, s"$clean")
+    assert(clean.withinCellPairs == clean.comparedPairs, s"$clean")
+  }
 }
