@@ -291,6 +291,32 @@ object ComplexFft {
     axes.foldLeft(x)((acc, ax) => ifftAxis(acc, ax))
   }
 
+  /** numpy/dask `fft.rfftn` / `rfft2` (`array/fft.py:246` fft_wrap
+    * (np.fft.rfftn)): the REAL transform runs along the LAST axis given
+    * (halving it to n/2+1 Hermitian bins), complex transforms along the
+    * rest — the same composition numpy documents.
+    */
+  def rfftn(a: GArr, axes0: Seq[Int] = Nil): CArr = {
+    val axes = if (axes0.isEmpty) a.shape.indices.toSeq
+               else axes0.map(norm(_, a.ndim))
+    axes.dropRight(1).foldLeft(rfftAxis(a, axes.last))((acc, ax) => fftAxis(acc, ax))
+  }
+  def rfft2(a: GArr, axes: (Int, Int) = (-2, -1)): CArr =
+    rfftn(a, Seq(axes._1, axes._2))
+
+  /** numpy/dask `fft.irfftn` / `irfft2`: inverse complex transforms along
+    * the leading axes, then the Hermitian-mirror inverse real transform
+    * along the last (`n0` optionally pins its output length, as irfft).
+    */
+  def irfftn(x: CArr, axes0: Seq[Int] = Nil, n0: Long = -1L): GArr = {
+    val axes = if (axes0.isEmpty) x.shape.indices.toSeq
+               else axes0.map(norm(_, x.ndim))
+    irfftAxis(axes.dropRight(1).foldLeft(x)((acc, ax) => ifftAxis(acc, ax)),
+      axes.last, n0)
+  }
+  def irfft2(x: CArr, axes: (Int, Int) = (-2, -1), n0: Long = -1L): GArr =
+    irfftn(x, Seq(axes._1, axes._2), n0)
+
   private def norm(ax: Int, nd: Int): Int = if (ax < 0) ax + nd else ax
 
   /** numpy/dask `fft.rfft` along an axis: real input, bins 0..n/2 kept

@@ -95,6 +95,29 @@ class ParityInventorySpec extends AnyFunSuite {
     }.flatten.toSet
   }
 
+  /** Names in a module's `__all__` list (the ast literal_eval of the
+    * assignment) — the reference's own export declaration where present.
+    */
+  private def allList(path: String): Set[String] = {
+    val txt = Files.readString(Paths.get(path))
+    raw"(?s)__all__\s*=\s*\[(.*?)\]".r.findFirstMatchIn(txt)
+      .map(_.group(1).split(",").iterator.map(_.trim
+          .stripPrefix("\"").stripSuffix("\"")
+          .stripPrefix("'").stripSuffix("'"))
+        .filter(n => n.nonEmpty && !n.startsWith("_")).toSet)
+      .getOrElse(Set.empty)
+  }
+
+  /** Top-level `name = rhs(...)` assignment exports (dask/array/fft.py
+    * materializes its transforms as `fft = fft_wrap(np.fft.fft)`).
+    */
+  private def assignExports(path: String, rhs: String): Set[String] = {
+    val re = (raw"(\w+)\s*=\s*" + rhs + raw"\(.*").r
+    Files.readAllLines(Paths.get(path)).asScala.collect {
+      case re(n) if !n.startsWith("_") => n
+    }.toSet
+  }
+
   private lazy val extracted: Map[String, Set[String]] = Map(
     "array" -> modulePublics(s"$refRoot/array/__init__.py", "dask.array"),
     "dataframe" -> classMethods(
@@ -102,7 +125,16 @@ class ParityInventorySpec extends AnyFunSuite {
       Set("DataFrame", "Series", "FrameBase")),
     "bag" -> (classMethods(s"$refRoot/bag/core.py", Set("Bag")) ++
       modulePublics(s"$refRoot/bag/__init__.py", "dask.bag") ++
-      moduleDefs(s"$refRoot/bag/random.py")))
+      moduleDefs(s"$refRoot/bag/random.py")),
+    // round-11 widening: module-level function surfaces + the top-level
+    // dask namespace + the array submodules accessed as da.ma/fft/linalg
+    "dataframe_mod" -> allList(s"$refRoot/dataframe/__init__.py"),
+    "delayed" -> allList(s"$refRoot/delayed.py"),
+    "dask_top" -> modulePublics(s"$refRoot/__init__.py", "dask"),
+    "array_ma" -> moduleDefs(s"$refRoot/array/ma.py"),
+    "array_fft" -> (moduleDefs(s"$refRoot/array/fft.py") ++
+      assignExports(s"$refRoot/array/fft.py", "fft_wrap")),
+    "array_linalg" -> moduleDefs(s"$refRoot/array/linalg.py"))
 
   private lazy val manifest: Map[(String, String), (String, String)] = {
     val url = getClass.getClassLoader.getResource("parity_manifest.tsv")
@@ -161,7 +193,11 @@ class ParityInventorySpec extends AnyFunSuite {
     descopes.foreach { case (s, n, r) =>
       assert(r.trim.length > 10, s"descope $s/$n needs a real reason")
     }
-    // the descope budget: raising it is a deliberate act, not drift
-    assert(descopes.size <= 32, s"descope list grew to ${descopes.size} — implement or justify")
+    // the descope budget: raising it is a deliberate act, not drift.
+    // round 11 widened the walk to dask.dataframe/__init__, dask/__init__,
+    // dask.delayed and the array ma/fft/linalg submodules, adding 17
+    // machinery descopes (backend dispatch, task-graph layer, svd_compressed
+    // internals) — budget raised 32 -> 48 to cover them.
+    assert(descopes.size <= 48, s"descope list grew to ${descopes.size} — implement or justify")
   }
 }

@@ -170,6 +170,27 @@ class ComplexFftSpec extends SparkTestBase {
       assert(math.abs(back(i) - ((i / 20 * 20 + i % 20 / 5 * 5 + i % 5) % 7)) < 1e-8)
   }
 
+  test("rfftn halves only the last axis; irfftn∘rfftn is the identity (even and odd n)") {
+    for (cols <- Seq(6L, 5L)) { // even and odd last-axis lengths
+      val a = GArr.fromFunction(spark, Seq(4L, cols), Seq(2, 2))(
+        g => ((g(0) * 13 + g(1) * 7) % 11).toDouble)
+      val half = ComplexFft.rfftn(a)
+      assert(half.shape == Seq(4L, cols / 2 + 1), s"cols=$cols")
+      val back = ComplexFft.irfftn(half, n0 = cols)
+      val bv = back.toIndexedDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      for (i <- 0L until 4L * cols)
+        assert(math.abs(bv(i) - ((i / cols * 13 + i % cols * 7) % 11)) < 1e-8,
+          s"irfftn∘rfftn cols=$cols [$i]")
+      // rfft2 on explicit axes agrees with the default full-axes rfftn here
+      val (ar, ai) = cellsC(ComplexFft.rfft2(a))
+      val (br, bi) = cellsC(half)
+      for (i <- 0L until 4L * (cols / 2 + 1)) {
+        assert(math.abs(ar(i) - br(i)) < 1e-8, s"rfft2 re[$i]")
+        assert(math.abs(ai(i) - bi(i)) < 1e-8, s"rfft2 im[$i]")
+      }
+    }
+  }
+
   test("distributed four-step fft1dC matches the direct DFT on complex multi-chunk input") {
     val n = 24 // n2=4, n1=6 — both phases non-trivial at targetElems=8
     val vr = (0 until n).map(i => math.sin(i * 0.37) + (i % 5))
