@@ -2618,12 +2618,92 @@ object SparkEntry {
         .rename("l_orderkey" -> "o_orderkey")
         .merge(ord, on = Seq("o_orderkey"), how = "inner")
         .rename("o_custkey" -> "c_custkey")
+        // customer grows with SF — no broadcast hint; AQE picks broadcast
+        // at small SF and shuffle-join at scale
         .merge(g(s, dir, "customer").select("c_custkey", "c_nationkey"),
-          on = Seq("c_custkey"), how = "inner", broadcastRight = true)
+          on = Seq("c_custkey"), how = "inner")
         .filter(col("c_nationkey") === col("n_nationkey"))
         .groupby("n_name")
         .aggAliased(("rev_cents", "sum", "revenue_cents"))
         .df
+    },
+
+    // Q1 pricing summary (full aggregate set): one pruned scan feeding
+    // eight partial->final aggregates per (returnflag, linestatus) —
+    // THE map-side-combine benchmark shape. Money sums are per-row
+    // floored to integer cents (identical expression both engines) so
+    // group sums are bit-exact under any partitioning.
+    "q196_tpch_q1" -> { (s, dir) =>
+      g(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .assign(
+          "base_cents" -> floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"),
+          "disc_cents" -> floor(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")) * 100 + lit(0.5)).cast("long"),
+          "charge_cents" -> floor(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")) * 100 +
+            lit(0.5)).cast("long"),
+          "qty" -> col("l_quantity").cast("long"))
+        .groupby("l_returnflag", "l_linestatus")
+        .aggAliased(
+          ("qty", "sum", "sum_qty"),
+          ("base_cents", "sum", "sum_base_cents"),
+          ("disc_cents", "sum", "sum_disc_cents"),
+          ("charge_cents", "sum", "sum_charge_cents"),
+          ("qty", "count", "count_order"))
+        .df
+    },
+
+    // Q10 returned-item reporting: fact-fact join shuffles on the FK,
+    // fixed-size nation broadcasts, customer join left to AQE, one
+    // TakeOrdered(20) — no global sort.
+    "q197_tpch_q10" -> { (s, dir) =>
+      val ord = g(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+        .select("o_orderkey", "o_custkey")
+      g(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .assign("rev_cents", floor(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * 100 + lit(0.5)).cast("long"))
+        .select("l_orderkey", "rev_cents")
+        .rename("l_orderkey" -> "o_orderkey")
+        .merge(ord, on = Seq("o_orderkey"), how = "inner")
+        .rename("o_custkey" -> "c_custkey")
+        .merge(g(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+          on = Seq("c_custkey"), how = "inner")
+        .rename("c_nationkey" -> "n_nationkey")
+        // nation is FIXED-size (25 rows at every SF): always broadcast
+        .merge(g(s, dir, "nation").select("n_nationkey", "n_name"),
+          on = Seq("n_nationkey"), how = "inner", broadcastRight = true)
+        .groupby("c_custkey", "c_name", "c_acctbal", "n_name")
+        .aggAliased(("rev_cents", "sum", "revenue_cents"))
+        .sortValues(Seq("revenue_cents", "c_custkey"),
+          ascending = Seq(false, true))
+        .headDF(20)
+        .df
+    },
+
+    // Q14 promo revenue: lineitem joins the part dim on the FK (part
+    // grows with SF — AQE decides broadcast vs shuffle), conditional
+    // aggregation splits promo vs total; integer cents keep both sums
+    // exact.
+    "q198_tpch_q14" -> { (s, dir) =>
+      g(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-02-01"))
+        .assign("rev_cents", floor(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) * 100 + lit(0.5)).cast("long"))
+        .select("l_partkey", "rev_cents")
+        .rename("l_partkey" -> "p_partkey")
+        .merge(g(s, dir, "part").select("p_partkey", "p_type"),
+          on = Seq("p_partkey"), how = "inner")
+        .assign("promo_cents",
+          when(col("p_type").startsWith("PROMO"), col("rev_cents"))
+            .otherwise(lit(0L)))
+        .df.agg(sum("promo_cents").as("promo_cents"),
+          sum("rev_cents").as("total_cents"))
     },
 
     // ---- layout-independent exact-k bag sampling (brief ext): the k
@@ -5101,6 +5181,39 @@ object SparkEntry {
         |  AND r.r_name = 'ASIA'
         |  AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1997-01-01'
         |GROUP BY n.n_name""".stripMargin,
+
+    "q196_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        |       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+        |       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q197_tpch_q10" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |       CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-04-01'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue_cents DESC, c.c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q198_tpch_q14" ->
+      """SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+        |                     THEN CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100 + 0.5) AS BIGINT)
+        |                     ELSE 0 END) AS BIGINT) AS promo_cents,
+        |       CAST(SUM(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= '1997-01-01' AND l.l_shipdate < '1997-02-01'""".stripMargin,
 
     // q195: the draw is a pure function of (seed, doc_id) — recomputed
     // bit-for-bit by the hash64 macro; signed view on both sides so the

@@ -176,6 +176,18 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
     * join back. Transform preserves the frame's shape: null-key rows are
     * kept and get a null result (pandas semantics), not dropped.
     */
+  /** pandas `GroupBy.rolling` (reference `dask/dataframe/dask_expr/_groupby.py:2141`):
+    * per-group rolling windows over the frame's index order.  Delegates to
+    * [[GDF.rolling]] with the group keys as the partition spec — the
+    * fully-parallel native-SQL-window path (one exchange on the keys, then
+    * whole-stage-codegen window aggregates; no MapOverlap ghost rows
+    * needed because every window lives inside one group).
+    */
+  def rolling(window: Int, minPeriods: Int = -1): GRolling =
+    // route through `base` so dropna=true excludes null-key groups, like
+    // every other member of this class
+    new GDF(base, gdf.index).rolling(window, keys, minPeriods)
+
   def transform(c: String, fn: String, alias: String): GDF = {
     require(fn != "nunique",
       "transform(nunique) is not window-expressible in Spark (DISTINCT window); " +

@@ -26,6 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val ccLog = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
+
+  /** Contraction-round count of the most recent [[connectedComponents]]
+    * call (0 = input was already star-shaped).  Audit/test hook — the CC
+    * round count is the latency driver of the dedup-clusters pipeline, so
+    * it is observable rather than buried.
+    */
+  val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   /** Canonical key for order-insensitive exact dedup: sorted word
     * multiset.  `exact=true` keeps byte-exact text instead.
     */
@@ -184,10 +193,22 @@ object Dedup {
     * regardless of component diameter — unlike naive label propagation,
     * whose round count is the graph diameter (fatal when a boilerplate
     * chain links millions of docs).  No driver-side state: the only
-    * per-round action is a single-row convergence probe (edge-set
-    * checksum), and each round's shuffle is proportional to the current
-    * edge count, which contracts monotonically toward one edge per
-    * non-root node.
+    * per-round action is a single-row convergence probe, and each
+    * round's shuffle is proportional to the current edge count, which
+    * contracts monotonically toward one edge per non-root node.
+    *
+    * Convergence is detected by an **is-star probe**, not by comparing
+    * successive edge-set checksums: with the u<v edge invariant, the set
+    * is a fixed point of large-star∘small-star iff no node appears as
+    * both a root (u side) and a member (v side) and every member has
+    * exactly one distinct root — and any such star is necessarily rooted
+    * at its component minimum.  The probe is ONE groupBy job over the
+    * just-persisted contracted set; checksum-equality detection instead
+    * costs a full redundant contraction round (~4 shuffles recomputing
+    * an identical set) to observe "nothing changed".  The probe also
+    * exits in ZERO rounds when the input pair set is already
+    * star-shaped — the common case for LSH dedup pairs, where most
+    * duplicate clusters are 2–3 nodes.
     *
     * Returns (node, component) for every node appearing in `edges`, where
     * component = smallest node id reachable (the canonical keeper id).
@@ -234,31 +255,52 @@ object Dedup {
         .distinct()
     }
 
-    var converged = false
-    var iter = 0
-    var prevSig: (Long, Long) = (-1L, -1L)
+    val spark = edges.sparkSession
+
     // checkpoint via an explicitly-held RDD so the PREVIOUS round's blocks
     // can be released deterministically (localCheckpoint on the Dataset
     // offers no unpersist handle; 20 retained edge-set generations would
     // crowd block storage on a big graph)
-    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    val spark = edges.sparkSession
-    while (!converged && iter < maxIter) {
-      val stepped = smallStar(largeStar(e))
-      val rdd = stepped.rdd
+    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd
       rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       rdd.localCheckpoint()
-      val next = spark.createDataFrame(rdd, stepped.schema)
-      // order-independent edge-set signature; xor-fold cannot overflow
-      val row = next.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
-      val sig = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
-      converged = sig == prevSig
-      prevSig = sig
-      if (prevRdd != null) prevRdd.unpersist(blocking = false)
-      prevRdd = rdd
-      e = next
-      iter += 1
+      (spark.createDataFrame(rdd, df.schema), rdd)
     }
+
+    // is-star probe (see Scaladoc): one groupBy job over the persisted
+    // set; returns (converged, edgeCount)
+    def isStar(ed: DataFrame): (Boolean, Long) = {
+      val nodes = ed
+        .select(col("u").as("n"), lit(true).as("isRoot"), col("u").as("r"))
+        .unionByName(ed.select(col("v").as("n"), lit(false).as("isRoot"), col("u").as("r")))
+      val row = nodes.groupBy("n")
+        .agg(
+          max(when(col("isRoot"), 1).otherwise(0)).as("root"),
+          countDistinct(when(!col("isRoot"), col("r"))).as("roots"),
+          count(when(!col("isRoot"), 1)).as("m"))
+        .agg(
+          count(when(col("roots") > 1 || (col("root") === 1 && col("m") > 0), 1)).as("bad"),
+          sum(col("m")).as("edges"))
+        .head()
+      (row.getLong(0) == 0L, if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+
+    var iter = 0
+    var (cur, curRdd) = materialize(e)
+    var (converged, nEdges) = isStar(cur)
+    while (!converged && iter < maxIter) {
+      val (next, nextRdd) = materialize(smallStar(largeStar(cur)))
+      curRdd.unpersist(blocking = false)
+      cur = next; curRdd = nextRdd
+      iter += 1
+      val probe = isStar(cur)
+      converged = probe._1
+      nEdges = probe._2
+      ccLog.info(s"connectedComponents round $iter: edges=$nEdges converged=$converged")
+    }
+    lastCcRounds.set(iter)
+    e = cur
     // partially-contracted output would silently mark duplicates as
     // keepers downstream — refuse instead (star contraction converges in
     // O(log n) alternations, so hitting this means maxIter is far too low

@@ -227,4 +227,49 @@ class PlanGuardSpec extends SparkTestBase {
     assert(aggs.size >= 2, s"axisAgg lost its map-side combine:\n$p")
     assert(shuffles(p) == 1, s"axisAgg shuffle count changed:\n$p")
   }
+
+  // ---- TPC-H macro tier: the scale properties each shape exists to prove
+
+  test("tpch q6: all four predicates pushed to the parquet scan, no join, one agg shuffle") {
+    val p = plan("q192_tpch_q6")
+    val scans = collectAll(p).filter(_.nodeName.toLowerCase.contains("scan"))
+    assert(scans.exists { s =>
+      val t = s.toString
+      t.contains("PushedFilters: [") && t.contains("l_shipdate") &&
+        t.contains("l_discount") && t.contains("l_quantity")
+    }, s"q192 scan lost pushed predicates:\n${scans.mkString("\n")}")
+    assert(shuffles(p) == 1, s"q192 shuffle count changed:\n$p")
+  }
+
+  test("tpch q3/q10/q18: top-k is TakeOrderedAndProject, never a global sort") {
+    for (q <- Seq("q191_tpch_q3", "q197_tpch_q10", "q193_tpch_q18")) {
+      val p = plan(q)
+      assert(collectAll(p).exists(_.nodeName.contains("TakeOrdered")),
+        s"$q lost its TakeOrdered:\n$p")
+      // Sort nodes may appear inside sort-merge joins, but the RESULT
+      // ordering must come from TakeOrdered's per-partition heap, not a
+      // root-level global Sort
+      assert(!p.nodeName.startsWith("Sort"),
+        s"$q orders via a global root sort:\n$p")
+    }
+  }
+
+  test("tpch q5: fixed-size dims broadcast; fact-fact joins shuffle on their FKs") {
+    val p = plan("q194_tpch_q5")
+    assert(collectAll(p).exists(n => n.isInstanceOf[BroadcastExchangeExec] ||
+      n.nodeName.contains("BroadcastHashJoin")),
+      s"q194 lost the nation/region broadcast:\n$p")
+  }
+
+  test("tpch q1: eight aggregates share ONE partial->final pass (single shuffle)") {
+    val p = plan("q196_tpch_q1")
+    val aggs = collectAll(p).filter(_.nodeName.contains("HashAggregate"))
+    assert(aggs.size >= 2, s"q196 lost map-side combine:\n$p")
+    assert(shuffles(p) == 1, s"q196 shuffle count changed:\n$p")
+    val scans = collectAll(p).filter(_.nodeName.toLowerCase.contains("scan"))
+    assert(scans.exists { s =>
+      val t = s.toString
+      t.contains("PushedFilters: [") && t.contains("l_shipdate")
+    }, s"q196 scan lost the date pushdown:\n${scans.mkString("\n")}")
+  }
 }

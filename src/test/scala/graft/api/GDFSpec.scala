@@ -150,6 +150,24 @@ class GDFSpec extends SparkTestBase {
     assert(out(1L).isEmpty && out(2L).isEmpty && out(3L).isEmpty && out(4L).contains(7.0))
   }
 
+  test("GroupBy.rolling mirrors the keyed rolling path and drops null-key groups") {
+    val ix = df.setIndex("id", numPartitions = 3)
+    val viaGroupby = ix.groupby("k").rolling(2).sum("v", "rs")
+      .select("id", "rs").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val viaKeyed = ix.rolling(2, partitionBy = Seq("k")).sum("v", "rs")
+      .select("id", "rs").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(viaGroupby == viaKeyed)
+    // pandas GroupBy.rolling excludes null-key rows (groupby dropna=True)
+    val d = GDF(Seq(
+      (1L, Some("a"), 1.0), (2L, Some("a"), 2.0), (3L, None, 9.0)
+    ).toDF("id", "k", "v")).withIndex("id")
+    val out = d.groupby("k").rolling(2, minPeriods = 1).sum("v", "rs")
+    assert(out.count() == 2)
+    assert(out.filter(col("id") === 2L).head().getDouble(out.columns.indexOf("rs")) == 3.0)
+  }
+
   test("groupby transform keeps null-key rows with null result") {
     val d = GDF(Seq(
       (1L, Some("a"), 10.0), (2L, Some("a"), 20.0), (3L, None, 30.0)

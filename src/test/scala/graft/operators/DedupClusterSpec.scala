@@ -61,8 +61,28 @@ class DedupClusterSpec extends SparkTestBase {
     check(Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (3L, 4L)))
   }
 
-  test("star already rooted at min converges immediately") {
+  test("star already rooted at min converges immediately (zero contraction rounds)") {
     check(Seq((0L, 5L), (0L, 6L), (0L, 7L)))
+    // the is-star probe must exit BEFORE the first contraction round —
+    // this is the common LSH-pairs shape (2-3 node clusters)
+    assert(Dedup.lastCcRounds.get() == 0)
+  }
+
+  test("forest of 2-node components exits in zero rounds") {
+    check((0L until 20L by 2).map(i => (i, i + 1)))
+    assert(Dedup.lastCcRounds.get() == 0)
+  }
+
+  test("is-star probe rejects a root that is a member elsewhere") {
+    // (1,2),(2,3): node 2 is member of 1 AND root of 3 — NOT converged;
+    // a naive "u-side/v-side disjoint per edge" check would miss this
+    check(Seq((1L, 2L), (2L, 3L)))
+    assert(Dedup.lastCcRounds.get() >= 1)
+  }
+
+  test("is-star probe rejects a member with two distinct roots") {
+    check(Seq((1L, 3L), (2L, 3L)))
+    assert(Dedup.lastCcRounds.get() >= 1)
   }
 
   test("refuses to return partially-contracted components at maxIter") {
