@@ -55,6 +55,37 @@ object SparkEntry {
     dest.setLastModified(mtime): Unit
   }
 
+  /** Drain a streaming replay into a DISTRIBUTED parquet sink under
+    * `runDir` (via foreachBatch, so update mode works too), read the
+    * files back, apply the finishing batch transform, and eagerly
+    * localCheckpoint the result so it survives replayRun's runDir
+    * cleanup.  The memory sink this replaces held EVERY stream output
+    * row on the driver and re-shipped them inside task closures for the
+    * finishing query — linear-in-SF driver state (the 16–65 MB
+    * task-size warnings at the 10×/40× gates, impossible at 100 TB);
+    * the file sink keeps the stream output distributed end to end, and
+    * only `finish`'s (small) result is pinned in executor block
+    * storage.  localCheckpoint is the single-JVM-safe way to outlive
+    * the runDir delete; on a real cluster the sink would simply live in
+    * durable storage instead.
+    */
+  private[graft] def drainReplay(out: DataFrame, runDir: String, name: String,
+                                 run: String, mode: String)
+                                (finish: DataFrame => DataFrame): DataFrame = {
+    val s = out.sparkSession
+    val sink = s"$runDir/${name}_sink"
+    val query = out.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(sink): Unit
+      }
+      .queryName(s"${name}_$run").outputMode(mode)
+      .option("checkpointLocation", s"$runDir/${name}_ck")
+      .start()
+    query.processAllAvailable()
+    query.stop()
+    finish(s.read.parquet(sink)).localCheckpoint(true)
+  }
+
   /** Deterministic-wall-time wrapper for the streaming replay queries
     * (q142/q144/q145/q146). Two sources of run-to-run bench variance are
     * pinned here (the replays swung 2-5x across measurement contexts):
@@ -1560,19 +1591,15 @@ object SparkEntry {
         src.write.mode("overwrite").parquet(inPath)
         val stream = s.readStream.schema(src.schema).parquet(inPath)
           .as[graft.streaming.StreamOps.SessionEvent]
-        val qn = s"q142_sessions_$run"
-        val query = graft.streaming.StreamOps.sessionize(stream, gapSeconds = 43200L)
-          .writeStream.format("memory").queryName(qn).outputMode("update")
-          .option("checkpointLocation", s"$runDir/sess_ck")
-          .start()
-        query.processAllAvailable()
-        query.stop()
         // the post-batch watermark advance fires event-time timeouts, which
         // re-emit a user's final session unchanged (same state snapshot) —
-        // the update-mode memory sink appends both, so dedupe exactly
-        s.table(qn).select(col("user_id"), col("n_events"),
-            col("total").cast("long").as("total_cents"))
-          .distinct()
+        // the update-mode sink receives both, so dedupe exactly
+        drainReplay(graft.streaming.StreamOps.sessionize(stream, gapSeconds = 43200L).toDF(),
+          runDir, "q142_sessions", run, "update") { f =>
+          f.select(col("user_id"), col("n_events"),
+              col("total").cast("long").as("total_cents"))
+            .distinct()
+        }
       }
     },
     // ---- ext: exact duplicated-span scrub (Lee et al. substring dedup):
@@ -1622,16 +1649,12 @@ object SparkEntry {
         writeStreamFile(syn(-2L, 90L * 24 * 3600 * 1000), watch, "b4", base - 10000)
         val stream = s.readStream.schema(src.schema)
           .option("maxFilesPerTrigger", "1").parquet(watch)
-        val qn = s"q144_wagg_$run"
-        val query = graft.streaming.StreamOps
-          .windowedAgg(stream, "ts", "1 hour", "2 hours", "cents")
-          .writeStream.format("memory").queryName(qn).outputMode("append")
-          .option("checkpointLocation", s"$runDir/wagg_ck")
-          .start()
-        query.processAllAvailable()
-        query.stop()
-        s.table(qn).filter(col("ts") <= lit(maxTs))
-          .select(col("ts"), col("n"), col("sum_value"))
+        drainReplay(
+          graft.streaming.StreamOps.windowedAgg(stream, "ts", "1 hour", "2 hours", "cents"),
+          runDir, "q144_wagg", run, "append") { f =>
+          f.filter(col("ts") <= lit(maxTs))
+            .select(col("ts"), col("n"), col("sum_value"))
+        }
       }
     },
     // ---- ext: streaming exact dedup replayed through the REAL
@@ -1657,15 +1680,11 @@ object SparkEntry {
         writeStreamFile(src.filter(col("event_id") % 5 === 0), watch, "b2", base)
         val stream = s.readStream.schema(src.schema)
           .option("maxFilesPerTrigger", "1").parquet(watch)
-        val qn = s"q145_dedup_$run"
-        val query = graft.streaming.StreamOps
-          .dedupStream(stream, "ts", "90 days", Seq("user_id", "event_type"))
-          .writeStream.format("memory").queryName(qn).outputMode("append")
-          .option("checkpointLocation", s"$runDir/dedup_ck")
-          .start()
-        query.processAllAvailable()
-        query.stop()
-        s.table(qn).select(col("user_id"), col("event_type"))
+        drainReplay(
+          graft.streaming.StreamOps.dedupStream(stream, "ts", "90 days", Seq("user_id", "event_type")),
+          runDir, "q145_dedup", run, "append") { f =>
+          f.select(col("user_id"), col("event_type"))
+        }
       }
     },
     // ---- ext: stream-static broadcast enrichment (left join keeps
@@ -1684,15 +1703,14 @@ object SparkEntry {
         val watch = s"$runDir/enrich_in"
         writeStreamFile(src, watch, "b1", java.lang.System.currentTimeMillis())
         val stream = s.readStream.schema(src.schema).parquet(watch)
-        val qn = s"q146_enrich_$run"
-        val query = graft.streaming.StreamOps.enrich(stream, dim, Seq("user_id"))
-          .writeStream.format("memory").queryName(qn).outputMode("append")
-          .option("checkpointLocation", s"$runDir/enrich_ck")
-          .start()
-        query.processAllAvailable()
-        query.stop()
-        s.table(qn).groupBy("c_mktsegment")
-          .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        // the finishing aggregate runs over the DISTRIBUTED sink files, so
+        // only the per-segment result (a handful of rows) is retained —
+        // the memory sink previously held one driver row per EVENT
+        drainReplay(graft.streaming.StreamOps.enrich(stream, dim, Seq("user_id")),
+          runDir, "q146_enrich", run, "append") { f =>
+          f.groupBy("c_mktsegment")
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        }
       }
     },
     // ---- §2.11 blocked LU (`dask/array/linalg.py:978` — the last linalg
