@@ -44,4 +44,46 @@ object CatFunctions {
   /** The category set itself (dask `.cat.categories`). */
   def categories(df: DataFrame, c: String): DataFrame =
     df.select(col(c)).filter(col(c).isNotNull).distinct().orderBy(col(c))
+
+  /** `.cat.codes` (`_categorical.py:116`): the dictionary code column
+    * alone, coded in sorted-category order like [[categorize]].
+    */
+  def codes(df: DataFrame, c: String, codeCol: String = "code"): DataFrame =
+    categorize(df, c, codeCol).select(codeCol)
+
+  /** Explicit-dictionary coding — pandas `set_categories`
+    * (`_categorical.py:48` tuple): codes become the POSITION of the value
+    * in `cats`, and values outside the new dictionary become null with
+    * code −1 (pandas turns them into NaN).  In the code-column model
+    * `add_categories` / `remove_categories` / `reorder_categories` are
+    * all dictionary edits — pass the edited list (pandas itself defines
+    * them as `set_categories` shorthands, `pandas/core/arrays/
+    * categorical.py`).  The dictionary rides the plan as one map literal
+    * (dictionary-sized by contract, like categorize's broadcast).
+    */
+  def setCategories(df: DataFrame, c: String, codeCol: String,
+                    cats: Seq[String]): DataFrame = {
+    require(cats.nonEmpty && cats.distinct.size == cats.size,
+      "set_categories: categories must be non-empty and unique")
+    val m = typedLit(cats.zipWithIndex.toMap)
+    df.withColumn(codeCol, coalesce(element_at(m, col(c)), lit(-1)))
+      .withColumn(c, when(col(codeCol) >= 0, col(c)))
+  }
+
+  /** pandas `rename_categories(dict)`: relabel category VALUES; unlisted
+    * categories keep their name, codes are unchanged (a pure relabel).
+    */
+  def renameCategories(df: DataFrame, c: String,
+                       mapping: Map[String, String]): DataFrame = {
+    val m = typedLit(mapping)
+    df.withColumn(c, coalesce(element_at(m, col(c)), col(c)))
+  }
+
+  /** pandas `remove_unused_categories`: the dictionary restricted to the
+    * values actually present.  The code-column model derives the
+    * dictionary FROM the data, so this is [[categories]] by construction
+    * — kept as an explicit member so the parity surface is 1:1.
+    */
+  def removeUnusedCategories(df: DataFrame, c: String): DataFrame =
+    categories(df, c)
 }

@@ -24,6 +24,8 @@ object DtFunctions {
   def isMonthStart(c: Column): Column = dayofmonth(c) === 1
   def isMonthEnd(c: Column): Column = to_date(c) === last_day(c)
   def isQuarterStart(c: Column): Column = (dayofmonth(c) === 1) && (month(c) % 3 === 1)
+  def isQuarterEnd(c: Column): Column =
+    (to_date(c) === last_day(c)) && (month(c) % 3 === 0)
   def isYearStart(c: Column): Column = (dayofmonth(c) === 1) && (month(c) === 1)
   def isYearEnd(c: Column): Column = (dayofmonth(c) === 31) && (month(c) === 12)
   def date_(c: Column): Column = to_date(c)

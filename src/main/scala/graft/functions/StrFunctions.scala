@@ -29,6 +29,9 @@ object StrFunctions {
   def endswith(c: Column, s: String): Column = c.endsWith(s)
   def extract(c: Column, pat: String, group: Int = 1): Column = regexp_extract(c, pat, group)
   def extractall(c: Column, pat: String): Column = regexp_extract_all(c, lit(pat))
+  // pandas findall = re.findall per row: every non-overlapping match of
+  // the whole pattern (group 0), unlike extractall's capture group
+  def findall(c: Column, pat: String): Column = regexp_extract_all(c, lit(pat), lit(0))
   def find(c: Column, sub: String): Column = instr(c, sub) - 1 // pandas is 0-based, -1 missing
   def fullmatch(c: Column, pat: String): Column = regexp_like(c, lit(s"^(?:$pat)$$"))
   def get(c: Column, i: Int): Column = substring(c, i + 1, 1)

@@ -118,6 +118,21 @@ class ParityInventorySpec extends AnyFunSuite {
     }.toSet
   }
 
+  /** Names in a class-level `_accessor_methods`/`_accessor_properties`
+    * tuple — dask generates the .str/.dt/.cat member surfaces from these
+    * explicit lists (`dask_expr/_accessor.py:40-45`).
+    */
+  private def accessorNames(path: String): Set[String] = {
+    val txt = Files.readString(Paths.get(path))
+    raw"(?s)_accessor_(?:methods|properties)\s*=\s*\((.*?)\)".r
+      .findAllMatchIn(txt)
+      .flatMap(_.group(1).split(",").iterator.map(_.trim
+        .stripPrefix("\"").stripSuffix("\"")))
+      .filter(n => n.nonEmpty && !n.startsWith("_") &&
+        n.forall(c => c.isLetterOrDigit || c == '_'))
+      .toSet
+  }
+
   private lazy val extracted: Map[String, Set[String]] = Map(
     "array" -> modulePublics(s"$refRoot/array/__init__.py", "dask.array"),
     "dataframe" -> classMethods(
@@ -134,7 +149,15 @@ class ParityInventorySpec extends AnyFunSuite {
     "array_ma" -> moduleDefs(s"$refRoot/array/ma.py"),
     "array_fft" -> (moduleDefs(s"$refRoot/array/fft.py") ++
       assignExports(s"$refRoot/array/fft.py", "fft_wrap")),
-    "array_linalg" -> moduleDefs(s"$refRoot/array/linalg.py"))
+    "array_linalg" -> moduleDefs(s"$refRoot/array/linalg.py"),
+    // round-11b widening: the .str/.dt/.cat accessor surfaces — dask
+    // binds these from explicit name tuples plus a few real defs
+    "str_accessor" -> (accessorNames(s"$refRoot/dataframe/dask_expr/_str_accessor.py") ++
+      classMethods(s"$refRoot/dataframe/dask_expr/_str_accessor.py", Set("StringAccessor"))),
+    "dt_accessor" -> (accessorNames(s"$refRoot/dataframe/dask_expr/_datetime.py") ++
+      classMethods(s"$refRoot/dataframe/dask_expr/_datetime.py", Set("DatetimeAccessor"))),
+    "cat_accessor" -> (accessorNames(s"$refRoot/dataframe/dask_expr/_categorical.py") ++
+      classMethods(s"$refRoot/dataframe/dask_expr/_categorical.py", Set("CategoricalAccessor"))))
 
   private lazy val manifest: Map[(String, String), (String, String)] = {
     val url = getClass.getClassLoader.getResource("parity_manifest.tsv")
@@ -197,7 +220,10 @@ class ParityInventorySpec extends AnyFunSuite {
     // round 11 widened the walk to dask.dataframe/__init__, dask/__init__,
     // dask.delayed and the array ma/fft/linalg submodules, adding 17
     // machinery descopes (backend dispatch, task-graph layer, svd_compressed
-    // internals) — budget raised 32 -> 48 to cover them.
-    assert(descopes.size <= 48, s"descope list grew to ${descopes.size} — implement or justify")
+    // internals) — budget raised 32 -> 48 to cover them; the round-11b
+    // accessor walk (.str/.dt/.cat) adds 10 metadata/object-dtype descopes
+    // (freq/tz/tzinfo attributes, python-object materializers, the
+    // known/ordered dtype flags) — 48 -> 58.
+    assert(descopes.size <= 58, s"descope list grew to ${descopes.size} — implement or justify")
   }
 }

@@ -97,4 +97,13 @@ class StrFunctionsSpec extends SparkTestBase {
     assert(eval1(n => StrFunctions.fullmatch(col(n), "a+b"), "aab") == true)
     assert(eval1(n => StrFunctions.fullmatch(col(n), "a+b"), "aabc") == false)
   }
+
+  test("findall returns every whole-pattern match, unlike extractall's group") {
+    import org.apache.spark.sql.functions.col
+    // pandas: Series(['a1 b22 c3']).str.findall(r'[a-z]\d+') -> [a1, b22, c3]
+    assert(eval1(n => StrFunctions.findall(col(n), "[a-z]\\d+"), "a1 b22 c3")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a1", "b22", "c3"))
+    assert(eval1(n => StrFunctions.findall(col(n), "\\d+"), "none")
+      .asInstanceOf[scala.collection.Seq[String]].isEmpty)
+  }
 }
