@@ -211,6 +211,18 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
           .over(w(orderBy).rowsBetween(Window.unboundedPreceding, Window.currentRow))),
       demotedIndex)
 
+  /** per-group backward-fill (pandas `GroupBy.bfill`): the first non-null
+    * value at or after the row in the group's index order — the mirror
+    * frame of [[ffill]].
+    */
+  def bfill(c: String, orderBy: String): GDF =
+    new GDF(
+      base.withColumn(
+        c,
+        first(col(c), ignoreNulls = true)
+          .over(w(orderBy).rowsBetween(Window.currentRow, Window.unboundedFollowing))),
+      demotedIndex)
+
   /** per-group head — first n rows by `orderBy` within each group. */
   def headPerGroup(n: Int, orderBy: String): GDF =
     new GDF(

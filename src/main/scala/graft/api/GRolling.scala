@@ -99,6 +99,25 @@ final class GRolling(
 
   def median(valueCol: String, out: String): DataFrame = quantile(valueCol, 0.5, out)
 
+  /** pandas `Rolling.agg(fn-name)` (`_rolling.py:235` Rolling.agg):
+    * name-dispatch onto the per-agg members, so spec-driven callers have
+    * the same entry point as the reference.
+    */
+  def agg(valueCol: String, fnName: String, out: String): DataFrame = fnName match {
+    case "sum"          => sum(valueCol, out)
+    case "mean" | "avg" => mean(valueCol, out)
+    case "min"          => min(valueCol, out)
+    case "max"          => max(valueCol, out)
+    case "count"        => count(valueCol, out)
+    case "median"       => median(valueCol, out)
+    case "var"          => variance(valueCol, out)
+    case "std"          => std(valueCol, out)
+    case "skew"         => skew(valueCol, out)
+    case "kurt"         => kurt(valueCol, out)
+    case other => throw new IllegalArgumentException(
+      s"rolling agg: unsupported function '$other'")
+  }
+
   /** pandas rolling.skew / rolling.kurt — ADJUSTED (sample) statistics,
     * G1 = √(n(n-1))/(n-2) · m₃/m₂^1.5 and
     * G2 = ((n+1)(m₄/m₂² − 3) + 6)(n-1)/((n-2)(n-3)) — which differ from

@@ -157,7 +157,14 @@ class ParityInventorySpec extends AnyFunSuite {
     "dt_accessor" -> (accessorNames(s"$refRoot/dataframe/dask_expr/_datetime.py") ++
       classMethods(s"$refRoot/dataframe/dask_expr/_datetime.py", Set("DatetimeAccessor"))),
     "cat_accessor" -> (accessorNames(s"$refRoot/dataframe/dask_expr/_categorical.py") ++
-      classMethods(s"$refRoot/dataframe/dask_expr/_categorical.py", Set("CategoricalAccessor"))))
+      classMethods(s"$refRoot/dataframe/dask_expr/_categorical.py", Set("CategoricalAccessor"))),
+    // the grouped/windowed collection classes users actually hold
+    "groupby_api" -> classMethods(s"$refRoot/dataframe/dask_expr/_groupby.py",
+      Set("GroupBy", "SeriesGroupBy")),
+    "rolling_api" -> classMethods(s"$refRoot/dataframe/dask_expr/_rolling.py",
+      Set("Rolling")),
+    "resample_api" -> classMethods(s"$refRoot/dataframe/tseries/resample.py",
+      Set("Resampler")))
 
   private lazy val manifest: Map[(String, String), (String, String)] = {
     val url = getClass.getClassLoader.getResource("parity_manifest.tsv")

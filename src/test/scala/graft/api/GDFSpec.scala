@@ -168,6 +168,28 @@ class GDFSpec extends SparkTestBase {
     assert(out.filter(col("id") === 2L).head().getDouble(out.columns.indexOf("rs")) == 3.0)
   }
 
+  test("groupby bfill mirrors ffill; Rolling.agg dispatches by name") {
+    val d = GDF(Seq(
+      (1L, "a", None), (2L, "a", Some(2.0)), (3L, "a", None), (4L, "a", Some(4.0))
+    ).toDF("id", "k", "v"))
+    val bf = d.groupby("k").bfill("v", "id").df
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // pandas GroupBy.bfill on [NaN,2,NaN,4] -> [2,2,4,4]
+    assert(bf == Map(1L -> Some(2.0), 2L -> Some(2.0), 3L -> Some(4.0), 4L -> Some(4.0)))
+    val ix = df.setIndex("id", numPartitions = 3)
+    val viaAgg = ix.rolling(2, partitionBy = Seq("k")).agg("v", "sum", "rs")
+      .select("id", "rs").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val direct = ix.rolling(2, partitionBy = Seq("k")).sum("v", "rs")
+      .select("id", "rs").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(viaAgg == direct)
+    intercept[IllegalArgumentException] {
+      ix.rolling(2, partitionBy = Seq("k")).agg("v", "nope", "rs")
+    }
+  }
+
   test("groupby transform keeps null-key rows with null result") {
     val d = GDF(Seq(
       (1L, Some("a"), 10.0), (2L, Some("a"), 20.0), (3L, None, 30.0)
