@@ -465,4 +465,157 @@ object GArrRandom {
       hits.toDouble
     }
   }
+
+  /** `logseries(p)` — Kemp's inversion-with-shortcut (the numpy
+    * `rk_logseries` algorithm, `numpy/random/src/distributions.c`):
+    * support {1,2,…}, P(k) = −pᵏ/(k·ln(1−p)).  Each rejection round
+    * consumes two substream uniforms.
+    */
+  def logseries(s: SparkSession, shape: Seq[Long], chunkSizes: Seq[Int],
+                seed: Long, p: Double): GArr = {
+    require(p > 0.0 && p < 1.0, s"logseries: p=$p outside (0,1)")
+    val r = math.log1p(-p)
+    elementwise(s, shape, chunkSizes, seed, 0L) { d =>
+      val next = drawCounter(d)
+      var out = -1.0
+      while (out < 0) {
+        val v = next()
+        if (v >= p) out = 1.0
+        else {
+          val u = next()
+          val q = -math.expm1(r * u)
+          if (v <= q * q) {
+            val k = math.floor(1.0 + math.log(v) / math.log(q))
+            if (k >= 1 && v != 0.0) out = k
+          } else if (v >= q) out = 1.0
+          else out = 2.0
+        }
+      }
+      out
+    }
+  }
+
+  /** `noncentral_chisquare(df, nonc)` — numpy's decomposition
+    * (`distributions.c rk_noncentral_chisquare`): for df > 1,
+    * χ²(df−1) + (Z + √nonc)²; for df ≤ 1, the Poisson mixture
+    * χ²(df + 2·Poisson(nonc/2)).  Pure substream composition of the
+    * existing gamma / normal / Poisson draws.
+    */
+  def noncentralChisquare(s: SparkSession, shape: Seq[Long], chunkSizes: Seq[Int],
+                          seed: Long, df: Double, nonc: Double): GArr = {
+    require(df > 0.0 && nonc >= 0.0)
+    if (nonc == 0.0) chisquare(s, shape, chunkSizes, seed, df)
+    else if (df > 1.0) {
+      val sn = math.sqrt(nonc)
+      elementwise(s, shape, chunkSizes, seed, 0L) { d =>
+        val next = drawCounter(d)
+        val chi = gammaDraw(next, (df - 1.0) / 2.0, 2.0)
+        val z = normalDraw(next)
+        chi + (z + sn) * (z + sn)
+      }
+    } else {
+      val lam = nonc / 2.0
+      require(lam < 500.0, s"noncentral_chisquare: nonc=$nonc out of supported range")
+      val limit = math.exp(-lam)
+      elementwise(s, shape, chunkSizes, seed, 0L) { d =>
+        val next = drawCounter(d)
+        var k = 0
+        var pr = 1.0
+        while ({ pr *= next(); pr > limit }) k += 1
+        gammaDraw(next, (df + 2.0 * k) / 2.0, 2.0)
+      }
+    }
+  }
+
+  /** `noncentral_f(dfnum, dfden, nonc)` =
+    * (ncχ²(dfnum, nonc)/dfnum) / (χ²(dfden)/dfden) on one substream.
+    */
+  def noncentralF(s: SparkSession, shape: Seq[Long], chunkSizes: Seq[Int],
+                  seed: Long, dfnum: Double, dfden: Double, nonc: Double): GArr = {
+    require(dfnum > 0.0 && dfden > 0.0 && nonc >= 0.0)
+    val sn = math.sqrt(nonc)
+    elementwise(s, shape, chunkSizes, seed, 0L) { d =>
+      val next = drawCounter(d)
+      val num =
+        if (dfnum > 1.0) {
+          val chi = gammaDraw(next, (dfnum - 1.0) / 2.0, 2.0)
+          val z = normalDraw(next)
+          chi + (z + sn) * (z + sn)
+        } else {
+          val lam = nonc / 2.0
+          val limit = math.exp(-lam)
+          var k = 0
+          var pr = 1.0
+          while ({ pr *= next(); pr > limit }) k += 1
+          gammaDraw(next, (dfnum + 2.0 * k) / 2.0, 2.0)
+        }
+      val den = gammaDraw(next, dfden / 2.0, 2.0)
+      (num / dfnum) / (den / dfden)
+    }
+  }
+
+  /** `permutation(n)` (reference `random.py` RandomState/Generator
+    * member): a seeded random permutation of 0…n−1, as dask returns for
+    * an integer argument.  Spark-first lowering: key every index with a
+    * seeded 64-bit hash and pack the indices in key order — ONE
+    * distributed sort (the [[GArr.fromColumn]] range-partitioned path),
+    * no driver-side array, layout-independent by construction (the key
+    * is a pure function of (seed, index)).
+    */
+  def permutation(s: SparkSession, n: Long, chunk: Int, seed: Long): GArr = {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val df = s.range(n).select(
+      col("id").cast("double").as("v"),
+      xxhash64(col("id"), lit(seed)).as("k"))
+    GArr.fromColumn(df, "v", Seq("k", "v"), chunk)
+  }
+
+  /** `multivariate_hypergeometric(colors, nsample)` — the marginal chain:
+    * color i's count is hypergeometric in (colors(i), remaining-after-i,
+    * remaining sample), conditioned on the counts already drawn — the
+    * same sequential-conditional pattern as [[multinomial]].  Output
+    * shape = shape :+ colors.length (the count vector rides the last
+    * axis, one substream per element like every other draw).
+    */
+  def multivariateHypergeometric(s: SparkSession, shape: Seq[Long], chunkSizes: Seq[Int],
+                                 seed: Long, colors: Seq[Int], nsample: Int): GArr = {
+    require(colors.nonEmpty && colors.forall(_ >= 0) && nsample >= 0 &&
+      nsample <= colors.sum)
+    val k = colors.length
+    val strides = cStrides(shape)
+    val outShape = shape :+ k.toLong
+    val outChunks = chunkSizes :+ k
+    GArr.fromFunction(s, outShape, outChunks) { g =>
+      var flat = 0L
+      var dd = 0
+      while (dd < shape.length) { flat += g(dd) * strides(dd); dd += 1 }
+      val fl = flat
+      val d: Int => Double = t => u01(rng(seed, t.toLong, fl))
+      // regenerate the whole vector's chain and read off component g(last):
+      // pure-function-of-index contract (rechunk-invariant), same as the
+      // multinomial lowering
+      val want = g(shape.length).toInt
+      var remainingPop = colors.sum
+      var remainingSample = nsample
+      var t = 0
+      var i = 0
+      var res = 0.0
+      while (i <= want) {
+        var good = colors(i)
+        var bad = remainingPop - colors(i)
+        var hits = 0
+        var j = 0
+        val draws = remainingSample
+        while (j < draws) {
+          if (d(t) * (good + bad) < good) { hits += 1; good -= 1 } else bad -= 1
+          t += 1; j += 1
+        }
+        if (i == want) res = hits.toDouble
+        remainingPop -= colors(i)
+        remainingSample -= hits
+        i += 1
+      }
+      res
+    }
+  }
 }

@@ -186,4 +186,55 @@ class RandomArrSpec extends SparkTestBase {
     val c2 = vec(GArrRandom.beta(spark, Seq(300L), Seq(128), 62L, 2.0, 3.0))
     assert(c1.toSeq == c2.toSeq)
   }
+
+  test("logseries: support {1,2,...} and analytic mean; rechunk-invariant") {
+    val p = 0.5
+    val v = vec(GArrRandom.logseries(spark, Seq(20000L), Seq(2048), 91L, p))
+    assert(v.forall(x => x >= 1.0 && x == math.floor(x)))
+    // E[X] = -p / ((1-p) ln(1-p)) = 1.4427 at p=0.5
+    val expMean = -p / ((1 - p) * math.log1p(-p))
+    assert(math.abs(v.sum / v.length - expMean) < 0.05, s"mean ${v.sum / v.length}")
+    val v2 = vec(GArrRandom.logseries(spark, Seq(20000L), Seq(333), 91L, p))
+    assert(v.toSeq == v2.toSeq)
+  }
+
+  test("noncentral chisquare / F: analytic means on both df branches") {
+    // df>1 branch: E = df + nonc
+    val a = vec(GArrRandom.noncentralChisquare(spark, Seq(20000L), Seq(2048), 17L, 3.0, 2.0))
+    assert(math.abs(a.sum / a.length - 5.0) < 0.15, s"ncx2 mean ${a.sum / a.length}")
+    // df<=1 Poisson-mixture branch
+    val b = vec(GArrRandom.noncentralChisquare(spark, Seq(20000L), Seq(2048), 19L, 0.8, 1.5))
+    assert(math.abs(b.sum / b.length - 2.3) < 0.15, s"ncx2 df<=1 mean ${b.sum / b.length}")
+    // E[ncF] = dfden (dfnum + nonc) / (dfnum (dfden - 2)) = 2.1875
+    val f = vec(GArrRandom.noncentralF(spark, Seq(40000L), Seq(4096), 23L, 4.0, 10.0, 3.0))
+    assert(math.abs(f.sum / f.length - 2.1875) < 0.15, s"ncF mean ${f.sum / f.length}")
+  }
+
+  test("permutation: exact permutation of 0..n-1, seed-deterministic, chunk-independent") {
+    val a = vec(GArrRandom.permutation(spark, 500L, 64, 31L))
+    assert(a.sorted.toSeq == (0 until 500).map(_.toDouble))
+    assert(a.toSeq != (0 until 500).map(_.toDouble), "not the identity")
+    val b = vec(GArrRandom.permutation(spark, 500L, 17, 31L))
+    assert(a.toSeq == b.toSeq, "layout-independent")
+    val c = vec(GArrRandom.permutation(spark, 500L, 64, 32L))
+    assert(a.toSeq != c.toSeq, "seed-sensitive")
+  }
+
+  test("multivariate hypergeometric: exact vector sums, marginal means, rechunk-invariant") {
+    val m = GArrRandom.multivariateHypergeometric(spark, Seq(400L), Seq(64), 29L,
+      colors = Seq(5, 3, 2), nsample = 4)
+    assert(m.shape == Seq(400L, 3L))
+    val g = m.toIndexedDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = Array.tabulate(400, 3)((i, j) => g((i * 3 + j).toLong))
+    assert(rows.forall(_.sum == 4.0), "each draw sums to nsample")
+    assert(rows.forall(r => r(0) <= 5 && r(1) <= 3 && r(2) <= 2), "per-color caps")
+    val means = (0 until 3).map(j => rows.map(_(j)).sum / 400.0)
+    // E[X_i] = nsample * colors_i / total = (2.0, 1.2, 0.8)
+    assert(math.abs(means(0) - 2.0) < 0.15 && math.abs(means(1) - 1.2) < 0.12 &&
+      math.abs(means(2) - 0.8) < 0.12, s"marginal means $means")
+    val m2 = GArrRandom.multivariateHypergeometric(spark, Seq(400L), Seq(23), 29L,
+      colors = Seq(5, 3, 2), nsample = 4)
+    val g2 = m2.toIndexedDF.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(g == g2)
+  }
 }
