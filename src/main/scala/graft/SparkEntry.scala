@@ -1,7 +1,7 @@
 package graft
 
 import graft.api.{GDF, IndexMeta}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -83,7 +83,14 @@ object SparkEntry {
       .start()
     query.processAllAvailable()
     query.stop()
-    finish(s.read.parquet(sink)).localCheckpoint(true)
+    // a stream that produced zero micro-batches never created the sink
+    // directory — fall back to an empty frame with the stream's schema
+    // rather than letting the parquet read throw (the memory sink this
+    // replaced tolerated empty output)
+    val drained =
+      if (new java.io.File(sink).isDirectory) s.read.parquet(sink)
+      else s.createDataFrame(s.sparkContext.emptyRDD[Row], out.schema)
+    finish(drained).localCheckpoint(true)
   }
 
   /** Deterministic-wall-time wrapper for the streaming replay queries
@@ -2646,11 +2653,15 @@ object SparkEntry {
         .df
     },
 
-    // Q1 pricing summary (full aggregate set): one pruned scan feeding
-    // eight partial->final aggregates per (returnflag, linestatus) —
-    // THE map-side-combine benchmark shape. Money sums are per-row
+    // Q1 pricing summary (full TPC-H aggregate set — 8 output
+    // aggregates): one pruned scan feeding six partial->final sums/counts
+    // per (returnflag, linestatus), with the three averages derived as
+    // exact integer ratios AFTER the aggregate (sum/count of the same two
+    // longs is a deterministic IEEE division in both engines, unlike a
+    // native avg whose accumulation order varies). Money sums are per-row
     // floored to integer cents (identical expression both engines) so
-    // group sums are bit-exact under any partitioning.
+    // group sums are bit-exact under any partitioning; l_discount rides
+    // as integer micros for the same reason.
     "q196_tpch_q1" -> { (s, dir) =>
       g(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02"))
@@ -2661,6 +2672,7 @@ object SparkEntry {
           "charge_cents" -> floor(col("l_extendedprice") *
             (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")) * 100 +
             lit(0.5)).cast("long"),
+          "disc_micros" -> floor(col("l_discount") * 1000000 + lit(0.5)).cast("long"),
           "qty" -> col("l_quantity").cast("long"))
         .groupby("l_returnflag", "l_linestatus")
         .aggAliased(
@@ -2668,7 +2680,13 @@ object SparkEntry {
           ("base_cents", "sum", "sum_base_cents"),
           ("disc_cents", "sum", "sum_disc_cents"),
           ("charge_cents", "sum", "sum_charge_cents"),
+          ("disc_micros", "sum", "sum_disc_micros"),
           ("qty", "count", "count_order"))
+        .assign(
+          "avg_qty" -> col("sum_qty").cast("double") / col("count_order"),
+          "avg_price_cents" -> col("sum_base_cents").cast("double") / col("count_order"),
+          "avg_disc" -> col("sum_disc_micros").cast("double") / col("count_order") / lit(1000000.0))
+        .drop("sum_disc_micros")
         .df
     },
 
@@ -2722,6 +2740,130 @@ object SparkEntry {
             .otherwise(lit(0L)))
         .df.agg(sum("promo_cents").as("promo_cents"),
           sum("rev_cents").as("total_cents"))
+    },
+
+    // ---- vindex (dask x.vindex[rows, cols], core.py:2047/5854):
+    // coordinate-pointwise gather over a 2-D chunked array — the first
+    // 3000 quantities in total order reshaped to (60, 50), then 200
+    // broadcast points read across block boundaries (salt=2 exercises the
+    // hot-block replication path). Oracle: a position join on r*50+c.
+    "q199_vindex" -> { (s, dir) =>
+      import graft.operators.GArr
+      val li = t(s, dir, "lineitem")
+      val head = li.sort(liTotalOrder.map(col): _*).limit(3000)
+      val x = GArr.fromColumn(head, "l_quantity", liTotalOrder, chunk = 512)
+        .reshape(Seq(60L, 50L), Seq(16, 16))
+      val rows = Array.tabulate(200)(p => (p.toLong * 7 + 3) % 60)
+      val cols = Array.tabulate(200)(p => (p.toLong * 13 + 11) % 50)
+      x.vindex(Map(0 -> ((Seq(200L), rows)), 1 -> ((Seq(200L), cols))), salt = 2)
+        .toIndexedDF
+        .select(col("idx"), col("value").cast("long").as("q"))
+    },
+
+    // ---- TPC-H semi/anti macro tier (VERDICT r11 item 3): the five
+    // join shapes the q191-q198 pipelines don't exercise — exists →
+    // leftsemi, left join + count distribution, not-in → anti,
+    // multi-exists/not-exists, anti + scalar-subquery threshold.
+    // Predicates are adapted to the fixture's column set (no
+    // commitdate/receiptdate/partsupp/phone/comment columns), keeping
+    // the TPC-H plan shapes intact.
+
+    // Q4 order-priority checking: EXISTS(lineitem) → ONE leftsemi join
+    // (never a join+distinct), then a tiny groupBy.
+    "q200_tpch_q4" -> { (s, dir) =>
+      val ord = g(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01") &&
+          col("o_orderdate") < lit("1996-10-01"))
+        .select("o_orderkey", "o_orderpriority")
+      val late = g(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+        .rename("l_orderkey" -> "o_orderkey")
+      ord.merge(late, on = Seq("o_orderkey"), how = "leftsemi")
+        .groupby("o_orderpriority")
+        .aggAliased(("o_orderkey", "count", "order_count"))
+        .sortValues(Seq("o_orderpriority"))
+        .df
+    },
+
+    // Q13 customer order-count distribution: the right-side filter lives
+    // in the LEFT join (not a post-filter, which would drop the
+    // zero-order customers), then a second tiny aggregate over c_count.
+    "q201_tpch_q13" -> { (s, dir) =>
+      val ords = g(s, dir, "orders")
+        .filter(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_custkey")
+        .rename("o_custkey" -> "c_custkey")
+      g(s, dir, "customer").select("c_custkey")
+        .merge(ords, on = Seq("c_custkey"), how = "left")
+        .groupby("c_custkey")
+        .aggAliased(("o_orderkey", "count", "c_count")) // count skips null = 0 orders
+        .groupby("c_count")
+        .aggAliased(("c_custkey", "count", "custdist"))
+        .sortValues(Seq("custdist", "c_count"), ascending = Seq(false, false))
+        .df
+    },
+
+    // Q16 parts/supplier counting: distinct part-supplier pairs (lineitem
+    // stands in for partsupp), a NOT-IN → left_anti against the excluded
+    // supplier set, count-distinct per part attribute triple.
+    "q202_tpch_q16" -> { (s, dir) =>
+      val ps = t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#4" &&
+          !col("p_type").startsWith("MEDIUM") &&
+          col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 36))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val badSupp = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      ps.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    // Q21 suppliers-who-kept-orders-waiting: the multi-correlated shape —
+    // one EXISTS (another supplier in the order) as a non-equi left_semi,
+    // one NOT EXISTS (another supplier ALSO late) as a non-equi left_anti,
+    // fact-fact semi on F-status orders, fixed-size supplier broadcast,
+    // TakeOrdered(20).
+    "q203_tpch_q21" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val l2 = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      l1.join(l2, col("l_orderkey") === col("ok2") && col("sk2") =!= col("l_suppkey"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("ok3") && col("sk3") =!= col("l_suppkey"),
+          "left_anti")
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    },
+
+    // Q22 global-sales-opportunity: scalar-subquery threshold (exact
+    // integer-cents ratio, broadcast as a 1-row cross join) + NOT EXISTS →
+    // left_anti against the urgent-order customers.
+    "q204_tpch_q22" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .withColumn("bal_cents", floor(col("c_acctbal") * 100 + lit(0.5)).cast("long"))
+      val thr = cust.filter(col("c_acctbal") > 0)
+        .agg((sum("bal_cents").cast("double") / count(lit(1))).as("thr"))
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      cust.crossJoin(broadcast(thr))
+        .filter(col("bal_cents").cast("double") > col("thr"))
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("totacctbal_cents"))
+        .orderBy("c_mktsegment")
     },
 
     // ---- layout-independent exact-k bag sampling (brief ext): the k
@@ -5206,7 +5348,10 @@ object SparkEntry {
         |       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
         |       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
         |       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
-        |       COUNT(*) AS count_order
+        |       COUNT(*) AS count_order,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_price_cents,
+        |       CAST(SUM(CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_disc
         |FROM lineitem
         |WHERE l_shipdate <= '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -5232,6 +5377,83 @@ object SparkEntry {
         |FROM lineitem l
         |JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE l.l_shipdate >= '1997-01-01' AND l.l_shipdate < '1997-02-01'""".stripMargin,
+
+    // q199: pointwise gather x.vindex[(p*7+3)%60, (p*13+11)%50] over the
+    // (60,50) reshape of the first 3000 quantities — flat position r*50+c.
+    "q199_vindex" ->
+      """WITH t AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS q,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice) - 1 AS rn
+        |  FROM lineitem),
+        |i AS (SELECT range AS p, (range * 7 + 3) % 60 AS r, (range * 13 + 11) % 50 AS c
+        |      FROM range(200))
+        |SELECT CAST(i.p AS BIGINT) AS idx, t.q AS q
+        |FROM i JOIN t ON t.rn = i.r * 50 + i.c""".stripMargin,
+
+    "q200_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= '1996-07-01' AND o.o_orderdate < '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // q201: the orders filter must live in the join condition so
+    // zero-order customers keep c_count = 0.
+    "q201_tpch_q13" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer c LEFT JOIN orders o
+        |        ON c.c_custkey = o.o_custkey
+        |       AND o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q202_tpch_q16" ->
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |       CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part p ON ps.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#4'
+        |  AND p.p_type NOT LIKE 'MEDIUM%'
+        |  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 36)
+        |  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p.p_brand, p.p_type, p.p_size
+        |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin,
+
+    "q203_tpch_q21" ->
+      """SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s.s_name
+        |LIMIT 20""".stripMargin,
+
+    // q204: the threshold is an exact ratio of two integers (deterministic
+    // double in both engines); bigint > double promotes exactly below 2^53.
+    "q204_tpch_q22" ->
+      """WITH thr AS (
+        |  SELECT CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |         / COUNT(*) AS t
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |       CAST(SUM(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+        |FROM customer c, thr
+        |WHERE CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) > thr.t
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin,
 
     // q195: the draw is a pure function of (seed, doc_id) — recomputed
     // bit-for-bit by the hash64 macro; signed view on both sides so the

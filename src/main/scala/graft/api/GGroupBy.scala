@@ -170,12 +170,6 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
   def cumcountOrd(orderBy: Seq[String], alias: String = "cumcount"): GDF =
     new GDF(base.withColumn(alias, row_number().over(wOrd(orderBy)) - 1), demotedIndex)
 
-  /** dask `GroupBy.transform(func)` for decomposable aggs: the group
-    * aggregate broadcast back onto every row (`_groupby.py:1033`). A
-    * whole-partition window (no ORDER BY) — one shuffle on the keys, no
-    * join back. Transform preserves the frame's shape: null-key rows are
-    * kept and get a null result (pandas semantics), not dropped.
-    */
   /** pandas `GroupBy.rolling` (reference `dask/dataframe/dask_expr/_groupby.py:2141`):
     * per-group rolling windows over the frame's index order.  Delegates to
     * [[GDF.rolling]] with the group keys as the partition spec — the
@@ -188,6 +182,12 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
     // every other member of this class
     new GDF(base, gdf.index).rolling(window, keys, minPeriods)
 
+  /** dask `GroupBy.transform(func)` for decomposable aggs: the group
+    * aggregate broadcast back onto every row (`_groupby.py:1033`). A
+    * whole-partition window (no ORDER BY) — one shuffle on the keys, no
+    * join back. Transform preserves the frame's shape: null-key rows are
+    * kept and get a null result (pandas semantics), not dropped.
+    */
   def transform(c: String, fn: String, alias: String): GDF = {
     require(fn != "nunique",
       "transform(nunique) is not window-expressible in Spark (DISTINCT window); " +

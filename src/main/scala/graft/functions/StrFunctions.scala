@@ -29,9 +29,15 @@ object StrFunctions {
   def endswith(c: Column, s: String): Column = c.endsWith(s)
   def extract(c: Column, pat: String, group: Int = 1): Column = regexp_extract(c, pat, group)
   def extractall(c: Column, pat: String): Column = regexp_extract_all(c, lit(pat))
-  // pandas findall = re.findall per row: every non-overlapping match of
-  // the whole pattern (group 0), unlike extractall's capture group
-  def findall(c: Column, pat: String): Column = regexp_extract_all(c, lit(pat), lit(0))
+  // pandas findall = re.findall per row: with no capture group every
+  // non-overlapping whole match (group 0); with exactly ONE capture
+  // group re.findall returns that group's text instead — honored here.
+  // (>=2 groups returns tuples in pandas — not representable as a flat
+  // string array; whole-match is returned, documented in the manifest.)
+  def findall(c: Column, pat: String): Column = {
+    val g = java.util.regex.Pattern.compile(pat).matcher("").groupCount()
+    regexp_extract_all(c, lit(pat), lit(if (g == 1) 1 else 0))
+  }
   def find(c: Column, sub: String): Column = instr(c, sub) - 1 // pandas is 0-based, -1 missing
   def fullmatch(c: Column, pat: String): Column = regexp_like(c, lit(s"^(?:$pat)$$"))
   def get(c: Column, i: Int): Column = substring(c, i + 1, 1)

@@ -610,6 +610,224 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     GArr(outLens, newChunks, assemble(pieces, newChunks))
   }
 
+  /** dask `Array.blocks` / `Array.partitions` (reference
+    * `dask/array/core.py:2103` Blockview, `:2143` partitions — for arrays
+    * the two are the same accessor): numpy-style indexing over the BLOCK
+    * grid — select a per-dimension range of block coordinates and return
+    * those whole blocks as a new array.  Narrow: a block-id filter plus a
+    * driver-side chunk-metadata slice — no shuffle, no data movement
+    * beyond dropping the unselected blocks, so it is the cheap way to
+    * iterate or subset a huge array block-by-block at any scale.
+    */
+  def blocksAt(sel: Seq[Range]): GArr = {
+    require(sel.length == ndim, s"blocksAt: ${sel.length} ranges for ndim $ndim")
+    sel.zip(grid).zipWithIndex.foreach { case ((r, g), d) =>
+      require(r.nonEmpty && r.step == 1 && r.head >= 0 && r.last < g,
+        s"blocksAt: range $r outside block grid 0..${g - 1} on dim $d")
+    }
+    val s = spark
+    import s.implicits._
+    val newChunks: Seq[Seq[Int]] = chunks.zip(sel).map { case (cs, r) => r.map(cs) }
+    val offs = sel.map(_.head).toArray
+    val selB = sel.map(r => (r.head, r.last)).toArray
+    val keep = blocks
+      .filter((b: ABlock) =>
+        b.bid.indices.forall(d => b.bid(d) >= selB(d)._1 && b.bid(d) <= selB(d)._2))
+      .map(b => ABlock(Seq.tabulate(b.bid.length)(d => b.bid(d) - offs(d)), b.data))
+    GArr(newChunks.map(_.map(_.toLong).sum), newChunks, keep)
+  }
+
+  /** dask `Array.chunksize`: the nominal (first) chunk size per dimension. */
+  def chunksize: Seq[Int] = chunks.map(_.head)
+
+  /** dask `Array.npartitions` (= `math.prod(numblocks)`); `numblocks`
+    * itself is [[grid]].
+    */
+  def npartitions: Long = grid.map(_.toLong).product
+
+  /** dask `Array.itemsize` — the engine is float64-backed. */
+  def itemsize: Int = 8
+
+  /** dask `Array.nbytes` — logical payload size, metadata-only. */
+  def nbytes: Long = numElements * 8L
+
+  /** numpy/dask coordinate-pointwise fancy indexing — `x.vindex[i0, i1, …]`
+    * (reference `dask/array/core.py:2047` `_vindex`, kernel `:5854`
+    * `_vindex_array`, docs `:2079`): several integer index arrays,
+    * broadcast against each other, select POINTS — output element p reads
+    * `x[i0[p], i1[p], …]` on the indexed axes while every non-indexed axis
+    * is kept whole.  Result dimension order follows the reference's vindex
+    * contract (`core.py:2090`): the broadcast subspace FIRST, then the
+    * remaining axes in their original order.  Mixed keys (ints / partial
+    * slices alongside the arrays) compose as the reference composes them
+    * (`core.py:5817-5832`): apply [[slice]] / [[squeeze]] for the nonfancy
+    * part first, then `vindex` on the reduced array.
+    *
+    * `arrs` maps axis → (index-array shape, C-order flattened entries).
+    * Entries wrap numpy-style (negative counts from the end), out-of-bounds
+    * raise with numpy's message shape, and the arrays must be mutually
+    * broadcastable.  The indexer is DRIVER-held — exactly the reference
+    * contract (`core.py:2064` rejects dask-collection indexers: "Call
+    * compute on the indexer first") — and its memory cost is the RAW
+    * arrays, never the broadcast product: requests are generated
+    * distributed from `spark.range(npoints)` against a task broadcast of
+    * the raw arrays, with broadcasting resolved per element by 0-stride
+    * lookup.  For a distributed indexer along one axis use [[takeArr]].
+    *
+    * Plan shape — the [[takeArr]] tag-union co-group generalized from one
+    * axis to full coordinate tuples: each request keys by the linearized
+    * ARRAY-AXIS block coordinates of its source point; one exchange
+    * co-groups requests with the source blocks sharing those coordinates
+    * (each block replicated `salt` ways when one hot block absorbs most
+    * points); each request copies its non-indexed lanes into
+    * per-destination-block pieces; one assemble shuffle packs the output
+    * grid; a final [[reshape]] unflattens the points axis when the
+    * broadcast subspace is multi-dimensional.  Shuffle volume is O(output
+    * elements) plus one pass over the touched source blocks — no driver
+    * collect, no all-pairs — so the op scales with chunk count, not array
+    * size.
+    */
+  def vindex(arrs: Map[Int, (Seq[Long], Array[Long])],
+             targetChunk: Int = 65536, salt: Int = 1): GArr = {
+    require(arrs.nonEmpty, "vindex: need at least one index array")
+    require(salt >= 1)
+    val axes = arrs.keys.toSeq.sorted
+    axes.foreach(a => require(a >= 0 && a < ndim, s"vindex: bad axis $a for ndim $ndim"))
+    val s = spark
+    import s.implicits._
+    // numpy broadcast of the index-array shapes: right-aligned, 1 stretches
+    val shapes = axes.map(a => arrs(a)._1)
+    val nb = shapes.map(_.length).max
+    val bShape: Seq[Long] = Seq.tabulate(nb) { d =>
+      val dims = shapes.map { sh =>
+        val off = nb - sh.length; if (d < off) 1L else sh(d - off)
+      }
+      val m = dims.max
+      require(dims.forall(x => x == 1L || x == m),
+        "vindex: shape mismatch: indexing arrays could not be broadcast " +
+          s"together with shapes ${shapes.map(_.mkString("(", ", ", ")")).mkString(" ")}")
+      m
+    }
+    val npoints = bShape.product
+    // per-array strides over the broadcast shape (0 on stretched dims)
+    val strArr: Array[Array[Long]] = axes.map { a =>
+      val sh = arrs(a)._1
+      val off = nb - sh.length
+      val own = new Array[Long](sh.length)
+      var acc = 1L
+      var d = sh.length - 1
+      while (d >= 0) { own(d) = acc; acc *= sh(d); d -= 1 }
+      Array.tabulate(nb)(d => if (d < off || sh(d - off) == 1L) 0L else own(d - off))
+    }.toArray
+    val bcArrs = s.sparkContext.broadcast(axes.map(a => arrs(a)._2).toArray)
+    val nA = axes.length
+    val axArr = axes.toArray
+    val dimSizes = axes.map(a => shape(a)).toArray
+    val S: Array[Array[Long]] = axes.map(a => startsOf(chunks(a))).toArray
+    val srcArrGrid: Array[Int] = axes.map(a => grid(a)).toArray
+    val bShapeArr = bShape.toArray
+    val nbL = nb
+    val outAxisChunks = evenChunks(npoints, targetChunk)
+    val T = startsOf(outAxisChunks)
+    val nSalt = salt
+    val requests = s.range(npoints).as[Long].mapPartitions { it =>
+      val raw = bcArrs.value
+      it.map { p =>
+        var rem = p
+        val bIdx = new Array[Long](nbL)
+        var d = nbL - 1
+        while (d >= 0) { bIdx(d) = rem % bShapeArr(d); rem /= bShapeArr(d); d -= 1 }
+        var keyBlocks = 0L
+        val locals = new Array[Int](nA)
+        var a = 0
+        while (a < nA) {
+          var off = 0L
+          var dd = 0
+          while (dd < nbL) { off += bIdx(dd) * strArr(a)(dd); dd += 1 }
+          val rawIdx = raw(a)(off.toInt)
+          val n = dimSizes(a)
+          val idx = if (rawIdx < 0) rawIdx + n else rawIdx
+          require(idx >= 0 && idx < n,
+            "vindex key has entries out of bounds for indexing along axis " +
+              s"${axArr(a)} of size $n: $rawIdx")
+          val ib = blockOf(S(a), idx)
+          keyBlocks = keyBlocks * srcArrGrid(a) + ib
+          locals(a) = (idx - S(a)(ib)).toInt
+          a += 1
+        }
+        (keyBlocks * nSalt + (p % nSalt), p, locals.toSeq)
+      }
+    }
+    val nd = ndim
+    val axSet = axes.toSet
+    val nonAxes = (0 until nd).filterNot(axSet)
+    val nonAxesArr = nonAxes.toArray
+    val srcChunksB = chunks.map(_.toArray)
+    // dest grid: points axis first, then the non-indexed axes in order
+    val newChunks: Seq[Seq[Int]] = outAxisChunks +: nonAxes.map(chunks)
+    val outLens: Seq[Long] = npoints +: nonAxes.map(shape)
+    val dstGrid = newChunks.map(_.length)
+    val newChunksB = newChunks.map(_.toArray)
+    // lane index into `locals` per base dim (-1 = non-indexed lane)
+    val axPos = Array.fill(nd)(-1)
+    axes.zipWithIndex.foreach { case (a, i) => axPos(a) = i }
+    val tagged = blocks.flatMap { b =>
+      var kb = 0L
+      var a = 0
+      while (a < nA) { kb = kb * srcArrGrid(a) + b.bid(axArr(a)); a += 1 }
+      val base = kb * nSalt
+      (0 until nSalt).iterator.map(sl => (base + sl, 0, b.bid, b.data, 0L, Seq.empty[Int]))
+    }.union(requests.map(r => (r._1, 1, Seq.empty[Int], Array.empty[Double], r._2, r._3)))
+    val pieces = tagged.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val srcs = scala.collection.mutable.ArrayBuffer[(Seq[Int], Array[Double])]()
+      val reqs = scala.collection.mutable.ArrayBuffer[(Long, Seq[Int])]()
+      it.foreach { row =>
+        if (row._2 == 0) srcs += ((row._3, row._4)) else reqs += ((row._5, row._6))
+      }
+      if (srcs.isEmpty || reqs.isEmpty) Iterator.empty
+      else srcs.iterator.flatMap { case (bid, data) =>
+        val sdims = Array.tabulate(nd)(d => srcChunksB(d)(bid(d)))
+        val sstr = cStridesI(sdims)
+        val lanes = sdims.clone()
+        var a = 0
+        while (a < nA) { lanes(axArr(a)) = 1; a += 1 }
+        val laneTotal = lanes.product
+        val out = scala.collection.mutable.LinkedHashMap[Long, PieceBuf]()
+        reqs.foreach { case (gpos, locals) =>
+          val jb = blockOf(T, gpos)
+          val dstBid: Seq[Int] = jb +: nonAxesArr.toSeq.map(d => bid(d))
+          val key = linearBidL(dstBid, dstGrid)
+          val ddims = Array.tabulate(dstBid.length)(k => newChunksB(k)(dstBid(k)))
+          val dstr = cStridesI(ddims)
+          val buf = out.getOrElseUpdate(key, new PieceBuf(key, dstBid))
+          val pLocal = (gpos - T(jb)).toInt
+          val t = new Array[Int](nd)
+          var q = 0
+          while (q < laneTotal) {
+            var so = 0; var doff = pLocal * dstr(0); var d = 0
+            var j = 1
+            while (d < nd) {
+              val ap = axPos(d)
+              if (ap >= 0) so += locals(ap) * sstr(d)
+              else { so += t(d) * sstr(d); doff += t(d) * dstr(j); j += 1 }
+              d += 1
+            }
+            buf.add(doff, data(so))
+            incOdo(t, lanes)
+            q += 1
+          }
+        }
+        out.valuesIterator.map(_.toPiece)
+      }
+    }
+    val flat = GArr(outLens, newChunks, assemble(pieces, newChunks))
+    if (nb <= 1) flat
+    else {
+      val finalShape = bShape ++ nonAxes.map(shape)
+      flat.reshape(finalShape, chooseChunks(finalShape, targetChunk).map(_.head))
+    }
+  }
+
   /** numpy fancy setitem `x[..., idx, ...] = value` along `axis` with BOTH
     * the integer index and the values distributed (reference
     * `array/slicing.py:1464` `setitem_array`, the int-array-index branch).

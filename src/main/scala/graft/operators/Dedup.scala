@@ -291,10 +291,16 @@ object Dedup {
     var (converged, nEdges) = isStar(cur)
     while (!converged && iter < maxIter) {
       val (next, nextRdd) = materialize(smallStar(largeStar(cur)))
+      iter += 1
+      // the probe is the FIRST action on the new round's RDD, and the new
+      // round's lineage reads the previous localCheckpointed blocks — so
+      // the previous generation may only be unpersisted AFTER the probe
+      // has materialized the new one (localCheckpoint truncates lineage;
+      // an early async unpersist races the probe into "Checkpoint block
+      // not found")
+      val probe = isStar(next)
       curRdd.unpersist(blocking = false)
       cur = next; curRdd = nextRdd
-      iter += 1
-      val probe = isStar(cur)
       converged = probe._1
       nEdges = probe._2
       ccLog.info(s"connectedComponents round $iter: edges=$nEdges converged=$converged")

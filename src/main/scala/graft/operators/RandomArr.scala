@@ -533,6 +533,11 @@ object GArrRandom {
   def noncentralF(s: SparkSession, shape: Seq[Long], chunkSizes: Seq[Int],
                   seed: Long, dfnum: Double, dfden: Double, nonc: Double): GArr = {
     require(dfnum > 0.0 && dfden > 0.0 && nonc >= 0.0)
+    // the dfnum <= 1 branch is a Knuth Poisson(nonc/2) mixture whose
+    // exp(-lam) termination constant underflows to 0 for lam >~ 745,
+    // silently truncating the count — same guard as noncentralChisquare
+    require(dfnum > 1.0 || nonc / 2.0 < 500.0,
+      s"noncentral_f: nonc=$nonc out of supported range for dfnum<=1")
     val sn = math.sqrt(nonc)
     elementwise(s, shape, chunkSizes, seed, 0L) { d =>
       val next = drawCounter(d)

@@ -453,6 +453,7 @@ object Similarity {
           s"maxCellSize=$maxCellSize and were hash-split; " +
           f"${stats.skippedPairFraction * 100}%.2f%% of within-cell pairs " +
           "were not compared (bounded-work tradeoff)")
+    graft.diagnostics.Diagnostics.Counters.lastSemDedupStats.set(Some(stats))
     (out, stats)
   }
 

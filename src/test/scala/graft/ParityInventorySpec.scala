@@ -167,7 +167,13 @@ class ParityInventorySpec extends AnyFunSuite {
       Set("Resampler")),
     // the seeded random distribution table (RandomState + Generator)
     "array_random" -> (classMethods(s"$refRoot/array/random.py",
-      Set("RandomState", "Generator")) ++ moduleDefs(s"$refRoot/array/random.py")))
+      Set("RandomState", "Generator")) ++ moduleDefs(s"$refRoot/array/random.py")),
+    // round-12 widening: the `class Array` member surface itself (the
+    // blind spot vindex/blocks/partitions hid in — VERDICT r11) and the
+    // Index collection class
+    "array_cls" -> classMethods(s"$refRoot/array/core.py", Set("Array")),
+    "index_api" -> classMethods(
+      s"$refRoot/dataframe/dask_expr/_collection.py", Set("Index")))
 
   private lazy val manifest: Map[(String, String), (String, String)] = {
     val url = getClass.getClassLoader.getResource("parity_manifest.tsv")
@@ -234,7 +240,12 @@ class ParityInventorySpec extends AnyFunSuite {
     // accessor walk (.str/.dt/.cat) adds 10 metadata/object-dtype descopes
     // (freq/tz/tzinfo attributes, python-object materializers, the
     // known/ordered dtype flags) — 48 -> 58; the random-table walk adds 3
-    // (the mutable seed API, a deprecated relic, binding machinery) — 61.
-    assert(descopes.size <= 61, s"descope list grew to ${descopes.size} — implement or justify")
+    // (the mutable seed API, a deprecated relic, binding machinery) — 61;
+    // the round-12 Array-class walk adds 10 (dtype/astype/view are
+    // representation choices in a float64-backed engine, name/format_index/
+    // to_svg are graph/repr helpers, to_backend is dispatch machinery,
+    // compute_chunk_sizes is unknown-chunk machinery, to_hdf5/to_tiledb
+    // mirror the existing io descopes) — 71.
+    assert(descopes.size <= 71, s"descope list grew to ${descopes.size} — implement or justify")
   }
 }

@@ -272,4 +272,57 @@ class PlanGuardSpec extends SparkTestBase {
       t.contains("PushedFilters: [") && t.contains("l_shipdate")
     }, s"q196 scan lost the date pushdown:\n${scans.mkString("\n")}")
   }
+
+  // ---- TPC-H semi/anti tier (round 12): the planner paths q191-q198
+  // don't exercise — every EXISTS/NOT-IN must lower to a semi/anti JOIN
+  // node, never a join+distinct or a cartesian product.
+
+  private def planString(p: SparkPlan): String = collectAll(p).mkString("\n")
+
+  test("tpch q4: EXISTS lowers to ONE semi join, no distinct, no cartesian") {
+    val p = plan("q200_tpch_q4")
+    val s = planString(p)
+    assert(s.contains("LeftSemi"), s"q200 lost its semi join:\n$p")
+    assert(!s.contains("CartesianProduct"), s"q200 grew a cartesian:\n$p")
+    assert(!collectAll(p).exists(_.nodeName.contains("Distinct")),
+      s"q200 lowers EXISTS via join+distinct instead of a semi join:\n$p")
+  }
+
+  test("tpch q13: right-side filter stays inside the LEFT join (zero-order customers kept)") {
+    val p = plan("q201_tpch_q13")
+    val s = planString(p)
+    assert(s.contains("LeftOuter"), s"q201 lost the left join:\n$p")
+    // two aggregate stages: per-customer count, then the distribution
+    val aggShuffles = shuffles(p)
+    assert(aggShuffles <= 3, s"q201 shuffle count grew to $aggShuffles:\n$p")
+  }
+
+  test("tpch q16: NOT IN lowers to an anti join; fixed-size sides broadcast") {
+    val p = plan("q202_tpch_q16")
+    val s = planString(p)
+    assert(s.contains("LeftAnti"), s"q202 lost its anti join:\n$p")
+    assert(collectAll(p).exists(n => n.isInstanceOf[BroadcastExchangeExec] ||
+      n.nodeName.contains("BroadcastHashJoin")),
+      s"q202 lost the part/supplier broadcast:\n$p")
+    assert(!s.contains("CartesianProduct"), s"q202 grew a cartesian:\n$p")
+  }
+
+  test("tpch q21: multi-EXISTS = one semi + one anti join, TakeOrdered, no cartesian") {
+    val p = plan("q203_tpch_q21")
+    val s = planString(p)
+    assert(s.contains("LeftSemi"), s"q203 lost the EXISTS semi join:\n$p")
+    assert(s.contains("LeftAnti"), s"q203 lost the NOT-EXISTS anti join:\n$p")
+    assert(collectAll(p).exists(_.nodeName.contains("TakeOrdered")),
+      s"q203 lost its TakeOrdered(20):\n$p")
+    assert(!s.contains("CartesianProduct"), s"q203 grew a cartesian:\n$p")
+  }
+
+  test("tpch q22: scalar threshold broadcasts (1-row NLJ, not cartesian); anti join present") {
+    val p = plan("q204_tpch_q22")
+    val s = planString(p)
+    assert(s.contains("LeftAnti"), s"q204 lost its anti join:\n$p")
+    // the 1-row threshold may ride a BroadcastNestedLoopJoin — that is the
+    // right plan; an unbroadcast CartesianProduct is not
+    assert(!s.contains("CartesianProduct"), s"q204 grew a cartesian:\n$p")
+  }
 }

@@ -69,4 +69,25 @@ class DiagnosticsSpec extends SparkTestBase {
     assert(samples.forall(_.usedHeapBytes > 0))
     assert(samples.map(_.ts) == samples.map(_.ts).sorted)
   }
+
+  test("Counters surface ccRounds and the last SemDeDup stats programmatically") {
+    import org.apache.spark.sql.functions._
+    // a 4-node path graph needs >0 contraction rounds; the counter must
+    // reflect the run that just happened
+    val edges = spark.range(3).select(col("id").as("a"), (col("id") + 1).as("b"))
+    Dedup.connectedComponents(edges, "a", "b").collect()
+    assert(Diagnostics.Counters.ccRounds >= 0)
+    // a star pair set converges in zero rounds — the counter must move
+    val star = spark.range(3).select(lit(0L).as("a"), (col("id") + 1).as("b"))
+    Dedup.connectedComponents(star, "a", "b").collect()
+    assert(Diagnostics.Counters.ccRounds == 0,
+      s"star input should converge in 0 rounds, counter says ${Diagnostics.Counters.ccRounds}")
+    // SemDeDup stats land in the counter after a run with a tight cap
+    import spark.implicits._
+    val df = (0 until 40).map(i => (i.toLong, Array.fill(4)(1.0f + (i % 3) * 0.001f)))
+      .toDF("vec_id", "embedding")
+    val (_, stats) = Similarity.semanticDedupWithStats(df, "vec_id", "embedding",
+      k = 1, iters = 1, tau = 0.999, maxCellSize = 5)
+    assert(Diagnostics.Counters.semDedupStats.contains(stats))
+  }
 }

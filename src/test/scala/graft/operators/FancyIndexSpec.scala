@@ -472,4 +472,78 @@ class FancyIndexSpec extends SparkTestBase {
       GArr.fromFunction(spark, Seq(0L), Seq(1))(_ => 0.0))
     assert(vec(u).toSeq == (0L until 6L).map(i => f1(Array(i))))
   }
+
+  // --- vindex (core.py:2047 _vindex / :5854 _vindex_array) ---
+
+  test("vindex 2-D pointwise: the reference docstring example, uneven chunks") {
+    // x = arange(56).reshape(7,8), chunks (3,4);
+    // x.vindex[[0,1,6,0],[0,1,0,7]] -> [0, 9, 48, 7]
+    val a = GArr.fromFunction(spark, Seq(7L, 8L), Seq(3, 4))(g => (g(0) * 8 + g(1)).toDouble)
+    val v = a.vindex(Map(
+      0 -> (Seq(4L), Array(0L, 1L, 6L, 0L)),
+      1 -> (Seq(4L), Array(0L, 1L, 0L, 7L))))
+    assert(v.shape == Seq(4L))
+    assert(vec(v).toSeq == Seq(0.0, 9.0, 48.0, 7.0))
+  }
+
+  test("vindex: negative indices wrap, duplicates allowed, salt>1 identical") {
+    val a = GArr.fromFunction(spark, Seq(6L, 5L), Seq(2, 2))(f2)
+    val i0 = Array(-1L, 2L, 2L, -6L)
+    val i1 = Array(0L, -2L, -2L, 4L)
+    val want = i0.zip(i1).map { case (r, c) =>
+      f2(Array(if (r < 0) r + 6 else r, if (c < 0) c + 5 else c))
+    }.toSeq
+    for (salt <- Seq(1, 3)) {
+      val v = a.vindex(Map(0 -> (Seq(4L), i0), 1 -> (Seq(4L), i1)), salt = salt)
+      assert(vec(v).toSeq == want, s"salt=$salt")
+    }
+  }
+
+  test("vindex: broadcast index shapes (3,1) x (4) -> subspace (3,4)") {
+    val a = GArr.fromFunction(spark, Seq(9L, 7L), Seq(4, 3))(f2)
+    val rows = Array(1L, 4L, 8L)
+    val cols = Array(0L, 6L, 2L, 5L)
+    val v = a.vindex(Map(
+      0 -> (Seq(3L, 1L), rows),
+      1 -> (Seq(4L), cols)), targetChunk = 5)
+    assert(v.shape == Seq(3L, 4L))
+    val g = indexed(v)
+    for (i <- 0 until 3; j <- 0 until 4)
+      assert(g((i * 4 + j).toLong) == f2(Array(rows(i), cols(j))), s"($i,$j)")
+  }
+
+  test("vindex partial axes: subspace first, untouched axes keep order") {
+    // 3-D array, index axis 1 only: result (npoints, d0, d2)
+    val f3: Array[Long] => Double = g => 1.0 + 3.0 * g(0) + 17.0 * g(1) + 31.0 * g(2)
+    val a = GArr.fromFunction(spark, Seq(4L, 9L, 3L), Seq(2, 4, 2))(f3)
+    val mids = Array(8L, 0L, 5L)
+    val v = a.vindex(Map(1 -> (Seq(3L), mids)))
+    assert(v.shape == Seq(3L, 4L, 3L))
+    val g = indexed(v)
+    for (p <- 0 until 3; i <- 0 until 4; k <- 0 until 3)
+      assert(g((p * 12 + i * 3 + k).toLong) == f3(Array(i.toLong, mids(p), k.toLong)),
+        s"($p,$i,$k)")
+  }
+
+  test("blocksAt: block-grid range select = the matching element slice, no shuffle") {
+    val a = GArr.fromFunction(spark, Seq(7L, 9L), Seq(3, 4))(f2) // grid 3x3, uneven tails
+    val b = a.blocksAt(Seq(1 to 2, 0 to 1))
+    // blocks (1..2, 0..1) cover rows 3..6, cols 0..7
+    assert(b.shape == Seq(4L, 8L))
+    assert(b.chunks == Seq(Seq(3, 1), Seq(4, 4)))
+    val g = indexed(b)
+    for (i <- 0 until 4; j <- 0 until 8)
+      assert(g((i * 8 + j).toLong) == f2(Array(i + 3L, j.toLong)), s"($i,$j)")
+    intercept[IllegalArgumentException] { a.blocksAt(Seq(0 to 3, 0 to 0)) }
+  }
+
+  test("vindex: out-of-bounds raises; non-broadcastable shapes raise") {
+    val a = GArr.fromFunction(spark, Seq(5L, 5L), Seq(2, 2))(f2)
+    intercept[Exception] {
+      vec(a.vindex(Map(0 -> (Seq(1L), Array(5L)), 1 -> (Seq(1L), Array(0L)))))
+    }
+    intercept[IllegalArgumentException] {
+      a.vindex(Map(0 -> (Seq(2L), Array(0L, 1L)), 1 -> (Seq(3L), Array(0L, 1L, 2L))))
+    }
+  }
 }
