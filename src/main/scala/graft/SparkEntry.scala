@@ -2804,11 +2804,15 @@ object SparkEntry {
         .df
     },
 
-    // Q16 parts/supplier counting: distinct part-supplier pairs (lineitem
-    // stands in for partsupp), a NOT-IN → left_anti against the excluded
-    // supplier set, count-distinct per part attribute triple.
+    // Q16 parts/supplier counting: part-supplier pairs (lineitem stands
+    // in for partsupp), a NOT-IN → left_anti against the excluded
+    // supplier set, count-distinct per part attribute triple. NO
+    // pre-distinct on the pairs: COUNT(DISTINCT suppkey) dedups inside
+    // the aggregate's partial pass and the anti join is
+    // duplicate-insensitive, so a distinct first would add a full-fact
+    // shuffle for nothing (the 40× ladder measured it at +2.4×).
     "q202_tpch_q16" -> { (s, dir) =>
-      val ps = t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+      val ps = t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
       val parts = t(s, dir, "part")
         .filter(col("p_brand") =!= "Brand#4" &&
           !col("p_type").startsWith("MEDIUM") &&
