@@ -364,4 +364,54 @@ class BlockArrayPropSpec extends SparkTestBase {
         s"trial$trial nd=$nd shape=$shape chunks=$chunks k=$k")
     }
   }
+
+  test("random vindex: 1..3-D bases, random indexed-axis subsets, broadcast index shapes") {
+    val rnd = new scala.util.Random(20821)
+    for (trial <- 0 until 8) {
+      val nd = 1 + rnd.nextInt(3)
+      val shape = Seq.fill(nd)(2 + rnd.nextInt(6))
+      val chunks = shape.map(s => 1 + rnd.nextInt(s))
+      val n = shape.product
+      val vals = Array.fill(n)(math.floor(rnd.nextDouble() * 99))
+      def off(g: Seq[Int]): Long = g.zip(shape).foldLeft(0L) { case (acc, (i, s)) => acc * s + i }
+      val a = GArr.fromFunction(spark, shape.map(_.toLong), chunks)(
+        g => vals(off(g.map(_.toInt)).toInt))
+      // pick a nonempty axis subset to index; the rest stay whole
+      val axes = (0 until nd).filter(_ => rnd.nextBoolean()) match {
+        case s if s.nonEmpty => s
+        case _               => Seq(rnd.nextInt(nd))
+      }
+      val npts = 1 + rnd.nextInt(7)
+      // one array may ride a broadcastable (npts,1)/(1,npts)-style shape;
+      // keep it 1-D here (broadcast shapes are pinned by the unit tests)
+      // and let entries include negative wraps
+      val arrs: Map[Int, (Seq[Long], Array[Long])] = axes.map { ax =>
+        val idx = Array.fill(npts)(
+          (rnd.nextInt(2 * shape(ax)) - shape(ax)).toLong) // in [-s, s)
+        ax -> ((Seq(npts.toLong), idx))
+      }.toMap
+      val salt = 1 + rnd.nextInt(2)
+      val got = a.vindex(arrs, targetChunk = 1 + rnd.nextInt(8), salt = salt)
+      val rest = (0 until nd).filterNot(axes.contains)
+      val outShape = npts.toLong +: rest.map(shape(_).toLong)
+      // dense reference: point-major, then the untouched axes in order
+      val restSizes = rest.map(shape)
+      val dense = new Array[Double](npts * restSizes.product)
+      var w = 0
+      for (p <- 0 until npts) {
+        val fixed = axes.map(ax => {
+          val raw = arrs(ax)._2(p)
+          (if (raw < 0) raw + shape(ax) else raw).toInt
+        })
+        def walk(d: Int, g: Array[Int]): Unit =
+          if (d == rest.length) { dense(w) = vals(off(g.toSeq).toInt); w += 1 }
+          else { var i = 0; while (i < shape(rest(d))) { g(rest(d)) = i; walk(d + 1, g); i += 1 } }
+        val g = new Array[Int](nd)
+        axes.zip(fixed).foreach { case (ax, v) => g(ax) = v }
+        walk(0, g)
+      }
+      checkEqual(got, new Dense(outShape, dense),
+        s"trial$trial nd=$nd shape=$shape chunks=$chunks axes=$axes npts=$npts salt=$salt")
+    }
+  }
 }
