@@ -47,6 +47,20 @@ object AssignIdx {
   val All: Sl = Sl(0L, Long.MaxValue, 1L)
 }
 
+/** One per-dimension key for [[GArr.vindexMixed]] — the Scala spelling of
+  * the reference's vindex key tuple (`core.py:5797` `_vindex`): an
+  * integer (squeezed), a positive-step slice, or a driver-held integer
+  * index array (shape + C-order entries) that vectorizes pointwise.
+  */
+sealed trait VindexKey
+object VindexKey {
+  final case class I(i: Long) extends VindexKey
+  final case class S(start: Long, stop: Long, step: Long) extends VindexKey
+  final case class A(shape: Seq[Long], idx: Array[Long]) extends VindexKey
+  /** The full slice. */
+  val All: S = S(0L, Long.MaxValue, 1L)
+}
+
 /** Distributed chunked ndarray — the dask.array collection re-expressed on
   * Spark (reference: `dask/array/core.py:551` map_blocks,
   * `array/blockwise.py:17`, `array/slicing.py`, `array/rechunk.py:270`,
@@ -826,6 +840,45 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
       val finalShape = bShape ++ nonAxes.map(shape)
       flat.reshape(finalShape, chooseChunks(finalShape, targetChunk).map(_.head))
     }
+  }
+
+  /** Mixed-key vindex — the reference's full `x.vindex[key]` surface
+    * (`core.py:5797` `_vindex`): integers and slices alongside the index
+    * arrays.  Applies the reference's own decomposition
+    * (`core.py:5817-5832`): the nonfancy part (ints squeeze, slices
+    * reduce) runs first as basic indexing, then [[vindex]] gathers
+    * pointwise on the reduced array — so the result is the broadcast
+    * subspace of the arrays FIRST, then the surviving slice axes in
+    * original order.  Slices are positive-step (the [[slice]] contract);
+    * at least one array key is required (the reference likewise rejects
+    * an all-slice vindex unless it is the identity, `core.py:2053-2061`).
+    */
+  def vindexMixed(keys: Seq[VindexKey], targetChunk: Int = 65536,
+                  salt: Int = 1): GArr = {
+    require(keys.length == ndim, s"vindexMixed: ${keys.length} keys for ndim $ndim")
+    require(keys.exists(_.isInstanceOf[VindexKey.A]),
+      "vindex requires at least one array key to vectorize over; use slice() for pure slicing")
+    // nonfancy pass: one regrid for ints+slices, arrays ride a full slice
+    val specs = keys.zip(shape).map {
+      case (VindexKey.I(i0), len) =>
+        val i = if (i0 < 0) i0 + len else i0
+        require(i >= 0 && i < len, s"vindexMixed: index $i0 out of bounds for length $len")
+        (i, i + 1, 1L)
+      case (VindexKey.S(start, stop, step), len) =>
+        require(step > 0 && start >= 0, s"vindexMixed: slice ($start,$stop,$step) must be non-negative positive-step")
+        (start, math.min(stop, len), step)
+      case (VindexKey.A(_, _), len) => (0L, len, 1L)
+    }
+    val sliced = slice(specs, targetChunk)
+    // squeeze int dims highest-first so lower axis numbers stay valid
+    val intDims = keys.zipWithIndex.collect { case (VindexKey.I(_), d) => d }
+    val reduced = intDims.sorted.reverse.foldLeft(sliced)((a, d) => a.squeeze(d))
+    // renumber the array axes into the reduced (int-squeezed) rank
+    val arrs = keys.zipWithIndex.collect { case (VindexKey.A(sh, idx), d) =>
+      val newAxis = d - intDims.count(_ < d)
+      newAxis -> ((sh, idx))
+    }.toMap
+    reduced.vindex(arrs, targetChunk, salt)
   }
 
   /** numpy fancy setitem `x[..., idx, ...] = value` along `axis` with BOTH

@@ -537,6 +537,30 @@ class FancyIndexSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { a.blocksAt(Seq(0 to 3, 0 to 0)) }
   }
 
+  test("vindexMixed: int squeezes, slice reduces, arrays gather on the reduced rank") {
+    // 3-D base: key = (int 2, slice 1..7:2, array [4,0,4]) — result
+    // (3 points, 3 slice cols), subspace first
+    val f3: Array[Long] => Double = g => 1.0 + 5.0 * g(0) + 11.0 * g(1) + 23.0 * g(2)
+    val a = GArr.fromFunction(spark, Seq(4L, 8L, 5L), Seq(2, 3, 2))(f3)
+    val v = a.vindexMixed(Seq(
+      VindexKey.I(2),
+      VindexKey.S(1, 7, 2),
+      VindexKey.A(Seq(3L), Array(4L, 0L, 4L))))
+    assert(v.shape == Seq(3L, 3L))
+    val g = indexed(v)
+    val cols = Seq(1L, 3L, 5L)
+    val pts = Seq(4L, 0L, 4L)
+    for (p <- 0 until 3; j <- 0 until 3)
+      assert(g((p * 3 + j).toLong) == f3(Array(2L, cols(j), pts(p))), s"($p,$j)")
+    // negative int wraps; all-slice keys are rejected
+    val v2 = a.vindexMixed(Seq(VindexKey.I(-1), VindexKey.All,
+      VindexKey.A(Seq(2L), Array(0L, 3L))))
+    assert(v2.shape == Seq(2L, 8L))
+    intercept[IllegalArgumentException] {
+      a.vindexMixed(Seq(VindexKey.All, VindexKey.All, VindexKey.All))
+    }
+  }
+
   test("vindex: out-of-bounds raises; non-broadcastable shapes raise") {
     val a = GArr.fromFunction(spark, Seq(5L, 5L), Seq(2, 2))(f2)
     intercept[Exception] {
