@@ -2870,6 +2870,51 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     },
 
+    // Q17 small-quantity-order revenue: the correlated scalar aggregate
+    // (qty < 0.2 * per-part avg) as the classic decorrelated rewrite —
+    // prune lineitem to the selected parts ONCE (broadcast semi), compute
+    // the per-part aggregate over the pruned stream (identical per-part
+    // values, a fraction of the rows), join back, filter, sum. The
+    // threshold is exact integer algebra: qty < 0.2*avg == 5*qty*cnt <
+    // sum_qty, all longs — no float division anywhere.
+    "q205_tpch_q17" -> { (s, dir) =>
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23" && col("p_size") < 20)
+        .select("p_partkey")
+      val pruned = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("price_cents"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      val pa = pruned.groupBy("l_partkey")
+        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
+      pruned.join(pa, Seq("l_partkey"))
+        .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
+        .agg(count(lit(1)).as("cnt_rows"), sum("price_cents").as("total_cents"))
+    },
+
+    // Q20 potential-part-promotion: the nested double-semi — suppliers
+    // having a dormant (part,supplier) pair (zero shipments in 1997H1,
+    // lifetime qty >= 100) on a name-selected part. One pair-level
+    // aggregate, a broadcast semi against the part filter, a semi into
+    // supplier; every threshold in exact longs.
+    "q206_tpch_q20" -> { (s, dir) =>
+      val pairs = t(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity").cast("long")).as("st"),
+          sum(when(col("l_shipdate") >= lit("1997-01-01") &&
+            col("l_shipdate") < lit("1997-07-01"),
+            col("l_quantity").cast("long")).otherwise(lit(0L))).as("sw"))
+      val smallParts = t(s, dir, "part")
+        .filter(col("p_name").startsWith("small")).select("p_partkey")
+      val dormant = pairs.filter(col("sw") === 0 && col("st") >= 100)
+        .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select("l_suppkey")
+      t(s, dir, "supplier").select("s_suppkey", "s_name")
+        .join(dormant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
+    },
+
     // ---- layout-independent exact-k bag sampling (brief ext): the k
     // documents with the smallest salted content hash — identical under
     // any partitioning, so DuckDB can recompute the very same draw.
@@ -5458,6 +5503,36 @@ object SparkEntry {
         |                    AND o.o_orderpriority = '1-URGENT')
         |GROUP BY c.c_mktsegment
         |ORDER BY c.c_mktsegment""".stripMargin,
+
+    // q205: qty < 0.2*avg(qty per part) stated as 5*qty*cnt < sum_qty —
+    // exact longs on both sides; the per-part aggregate is over ALL
+    // lineitems of the part (the engine prunes to selected parts first,
+    // which leaves per-part values unchanged).
+    "q205_tpch_q17" ->
+      """WITH pa AS (
+        |  SELECT l_partkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS cnt_rows,
+        |       CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN pa ON pa.l_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#23' AND p.p_size < 20
+        |  AND 5 * CAST(l.l_quantity AS BIGINT) * pa.cnt < pa.sum_qty""".stripMargin,
+
+    "q206_tpch_q20" ->
+      """SELECT s.s_name
+        |FROM supplier s
+        |WHERE EXISTS (
+        |  SELECT 1 FROM (
+        |    SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS st,
+        |           SUM(CASE WHEN l_shipdate >= '1997-01-01' AND l_shipdate < '1997-07-01'
+        |                    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS sw
+        |    FROM lineitem GROUP BY 1, 2) t
+        |  WHERE t.l_suppkey = s.s_suppkey AND t.sw = 0 AND t.st >= 100
+        |    AND EXISTS (SELECT 1 FROM part p
+        |                WHERE p.p_partkey = t.l_partkey AND p.p_name LIKE 'small%'))
+        |ORDER BY s.s_name""".stripMargin,
 
     // q195: the draw is a pure function of (seed, doc_id) — recomputed
     // bit-for-bit by the hash64 macro; signed view on both sides so the

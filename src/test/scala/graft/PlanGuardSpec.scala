@@ -317,6 +317,23 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct"), s"q203 grew a cartesian:\n$p")
   }
 
+  test("tpch q17: decorrelated scalar aggregate — semi-pruned ONCE, agg joined back, no cartesian") {
+    val p = plan("q205_tpch_q17")
+    val s = planString(p)
+    assert(s.contains("LeftSemi"), s"q205 lost the part-prune semi join:\n$p")
+    val aggs = collectAll(p).filter(_.nodeName.contains("HashAggregate"))
+    assert(aggs.nonEmpty, s"q205 lost the per-part aggregate:\n$p")
+    assert(!s.contains("CartesianProduct"), s"q205 grew a cartesian:\n$p")
+  }
+
+  test("tpch q20: nested double-semi — pair agg, part semi, supplier semi, no cartesian") {
+    val p = plan("q206_tpch_q20")
+    val s = planString(p)
+    assert(collectAll(p).count(n => n.toString.contains("LeftSemi")) >= 2 ||
+      s.split("LeftSemi").length > 2, s"q206 lost a semi join:\n$p")
+    assert(!s.contains("CartesianProduct"), s"q206 grew a cartesian:\n$p")
+  }
+
   test("tpch q22: scalar threshold broadcasts (1-row NLJ, not cartesian); anti join present") {
     val p = plan("q204_tpch_q22")
     val s = planString(p)
