@@ -651,6 +651,40 @@ final case class GArr(shape: Seq[Long], chunks: Seq[Seq[Int]], blocks: Dataset[A
     GArr(newChunks.map(_.map(_.toLong).sum), newChunks, keep)
   }
 
+  /** dask Blockview's general numpy-style form — `x.blocks[[0, 2]]`,
+    * `x.blocks[3, ::-1]` (core.py:2103 `Blockview.__getitem__` delegates
+    * to normal array indexing over the block grid): an arbitrary integer
+    * list of block coordinates per dimension, order preserved, duplicates
+    * allowed, negatives wrapping.  Narrow like [[blocksAt]] — one flatMap
+    * re-labels (and, for duplicates, re-emits) whole blocks; no shuffle,
+    * no element movement.
+    */
+  def blocksPick(sel: Seq[Seq[Int]]): GArr = {
+    require(sel.length == ndim, s"blocksPick: ${sel.length} selections for ndim $ndim")
+    val norm: Seq[Array[Int]] = sel.zip(grid).zipWithIndex.map { case ((xs, g), d) =>
+      require(xs.nonEmpty, s"blocksPick: empty selection on dim $d")
+      xs.map { i0 =>
+        val i = if (i0 < 0) i0 + g else i0
+        require(i >= 0 && i < g, s"blocksPick: block index $i0 outside grid 0..${g - 1} on dim $d")
+        i
+      }.toArray
+    }
+    val s = spark
+    import s.implicits._
+    val newChunks: Seq[Seq[Int]] = chunks.zip(norm).map { case (cs, xs) => xs.toSeq.map(cs) }
+    // per dim: source block id -> every output position it lands at
+    val posOf: Seq[Map[Int, Seq[Int]]] = norm.map(_.zipWithIndex
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq })
+    val out = blocks.flatMap { b =>
+      val perDim = b.bid.zip(posOf).map { case (i, m) => m.getOrElse(i, Seq.empty) }
+      if (perDim.exists(_.isEmpty)) Iterator.empty
+      else perDim.foldLeft(Iterator.single(Seq.empty[Int]))(
+        (acc, ps) => acc.flatMap(pre => ps.iterator.map(pre :+ _)))
+        .map(obid => ABlock(obid, b.data))
+    }
+    GArr(newChunks.map(_.map(_.toLong).sum), newChunks, out)
+  }
+
   /** dask `Array.chunksize`: the nominal (first) chunk size per dimension. */
   def chunksize: Seq[Int] = chunks.map(_.head)
 

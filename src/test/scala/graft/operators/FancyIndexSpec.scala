@@ -537,6 +537,20 @@ class FancyIndexSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { a.blocksAt(Seq(0 to 3, 0 to 0)) }
   }
 
+  test("blocksPick: arbitrary block lists — order, duplicates, negative wrap") {
+    val a = GArr.fromFunction(spark, Seq(7L, 9L), Seq(3, 4))(f2) // grid 3x3
+    // rows: blocks [2, 0, 2] (dup + out of order); cols: [-1] (wraps to 2)
+    val b = a.blocksPick(Seq(Seq(2, 0, 2), Seq(-1)))
+    // row blocks 2,0,2 have sizes 1,3,1; col block 2 covers col 8 (size 1)
+    assert(b.shape == Seq(5L, 1L))
+    assert(b.chunks == Seq(Seq(1, 3, 1), Seq(1)))
+    val g = indexed(b)
+    val rowOf = Seq(6L, 0L, 1L, 2L, 6L) // block2 row, then block0 rows, then block2 again
+    for (i <- 0 until 5)
+      assert(g(i.toLong) == f2(Array(rowOf(i), 8L)), s"row $i")
+    intercept[IllegalArgumentException] { a.blocksPick(Seq(Seq(3), Seq(0))) }
+  }
+
   test("vindexMixed: int squeezes, slice reduces, arrays gather on the reduced rank") {
     // 3-D base: key = (int 2, slice 1..7:2, array [4,0,4]) — result
     // (3 points, 3 slice cols), subspace first
