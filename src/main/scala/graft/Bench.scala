@@ -7,9 +7,10 @@ object Bench {
     // per-query repeats: the reported figure is the MINIMUM over `runs`
     // executions — the warm plan time.  A single mid-suite shot measures
     // whatever JIT/GC pressure the previous 100 queries left behind (the
-    // documented 2-3x swings on untouched queries); the min of two runs
-    // tracks standalone graft.Time to within ~20%.
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    // documented 2-3x swings on untouched queries); min-of-3 is the
+    // committed-artifact protocol (round-12 driver rerun moved two join
+    // queries ~55% under min-of-2 — the extra run pins the warm floor).
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = GraftSession.getOrCreate(cpus)
     // warmup: exercise codegen/JIT + file listing outside the timings
     try SparkEntry.queries("q01_agg")(spark, sfDir)

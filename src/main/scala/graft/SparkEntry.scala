@@ -86,9 +86,14 @@ object SparkEntry {
     // a stream that produced zero micro-batches never created the sink
     // directory — fall back to an empty frame with the stream's schema
     // rather than letting the parquet read throw (the memory sink this
-    // replaced tolerated empty output)
+    // replaced tolerated empty output).  Existence is resolved through
+    // the Hadoop FileSystem of the sink's own URI — a java.io.File check
+    // is always false for non-local sinks (s3://, hdfs://), which would
+    // silently swap a real result for an empty frame on a real cluster.
+    val sinkPath = new org.apache.hadoop.fs.Path(sink)
+    val sinkFs = sinkPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val drained =
-      if (new java.io.File(sink).isDirectory) s.read.parquet(sink)
+      if (sinkFs.exists(sinkPath)) s.read.parquet(sink)
       else s.createDataFrame(s.sparkContext.emptyRDD[Row], out.schema)
     finish(drained).localCheckpoint(true)
   }
@@ -2919,6 +2924,104 @@ object SparkEntry {
         .orderBy("s_name")
     },
 
+    // Q19 discounted-revenue for quantity bands: THE disjunctive
+    // OR-of-ANDs shape — three disjuncts, each pairing part attributes
+    // (brand, size band) with a lineitem quantity band, carried in the
+    // JOIN CONDITION rather than a post-join filter.  Catalyst's
+    // CNF-conversion of the join disjunction pushes the single-side
+    // hulls down on its own (brand ∈ {12,23,34} ∧ size ∈ [1,15] to the
+    // part scan, quantity ∈ [1,30] to the fact scan — PlanGuard asserts
+    // both), so at 100 TB the broadcast side is the three part families
+    // and the fact scan skips ~40% of rows before the join even sees
+    // them; rows surviving the hulls but matching no full disjunct die
+    // inside the join.  Revenue in exact integer e4 units (cents ×
+    // discount-percent), so the sum is partitioning-independent.
+    "q207_tpch_q19" -> { (s, dir) =>
+      val part = t(s, dir, "part").select("p_partkey", "p_brand", "p_size")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+      val d1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)
+      val d2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)
+      val d3 = col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30)
+      li.join(broadcast(part),
+          col("l_partkey") === col("p_partkey") && (d1 || d2 || d3))
+        .agg(count(lit(1)).as("cnt_rows"), sum("rev_e4").as("revenue_e4"))
+    },
+
+    // Q15 top supplier: the aggregate-of-aggregate scalar subquery — a
+    // per-supplier revenue view over one quarter, then the supplier(s)
+    // hitting MAX(view).  The max is ONE 1-row aggregate broadcast back
+    // onto the view as an equality key (a BroadcastHashJoin, not a
+    // cartesian — PlanGuard asserts).  The view is persisted: Catalyst
+    // plans the two consumers (the max and the probe) as two independent
+    // fact scans otherwise (measured — no exchange reuse even under
+    // AQE), and the view is supplier-cardinality (10⁻⁴ of the fact), so
+    // caching it costs nothing at any SF while halving the fact IO.
+    // Revenue is exact integer e4, so `= max` is an exact long
+    // comparison — the classic float-ties hazard of Q15 does not exist
+    // in this form.
+    "q208_tpch_q15" -> { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy("l_suppkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("total_revenue_e4"))
+        .persist()
+      val mx = rev.agg(max("total_revenue_e4").as("mx"))
+      rev.join(broadcast(mx), col("total_revenue_e4") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_e4"))
+        .orderBy("s_suppkey")
+    },
+
+    // Q7 volume shipping between two nations: the nation-pair two-fact
+    // join with year extraction.  Join ORDER is the scale story: the
+    // supplier side is nation-pruned FIRST (25-row nation broadcast into
+    // supplier/customer), then lineitem ⋈ supplier cuts the fact stream
+    // to the two nations' suppliers (~8%) BEFORE the only fact-fact join
+    // (lineitem ⋈ orders) runs — written in that order because Catalyst
+    // does not reorder joins without CBO stats, and at 100 TB the
+    // difference is an SMJ over 8% vs 100% of the fact table.  The
+    // supplier/customer joins carry no broadcast hint: AQE's stats pick
+    // broadcast at test scale and degrade to shuffle when a side
+    // outgrows the threshold.  The cross-pair disjunction filters the
+    // 2×2 nation combinations post-join (2 values per side — free).
+    "q209_tpch_q7" -> { (s, dir) =>
+      val nations = t(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_7", "NATION_12"))
+        .select("n_nationkey", "n_name")
+      val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+      li.join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_12") ||
+          (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_7"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(sum("rev_e4").as("revenue_e4"), count(lit(1)).as("n_rows"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
     // ---- layout-independent exact-k bag sampling (brief ext): the k
     // documents with the smallest salted content hash — identical under
     // any partitioning, so DuckDB can recompute the very same draw.
@@ -5537,6 +5640,52 @@ object SparkEntry {
         |    AND EXISTS (SELECT 1 FROM part p
         |                WHERE p.p_partkey = t.l_partkey AND p.p_name LIKE 'small%'))
         |ORDER BY s.s_name""".stripMargin,
+
+    // q207: the disjuncts restated verbatim; revenue in exact e4 ints on
+    // both engines (round() agrees away from .5 boundaries, and the
+    // fixture prices are exact 2-decimal values).
+    "q207_tpch_q19" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt_rows,
+        |       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+        |                * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_e4
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand='Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand='Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand='Brand#34' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // q208: `= (SELECT MAX ...)` over the same grouped view — exact long
+    // equality, so supplier ties (if any) appear identically in both
+    // engines.
+    "q208_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS total_revenue_e4
+        |  FROM lineitem WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, rev.total_revenue_e4
+        |FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+        |WHERE rev.total_revenue_e4 = (SELECT MAX(total_revenue_e4) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    "q209_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |       CAST(SUM(rev_e4) AS BIGINT) AS revenue_e4,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |             CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |             CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |               * (100 - CAST(round(l.l_discount*100) AS BIGINT)) AS rev_e4
+        |      FROM lineitem l
+        |      JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |      JOIN customer c ON c.c_custkey = o.o_custkey
+        |      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |      WHERE ((n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_12')
+        |          OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_7'))
+        |        AND l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     // q195: the draw is a pure function of (seed, doc_id) — recomputed
     // bit-for-bit by the hash64 macro; signed view on both sides so the

@@ -11,6 +11,11 @@ object Verify {
       if (args.length > 2) Some(args(2).split(',').toSeq) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.getOrCreate(cpus)
+    // machine-enforced task-size gate: any "task of very large size"
+    // warning during the dump fails the run (a task that ships MBs in its
+    // closure is a driver-state bug that only grows with SF) — opt out
+    // with SPARK_GRAFT_TASKSIZE_ALLOW=1 for deliberate experiments
+    TaskSizeGuard.install()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
@@ -37,6 +42,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // task-size verdict: recorded next to the dump, then enforced — the
+    // dump itself is complete at this point, so a failure here loses no
+    // correctness evidence, it just refuses to bless the run
+    val oversized = TaskSizeGuard.warnings
+    Files.writeString(Paths.get(s"$outDir/tasksize.json"),
+      s"""{"oversized_task_warnings":${oversized.size},"samples":[${
+        oversized.take(5).map(q).mkString(",")}]}""")
     spark.stop()
+    if (oversized.nonEmpty && sys.env.get("SPARK_GRAFT_TASKSIZE_ALLOW").isEmpty) {
+      System.err.println(s"[verify] FAIL: ${oversized.size} oversized-task " +
+        s"warning(s) — first: ${oversized.head}")
+      sys.exit(1)
+    }
   }
 }

@@ -31,12 +31,28 @@ object StrFunctions {
   def extractall(c: Column, pat: String): Column = regexp_extract_all(c, lit(pat))
   // pandas findall = re.findall per row: with no capture group every
   // non-overlapping whole match (group 0); with exactly ONE capture
-  // group re.findall returns that group's text instead — honored here.
-  // (>=2 groups returns tuples in pandas — not representable as a flat
-  // string array; whole-match is returned, documented in the manifest.)
+  // group re.findall returns that group's text instead; with >=2 groups
+  // a list of TUPLES (one string per group, '' for a non-participating
+  // group) — returned here as array<array<string>>.  The 0/1-group
+  // paths stay on the codegen'd regexp_extract_all builtin; only the
+  // tuple path (rare, and with a per-pattern result type no builtin can
+  // produce) pays for a UDF.
   def findall(c: Column, pat: String): Column = {
-    val g = java.util.regex.Pattern.compile(pat).matcher("").groupCount()
-    regexp_extract_all(c, lit(pat), lit(if (g == 1) 1 else 0))
+    val compiled = java.util.regex.Pattern.compile(pat)
+    val g = compiled.matcher("").groupCount()
+    if (g >= 2) {
+      val f = udf { (s: String) =>
+        if (s == null) null
+        else {
+          val m = compiled.matcher(s)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+          while (m.find())
+            out += (1 to g).map(i => Option(m.group(i)).getOrElse(""))
+          out.toSeq
+        }
+      }
+      f(c)
+    } else regexp_extract_all(c, lit(pat), lit(if (g == 1) 1 else 0))
   }
   def find(c: Column, sub: String): Column = instr(c, sub) - 1 // pandas is 0-based, -1 missing
   def fullmatch(c: Column, pat: String): Column = regexp_like(c, lit(s"^(?:$pat)$$"))

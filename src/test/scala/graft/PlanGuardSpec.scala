@@ -334,6 +334,91 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct"), s"q206 grew a cartesian:\n$p")
   }
 
+  // ---- TPC-H optimizer tier (round 13): disjunctive pushdown,
+  // aggregate-of-aggregate, nation-pair two-fact join.
+
+  test("tpch q19: OR-of-ANDs hulls pushed to BOTH scans, disjunction in the join condition") {
+    val p = plan("q207_tpch_q19")
+    val scans = collectAll(p).filter(_.nodeName.toLowerCase.contains("scan"))
+    // Catalyst's CNF extraction must push the quantity-band OR-hull to the
+    // fact scan and the brand/size OR-hull to the part scan — losing either
+    // means the join reads rows no disjunct can accept
+    assert(scans.exists { s =>
+      val t = s.toString
+      t.contains("lineitem") && t.contains("PushedFilters") && t.contains("l_quantity")
+    }, s"q207 lineitem scan lost the quantity OR-hull pushdown:\n${scans.mkString("\n")}")
+    assert(scans.exists { s =>
+      val t = s.toString
+      t.contains("part") && t.contains("PushedFilters") && t.contains("p_brand")
+    }, s"q207 part scan lost the brand OR-hull pushdown:\n${scans.mkString("\n")}")
+    val joins = collectAll(p).filter(_.nodeName.contains("Join"))
+    assert(joins.size == 1 && joins.head.nodeName.contains("BroadcastHashJoin"),
+      s"q207 join strategy changed:\n$p")
+    // the full disjunction must ride the join, not a post-join filter
+    // (simpleString = the node's own line, not its subtree)
+    assert(joins.head.simpleString(500).contains("Brand#12"),
+      s"q207 disjunction left the join condition:\n${joins.head.simpleString(500)}")
+    assert(!planString(p).contains("CartesianProduct"), s"q207 grew a cartesian:\n$p")
+  }
+
+  test("tpch q15: the revenue view is cached (ONE fact pass), max broadcasts back as an equality BHJ") {
+    val p = plan("q208_tpch_q15")
+    val s = planString(p)
+    // both consumers (the max aggregate and the probe side) must read the
+    // cached view — two independent fact scans is the regression
+    assert(collectAll(p).count(_.nodeName.contains("InMemoryTableScan")) >= 2,
+      s"q208 lost the view cache — the fact is scanned twice:\n$p")
+    assert(s.contains("BroadcastHashJoin"), s"q208 max-threshold join degraded:\n$p")
+    assert(!s.contains("CartesianProduct"), s"q208 grew a cartesian:\n$p")
+  }
+
+  test("tpch q7: nation-pruned dims, supplier semi-reduction BEFORE the orders join, no cartesian") {
+    val p = plan("q209_tpch_q7")
+    val s = planString(p)
+    val scans = collectAll(p).filter(_.nodeName.toLowerCase.contains("scan"))
+    // the 2-nation In() must reach the nation scan, the date range the fact scan
+    assert(scans.exists(x => x.toString.contains("nation") &&
+      x.toString.contains("In(n_name")),
+      s"q209 nation scan lost the pair pushdown:\n${scans.mkString("\n")}")
+    assert(scans.exists(x => x.toString.contains("lineitem") &&
+      x.toString.contains("l_shipdate")),
+      s"q209 fact scan lost the date pushdown:\n${scans.mkString("\n")}")
+    // join ORDER is load-bearing: lineitem⋈supplier (the nation prune)
+    // must sit BELOW lineitem⋈orders so the only fact-fact join runs on
+    // the reduced stream — s_suppkey must appear deeper than o_orderkey
+    val joins = collectAll(p).filter(_.nodeName.contains("Join"))
+    assert(joins.size == 5, s"q209 join count changed (${joins.size}):\n$p")
+    // simpleString = the node's own join keys, not the whole subtree
+    val suppDepth = joins.indexWhere(j => j.simpleString(500).contains("l_suppkey") &&
+      j.simpleString(500).contains("s_suppkey"))
+    val ordDepth = joins.indexWhere(j => j.simpleString(500).contains("l_orderkey") &&
+      j.simpleString(500).contains("o_orderkey"))
+    assert(suppDepth >= 0 && ordDepth >= 0 && suppDepth > ordDepth,
+      s"q209 supplier prune no longer below the orders join (supp@$suppDepth ord@$ordDepth):\n$p")
+    assert(!s.contains("CartesianProduct"), s"q209 grew a cartesian:\n$p")
+  }
+
+  // ---- q03/q05 join-strategy mix (round 13, VERDICT r12 #2): the two
+  // queries whose driver-rerun bench times drifted ~55% at identical code.
+  // Pin the static strategy mix so a future drift is attributable: if
+  // these stay green while the bench moves, the cause is measurement
+  // noise, not a plan flip.
+
+  test("q03: exactly two joins, both broadcast-hash, topped by TakeOrdered") {
+    val p = plan("q03_join")
+    val joins = collectAll(p).filter(_.nodeName.contains("Join"))
+    assert(joins.size == 2 && joins.forall(_.nodeName.contains("BroadcastHashJoin")),
+      s"q03 join mix changed (${joins.map(_.nodeName)}):\n$p")
+  }
+
+  test("q05: exactly four joins (five tables), all broadcast-hash, one agg shuffle") {
+    val p = plan("q05_join5way")
+    val joins = collectAll(p).filter(_.nodeName.contains("Join"))
+    assert(joins.size == 4 && joins.forall(_.nodeName.contains("BroadcastHashJoin")),
+      s"q05 join mix changed (${joins.map(_.nodeName)}):\n$p")
+    assert(shuffles(p) == 1, s"q05 grew a shuffle beyond the final agg:\n$p")
+  }
+
   test("tpch q22: scalar threshold broadcasts (1-row NLJ, not cartesian); anti join present") {
     val p = plan("q204_tpch_q22")
     val s = planString(p)

@@ -106,4 +106,19 @@ class StrFunctionsSpec extends SparkTestBase {
     assert(eval1(n => StrFunctions.findall(col(n), "\\d+"), "none")
       .asInstanceOf[scala.collection.Seq[String]].isEmpty)
   }
+
+  test("findall with one capture group returns that group; >=2 groups returns re.findall tuples") {
+    import org.apache.spark.sql.functions.col
+    // pandas: Series(['a1 b22']).str.findall(r'([a-z])\d+') -> [a, b]
+    assert(eval1(n => StrFunctions.findall(col(n), "([a-z])\\d+"), "a1 b22")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq == Seq("a", "b"))
+    // pandas: re.findall(r'([a-z])(\d+)', 'a1 b22') -> [('a','1'), ('b','22')]
+    val tuples = eval1(n => StrFunctions.findall(col(n), "([a-z])(\\d+)"), "a1 b22")
+      .asInstanceOf[scala.collection.Seq[scala.collection.Seq[String]]].map(_.toSeq).toSeq
+    assert(tuples == Seq(Seq("a", "1"), Seq("b", "22")))
+    // a non-participating optional group comes back '' (re.findall rule)
+    val opt = eval1(n => StrFunctions.findall(col(n), "(a)(x)?"), "a ax")
+      .asInstanceOf[scala.collection.Seq[scala.collection.Seq[String]]].map(_.toSeq).toSeq
+    assert(opt == Seq(Seq("a", ""), Seq("a", "x")))
+  }
 }

@@ -76,7 +76,8 @@ class DiagnosticsSpec extends SparkTestBase {
     // reflect the run that just happened
     val edges = spark.range(3).select(col("id").as("a"), (col("id") + 1).as("b"))
     Dedup.connectedComponents(edges, "a", "b").collect()
-    assert(Diagnostics.Counters.ccRounds >= 0)
+    assert(Diagnostics.Counters.ccRounds >= 1,
+      s"a 4-node path graph needs at least one contraction round, counter says ${Diagnostics.Counters.ccRounds}")
     // a star pair set converges in zero rounds — the counter must move
     val star = spark.range(3).select(lit(0L).as("a"), (col("id") + 1).as("b"))
     Dedup.connectedComponents(star, "a", "b").collect()
