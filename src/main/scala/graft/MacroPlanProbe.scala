@@ -19,7 +19,7 @@ object MacroPlanProbe {
       if (args.length > 1) args(1).split(',').toSeq
       else Seq("q191", "q192", "q193", "q194", "q196", "q197", "q198",
         "q200", "q201", "q202", "q203", "q204", "q205", "q206",
-        "q207", "q208", "q209")
+        "q207", "q208", "q209", "q210", "q211", "q212", "q213", "q214")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = GraftSession.getOrCreate(cpus)
     val joinRe = ("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|" +

@@ -3022,6 +3022,164 @@ object SparkEntry {
         .orderBy("supp_nation", "cust_nation", "l_year")
     },
 
+    // Q2 minimum-cost supplier: the correlated MIN subquery over a
+    // derived pair table (lineitem stands in for partsupp: pair cost =
+    // MIN line price per (part,supplier)).  Decorrelated prune-first,
+    // the q205 argument again: the part-family filter commutes with
+    // every per-part/per-pair aggregate, so the selected parts are
+    // broadcast-semi'd into the fact BEFORE the pair aggregate — the
+    // whole pipeline after the first semi runs on one part family, and
+    // the per-part regional minimum joins back as a co-partitioned
+    // key join (both sides already hash by l_partkey — no broadcast of
+    // a part-cardinality side, which would not survive 100 TB).
+    "q210_tpch_q2" -> { (s, dir) =>
+      val selParts = t(s, dir, "part")
+        .filter(col("p_size") <= 15 && col("p_type") === "ECONOMY")
+        .select("p_partkey", "p_brand")
+      val rs = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")
+              .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name").as("s_nation"))
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+        .join(broadcast(selParts.select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min("price_cents").as("cost_cents"))
+      val regional = pairs.join(broadcast(rs), col("l_suppkey") === col("s_suppkey"))
+      val best = regional.groupBy("l_partkey").agg(min("cost_cents").as("min_cost"))
+      regional.join(best, Seq("l_partkey"))
+        .filter(col("cost_cents") === col("min_cost"))
+        .join(broadcast(selParts), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"), col("s_nation"),
+          col("cost_cents"))
+        .orderBy("cost_cents", "p_partkey", "s_name")
+        .limit(100)
+    },
+
+    // Q8 national market share: the deepest TPC-H join tree (8 tables)
+    // — promo-part fact prune first (broadcast semi), then the only
+    // fact-fact join (orders, date-pruned at the scan), then a customer
+    // membership semi against the region's customers, then the supplier
+    // dim for the nation label.  The share is reported as its two exact
+    // integer sums (nation numerator, total denominator) rather than a
+    // float division — partitioning-independent, and the consumer can
+    // divide.
+    "q211_tpch_q8" -> { (s, dir) =>
+      val amCust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+            .join(broadcast(t(s, dir, "region").filter(col("r_name") === "AMERICA")
+              .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("o_custkey"))
+      val suppN = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_partkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1998-01-01"))
+            .select(col("o_orderkey"), col("o_custkey"),
+              year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(amCust, Seq("o_custkey"), "left_semi")
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(sum(when(col("supp_nation") === "NATION_3", col("rev_e4"))
+          .otherwise(lit(0L))).as("nation_rev_e4"),
+          sum("rev_e4").as("total_rev_e4"))
+        .orderBy("o_year")
+    },
+
+    // Q9 product-type profit: name-LIKE part prune (inner broadcast —
+    // the retail price rides along as the unit-cost proxy, the fixture
+    // has no partsupp/supplycost), profit in exact e4 ints, supplier
+    // nation label broadcast, one fact-fact join for the order year,
+    // nation × year aggregate.  Profit can go negative — exact longs
+    // make the sum partitioning-independent either way.
+    "q212_tpch_q9" -> { (s, dir) =>
+      val boltParts = t(s, dir, "part").filter(col("p_name").contains("bolt"))
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("retail_cents"))
+      val suppN = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+      t(s, dir, "lineitem")
+        .join(broadcast(boltParts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long")) -
+            col("l_quantity").cast("long") * col("retail_cents") * lit(50L))
+            .as("profit_e4"))
+        .join(broadcast(suppN), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("n_name", "o_year")
+        .agg(sum("profit_e4").as("sum_profit_e4"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    },
+
+    // Q11 important stock: per-part value share against a global
+    // threshold — the group-vs-global scalar-subquery shape.  The
+    // per-part value view is persisted (two consumers: the global total
+    // and the probe; same measured no-reuse argument as q208) and the
+    // 1-row total returns as a broadcast nested-loop (the q204
+    // degenerate-threshold plan).  TPC-H scales Q11's fraction by 1/SF
+    // to keep the result non-degenerate; this form is scale-invariant
+    // instead — keep parts above 2× the MEAN share, stated as
+    // value·cnt > 2·total in exact longs (no division, no floats;
+    // products stay far under 2⁶³ even at the 100 TB point).
+    "q213_tpch_q11" -> { (s, dir) =>
+      val n3Supp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_name") === "NATION_3").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val pv = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+        .join(broadcast(n3Supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(sum("price_cents").as("value_cents"))
+        .persist()
+      val total = pv.agg(sum("value_cents").as("total"), count(lit(1)).as("cnt"))
+      pv.crossJoin(broadcast(total))
+        .filter(col("value_cents") * col("cnt") > lit(2L) * col("total"))
+        .select(col("l_partkey"), col("value_cents"))
+        .orderBy(col("value_cents").desc, col("l_partkey"))
+    },
+
+    // Q12 shipping-priority counts: the two conditional COUNTs over a
+    // fact-fact join (l_linestatus stands in for l_shipmode, the order
+    // priority split is verbatim Q12) — one shuffle join on the
+    // date-pruned fact, one tiny aggregate.
+    "q214_tpch_q12" -> { (s, dir) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .select("l_orderkey", "l_linestatus")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
     // ---- layout-independent exact-k bag sampling (brief ext): the k
     // documents with the smallest salted content hash — identical under
     // any partitioning, so DuckDB can recompute the very same draw.
@@ -5686,6 +5844,93 @@ object SparkEntry {
         |        AND l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01')
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    // q210: pair cost = MIN line price per (part,supplier) — the
+    // lineitem-derived partsupp stand-in; the correlated min restated as
+    // a grouped view + equality probe.  Pruning to the part family
+    // first (what the engine does) leaves per-pair/per-part minima
+    // unchanged.
+    "q210_tpch_q2" ->
+      """WITH pc AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         MIN(CAST(round(l_extendedprice*100) AS BIGINT)) AS cost_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |rs AS (
+        |  SELECT s.s_suppkey, s.s_name, n.n_name
+        |  FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |  JOIN region r ON r.r_regionkey = n.n_regionkey
+        |  WHERE r.r_name = 'ASIA'),
+        |best AS (
+        |  SELECT pc.l_partkey, MIN(pc.cost_cents) AS min_cost
+        |  FROM pc JOIN rs ON rs.s_suppkey = pc.l_suppkey
+        |  GROUP BY 1)
+        |SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_brand, rs.s_name,
+        |       rs.n_name AS s_nation, pc.cost_cents
+        |FROM part p
+        |JOIN pc ON pc.l_partkey = p.p_partkey
+        |JOIN rs ON rs.s_suppkey = pc.l_suppkey
+        |JOIN best ON best.l_partkey = pc.l_partkey AND pc.cost_cents = best.min_cost
+        |WHERE p.p_size <= 15 AND p.p_type = 'ECONOMY'
+        |ORDER BY pc.cost_cents, p.p_partkey, rs.s_name
+        |LIMIT 100""".stripMargin,
+
+    // q211: the market share reported as its two exact integer sums.
+    "q211_tpch_q8" ->
+      """SELECT o_year,
+        |       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_e4 ELSE 0 END) AS BIGINT) AS nation_rev_e4,
+        |       CAST(SUM(rev_e4) AS BIGINT) AS total_rev_e4
+        |FROM (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year, n1.n_name AS supp_nation,
+        |             CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |               * (100 - CAST(round(l.l_discount*100) AS BIGINT)) AS rev_e4
+        |      FROM lineitem l
+        |      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+        |      JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |      JOIN customer c ON c.c_custkey = o.o_custkey
+        |      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |      JOIN region r ON r.r_regionkey = n2.n_regionkey AND r.r_name = 'AMERICA'
+        |      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |      WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1998-01-01')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // q212: profit proxy = revenue_e4 − qty·retail_cents·50 (no
+    // partsupp table; p_retailprice is the unit-cost stand-in) — exact
+    // longs, can go negative.
+    "q212_tpch_q9" ->
+      """SELECT n_name, o_year, CAST(SUM(profit_e4) AS BIGINT) AS sum_profit_e4
+        |FROM (SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |             CAST(round(l.l_extendedprice*100) AS BIGINT)
+        |               * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+        |             - CAST(l.l_quantity AS BIGINT)
+        |               * CAST(round(p.p_retailprice*100) AS BIGINT) * 50 AS profit_e4
+        |      FROM lineitem l
+        |      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+        |      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |      JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |      JOIN orders o ON o.o_orderkey = l.l_orderkey)
+        |GROUP BY n_name, o_year ORDER BY n_name, o_year DESC""".stripMargin,
+
+    // q213: group-vs-global threshold, scale-invariant (> 2× the mean
+    // share), exact-integer cross-multiplication on both engines.
+    "q213_tpch_q11" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |         CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS value_cents
+        |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+        |  GROUP BY l_partkey)
+        |SELECT CAST(l_partkey AS BIGINT) AS l_partkey, value_cents
+        |FROM pv, (SELECT SUM(value_cents) AS total, COUNT(*) AS cnt FROM pv) t
+        |WHERE value_cents * t.cnt > 2 * t.total
+        |ORDER BY value_cents DESC, l_partkey""".stripMargin,
+
+    "q214_tpch_q12" ->
+      """SELECT l.l_linestatus,
+        |       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1997-01-01'
+        |GROUP BY l.l_linestatus ORDER BY l.l_linestatus""".stripMargin,
 
     // q195: the draw is a pure function of (seed, doc_id) — recomputed
     // bit-for-bit by the hash64 macro; signed view on both sides so the

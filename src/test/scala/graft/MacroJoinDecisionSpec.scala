@@ -58,7 +58,11 @@ class MacroJoinDecisionSpec extends SparkTestBase {
     ("q205_tpch_q17", 3, 0),
     ("q206_tpch_q20", 2, 0),
     ("q207_tpch_q19", 1, 0),
-    ("q208_tpch_q15", 2, 0))
+    ("q208_tpch_q15", 2, 0),
+    ("q210_tpch_q2", 9, 1),
+    ("q211_tpch_q8", 6, 1),
+    ("q212_tpch_q9", 4, 0),
+    ("q214_tpch_q12", 1, 0))
 
   for ((name, minBhj, maxSmj) <- expected)
     test(s"$name at 10x: >=$minBhj broadcast joins, <=$maxSmj sort-merge, no BNLJ/cartesian") {
@@ -76,6 +80,13 @@ class MacroJoinDecisionSpec extends SparkTestBase {
     assert(d.getOrElse("CartesianProduct", 0) == 0, s"q204 grew a cartesian: $d")
     assert(d.getOrElse("BroadcastNestedLoopJoin", 0) == 1, s"q204 BNLJ mix changed: $d")
     assert(d.getOrElse("BroadcastHashJoin", 0) >= 1, s"q204 lost the anti-join broadcast: $d")
+  }
+
+  test("q213_tpch_q11 at 10x: the 1-row mean-share threshold rides exactly one BNLJ") {
+    val d = decisions("q213_tpch_q11")
+    assert(d.getOrElse("CartesianProduct", 0) == 0, s"q213 grew a cartesian: $d")
+    assert(d.getOrElse("BroadcastNestedLoopJoin", 0) == 1, s"q213 BNLJ mix changed: $d")
+    assert(d.getOrElse("BroadcastHashJoin", 0) >= 1, s"q213 lost the supplier broadcast: $d")
   }
 
   test("q209_tpch_q7 at 10x: EXACTLY one fact-fact sort-merge join, all dims broadcast") {

@@ -398,6 +398,68 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!s.contains("CartesianProduct"), s"q209 grew a cartesian:\n$p")
   }
 
+  // ---- TPC-H completion tier (round 13b): Q2/Q8/Q9/Q11/Q12 — with
+  // these, every one of the 22 TPC-H query shapes has a declared,
+  // oracle-gated representative.
+
+  test("tpch q2: part-family semi BELOW the pair aggregate; min joins back co-partitioned") {
+    val p = plan("q210_tpch_q2")
+    val s = planString(p)
+    assert(s.contains("LeftSemi"), s"q210 lost the part-prune semi:\n$p")
+    // the semi must sit under every aggregate (it prunes the RAW fact —
+    // same commute argument as q206: a partkey filter passes through a
+    // partkey-keyed agg), so the semi node's own subtree contains none
+    val semis = collectAll(p).filter(_.simpleString(500).contains("LeftSemi"))
+    assert(semis.nonEmpty &&
+      semis.forall(j => collectAll(j).count(_.nodeName.contains("HashAggregate")) == 0),
+      s"q210 part semi no longer below the pair aggregate:\n$p")
+    assert(!s.contains("CartesianProduct"), s"q210 grew a cartesian:\n$p")
+    assert(collectAll(p).exists(_.nodeName.contains("TakeOrdered")),
+      s"q210 lost its TakeOrdered(100):\n$p")
+  }
+
+  test("tpch q8: promo semi prunes the fact first; date filter pushed; no cartesian") {
+    val p = plan("q211_tpch_q8")
+    val s = planString(p)
+    assert(s.contains("LeftSemi"), s"q211 lost a membership semi:\n$p")
+    val scans = collectAll(p).filter(_.nodeName.toLowerCase.contains("scan"))
+    assert(scans.exists(x => x.toString.contains("orders") &&
+      x.toString.contains("o_orderdate")),
+      s"q211 orders scan lost the date pushdown:\n${scans.mkString("\n")}")
+    assert(!s.contains("CartesianProduct"), s"q211 grew a cartesian:\n$p")
+  }
+
+  test("tpch q9: name-LIKE prune broadcast into the fact, partial->final agg, no cartesian") {
+    val p = plan("q212_tpch_q9")
+    val s = planString(p)
+    assert(collectAll(p).exists(n => n.isInstanceOf[BroadcastExchangeExec] ||
+      n.nodeName.contains("BroadcastHashJoin")),
+      s"q212 lost the part/supplier broadcasts:\n$p")
+    val aggs = collectAll(p).filter(_.nodeName.contains("HashAggregate"))
+    assert(aggs.size >= 2, s"q212 lost map-side combine:\n$p")
+    assert(!s.contains("CartesianProduct"), s"q212 grew a cartesian:\n$p")
+  }
+
+  test("tpch q11: value view cached (one fact pass); 1-row threshold is BNLJ, not cartesian") {
+    val p = plan("q213_tpch_q11")
+    val s = planString(p)
+    assert(collectAll(p).count(_.nodeName.contains("InMemoryTableScan")) >= 2,
+      s"q213 lost the view cache — the fact is aggregated twice:\n$p")
+    assert(s.contains("LeftSemi"), s"q213 lost the supplier semi:\n$p")
+    assert(!s.contains("CartesianProduct"), s"q213 grew a cartesian:\n$p")
+  }
+
+  test("tpch q12: one fact-fact join, date pushed to the fact scan, single agg pass") {
+    val p = plan("q214_tpch_q12")
+    val joins = collectAll(p).filter(_.nodeName.contains("Join"))
+    assert(joins.size == 1, s"q214 join count changed:\n$p")
+    val scans = collectAll(p).filter(_.nodeName.toLowerCase.contains("scan"))
+    assert(scans.exists(x => x.toString.contains("lineitem") &&
+      x.toString.contains("l_shipdate")),
+      s"q214 fact scan lost the date pushdown:\n${scans.mkString("\n")}")
+    assert(!planString(p).contains("CartesianProduct"), s"q214 grew a cartesian:\n$p")
+  }
+
   // ---- q03/q05 join-strategy mix (round 13, VERDICT r12 #2): the two
   // queries whose driver-rerun bench times drifted ~55% at identical code.
   // Pin the static strategy mix so a future drift is attributable: if
