@@ -46,7 +46,21 @@ object GraftSession {
   def getOrCreate(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    registerOptimizations(spark)
     spark
+  }
+
+  /** The engine's custom optimizer rules, registered through the
+    * end-of-optimizer user batch (`experimental.extraOptimizations` —
+    * settable on a live session, unlike SparkSessionExtensions).
+    * Idempotent.
+    */
+  def registerOptimizations(spark: SparkSession): Unit = {
+    val rules = Seq(graft.plans.PushSemiThroughFilteredAggregate)
+    val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations ++ missing
   }
 
   /** Read one fixture table from a scale-factor directory. */

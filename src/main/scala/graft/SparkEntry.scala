@@ -2903,9 +2903,13 @@ object SparkEntry {
     // applied BELOW the pair aggregate: a partkey-level filter commutes
     // with a groupBy keyed on partkey (every row of a pair shares the
     // pair's partkey), so the aggregate runs on the name-selected slice
-    // only — Catalyst does not push a semi through an Aggregate on its
-    // own (audited at 10×), and at 100 TB the difference is the whole
-    // fact table vs one part family. Every threshold in exact longs.
+    // only — at 100 TB the difference is the whole fact table vs one
+    // part family. Catalyst's own PushDownLeftSemiAntiJoin is blocked
+    // here by the dormancy filter on the aggregate outputs (the HAVING
+    // shape); the engine's PushSemiThroughFilteredAggregate rule
+    // (plans/) now performs this jump for the natural form too —
+    // PushSemiRuleSpec proves the natural Q20 plans identically.
+    // Every threshold in exact longs.
     "q206_tpch_q20" -> { (s, dir) =>
       val smallParts = t(s, dir, "part")
         .filter(col("p_name").startsWith("small")).select("p_partkey")

@@ -8,6 +8,9 @@ object SparkTestBase {
   lazy val session: SparkSession = {
     val s = GraftSession.builder(4).appName("graft-tests").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    // mirror production: the whole suite runs under the engine's custom
+    // optimizer rules, so every PlanGuard/decision assertion covers them
+    GraftSession.registerOptimizations(s)
     s
   }
 }
