@@ -12,6 +12,9 @@ object Bench {
     // queries ~55% under min-of-2 — the extra run pins the warm floor).
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = GraftSession.getOrCreate(cpus)
+    // same machine-enforced task-size gate as graft.Verify: a bench run
+    // that ships MBs in task closures is not a valid timing either
+    TaskSizeGuard.install()
     // warmup: exercise codegen/JIT + file listing outside the timings
     try SparkEntry.queries("q01_agg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
@@ -43,7 +46,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+    val oversized = TaskSizeGuard.warnings.size
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"oversized_task_warnings":$oversized}"""
     println(json)
     // also persist the full artifact: the driver's log tail truncates long
     // lines, so the committed bench record must come from a file, not the

@@ -31,7 +31,12 @@ object CarryProbe {
     val perPart = bos.size().toDouble / math.max(n, 1)
     // extrapolation to a 100 TB table read at 128 MB splits
     val extraPartitions = 100e12 / 128e6
-    println(f"""{"dir":"$dir","npartitions":$n,"boundaryBytes":${bos.size()},"bytesPerPartition":$perPart%.1f,"projectedBytesAt100TB":${(perPart * extraPartitions).toLong}}""")
+    // r14: Cumulative/Expanding route carries through TreeCarry — the
+    // driver only ever materializes the ⌈√n⌉ bucket totals. Report both
+    // bounds so PLANS.md can record the before/after at the 100 TB point.
+    val sqrtParts = math.ceil(math.sqrt(extraPartitions)).toLong
+    val treeBytes = (perPart * sqrtParts).toLong
+    println(f"""{"dir":"$dir","npartitions":$n,"boundaryBytes":${bos.size()},"bytesPerPartition":$perPart%.1f,"projectedBytesAt100TB":${(perPart * extraPartitions).toLong},"treeCarryDriverBytesAt100TB":$treeBytes,"treeCarryNote":"Cumulative/Expanding now collect only sqrt(n) bucket totals (TreeCarry); Fill.ffill/MergeAsof-global keep the flat collect"}""")
     spark.stop()
   }
 }

@@ -8,12 +8,23 @@ import org.apache.spark.sql.functions._
   * queries can be run at ~10× rows (`runMain graft.ScaleGen [n] [out]`).
   * Used to check that plan shapes hold as data grows (see PLANS.md) —
   * the local stand-in for the 100 TB scale-up question.
+  *
+  * Third arg `zipf` (round-14, VERDICT r13 #2): every uniform replica
+  * under-tests the one adversary a 100 TB fact-fact join always meets —
+  * key skew. In zipf mode ~30% of the replicated lineitem rows collapse
+  * onto 16 HOT orderkeys drawn from replica 0 (so referential integrity
+  * against the scaled orders table holds), with zipf(s=2) weights across
+  * the hot set (hot key 1 alone carries ~15% of the whole fact). That
+  * makes the lineitem⋈orders shuffle partition for hot keys 100×+ the
+  * median — the shape AQE's OptimizeSkewedJoin exists for, asserted by
+  * SkewJoinDecisionSpec against this replica.
   */
 object ScaleGen {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)
     val out = if (args.length > 1) args(1) else "/tmp/sf1"
+    val zipf = args.length > 2 && args(2) == "zipf"
     val src = "/root/testdata/sf0.1"
     val spark = GraftSession.getOrCreate(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
 
@@ -39,7 +50,24 @@ object ScaleGen {
     write(rep(t("supplier"), Seq("s_suppkey")), "supplier")
     write(rep(t("part"), Seq("p_partkey")), "part")
     write(rep(t("orders"), Seq("o_orderkey", "o_custkey")), "orders")
-    write(rep(t("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    val lineitem = rep(t("lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    val lineitemOut = if (!zipf) lineitem else {
+      // 16 hot orderkeys that exist in the scaled orders (replica 0 keys
+      // are carried unchanged — rep() offsets by __rep * STRIDE, and
+      // __rep=0 keeps the original key)
+      val hot = t("orders").select("o_orderkey").orderBy("o_orderkey")
+        .limit(16).collect().map(_.getLong(0)).toSeq
+      // deterministic per-row uniform in [0,1): portable hash, no rand()
+      val u = (pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(100000))
+        .cast("double") + lit(0.5)) / lit(100000.0)
+      // zipf(s=2) over the hot set via inverse-CDF: k = floor(1/U) capped
+      // to [1,16] -> key 1 gets ~half the skewed mass, key 2 ~17%, ...
+      val idx = least(greatest(floor(lit(1.0) / (u / lit(0.3))), lit(1)), lit(16)).cast("int")
+      lineitem.withColumn("l_orderkey",
+        when(u < 0.3, element_at(typedlit(hot), idx))
+          .otherwise(col("l_orderkey")))
+    }
+    write(lineitemOut, "lineitem")
     // events: written as a plain µs TIMESTAMP (readable by Spark AND the
     // DuckDB oracle; GraftSession.events adapts to either physical form)
     write(rep(GraftSession.events(spark, src), Seq("event_id", "user_id")), "events")

@@ -26,11 +26,23 @@ object TaskSizeGuard {
 
   private val hits = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
+  /** Looser fallback for the exact fragment: any TaskSetManager WARN
+    * talking about task size survives a Spark-upgrade rewording of the
+    * message (ADVICE r13 #4 — keying on one literal silently blinds the
+    * gate). TaskSetManager's other WARNs (lost/failed/speculation) never
+    * mention "task size", so this stays oversized-specific.
+    */
+  private val loosePattern =
+    java.util.regex.Pattern.compile("(?i)task of (?:very )?large size|recommended task size")
+
   private object Capture extends AbstractAppender(
       "graft-tasksize-guard", null, null, true, Property.EMPTY_ARRAY) {
     override def append(e: LogEvent): Unit = {
       val m = e.getMessage.getFormattedMessage
-      if (m != null && m.contains("very large size")) hits.add(m)
+      val fromTsm = e.getLoggerName != null &&
+        e.getLoggerName.endsWith("TaskSetManager")
+      if (m != null && (m.contains("very large size") ||
+          (fromTsm && loosePattern.matcher(m).find()))) hits.add(m)
     }
   }
 

@@ -70,34 +70,37 @@ object Cumulative {
     val spark = df.sparkSession
     val vIdx = df.schema.fieldIndex(valueCol)
 
+    val dataRdd = df.rdd
+    val nParts = dataRdd.getNumPartitions
+    val outSchema = df.schema.add(outCol, outType)
+    if (nParts == 0)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+
     // phase 1: per-partition totals (narrow — no shuffle).  pid alignment
     // uses the RDD's own split index (mapPartitionsWithIndex), NOT
     // TaskContext.getPartitionId(): a downstream coalesce() collapses the
     // narrow chain into fewer tasks and the task id would disagree with
-    // this pass, silently mis-seeding every partition's prefix
-    val partTotals: Array[(Int, T, Boolean)] = df.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = zero; var any = false
+    // this pass, silently mis-seeding every partition's prefix.
+    // All-null partitions report the op identity, which combine absorbs —
+    // skipping them and folding them in are the same prefix.
+    val partTotals = dataRdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = zero
       it.foreach { r =>
         val v = r.get(vIdx)
-        if (v != null) { acc = combine(acc, conv(v.asInstanceOf[Number])); any = true }
+        if (v != null) acc = combine(acc, conv(v.asInstanceOf[Number]))
       }
-      Iterator.single((pid, acc, any))
-    }.collect()
-
-    // driver: exclusive prefix per partition id (the `any` flag only keeps
-    // all-null prefixes at the op identity, which the combine absorbs)
-    val prefixes = scala.collection.mutable.Map[Int, T]()
-    var run = zero
-    for ((pid, tot, any) <- partTotals.sortBy(_._1)) {
-      prefixes(pid) = run
-      if (any) run = combine(run, tot)
+      Iterator.single((pid, acc))
     }
-    val bc = spark.sparkContext.broadcast(prefixes.toMap)
+
+    // √n tree-carry (r14, VERDICT r13 #5): the exclusive prefixes are
+    // computed without ever holding the n-entry carry on the driver —
+    // seed p arrives in partition p of `seeds` and zipPartitions aligns
+    // it with the data partition (same count, index-wise).
+    val seeds = TreeCarry.exclusivePrefix[T](partTotals, nParts, () => zero, combine)
 
     // phase 2: seeded running aggregate (narrow)
-    val outSchema = df.schema.add(outCol, outType)
-    val outRdd = df.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = bc.value.getOrElse(pid, zero)
+    val outRdd = dataRdd.zipPartitions(seeds) { (it, seedIt) =>
+      var acc = if (seedIt.hasNext) seedIt.next()._2 else zero
       it.map { r =>
         val v = r.get(vIdx)
         val out: Any =

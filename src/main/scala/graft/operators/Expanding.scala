@@ -143,7 +143,7 @@ object Expanding {
 
     // phase 1: per-partition state (narrow). pid from the RDD's own split
     // index, not TaskContext — see Cumulative for the coalesce() hazard.
-    val partStates: Array[(Int, St)] = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
+    val partStates = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
       val st = St.empty
       it.foreach { r =>
         st.bump()
@@ -154,16 +154,16 @@ object Expanding {
         }
       }
       Iterator.single((pid, st))
-    }.collect()
-
-    // driver: exclusive prefix (O(npartitions), trivially cheap)
-    val prefixes = scala.collection.mutable.Map[Int, St]()
-    var run = St.empty
-    for ((pid, st) <- partStates.sortBy(_._1)) {
-      prefixes(pid) = run
-      run = run.merge(st)
     }
-    val bc = spark.sparkContext.broadcast(prefixes.toMap)
+
+    // √n tree-carry (r14, VERDICT r13 #5): exclusive prefixes without the
+    // O(npartitions) driver collect; seed p lands in partition p and
+    // phase 2 aligns via zipPartitions. St.empty is merge's identity.
+    val nParts = sortedRdd.getNumPartitions
+    val seeds =
+      if (nParts == 0) null
+      else TreeCarry.exclusivePrefix[St](partStates, nParts,
+        () => St.empty, (a: St, b: St) => a.merge(b))
 
     val minObs = math.max(minPeriods, 1)
     def outType(a: String): DataType = a match {
@@ -199,8 +199,10 @@ object Expanding {
     val outSchema = specs.foldLeft(sorted.schema) { case (sc, (out, a)) =>
       sc.add(out, outType(a), nullable = true) }
     val specsL = specs.toArray
-    val outRdd = sortedRdd.mapPartitionsWithIndex { (pid, it) =>
-      val st = bc.value.getOrElse(pid, St.empty).copySt()
+    if (nParts == 0)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    val outRdd = sortedRdd.zipPartitions(seeds) { (it, seedIt) =>
+      val st = (if (seedIt.hasNext) seedIt.next()._2 else St.empty).copySt()
       it.map { r =>
         st.bump()
         val v = r.get(vIdx)

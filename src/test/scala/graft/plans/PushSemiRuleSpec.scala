@@ -78,6 +78,79 @@ class PushSemiRuleSpec extends SparkTestBase {
       s"rule pushed a join conditioned on an aggregate result:\n${planOf(df)}")
   }
 
+  test("r14: a grouping EXPRESSION key (groupBy(expr.as(k)) + semi on k) now pushes") {
+    val df = fact.groupBy((col("k") % 4).as("kb"))
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .filter(col("c") >= 5)
+      .join(Seq(1L, 3L).toDF("pk"), col("kb") === col("pk"), "left_semi")
+    assert(joinBelowAgg(df),
+      s"expression-keyed semi stayed above the aggregate:\n${planOf(df)}")
+    val hand = fact.filter(col("k") % 4 === 1 || col("k") % 4 === 3)
+      .groupBy((col("k") % 4).as("kb"))
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .filter(col("c") >= 5)
+    assert(df.collect().toSet == hand.collect().toSet)
+    assert(df.count() > 0, "fixture selects nothing — the test is vacuous")
+  }
+
+  test("guard: a nondeterministic grouping expression key is NOT pushed") {
+    // The DataFrame route can't reach this guard: the analyzer's
+    // PullOutNondeterministic materializes such keys into a Project, so
+    // the Aggregate's key is a plain attribute (and the push is sound).
+    // A hand-built raw plan with the nondeterministic expression still
+    // in the Alias exercises the refusal.
+    import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference, Cast, EqualTo, GreaterThanOrEqual, Literal, Rand}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LocalRelation}
+    import org.apache.spark.sql.types.LongType
+    val k = AttributeReference("k", LongType)()
+    val v = AttributeReference("v", LongType)()
+    val pk = AttributeReference("pk", LongType)()
+    val rel = LocalRelation(k, v)
+    val key = Add(k, Cast(Rand(Literal(7)), LongType))
+    val kbAlias = Alias(key, "kb")()
+    val sAlias = Alias(Sum(v).toAggregateExpression(), "s")()
+    val agg = Aggregate(Seq(key), Seq(kbAlias, sAlias), rel)
+    val filtered = Filter(GreaterThanOrEqual(sAlias.toAttribute, Literal(0L)), agg)
+    val joined = Join(filtered, LocalRelation(pk), LeftSemi,
+      Some(EqualTo(kbAlias.toAttribute, pk)), JoinHint.NONE)
+    val out = PushSemiThroughFilteredAggregate(joined)
+    assert(out == joined,
+      s"rule pushed a nondeterministic grouping key:\n$out")
+  }
+
+  test("guard: self-join exprId conflict refuses the push (ADVICE r13 #1)") {
+    // Hand-built logical plan: the join's RIGHT side shares attribute `v`
+    // (same ExprId) with the aggregate's child, so after a push the
+    // condition's right-bound `v` would resolve ambiguously. DataFrame
+    // self-joins get deduplicated exprIds by the analyzer; only a raw
+    // plan exercises the conflict path.
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, GreaterThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LocalRelation}
+    import org.apache.spark.sql.types.LongType
+    val k = AttributeReference("k", LongType)()
+    val v = AttributeReference("v", LongType)()
+    val pk = AttributeReference("pk", LongType)()
+    val w = AttributeReference("w", LongType)()
+    val rel = LocalRelation(k, v)
+    val sAlias = Alias(Sum(v).toAggregateExpression(), "s")()
+    val agg = Aggregate(Seq(k), Seq(k, sAlias), rel)
+    val filtered = Filter(GreaterThanOrEqual(sAlias.toAttribute, Literal(0L)), agg)
+    val rightRel = LocalRelation(pk, v) // v leaks the exprId
+    val joined = Join(filtered, rightRel, LeftSemi, Some(EqualTo(k, v)), JoinHint.NONE)
+    val out = PushSemiThroughFilteredAggregate(joined)
+    assert(out == joined, s"rule pushed through an exprId conflict:\n$out")
+    // sanity: the same shape with a conflict-free right side DOES push
+    val cleanRight = LocalRelation(pk, w)
+    val cleanJoin = Join(filtered, cleanRight, LeftSemi,
+      Some(EqualTo(k, pk)), JoinHint.NONE)
+    val pushed = PushSemiThroughFilteredAggregate(cleanJoin)
+    assert(pushed != cleanJoin, "conflict-free control case failed to push")
+  }
+
   test("TPC-H Q20 natural form plans like the hand-pushed q206 and matches its rows") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).isDirectory)
