@@ -59,13 +59,31 @@ class SkewJoinDecisionSpec extends SparkTestBase {
     // hot partition is ~100x the median; with the split thresholds at
     // CI-data scale (the default 256 MB gate is sized for real
     // clusters), OptimizeSkewedJoin must fire and mark the join.
+    // forceOptimizeSkewedJoin: q209's fact-fact SMJ feeds the next join's
+    // required hash distribution, and OptimizeSkewedJoin refuses to split
+    // under a distribution requirement unless forced (splitting adds a
+    // re-shuffle). On a real cluster the trade is made by cost; here the
+    // point is to prove the split machinery engages on our skew shape.
+    // 64 shuffle partitions: a single hot KEY cannot be subdivided by
+    // hashing, so the median partition must be small enough for the hot
+    // one to clear the 2x-median trigger (4 test partitions hide it).
     withConfs(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8MB",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4MB",
+      "spark.sql.shuffle.partitions" -> "64",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      // 128KB/64KB: q209's nation prune keeps ~8% of lineitem before the
+      // orderkey shuffle, so hot key 0's partition is ~70k rows — well
+      // past the 2x-median factor but only a few hundred COMPRESSED
+      // shuffle KB. The byte gates scale with the fixture; the factor
+      // gate is the skew-shape assertion.
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "128KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0") {
       val p = finalPlan("q209_tpch_q7")
+      // measured r14: SortMergeJoin(skew=true) on the l_orderkey fact-fact
+      // join AND the o_custkey join above it (hot orders concentrate
+      // custkeys too); reads print "AQEShuffleRead coalesced and skewed"
       assert(p.contains("skew=true") || p.contains("skewed"),
         s"no skew split in the final plan despite zipf keys + broadcasts off:\n$p")
       assert(!p.contains("CartesianProduct"), s"q209 grew a cartesian:\n$p")
