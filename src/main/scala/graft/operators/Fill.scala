@@ -7,36 +7,41 @@ import org.apache.spark.sql.{DataFrame, Row}
   *
   * Same two-phase prefix-scan shape as [[Cumulative]]: an un-partitioned
   * `last(x, ignoreNulls) OVER (ORDER BY …)` window would run in one task;
-  * instead phase 1 collects each partition's last non-null value (N tiny
-  * values), the driver carries them forward, and phase 2 fills within each
-  * partition seeded by its predecessor's carry.  Two narrow passes, no
-  * shuffle (input already range-partitioned+sorted by the index).
+  * instead phase 1 computes each partition's boundary non-null value and
+  * the carries flow through [[TreeCarry]] (r14 — formerly an
+  * O(npartitions) driver collect + broadcast), then phase 2 fills within
+  * each partition seeded by its neighbor's carry via zipPartitions.  Two
+  * narrow passes plus the tree's tiny boundary shuffles, no data shuffle
+  * (input already range-partitioned+sorted by the index).
+  *
+  * The carry merge is "latest non-null wins":
+  * `(a, b) => if (b != null) b else a` — associative with identity null,
+  * exactly TreeCarry's contract.
   */
 object Fill {
+
+  private val lastWins: (Any, Any) => Any = (a, b) => if (b != null) b else a
 
   def ffill(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     val vIdx = df.schema.fieldIndex(valueCol)
+    val dataRdd = df.rdd
+    val nParts = dataRdd.getNumPartitions
+    if (nParts == 0) return df
 
     // mapPartitionsWithIndex, not TaskContext.getPartitionId(): a
     // downstream coalesce() collapses tasks and would misalign the carries
     // between the two passes (see MapOverlap)
-    val lastNonNull: Array[(Int, Any)] = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val lastNonNull = dataRdd.mapPartitionsWithIndex { (pid, it) =>
       var last: Any = null
       it.foreach { r => val v = r.get(vIdx); if (v != null) last = v }
       Iterator.single((pid, last))
-    }.collect()
-
-    val carry = scala.collection.mutable.Map[Int, Any]()
-    var run: Any = null
-    for ((pid, v) <- lastNonNull.sortBy(_._1)) {
-      carry(pid) = run
-      if (v != null) run = v
     }
-    val bc = spark.sparkContext.broadcast(carry.toMap)
+    val seeds = TreeCarry.exclusivePrefix[Any](lastNonNull, nParts,
+      () => null, lastWins)
 
-    val outRdd = df.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var last: Any = bc.value.getOrElse(pid, null)
+    val outRdd = dataRdd.zipPartitions(seeds) { (it, seedIt) =>
+      var last: Any = if (seedIt.hasNext) seedIt.next()._2 else null
       it.map { r =>
         val v = r.get(vIdx)
         if (v != null) { last = v; r }
@@ -52,26 +57,25 @@ object Fill {
   def bfill(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     val vIdx = df.schema.fieldIndex(valueCol)
+    val dataRdd = df.rdd
+    val nParts = dataRdd.getNumPartitions
+    if (nParts == 0) return df
 
-    val firstNonNull: Array[(Int, Any)] = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val firstNonNull = dataRdd.mapPartitionsWithIndex { (pid, it) =>
       var first: Any = null
       var found = false
       it.foreach { r =>
         if (!found) { val v = r.get(vIdx); if (v != null) { first = v; found = true } }
       }
       Iterator.single((pid, first))
-    }.collect()
-
-    val carry = scala.collection.mutable.Map[Int, Any]()
-    var run: Any = null
-    for ((pid, v) <- firstNonNull.sortBy(-_._1)) {
-      carry(pid) = run
-      if (v != null) run = v
     }
-    val bc = spark.sparkContext.broadcast(carry.toMap)
+    // suffix carry: partition p's seed is the FIRST non-null boundary of
+    // the nearest following partition that has one
+    val seeds = TreeCarry.exclusiveSuffix[Any](firstNonNull, nParts,
+      () => null, lastWins)
 
-    val outRdd = df.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val carryFromNext: Any = bc.value.getOrElse(pid, null)
+    val outRdd = dataRdd.zipPartitions(seeds) { (it, seedIt) =>
+      val carryFromNext: Any = if (seedIt.hasNext) seedIt.next()._2 else null
       // need the partition's own next-non-null lookahead: buffer rows until
       // a non-null is seen (bounded by the null-run length, not partition
       // size)

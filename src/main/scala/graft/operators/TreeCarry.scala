@@ -81,4 +81,16 @@ object TreeCarry {
       within.iterator.map { case (pid, w) => (pid, merge(bp, w)) }
     }.partitionBy(new IdPartitioner(nParts))
   }
+
+  /** Exclusive SUFFIX (the carry flows backward — partition p sees the
+    * merge of states p+1..n-1, later partitions merged first): the
+    * prefix tree over flipped partition ids, with one extra tiny shuffle
+    * to land seed p back in partition p. Used by backward fill.
+    */
+  def exclusiveSuffix[S: ClassTag](totals: RDD[(Int, S)], nParts: Int,
+      empty: () => S, merge: (S, S) => S): RDD[(Int, S)] =
+    exclusivePrefix(totals.map { case (p, s) => (nParts - 1 - p, s) },
+      nParts, empty, merge)
+      .map { case (q, s) => (nParts - 1 - q, s) }
+      .partitionBy(new IdPartitioner(nParts))
 }

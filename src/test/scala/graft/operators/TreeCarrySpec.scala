@@ -32,6 +32,27 @@ class TreeCarrySpec extends SparkTestBase {
     for (n <- Seq(1, 2, 3, 7, 9, 16, 31, 33)) check(n)
   }
 
+  test("exclusiveSuffix: backward carry lands in the right partitions") {
+    val n = 11
+    val sc = spark.sparkContext
+    // only partitions 3 and 8 have a non-null boundary value
+    val totals = sc.parallelize((0 until n).map(p =>
+      (p, if (p == 3) "x3" else if (p == 8) "x8" else null): (Int, Any)), n)
+      .partitionBy(new org.apache.spark.HashPartitioner(n) {
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+    val seeds = TreeCarry.exclusiveSuffix[Any](totals, n,
+      () => null, (a, b) => if (b != null) b else a)
+    val got = seeds.collect().toMap
+    for (p <- 0 until n) {
+      val want = if (p < 3) "x3" else if (p < 8) "x8" else null
+      assert(got(p) == want, s"pid=$p got ${got(p)} want $want")
+    }
+    val placed = seeds.mapPartitionsWithIndex { (i, it) =>
+      it.map { case (pid, _) => (i, pid) } }.collect()
+    assert(placed.forall { case (i, pid) => i == pid }, placed.toSeq.toString)
+  }
+
   test("non-commutative merge keeps partition order (string concat)") {
     val n = 13
     val sc = spark.sparkContext
