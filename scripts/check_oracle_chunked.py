@@ -221,6 +221,8 @@ def main():
                     help="DuckDB threads per query (default: library default)")
     ap.add_argument("--shard", default=None,
                     help="i/n — process only names where sorted-index %% n == i")
+    ap.add_argument("--reverse", action="store_true",
+                    help="walk names in reverse order (to race a forward worker)")
     args = ap.parse_args()
 
     with open(f"{args.out_dir}/oracle_sql.json") as f:
@@ -236,6 +238,8 @@ def main():
     if args.shard:
         i, n = (int(x) for x in args.shard.split("/"))
         names = [q for k, q in enumerate(names) if k % n == i]
+    if args.reverse:
+        names = names[::-1]
 
     verdicts = []
     counts = {"PASS": 0, "ROWS_ONLY": 0, "FAIL": 0, "ERROR": 0}

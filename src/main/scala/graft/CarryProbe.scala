@@ -36,7 +36,7 @@ object CarryProbe {
     // bounds so PLANS.md can record the before/after at the 100 TB point.
     val sqrtParts = math.ceil(math.sqrt(extraPartitions)).toLong
     val treeBytes = (perPart * sqrtParts).toLong
-    println(f"""{"dir":"$dir","npartitions":$n,"boundaryBytes":${bos.size()},"bytesPerPartition":$perPart%.1f,"projectedBytesAt100TB":${(perPart * extraPartitions).toLong},"treeCarryDriverBytesAt100TB":$treeBytes,"treeCarryNote":"Cumulative/Expanding now collect only sqrt(n) bucket totals (TreeCarry); Fill.ffill/MergeAsof-global keep the flat collect"}""")
+    println(f"""{"dir":"$dir","npartitions":$n,"boundaryBytes":${bos.size()},"bytesPerPartition":$perPart%.1f,"projectedBytesAt100TB":${(perPart * extraPartitions).toLong},"treeCarryDriverBytesAt100TB":$treeBytes,"treeCarryNote":"Cumulative/Expanding/Fill now collect only sqrt(n) bucket totals (TreeCarry); MergeAsof-global's per-bucket tails were already O(nBuckets)"}""")
     spark.stop()
   }
 }

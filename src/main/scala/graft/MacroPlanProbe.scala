@@ -30,11 +30,24 @@ object MacroPlanProbe {
       .foreach { case (name, fn) =>
         val df = fn(spark, dir)
         val t0 = System.nanoTime()
-        val n = df.count()
+        // collect(), not count(): count() runs a SEPARATE pruned
+        // QueryExecution, leaving df's own executedPlan an unexecuted
+        // initial AdaptiveSparkPlanExec — the probe would print static
+        // decisions over a pruned plan (ADVICE r13 #2; macro outputs are
+        // small aggregates, collect is safe)
+        val n = df.collect().length
         val secs = (System.nanoTime() - t0) / 1e9
-        // executedPlan after an action = the AQE-final physical plan
-        val plan = df.queryExecution.executedPlan.toString
-        println(f"[macroplan] $name rows=$n%d secs=$secs%.2f")
+        val raw = df.queryExecution.executedPlan.toString
+        // keep only the "Final Plan" regions — an executed adaptive plan
+        // prints Initial Plan sections too and double-counts every join
+        var keepL = true
+        val plan = raw.linesIterator.filter { l =>
+          if (l.contains("== Initial Plan ==")) keepL = false
+          else if (l.contains("== Final Plan ==") || l.contains("Subquery:")) keepL = true
+          keepL
+        }.mkString("\n")
+        val finalized = if (raw.contains("isFinalPlan=true")) "final" else "STATIC"
+        println(f"[macroplan] $name rows=$n%d secs=$secs%.2f plan=$finalized")
         joinRe.findAllMatchIn(plan).map(_.group(1)).toSeq
           .groupBy(identity).toSeq.sortBy(_._1)
           .foreach { case (j, xs) => println(s"[macroplan] $name join $j x${xs.size}") }
