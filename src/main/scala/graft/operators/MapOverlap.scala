@@ -43,64 +43,48 @@ object MapOverlap {
     // and the task id would then disagree with the boundary pass, silently
     // misaligning every carry (caught by the 10× oracle gate)
 
+    val dataRdd = df.rdd
+    val nParts = dataRdd.getNumPartitions
+    if (nParts == 0)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+
     // 1) narrow pass: per-partition head/tail boundary rows
-    val boundaries: Array[(Int, Array[Row], Array[Row])] = df.rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        val head = new scala.collection.mutable.ArrayBuffer[Row]
-        val tail = new scala.collection.mutable.ArrayBuffer[Row]
-        var n = 0
-        while (it.hasNext) {
-          val r = it.next(); n += 1
-          if (after > 0 && head.size < after) head += r
-          if (before > 0) { tail += r; if (tail.size > before) tail.remove(0) }
-        }
-        Iterator.single((pid, tail.toArray, head.toArray))
+    val boundaries = dataRdd.mapPartitionsWithIndex { (pid, it) =>
+      val head = new scala.collection.mutable.ArrayBuffer[Row]
+      val tail = new scala.collection.mutable.ArrayBuffer[Row]
+      while (it.hasNext) {
+        val r = it.next()
+        if (after > 0 && head.size < after) head += r
+        if (before > 0) { tail += r; if (tail.size > before) tail.remove(0) }
       }
-      .collect()
+      Iterator.single((pid, (tail.toArray, head.toArray)))
+    }
 
-    val tails = boundaries.map(b => b._1 -> b._2).toMap // pid → last `before` rows
-    val heads = boundaries.map(b => b._1 -> b._3).toMap // pid → first `after` rows
-    val nParts = df.rdd.getNumPartitions
-    val bcTails = spark.sparkContext.broadcast(tails)
-    val bcHeads = spark.sparkContext.broadcast(heads)
+    // 2) ghost carries through the √n tree (r14 — formerly collected ALL
+    // boundaries to the driver and broadcast the whole n-entry map to
+    // every executor: O(npartitions × ghost × rowsize) on the driver AND
+    // per executor, ~a quarter GB at the 8×10⁵-partition 100 TB point).
+    // Ghost-before for partition p = last `before` rows of everything
+    // prior — an associative fold with merge (a ++ b).takeRight(before)
+    // (a neighbour shorter than the ghost region contributes all its rows
+    // and the remainder comes from further back, exactly the old walk).
+    // Ghost-after is the mirrored suffix fold. Row-buffer merges are pure
+    // concatenation — no arithmetic, so tree reassociation is exact.
+    val beforeSeeds = TreeCarry.exclusivePrefix[Array[Row]](
+      boundaries.mapValues(_._1), nParts, () => Array.empty[Row],
+      (a, b) => (a ++ b).takeRight(before))
+    // exclusiveSuffix visits partitions in DESCENDING order, so the
+    // accumulated `a` holds rows that come AFTER `b` in row order
+    val afterSeeds = TreeCarry.exclusiveSuffix[Array[Row]](
+      boundaries.mapValues(_._2), nParts, () => Array.empty[Row],
+      (a, b) => (b ++ a).take(after))
 
-    // 2) main pass: hand each partition its ghosts. A neighbour shorter
-    // than the ghost region (or empty) contributes ALL its rows and the
-    // walk continues — a tail of size < `before` means that partition had
-    // exactly that many rows, so the remainder comes from further back.
-    val outRdd = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+    // 3) main pass: each partition reads its two seeds index-aligned
+    val outRdd = dataRdd.zipPartitions(beforeSeeds, afterSeeds) { (it, bIt, aIt) =>
       val ghostBefore: Seq[Row] =
-        if (before <= 0) Nil
-        else {
-          val buf = scala.collection.mutable.ArrayBuffer[Row]()
-          var k = pid - 1
-          var need = before
-          while (k >= 0 && need > 0) {
-            val t = bcTails.value.getOrElse(k, Array.empty[Row])
-            val take = math.min(t.length, need)
-            buf.prependAll(t.takeRight(take).toSeq)
-            need -= take
-            if (t.length >= before) need = 0
-            k -= 1
-          }
-          buf.toSeq
-        }
+        if (before <= 0 || !bIt.hasNext) Nil else bIt.next()._2.toSeq
       val ghostAfter: Seq[Row] =
-        if (after <= 0) Nil
-        else {
-          val buf = scala.collection.mutable.ArrayBuffer[Row]()
-          var k = pid + 1
-          var need = after
-          while (k < nParts && need > 0) {
-            val h = bcHeads.value.getOrElse(k, Array.empty[Row])
-            val take = math.min(h.length, need)
-            buf.appendAll(h.take(take).toSeq)
-            need -= take
-            if (h.length >= after) need = 0
-            k += 1
-          }
-          buf.toSeq
-        }
+        if (after <= 0 || !aIt.hasNext) Nil else aIt.next()._2.toSeq
       f(ghostBefore, it, ghostAfter)
     }
     spark.createDataFrame(outRdd, outSchema)
@@ -367,65 +351,59 @@ object MapOverlap {
     val outSchema = df.schema.add(outCol, outType)
     def ordOf(r: Row): Double = r.get(oIdx).asInstanceOf[Number].doubleValue()
 
-    // boundary pass: per partition (minOrd, maxOrd, tail rows within range
-    // of maxOrd) — the only rows any later partition could need.
-    // mapPartitionsWithIndex, not TaskContext (see apply())
-    val bounds: Array[(Int, Double, Double, Array[(Double, Any)])] = df.rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        var minO = Double.PositiveInfinity
-        var maxO = Double.NegativeInfinity
-        val tail = new scala.collection.mutable.ArrayDeque[(Double, Any)]
-        it.foreach { r =>
-          val o = ordOf(r)
-          if (o < minO) minO = o
-          if (o > maxO) maxO = o
-          tail.append((o, r.get(vIdx)))
-          while (tail.nonEmpty && tail.head._1 < maxO - range) tail.removeHead()
-        }
-        if (minO.isInfinity) Iterator.empty
-        else Iterator.single((pid, minO, maxO, tail.toArray))
-      }.collect()
-    val byPid = bounds.map(b => b._1 -> b).toMap
-    val bc = spark.sparkContext.broadcast(byPid)
+    val dataRdd = df.rdd
+    val nParts = dataRdd.getNumPartitions
+    if (nParts == 0)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
 
-    val outRdd = df.rdd.mapPartitionsWithIndex { (pid, it) =>
-      bc.value.get(pid) match {
-        case None => it.map(r => Row.fromSeq(r.toSeq :+ null))
-        case Some((_, minO, _, _)) =>
-          val ghosts = new scala.collection.mutable.ArrayBuffer[(Double, Any)]
-          val cutoff = minO - range
-          var k = pid - 1
-          var continue = true
-          while (k >= 0 && continue) {
-            bc.value.get(k) match {
-              case Some((_, kMin, kMax, kTail)) =>
-                if (kMax < cutoff) continue = false // whole partition too old
-                else {
-                  // k's tail spans [kMax - range, kMax] ⊇ [cutoff, kMax]
-                  // (kMax <= minO under range partitioning), so it holds
-                  // every needed row of k
-                  ghosts.prependAll(kTail.filter(_._1 >= cutoff))
-                  // walk deeper only while k itself has no row below the
-                  // cutoff — a narrow partition (span < range) can sit
-                  // entirely inside the window
-                  if (kMin < cutoff) continue = false
-                }
-              case None => ()
-            }
-            k -= 1
-          }
-          val win = new scala.collection.mutable.ArrayDeque[(Double, Any)]
-          ghosts.foreach(win.append)
-          it.map { r =>
-            val o = ordOf(r)
-            win.append((o, r.get(vIdx)))
-            while (win.nonEmpty && win.head._1 < o - range) win.removeHead()
-            val valid = win.iterator.collect {
-              case (_, v) if v != null => v.asInstanceOf[Number].doubleValue()
-            }.toIndexedSeq
-            val out: Any = if (valid.size >= minPeriods) agg(valid) else null
-            Row.fromSeq(r.toSeq :+ out)
-          }
+    // boundary pass: per partition (maxOrd, tail rows within range of
+    // maxOrd) — the only rows any later partition could need.
+    // mapPartitionsWithIndex, not TaskContext (see apply())
+    val bounds = dataRdd.mapPartitionsWithIndex { (pid, it) =>
+      var maxO = Double.NegativeInfinity
+      val tail = new scala.collection.mutable.ArrayDeque[(Double, Any)]
+      it.foreach { r =>
+        val o = ordOf(r)
+        if (o > maxO) maxO = o
+        tail.append((o, r.get(vIdx)))
+        while (tail.nonEmpty && tail.head._1 < maxO - range) tail.removeHead()
+      }
+      Iterator.single((pid, (maxO, tail.toArray)))
+    }
+
+    // ghost carry through the √n tree (r14 — formerly an O(npartitions)
+    // driver collect + whole-map broadcast). Segment merge keeps the
+    // combined tail within `range` of the combined max — under range
+    // partitioning the prefix max is ≤ any later partition's min, so the
+    // carry is a superset of every row a later partition's first window
+    // can need (the old walk-back reconstructed exactly this set; narrow
+    // partitions whose whole span sits inside the window concatenate
+    // through the fold the same way the walk continued past them).
+    // Row-tuple merges are concat+filter — no arithmetic, reassociation
+    // is exact.
+    val seeds = TreeCarry.exclusivePrefix[(Double, Array[(Double, Any)])](
+      bounds, nParts, () => (Double.NegativeInfinity, Array.empty[(Double, Any)]),
+      (a, b) => {
+        val m = math.max(a._1, b._1)
+        (m, (a._2 ++ b._2).filter(_._1 >= m - range))
+      })
+
+    val outRdd = dataRdd.zipPartitions(seeds) { (it, seedIt) =>
+      val ghosts: Array[(Double, Any)] =
+        if (seedIt.hasNext) seedIt.next()._2._2 else Array.empty
+      val win = new scala.collection.mutable.ArrayDeque[(Double, Any)]
+      // seed with the full carry: the per-row pruning below drops
+      // anything older than the first row's window before it aggregates
+      ghosts.foreach(win.append)
+      it.map { r =>
+        val o = ordOf(r)
+        win.append((o, r.get(vIdx)))
+        while (win.nonEmpty && win.head._1 < o - range) win.removeHead()
+        val valid = win.iterator.collect {
+          case (_, v) if v != null => v.asInstanceOf[Number].doubleValue()
+        }.toIndexedSeq
+        val out: Any = if (valid.size >= minPeriods) agg(valid) else null
+        Row.fromSeq(r.toSeq :+ out)
       }
     }
     spark.createDataFrame(outRdd, outSchema)
