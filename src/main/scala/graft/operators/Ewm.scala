@@ -71,6 +71,15 @@ object EwmParams {
   * Null rows contribute no weight but (ignoreNa=false) decay the
   * accumulators; the emitted mean carries the last available estimate,
   * as pandas does. `ewm_var` is null until two observations are seen.
+  *
+  * DELIBERATELY NOT on [[TreeCarry]] (r14): the carry combine
+  * (`cs·d + s`) is floating-point affine composition, and the √n tree
+  * reassociates it — a left-fold-order bit-exactness the q157/q162
+  * oracle hashes pin would break by an ulp. The flat collect here is
+  * O(npartitions × ~60 B) of plain scalars (≈50 MB at the 8×10⁵-
+  * partition 100 TB point, one-shot) — acceptable where the ROW-buffer
+  * carries (Cumulative/Expanding/Fill/MapOverlap, integral or
+  * arithmetic-free merges) were worth the tree.
   */
 object Ewm {
 
