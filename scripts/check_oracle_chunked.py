@@ -148,7 +148,22 @@ def digest_spark(dump_dir: str, batch_rows: int):
     return names, acc
 
 
-def digest_oracle(con, sql: str, batch_rows: int):
+def digest_oracle(con, sql: str, batch_rows: int, materialize: bool = False):
+    if materialize:
+        # fetch_record_batch runs DuckDB in STREAMING execution mode,
+        # which serializes some operators (the q61 quadratic pair join and
+        # the ewm recursive windows ran near single-threaded for hours).
+        # Materialized execution parallelizes fully; memory is bounded by
+        # the connection's memory_limit + spill, so use this for
+        # slow-compute / small-output oracles, streaming for huge outputs.
+        tbl = con.execute(sql).fetch_arrow_table()
+        names = sorted(tbl.schema.names)
+        order = [tbl.schema.names.index(c) for c in names]
+        acc = (0, 0, 0)
+        for batch in tbl.to_batches(max_chunksize=batch_rows):
+            if batch.num_rows:
+                acc = fold_batch(batch, order, acc)
+        return names, acc
     con.execute(sql)
     reader = con.fetch_record_batch(rows_per_batch=batch_rows)
     names = sorted(reader.schema.names)
@@ -164,7 +179,7 @@ def digest_oracle(con, sql: str, batch_rows: int):
     return names, acc
 
 
-def compare_one(sf_dir, out_dir, name, sql, batch_rows, memory_limit, threads=None):
+def compare_one(sf_dir, out_dir, name, sql, batch_rows, memory_limit, threads=None, materialize=False):
     t0 = time.time()
     try:
         s_names, s_acc = digest_spark(f"{out_dir}/{name}", batch_rows)
@@ -190,7 +205,7 @@ def compare_one(sf_dir, out_dir, name, sql, batch_rows, memory_limit, threads=No
             elif os.path.exists(p):
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
         try:
-            o_names, o_acc = digest_oracle(con, sql, batch_rows)
+            o_names, o_acc = digest_oracle(con, sql, batch_rows, materialize)
         except Exception as e:
             return {"name": name, "status": "ERROR", "detail": f"oracle: {e}"}
     finally:
@@ -223,6 +238,8 @@ def main():
                     help="i/n — process only names where sorted-index %% n == i")
     ap.add_argument("--reverse", action="store_true",
                     help="walk names in reverse order (to race a forward worker)")
+    ap.add_argument("--materialize", action="store_true",
+                    help="run the oracle materialized (full parallelism) instead of streaming")
     args = ap.parse_args()
 
     with open(f"{args.out_dir}/oracle_sql.json") as f:
@@ -245,7 +262,8 @@ def main():
     counts = {"PASS": 0, "ROWS_ONLY": 0, "FAIL": 0, "ERROR": 0}
     for name in names:
         r = compare_one(args.sf_dir, args.out_dir, name, oracles.get(name),
-                        args.batch_rows, args.memory_limit, args.threads)
+                        args.batch_rows, args.memory_limit, args.threads,
+                        args.materialize)
         verdicts.append(r)
         counts[r["status"]] += 1
         line = f"{r['status']} {name} rows={r.get('spark_rows', '?')} secs={r.get('secs', '?')}"
