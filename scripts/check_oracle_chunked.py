@@ -240,10 +240,20 @@ def main():
                     help="walk names in reverse order (to race a forward worker)")
     ap.add_argument("--materialize", action="store_true",
                     help="run the oracle materialized (full parallelism) instead of streaming")
+    ap.add_argument("--override", action="append", default=[],
+                    help="name=file.sql — replace one query's oracle SQL with an "
+                         "ALGEBRAICALLY IDENTICAL restatement (e.g. per-pair "
+                         "invariants hoisted into a temp table). The restated SQL "
+                         "must produce bit-identical values; use only for "
+                         "compute-bound oracles, and record the restatement.")
     args = ap.parse_args()
 
     with open(f"{args.out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    for ov in args.override:
+        name, path = ov.split("=", 1)
+        with open(path) as f:
+            oracles[name] = f.read()
     names = [os.path.basename(d) for d in sorted(glob.glob(f"{args.out_dir}/*"))
              if os.path.isdir(d)]
     if args.only:
