@@ -561,7 +561,13 @@ object SparkEntry {
     // ---- §2.5 first/last by composite order (min_by/max_by on struct) ---
     "q42_group_firstlast" -> { (s, dir) =>
       val li = g(s, dir, "lineitem")
-      val ord = Seq("l_shipdate", "l_orderkey", "l_linenumber")
+      // l_extendedprice last: (shipdate, orderkey, linenumber) is unique
+      // on uniform fixtures but collides under key-skew replication
+      // (zipf ScaleGen collapses orderkeys) — the value column as final
+      // tiebreak makes first/last deterministic under ANY distribution
+      // (rows tied on all four keys share the price, so the pick is
+      // value-identical), without changing the uniform-data result.
+      val ord = Seq("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
       li.groupby("l_returnflag").firstByOrd("l_extendedprice", ord, "first_price")
         .concatAxis1(
           li.groupby("l_returnflag").lastByOrd("l_extendedprice", ord, "last_price"),
@@ -769,11 +775,15 @@ object SparkEntry {
     "q116_group_cumprod" -> { (s, dir) =>
       // (orderkey, linenumber) is NOT unique in the fixture — the full
       // (linenumber, partkey, suppkey) order makes the running product
-      // deterministic
+      // deterministic. l_discount as final tiebreak extends that to
+      // key-skewed data (zipf ScaleGen collapses orderkeys, making even
+      // the triple collide): rows tied on all four sort keys carry the
+      // same growth factor, so every prefix product — and hence the
+      // output multiset — is order-independent under ANY distribution.
       g(s, dir, "lineitem")
         .assign("growth", lit(1.0) + col("l_discount"))
         .groupby("l_orderkey")
-        .cumprod("growth", Seq("l_linenumber", "l_partkey", "l_suppkey"), "cum_growth")
+        .cumprod("growth", Seq("l_linenumber", "l_partkey", "l_suppkey", "l_discount"), "cum_growth")
         .assign("cum_growth", round(col("cum_growth"), 6))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "cum_growth")
         .df
@@ -3425,10 +3435,10 @@ object SparkEntry {
         |  ORDER BY c DESC, l_quantity LIMIT 1)""".stripMargin,
     "q42_group_firstlast" ->
       """SELECT l_returnflag,
-        |  first(l_extendedprice ORDER BY l_shipdate, l_orderkey, l_linenumber)
-        |    AS first_price,
-        |  last(l_extendedprice ORDER BY l_shipdate, l_orderkey, l_linenumber)
-        |    AS last_price
+        |  first(l_extendedprice ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |    l_extendedprice) AS first_price,
+        |  last(l_extendedprice ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |    l_extendedprice) AS last_price
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q43_group_apply" ->
       """SELECT event_id,
@@ -3796,7 +3806,8 @@ object SparkEntry {
     "q116_group_cumprod" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |  round(product(1.0 + l_discount) OVER (
-        |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey
+        |    PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_discount
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_growth
         |FROM lineitem""".stripMargin,
     "q117_pivot_firstlast" ->
