@@ -3205,6 +3205,23 @@ object SparkEntry {
         .as[(Long, String, Long)]
       new graft.api.GBag(docs).sampleByContent(50, 7L)(r => r._1.toString)
         .ds.toDF("doc_id", "lang", "n_chars")
+    },
+
+    // ---- skew-resilient grouped cumulative (r14): the SQL-window path
+    // (q116) gives one task per group — correct, but a zipf-hot group is
+    // a single straggler task at 100 TB. cumsumTree range-splits hot
+    // groups across partitions and stitches them with the segmented √n
+    // tree carry (Cumulative.grouped). BIGINT values are exact under any
+    // split, so the oracle is the plain per-group window sum; l_quantity
+    // as final sort key keeps the order total under skew replication.
+    "q215_group_cumsum_tree" -> { (s, dir) =>
+      g(s, dir, "lineitem")
+        .assign("qty", col("l_quantity").cast("long"))
+        .groupby("l_orderkey")
+        .cumsumTree("qty",
+          Seq("l_linenumber", "l_partkey", "l_suppkey", "qty"), "cum_qty")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "cum_qty")
+        .df
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -5956,5 +5973,11 @@ object SparkEntry {
         |        tosigned(hash64('7|' || CAST(CAST(doc_id AS BIGINT) AS VARCHAR))) AS h
         |      FROM documents)
         |ORDER BY h, CAST(doc_id AS VARCHAR)
-        |LIMIT 50""".stripMargin))
+        |LIMIT 50""".stripMargin),
+    "q215_group_cumsum_tree" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey, CAST(l_quantity AS BIGINT)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_qty
+        |FROM lineitem""".stripMargin)
 }

@@ -164,6 +164,23 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
             wOrd(orderBy).rowsBetween(Window.unboundedPreceding, Window.currentRow)))),
       demotedIndex)
 
+  /** Skew-resilient grouped cumsum — the scale alternative to [[cumsum]]
+    * (same contract as exact percentile vs `quantileApprox`): the window
+    * path gives one task per group (pandas-bit-identical, but a zipf-hot
+    * group is a single straggler task at 100 TB); this path range-splits
+    * hot groups across partitions and stitches them with a segmented
+    * √n tree carry ([[graft.operators.Cumulative.grouped]]). Integral
+    * inputs are exact under any split; float partials reassociate.
+    */
+  def cumsumTree(c: String, orderBy: Seq[String], alias: String): GDF =
+    new GDF(graft.operators.Cumulative.grouped(
+      base, keys, orderBy, c, graft.operators.Cumulative.CumSum, alias), demotedIndex)
+
+  /** Skew-resilient grouped cumprod; see [[cumsumTree]]. */
+  def cumprodTree(c: String, orderBy: Seq[String], alias: String): GDF =
+    new GDF(graft.operators.Cumulative.grouped(
+      base, keys, orderBy, c, graft.operators.Cumulative.CumProd, alias), demotedIndex)
+
   def cumcount(orderBy: String, alias: String = "cumcount"): GDF =
     new GDF(base.withColumn(alias, row_number().over(w(orderBy)) - 1), demotedIndex)
 

@@ -49,6 +49,124 @@ object Cumulative {
     val zeroL = Long.MaxValue; def combineL(a: Long, b: Long): Long = math.min(a, b)
   }
 
+  /** Skew-resilient GROUPED running aggregate — the scale alternative to
+    * the SQL-window path in `GGroupBy.cumsum`/`cumprod`.
+    *
+    * The window path partitions by the group keys, so one task owns each
+    * whole group: correct and pandas-bit-identical, but a zipf-hot group
+    * (the round-14 skew replica put 15% of the fact on ONE key) becomes a
+    * single straggler task — Spark's window buffer spills rather than
+    * OOMs, but at 100 TB a 15 TB group in one task is still a ceiling.
+    * The reference has the same bound (whole-group partitions,
+    * `dask_expr/_groupby.py:468` and the p2p shuffle staging around it).
+    *
+    * This path removes it for associative ops: range-partition by
+    * (group ++ order) keys so groups are contiguous and a hot group SPANS
+    * partitions, then run the two-phase prefix scan with a segmented
+    * carry — each per-partition summary is (firstGroup, lastGroup,
+    * tail state of lastGroup); merging two adjacent summaries folds the
+    * left tail into the right only when the right segment is entirely the
+    * left's open group (the classic segmented-scan monoid, associative,
+    * so it rides [[TreeCarry]] at O(√n) per hop). Float caveat: partial
+    * states reassociate +/× (same as the global path); integral inputs
+    * stay exact under any split, which is what the oracle gate pins.
+    */
+  def grouped(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, op: Op, outCol: String): DataFrame = {
+    val integral = df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    if (integral)
+      groupedScan[Long](df, groupCols, orderCols, valueCol, outCol, "long",
+        op.zeroL, op.combineL, _.longValue())
+    else
+      groupedScan[Double](df, groupCols, orderCols, valueCol, outCol, "double",
+        op.zero, op.combine, _.doubleValue())
+  }
+
+  /** Per-partition segment summary for the grouped scan: the group open
+    * at the left edge, the group open at the right edge, and the running
+    * state of that right-edge group. `isEmpty` marks the monoid identity
+    * (an empty partition).
+    */
+  private case class Seg(firstG: Seq[Any], lastG: Seq[Any], tail: Any,
+      isEmpty: Boolean)
+  private val emptySeg = Seg(null, null, null, isEmpty = true)
+
+  private def groupedScan[T: scala.reflect.ClassTag](
+      df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, outCol: String, outType: String,
+      zero: T, combine: (T, T) => T, conv: Number => T): DataFrame = {
+    val spark = df.sparkSession
+    val shuffleParts = spark.sessionState.conf.numShufflePartitions
+    val arrangeCols = (groupCols ++ orderCols).map(col)
+    // range partitioning on the COMPOSITE key: a hot group's rows spread
+    // across consecutive partitions instead of collapsing into one task
+    val arranged = df.repartitionByRange(shuffleParts, arrangeCols: _*)
+      .sortWithinPartitions(arrangeCols: _*)
+    val schema = arranged.schema
+    val gIdx = groupCols.map(schema.fieldIndex)
+    val vIdx = schema.fieldIndex(valueCol)
+    val rdd = arranged.rdd
+    val nParts = rdd.getNumPartitions
+    val outSchema = schema.add(outCol, outType)
+    if (nParts == 0)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+
+    def groupOf(r: Row): Seq[Any] = gIdx.map(r.get)
+
+    // phase 1 (narrow): one segment summary per partition
+    val summaries = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var first: Seq[Any] = null
+      var cur: Seq[Any] = null
+      var acc = zero
+      it.foreach { r =>
+        val g = groupOf(r)
+        if (first == null) { first = g; cur = g }
+        else if (g != cur) { cur = g; acc = zero }
+        val v = r.get(vIdx)
+        if (v != null) acc = combine(acc, conv(v.asInstanceOf[Number]))
+      }
+      Iterator.single(
+        (pid, if (first == null) emptySeg else Seg(first, cur, acc, isEmpty = false)))
+    }
+
+    val merge: (Seg, Seg) => Seg = (a, b) =>
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else Seg(a.firstG, b.lastG,
+        // fold the left tail through only when b is ENTIRELY the group a
+        // left open — otherwise b's own last group started inside b
+        if (b.firstG == b.lastG && b.firstG == a.lastG)
+          combine(a.tail.asInstanceOf[T], b.tail.asInstanceOf[T])
+        else b.tail,
+        isEmpty = false)
+
+    val seeds = TreeCarry.exclusivePrefix[Seg](summaries, nParts, () => emptySeg, merge)
+
+    // phase 2 (narrow): seeded per-group running aggregate
+    val outRdd = rdd.zipPartitions(seeds) { (it, seedIt) =>
+      val carry = if (seedIt.hasNext) seedIt.next()._2 else emptySeg
+      var cur: Seq[Any] = null
+      var acc = zero
+      var started = false
+      it.map { r =>
+        val g = groupOf(r)
+        if (!started) {
+          started = true; cur = g
+          acc = if (!carry.isEmpty && carry.lastG == g) carry.tail.asInstanceOf[T] else zero
+        } else if (g != cur) { cur = g; acc = zero }
+        val v = r.get(vIdx)
+        val out: Any =
+          if (v == null) null
+          else { acc = combine(acc, conv(v.asInstanceOf[Number])); acc }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }
+    spark.createDataFrame(outRdd, outSchema)
+  }
+
   /** Adds `outCol` = running aggregate of `valueCol` in global index order.
     * Nulls behave pandas-style: they don't advance the accumulator and the
     * output at a null position is null.

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skew-resilient grouped cumulative scan (`Cumulative.grouped`): the
+  * range-split + segmented-tree-carry path must equal the one-task-per-
+  * group SQL window semantics on every shape that exercises the carry —
+  * groups spanning many partitions (the zipf-hot-group motivation),
+  * group boundaries landing exactly on partition boundaries, null
+  * values, and empty partitions.
+  */
+class GroupedScanSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 3 groups of very different sizes over MANY partitions: group "h"
+  // (hot) spans most partitions, "a"/"z" pin the edges. Values are
+  // integral so the split is exact by construction.
+  private def skewed = {
+    val rows = (0 until 40).map(i => ("a", i, i % 7)) ++
+      (0 until 3000).map(i => ("h", i, (i * 13) % 11)) ++
+      (0 until 25).map(i => ("z", i, i % 5))
+    rows.toDF("g", "ord", "v").withColumn("v", col("v").cast("long"))
+  }
+
+  private def windowCum(df: org.apache.spark.sql.DataFrame, agg: String) = {
+    val w = Window.partitionBy("g").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val e = if (agg == "sum") sum(col("v")).over(w) else product(col("v") + 1).over(w)
+    // pandas cum* semantics: a null row emits null (and doesn't advance)
+    df.withColumn("expect", when(col("v").isNull, lit(null)).otherwise(e))
+  }
+
+  private def asMap(df: org.apache.spark.sql.DataFrame, c: String) =
+    df.select(col("g"), col("ord"), col(c)).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.get(2)).toMap
+
+  test("grouped cumsum == window cumsum when the hot group spans many partitions") {
+    spark.conf.set("spark.sql.shuffle.partitions", "24")
+    try {
+      val got = Cumulative.grouped(skewed, Seq("g"), Seq("ord"), "v", Cumulative.CumSum, "cs")
+      // the hot group must actually span partitions, or this tests nothing
+      val span = got.rdd.mapPartitions { it =>
+        val gs = it.map(_.getString(0)).toSet; Iterator.single(if (gs("h")) 1 else 0)
+      }.sum()
+      assert(span >= 4, s"hot group spans only $span partitions — raise the row count")
+      assert(asMap(got, "cs") == asMap(windowCum(skewed, "sum"), "expect"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+  }
+
+  test("grouped cumprod (double) == window product within 1e-9 relative") {
+    // factors near 1.0 so the 3000-deep hot-group product stays finite
+    val df = skewed.withColumn("v", lit(1.0) + col("v").cast("double") / 1000.0)
+    val got = Cumulative.grouped(df, Seq("g"), Seq("ord"), "v", Cumulative.CumProd, "cp")
+      .select(col("g"), col("ord"), col("cp")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val w = Window.partitionBy("g").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = df.withColumn("e", product(col("v")).over(w))
+      .select(col("g"), col("ord"), col("e")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == exp.keySet)
+    got.foreach { case (k, v) =>
+      val e = exp(k)
+      assert(math.abs(v - e) <= 1e-9 * math.max(1.0, math.abs(e)), s"$k: $v vs $e")
+    }
+  }
+
+  test("nulls don't advance the accumulator and emit null, across a split group") {
+    val rows = (0 until 400).map { i =>
+      ("only", i, if (i % 5 == 0) null else java.lang.Long.valueOf(i % 9))
+    }
+    val df = rows.toDF("g", "ord", "v")
+    val got = Cumulative.grouped(df, Seq("g"), Seq("ord"), "v", Cumulative.CumSum, "cs")
+    assert(asMap(got, "cs") == asMap(windowCum(df, "sum"), "expect"))
+  }
+
+  test("many tiny groups (every boundary is a group change) still match") {
+    val df = (0 until 500).map(i => (s"g${i / 2}", i % 2, (i % 3).toLong))
+      .toDF("g", "ord", "v")
+    val got = Cumulative.grouped(df, Seq("g"), Seq("ord"), "v", Cumulative.CumSum, "cs")
+    assert(asMap(got, "cs") == asMap(windowCum(df, "sum"), "expect"))
+  }
+
+  test("empty input yields the schema with the out column and no rows") {
+    val df = Seq.empty[(String, Int, Long)].toDF("g", "ord", "v")
+    val got = Cumulative.grouped(df, Seq("g"), Seq("ord"), "v", Cumulative.CumSum, "cs")
+    assert(got.columns.last == "cs" && got.count() == 0)
+  }
+
+  test("GGroupBy.cumsumTree surface matches the window cumsum on lineitem-like data") {
+    val df = (0 until 1000).map(i => (i % 37, i / 37, (i % 23).toLong))
+      .toDF("k", "ord", "v")
+    val got = graft.api.GDF(df).groupby("k").cumsumTree("v", Seq("ord"), "cs").df
+    val w = Window.partitionBy("k").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = df.withColumn("cs", sum(col("v")).over(w))
+    assert(got.select("k", "ord", "cs").collect().map(_.toSeq).toSet ==
+      exp.select("k", "ord", "cs").collect().map(_.toSeq).toSet)
+  }
+}
