@@ -3222,6 +3222,21 @@ object SparkEntry {
           Seq("l_linenumber", "l_partkey", "l_suppkey", "qty"), "cum_qty")
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "cum_qty")
         .df
+    },
+
+    // grouped tree ffill (r14, companion to q215): per-user forward fill
+    // with the hot-group-splitting path. Carried values are verbatim row
+    // values — bit-exact under any partitioning, no float caveat.
+    "q216_group_ffill_tree" -> { (s, dir) =>
+      g(s, dir, "events")
+        .assign("value",
+          when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+        .groupby("user_id")
+        .ffillTree("value", Seq("ts", "event_id"))
+        .select("event_id", "value")
+        .assign("filled_value", round(col("value"), 4))
+        .select("event_id", "filled_value")
+        .df
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -5979,5 +5994,13 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_orderkey
         |    ORDER BY l_linenumber, l_partkey, l_suppkey, CAST(l_quantity AS BIGINT)
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_qty
-        |FROM lineitem""".stripMargin)
+        |FROM lineitem""".stripMargin,
+    "q216_group_ffill_tree" ->
+      """SELECT event_id, round(filled_value, 4) AS filled_value FROM (
+        |  SELECT event_id,
+        |    last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_value
+        |  FROM events)""".stripMargin)
 }

@@ -181,6 +181,21 @@ final class GGroupBy(gdf: GDF, keys: Seq[String], dropna: Boolean) {
     new GDF(graft.operators.Cumulative.grouped(
       base, keys, orderBy, c, graft.operators.Cumulative.CumProd, alias), demotedIndex)
 
+  /** Skew-resilient grouped forward fill — see [[cumsumTree]] for the
+    * range-split contract. Carried values are verbatim (no arithmetic),
+    * so unlike the cumulative ops this is bit-exact under ANY
+    * partitioning.
+    */
+  def ffillTree(c: String, orderBy: Seq[String]): GDF =
+    new GDF(graft.operators.Fill.groupedFfill(base, keys, orderBy, c), demotedIndex)
+
+  /** Skew-resilient grouped backward fill: [[ffillTree]] walked in
+    * descending order.
+    */
+  def bfillTree(c: String, orderBy: Seq[String]): GDF =
+    new GDF(graft.operators.Fill.groupedFfill(base, keys, orderBy, c,
+      descendingOrder = true), demotedIndex)
+
   def cumcount(orderBy: String, alias: String = "cumcount"): GDF =
     new GDF(base.withColumn(alias, row_number().over(w(orderBy)) - 1), demotedIndex)
 

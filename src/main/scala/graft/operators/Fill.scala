@@ -22,6 +22,91 @@ object Fill {
 
   private val lastWins: (Any, Any) => Any = (a, b) => if (b != null) b else a
 
+  /** Per-partition segment summary for the GROUPED tree fill: the group
+    * open at each edge and the last non-null value of the right-edge
+    * group. Same segmented-scan monoid as `Cumulative.grouped` with
+    * last-non-null-wins as the combine.
+    */
+  private case class GSeg(firstG: Seq[Any], lastG: Seq[Any], tail: Any,
+      isEmpty: Boolean)
+  private val emptyGSeg = GSeg(null, null, null, isEmpty = true)
+
+  /** Skew-resilient GROUPED forward fill — the scale alternative to the
+    * per-group window `last(x, ignoreNulls)` (one task per whole group;
+    * a zipf-hot group is a single straggler task). Range-partitions by
+    * (group ++ order) so hot groups span partitions, then stitches the
+    * boundary carries with the segmented √n tree. Carried values are
+    * verbatim row values (no arithmetic), so the result is bit-exact
+    * under ANY partitioning — unlike the cumulative ops there is no
+    * float-reassociation caveat.
+    *
+    * `descendingOrder = true` turns this into backward fill: bfill is
+    * forward fill walked in reverse order, and a descending range
+    * partition + sort expresses that without a second code path.
+    */
+  def groupedFfill(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+      valueCol: String, descendingOrder: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val shuffleParts = spark.sessionState.conf.numShufflePartitions
+    val arrangeCols = groupCols.map(col) ++
+      orderCols.map(c => if (descendingOrder) col(c).desc else col(c).asc)
+    val arranged = df.repartitionByRange(shuffleParts, arrangeCols: _*)
+      .sortWithinPartitions(arrangeCols: _*)
+    val schema = arranged.schema
+    val gIdx = groupCols.map(schema.fieldIndex)
+    val vIdx = schema.fieldIndex(valueCol)
+    val rdd = arranged.rdd
+    val nParts = rdd.getNumPartitions
+    if (nParts == 0) return arranged
+
+    def groupOf(r: Row): Seq[Any] = gIdx.map(r.get)
+
+    val summaries = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var first: Seq[Any] = null
+      var cur: Seq[Any] = null
+      var last: Any = null
+      it.foreach { r =>
+        val g = groupOf(r)
+        if (first == null) { first = g; cur = g }
+        else if (g != cur) { cur = g; last = null }
+        val v = r.get(vIdx)
+        if (v != null) last = v
+      }
+      Iterator.single(
+        (pid, if (first == null) emptyGSeg else GSeg(first, cur, last, isEmpty = false)))
+    }
+
+    val merge: (GSeg, GSeg) => GSeg = (a, b) =>
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else GSeg(a.firstG, b.lastG,
+        if (b.firstG == b.lastG && b.firstG == a.lastG) lastWins(a.tail, b.tail)
+        else b.tail,
+        isEmpty = false)
+
+    val seeds = TreeCarry.exclusivePrefix[GSeg](summaries, nParts, () => emptyGSeg, merge)
+
+    val outRdd = rdd.zipPartitions(seeds) { (it, seedIt) =>
+      val carry = if (seedIt.hasNext) seedIt.next()._2 else emptyGSeg
+      var cur: Seq[Any] = null
+      var last: Any = null
+      var started = false
+      it.map { r =>
+        val g = groupOf(r)
+        if (!started) {
+          started = true; cur = g
+          last = if (!carry.isEmpty && carry.lastG == g) carry.tail else null
+        } else if (g != cur) { cur = g; last = null }
+        val v = r.get(vIdx)
+        if (v != null) { last = v; r }
+        else if (last == null) r
+        else Row.fromSeq(r.toSeq.updated(vIdx, last))
+      }
+    }
+    spark.createDataFrame(outRdd, schema)
+  }
+
   def ffill(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     val vIdx = df.schema.fieldIndex(valueCol)

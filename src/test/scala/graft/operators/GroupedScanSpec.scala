@@ -89,6 +89,31 @@ class GroupedScanSpec extends SparkTestBase {
     assert(got.columns.last == "cs" && got.count() == 0)
   }
 
+  test("grouped tree ffill == window last(ignoreNulls) with a split hot group") {
+    val rows = (0 until 40).map(i => ("a", i, if (i % 3 == 0) null else java.lang.Long.valueOf(i))) ++
+      (0 until 3000).map(i => ("h", i, if (i % 4 != 1) null else java.lang.Long.valueOf(i * 7))) ++
+      (0 until 25).map(i => ("z", i, if (i < 20) null else java.lang.Long.valueOf(i)))
+    val df = rows.toDF("g", "ord", "v")
+    val got = Fill.groupedFfill(df, Seq("g"), Seq("ord"), "v")
+    val w = Window.partitionBy("g").orderBy("ord")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exp = df.withColumn("v", last(col("v"), ignoreNulls = true).over(w))
+    assert(asMap(got, "v") == asMap(exp, "v"))
+    // a null run at a group head stays null — no leak from the prior group
+    assert(got.filter(col("g") === "z" && col("ord") < 20 && col("v").isNotNull).count() == 0)
+  }
+
+  test("grouped tree bfill == window first(ignoreNulls) looking forward") {
+    val rows = (0 until 2000).map(i =>
+      ("k" + (i % 3), i, if (i % 5 != 2) null else java.lang.Long.valueOf(i)))
+    val df = rows.toDF("g", "ord", "v")
+    val got = Fill.groupedFfill(df, Seq("g"), Seq("ord"), "v", descendingOrder = true)
+    val w = Window.partitionBy("g").orderBy("ord")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val exp = df.withColumn("v", first(col("v"), ignoreNulls = true).over(w))
+    assert(asMap(got, "v") == asMap(exp, "v"))
+  }
+
   test("GGroupBy.cumsumTree surface matches the window cumsum on lineitem-like data") {
     val df = (0 until 1000).map(i => (i % 37, i / 37, (i % 23).toLong))
       .toDF("k", "ord", "v")
