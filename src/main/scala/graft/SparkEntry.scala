@@ -3237,6 +3237,18 @@ object SparkEntry {
         .assign("filled_value", round(col("value"), 4))
         .select("event_id", "filled_value")
         .df
+    },
+
+    // grouped tree rolling (r14, q215/q216's sibling): per-user rolling
+    // sum through the group-aware ghost-row overlap over range-split
+    // groups. Integer cents (each output sums <= 3 exact-double BIGINTs,
+    // < 2^53) so the value is bit-identical under any split or order.
+    "q217_group_rolling_tree" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      new graft.api.GRolling(ev, 3, Seq("ts", "event_id"), Seq("user_id"), 1)
+        .sumTree("cents", "roll_cents")
+        .select(col("event_id"), col("roll_cents").cast("long").as("roll_cents"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -6002,5 +6014,10 @@ object SparkEntry {
         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS filled_value
-        |  FROM events)""".stripMargin)
+        |  FROM events)""".stripMargin,
+    "q217_group_rolling_tree" ->
+      """SELECT event_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
+        |FROM events""".stripMargin)
 }

@@ -40,6 +40,29 @@ final class GRolling(
   private def add(name: String, valueCol: String, c: Column): DataFrame =
     df.withColumn(name, guarded(valueCol, c))
 
+  /** Skew-resilient keyed rolling aggregate — the scale alternative to
+    * the per-key SQL window (one task per whole group): range-splits hot
+    * groups across partitions and windows them through the group-aware
+    * ghost-row overlap scan ([[MapOverlap.rollingAggGrouped]]). Same
+    * contract as the grouped scan family (`cumsumTree`/`ffillTree`).
+    * Requires keys; `agg` sees the window's valid observations oldest
+    * first, exactly like the global MapOverlap kernels.
+    */
+  def aggTree(valueCol: String, out: String,
+      outType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.DoubleType)
+      (agg: Seq[Double] => Any): DataFrame = {
+    require(partitionBy.nonEmpty, "aggTree is the keyed-rolling scale path")
+    MapOverlap.rollingAggGrouped(df, partitionBy, orderBy, valueCol,
+      window, out, minPeriods, outType)(agg)
+  }
+
+  def sumTree(valueCol: String, out: String): DataFrame =
+    aggTree(valueCol, out)(_.sum)
+
+  def meanTree(valueCol: String, out: String): DataFrame =
+    aggTree(valueCol, out)(xs => if (xs.isEmpty) null else xs.sum / xs.size)
+
   def sum(valueCol: String, out: String): DataFrame =
     if (partitionBy.isEmpty)
       MapOverlap.rollingSum(df, valueCol, window, out, minPeriods)

@@ -101,6 +101,53 @@ object MapOverlap {
                  minPeriods: Int = 1): DataFrame =
     rollingAgg(df, valueCol, window, outCol, minPeriods)(_.sum)
 
+  /** Skew-resilient GROUPED rolling — the scale alternative to the keyed
+    * SQL-window path (one task per whole group; a zipf-hot group is a
+    * single straggler). Range-partitions by (group ++ order) so groups
+    * are contiguous and hot groups SPAN partitions, then runs the ghost-
+    * row overlap scan with a GROUP-AWARE window: each deque entry carries
+    * its group, and a row's window is the trailing same-group run —
+    * contiguity makes "last `window` rows of my group" and "same-group
+    * entries among the last `window` physical rows" the same set. Ghost
+    * rows from a different group are excluded by the same test, so
+    * nothing leaks across group heads at partition boundaries.
+    */
+  def rollingAggGrouped(df: DataFrame, groupCols: Seq[String],
+      orderCols: Seq[String], valueCol: String, window: Int, outCol: String,
+      minPeriods: Int,
+      outType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.DoubleType)
+      (agg: Seq[Double] => Any): DataFrame = {
+    val shuffleParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val arrangeCols = (groupCols ++ orderCols).map(col)
+    val arranged = df.repartitionByRange(shuffleParts, arrangeCols: _*)
+      .sortWithinPartitions(arrangeCols: _*)
+    val gIdx = groupCols.map(arranged.schema.fieldIndex)
+    val idx = arranged.schema.fieldIndex(valueCol)
+    val outSchema = arranged.schema.add(outCol, outType)
+    apply(arranged, outSchema, before = window - 1, after = 0) { (ghosts, it, _) =>
+      val bufG = new scala.collection.mutable.ArrayDeque[Seq[Any]]()
+      val buf = new scala.collection.mutable.ArrayDeque[Double]()
+      val bufValid = new scala.collection.mutable.ArrayDeque[Boolean]()
+      def push(r: Row): Seq[Any] = {
+        val v = r.get(idx)
+        val g = gIdx.map(r.get)
+        bufG.append(g)
+        buf.append(if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue())
+        bufValid.append(v != null)
+        if (buf.size > window) { buf.removeHead(); bufValid.removeHead(); bufG.removeHead() }
+        g
+      }
+      ghosts.foreach(push)
+      it.map { r =>
+        val g = push(r)
+        val valid = buf.indices.filter(i => bufValid(i) && bufG(i) == g).map(buf(_))
+        val out: Any = if (valid.size >= minPeriods) agg(valid) else null
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }
+  }
+
   def rollingMean(df: DataFrame, valueCol: String, window: Int, outCol: String,
                   minPeriods: Int = 1): DataFrame =
     rollingAgg(df, valueCol, window, outCol, minPeriods)(

@@ -114,6 +114,39 @@ class GroupedScanSpec extends SparkTestBase {
     assert(asMap(got, "v") == asMap(exp, "v"))
   }
 
+  test("grouped tree rolling sum == keyed SQL window with a split hot group") {
+    val df = skewed
+    val got = MapOverlap.rollingAggGrouped(df, Seq("g"), Seq("ord"), "v", 4, "rs", 1)(_.sum)
+    val w = Window.partitionBy("g").orderBy("ord").rowsBetween(-3, Window.currentRow)
+    val exp = df.withColumn("rs", sum(col("v")).over(w).cast("double"))
+    assert(asMap(got, "rs") == asMap(exp, "rs"))
+  }
+
+  test("grouped tree rolling: ghost rows from another group don't leak at boundaries") {
+    // many groups of exactly 3 rows with window 5 — every partition
+    // boundary lands mid- or between-group, and any leak from the
+    // previous group inflates the first rows' windows
+    val df = (0 until 1200).map(i => (s"g${i / 3}", i % 3, ((i % 3) + 1).toLong))
+      .toDF("g", "ord", "v")
+    val got = MapOverlap.rollingAggGrouped(df, Seq("g"), Seq("ord"), "v", 5, "rs", 1)(_.sum)
+    // each group is (1,2,3) so the rolling sums must be exactly (1,3,6)
+    val bad = got.filter(
+      (col("ord") === 0 && col("rs") =!= 1.0) ||
+      (col("ord") === 1 && col("rs") =!= 3.0) ||
+      (col("ord") === 2 && col("rs") =!= 6.0)).count()
+    assert(bad == 0)
+  }
+
+  test("grouped tree rolling minPeriods gates on valid observations") {
+    val rows = (0 until 300).map(i =>
+      ("k", i, if (i % 2 == 0) null else java.lang.Long.valueOf(1L)))
+    val df = rows.toDF("g", "ord", "v")
+    val got = MapOverlap.rollingAggGrouped(df, Seq("g"), Seq("ord"), "v", 4, "rs", 2)(_.sum)
+    // window of 4 alternating null/1 holds exactly 2 valid obs once ord>=3
+    assert(got.filter(col("ord") >= 3 && col("rs") =!= 2.0).count() == 0)
+    assert(got.filter(col("ord") === 0).collect().head.get(3) == null)
+  }
+
   test("GGroupBy.cumsumTree surface matches the window cumsum on lineitem-like data") {
     val df = (0 until 1000).map(i => (i % 37, i / 37, (i % 23).toLong))
       .toDF("k", "ord", "v")
