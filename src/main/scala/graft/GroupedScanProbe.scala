@@ -67,6 +67,17 @@ object GroupedScanProbe {
       graft.operators.Cumulative.grouped(
         deep, Seq("l_orderkey"), ord, "qty", graft.operators.Cumulative.CumSum, "cum_qty")
     }
+
+    // the family's rolling member on the same deep-skew shape
+    time("rolling window deep-skew (w=4)") {
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(ord.map(col): _*).rowsBetween(-3, Window.currentRow)
+      deep.withColumn("roll_qty", sum(col("qty")).over(w))
+    }
+    time("rolling tree deep-skew (w=4)") {
+      graft.operators.MapOverlap.rollingAggGrouped(
+        deep, Seq("l_orderkey"), ord, "qty", 4, "roll_qty", 1)(_.sum)
+    }
     spark.stop()
   }
 }
