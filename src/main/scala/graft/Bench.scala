@@ -15,6 +15,22 @@ object Bench {
     // same machine-enforced task-size gate as graft.Verify: a bench run
     // that ships MBs in task closures is not a valid timing either
     TaskSizeGuard.install()
+    // single-thread CPU canary: a fixed integer workload timed once, so
+    // every artifact records the host context it was measured in. The
+    // r14 resume measured the SAME build at 111 s and then 153 s
+    // full-suite: targeted reruns of the "regressed" queries matched the
+    // fast artifact, the code-cache A/B was flat, and a fixed
+    // single-core loop ran ~40% slower — the sandbox host had slowed,
+    // not the engine. Artifacts are comparable only at similar canary
+    // values; cross-context comparisons must be ratio-based.
+    val cpuCanary = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < (1 << 28)) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      if (x == 42L) System.err.println("canary fixed point") // defeat DCE
+      (System.nanoTime() - t0) / 1e9
+    }
     // warmup: exercise codegen/JIT + file listing outside the timings
     try SparkEntry.queries("q01_agg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
@@ -47,7 +63,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val oversized = TaskSizeGuard.warnings.size
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"oversized_task_warnings":$oversized}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"oversized_task_warnings":$oversized,"cpu_canary_sec":$cpuCanary}"""
     println(json)
     // also persist the full artifact: the driver's log tail truncates long
     // lines, so the committed bench record must come from a file, not the
@@ -55,8 +71,12 @@ object Bench {
     val sfTag = new java.io.File(sfDir).getName
     val outDir = new java.io.File("bench")
     outDir.mkdirs()
+    // a filtered run must not clobber the committed full-suite artifact
+    // (a targeted 3-query timing once overwrote bench_sf0.1.json)
+    val artifact = if (only.isEmpty) s"bench_$sfTag.json"
+                   else s"bench_${sfTag}_partial.json"
     java.nio.file.Files.write(
-      new java.io.File(outDir, s"bench_$sfTag.json").toPath,
+      new java.io.File(outDir, artifact).toPath,
       (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }

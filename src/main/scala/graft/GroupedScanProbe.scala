@@ -78,6 +78,24 @@ object GroupedScanProbe {
       graft.operators.MapOverlap.rollingAggGrouped(
         deep, Seq("l_orderkey"), ord, "qty", 4, "roll_qty", 1)(_.sum)
     }
+
+    // the family's HOLISTIC member (q218): grouped exact percentiles on
+    // the natural hot-group shape — 3 dictionary-valued groups over the
+    // whole fact, each group's value-count map a third of the fact in
+    // ONE agg buffer on the builtin path. timed in-full including the
+    // operator's metadata jobs (the tree result is a 3-row frame, so the
+    // noop sink times the compute, not the sink).
+    val liFlag = GraftSession.table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    time("grouped percentile builtin (map per group)") {
+      liFlag.groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("ps"))
+    }
+    time("grouped percentile tree (range-split)") {
+      graft.operators.Quantile.exactGrouped(
+        liFlag, "l_returnflag", "l_extendedprice", Seq(0.25, 0.5, 0.75))
+    }
     spark.stop()
   }
 }

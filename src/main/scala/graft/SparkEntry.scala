@@ -276,14 +276,19 @@ object SparkEntry {
     },
     // ---- §2.5 exact quantile / median -----------------------------------
     "q12_quantile" -> { (s, dir) =>
-      // one percentile pass for all three cut points (one value-count map
-      // build + merge instead of three)
-      t(s, dir, "lineitem")
-        .agg(percentile(col("l_extendedprice"), array(lit(0.5), lit(0.9), lit(0.99))).as("ps"))
-        .select(
-          round(col("ps").getItem(0), 4).as("p50"),
-          round(col("ps").getItem(1), 4).as("p90"),
-          round(col("ps").getItem(2), 4).as("p99"))
+      // r14: distributed range-sort + positional pick instead of the
+      // builtin percentile aggregate — the builtin's final merge folds a
+      // value-count map of ALL distinct prices into ONE reducer task
+      // (O(n_distinct) single-task memory at 100 TB); Quantile.exact
+      // reproduces its interpolation arithmetic bit-for-bit
+      // (QuantileSpec pins ==) with every task holding only a range
+      // slice. One sort pass for all three cut points.
+      val ps = graft.operators.Quantile.exact(
+        t(s, dir, "lineitem"), "l_extendedprice", Seq(0.5, 0.9, 0.99))
+      s.range(1).select(
+        round(lit(ps(0)), 4).as("p50"),
+        round(lit(ps(1)), 4).as("p90"),
+        round(lit(ps(2)), 4).as("p99"))
     },
     // ---- §2.5 corr / cov ------------------------------------------------
     "q13_corr_cov" -> { (s, dir) =>
@@ -1209,11 +1214,16 @@ object SparkEntry {
     // pass, broadcast of the 1-row cut-point frame — no driver round trip)
     "q102_qcut" -> { (s, dir) =>
       val li = t(s, dir, "lineitem")
-      val qs = li.agg(percentile(col("l_extendedprice"),
-          array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
-        .select(round(element_at(col("qs"), 1), 2).as("q1"),
-          round(element_at(col("qs"), 2), 2).as("q2"),
-          round(element_at(col("qs"), 3), 2).as("q3"))
+      // r14: same single-task-merge removal as q12 — the raw quartiles
+      // come from the distributed sort (bit-identical to the builtin),
+      // and the rounding stays IN the plan so round() semantics are
+      // untouched
+      val pv = graft.operators.Quantile.exact(
+        li, "l_extendedprice", Seq(0.25, 0.5, 0.75))
+      val qs = s.range(1)
+        .select(round(lit(pv(0)), 2).as("q1"),
+          round(lit(pv(1)), 2).as("q2"),
+          round(lit(pv(2)), 2).as("q3"))
       li.crossJoin(broadcast(qs))
         .select(when(col("l_extendedprice") <= col("q1"), 0)
           .when(col("l_extendedprice") <= col("q2"), 1)
@@ -3249,6 +3259,25 @@ object SparkEntry {
       new graft.api.GRolling(ev, 3, Seq("ts", "event_id"), Seq("user_id"), 1)
         .sumTree("cents", "roll_cents")
         .select(col("event_id"), col("roll_cents").cast("long").as("roll_cents"))
+    },
+
+    // grouped tree holistic percentiles (r14, the family's 4th member):
+    // the builtin grouped percentile holds one value-count map PER GROUP
+    // in the agg buffer — 3 dictionary-valued groups over the whole fact
+    // put a third of the fact's distinct values in ONE buffer at 100 TB.
+    // exactGrouped range-sorts (group, value) so hot groups span
+    // partitions and picks the order statistics positionally; the
+    // interpolation reproduces the builtin bit-for-bit (QuantileSpec).
+    // q14 stays on the builtin — the pandas-identical default for
+    // well-distributed groups, exactly like q116 vs q215.
+    "q218_group_quantile_tree" -> { (s, dir) =>
+      graft.operators.Quantile.exactGrouped(
+          t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          Seq(0.25, 0.5, 0.75))
+        .select(col("l_returnflag"),
+          round(col("p0"), 4).as("q1_price"),
+          round(col("p1"), 4).as("q2_price"),
+          round(col("p2"), 4).as("q3_price"))
     })
 
   /** DuckDB replicas of the [[graft.functions.Hashing]] kernels (splitmix64
@@ -6019,5 +6048,11 @@ object SparkEntry {
       """SELECT event_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    "q218_group_quantile_tree" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS q1_price,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS q2_price,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS q3_price
+        |FROM lineitem GROUP BY 1""".stripMargin)
 }
