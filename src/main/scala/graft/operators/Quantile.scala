@@ -54,9 +54,17 @@ object Quantile {
     val vals = df.select(col(colName).cast("double"))
       .filter(col(colName).isNotNull)
       .rdd.map(_.getDouble(0))
+    // sortBy inherits the SCAN's partition count, which follows file
+    // layout, not data size — a 2-file replica gave the 40x sort ~4
+    // partitions and its tasks spilled (measured: 40x slower than 100x).
+    // Use the session's shuffle parallelism as the floor: scale-adaptive
+    // (conf-driven), not a local core count.
+    val sortParts = math.max(vals.getNumPartitions,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
     // TotalOrdering = NaN greatest / -0.0 < 0.0, matching the builtin's
     // physical double ordering
-    val sorted = vals.sortBy(identity[Double])(Ordering.Double.TotalOrdering,
+    val sorted = vals.sortBy(identity[Double], ascending = true,
+        numPartitions = sortParts)(Ordering.Double.TotalOrdering,
         implicitly).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val counts = sorted.mapPartitions(it => Iterator(it.size.toLong),
@@ -148,7 +156,11 @@ object Quantile {
     val bcIdx = spark.sparkContext.broadcast(groupIdx)
     val pairs = base.rdd.map(r => (bcIdx.value(r.get(0)), r.getDouble(1)))
     implicit val ordD: Ordering[Double] = Ordering.Double.TotalOrdering
-    val sorted = pairs.sortBy(identity[(Int, Double)])
+    // same scan-layout-independent sort parallelism as [[exact]]
+    val sortParts = math.max(pairs.getNumPartitions,
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val sorted = pairs.sortBy(identity[(Int, Double)], ascending = true,
+        numPartitions = sortParts)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // contiguous (group, count, within-partition offset) runs
