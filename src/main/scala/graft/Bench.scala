@@ -78,6 +78,14 @@ object Bench {
     java.nio.file.Files.write(
       new java.io.File(outDir, artifact).toPath,
       (json + "\n").getBytes("UTF-8"))
+    // compact one-line summary as the FINAL stdout line (r15, VERDICT r14
+    // "Next round" #2): the driver keeps only a ~2000-char stdout tail and
+    // the full per-query line above is ~7 KB at 217 queries, so its JSON
+    // has parsed as null since round ~5.  This line carries the totals and
+    // points at the committed artifact for the per-query map; the full
+    // line above is unchanged (same timings, same methodology — nothing
+    // is measured differently, this is measurement REPORTING only).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir","runs":$runs,"oversized_task_warnings":$oversized,"cpu_canary_sec":$cpuCanary,"artifact":"bench/$artifact"}""")
     spark.stop()
   }
 }

@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeRow
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, IntegerType, LongType, ShortType}
 
 /** Distributed global cumulative aggregates (cumsum / cumprod / cummax /
   * cummin / cumcount) — reference:
@@ -20,6 +22,10 @@ import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
   *
   * Two narrow passes over data that is already range-partitioned+sorted by
   * the index (post-`setIndex`), zero extra shuffles, arbitrary npartitions.
+  * Since round 15 both passes run on the plan's own InternalRow RDD with a
+  * codegen'd output projection ([[InternalScan]]) — the former
+  * `df.rdd`/`createDataFrame` path paid an interpreted Row decode+encode
+  * per row on top of the same algorithm.
   *
   * Integral inputs keep an integral (long) accumulator and a long output
   * column, matching pandas cumsum on int64; floats accumulate as double.
@@ -78,26 +84,28 @@ object Cumulative {
       case _                                             => false
     }
     if (integral)
-      groupedScan[Long](df, groupCols, orderCols, valueCol, outCol, "long",
-        op.zeroL, op.combineL, _.longValue())
+      groupedScan[Long](df, groupCols, orderCols, valueCol, outCol, LongType,
+        op.zeroL, op.combineL, InternalScan.longGetter)
     else
-      groupedScan[Double](df, groupCols, orderCols, valueCol, outCol, "double",
-        op.zero, op.combine, _.doubleValue())
+      groupedScan[Double](df, groupCols, orderCols, valueCol, outCol, DoubleType,
+        op.zero, op.combine, InternalScan.doubleGetter)
   }
 
   /** Per-partition segment summary for the grouped scan: the group open
-    * at the left edge, the group open at the right edge, and the running
-    * state of that right-edge group. `isEmpty` marks the monoid identity
-    * (an empty partition).
+    * at the left edge, the group open at the right edge (both as
+    * UnsafeRow keys from [[InternalScan.KeyProj]] — byte equality is
+    * value equality), and the running state of that right-edge group.
+    * `isEmpty` marks the monoid identity (an empty partition).
     */
-  private case class Seg(firstG: Seq[Any], lastG: Seq[Any], tail: Any,
+  private case class Seg(firstG: UnsafeRow, lastG: UnsafeRow, tail: Any,
       isEmpty: Boolean)
   private val emptySeg = Seg(null, null, null, isEmpty = true)
 
   private def groupedScan[T: scala.reflect.ClassTag](
       df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
-      valueCol: String, outCol: String, outType: String,
-      zero: T, combine: (T, T) => T, conv: Number => T): DataFrame = {
+      valueCol: String, outCol: String, outType: DataType,
+      zero: T, combine: (T, T) => T,
+      getter: (DataType, Int) => InternalRow => T): DataFrame = {
     val spark = df.sparkSession
     val shuffleParts = spark.sessionState.conf.numShufflePartitions
     val arrangeCols = (groupCols ++ orderCols).map(col)
@@ -108,25 +116,23 @@ object Cumulative {
     val schema = arranged.schema
     val gIdx = groupCols.map(schema.fieldIndex)
     val vIdx = schema.fieldIndex(valueCol)
-    val rdd = arranged.rdd
+    val get = getter(schema(vIdx).dataType, vIdx)
+    val rdd = InternalScan.rddOf(arranged)
     val nParts = rdd.getNumPartitions
     val outSchema = schema.add(outCol, outType)
-    if (nParts == 0)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
-
-    def groupOf(r: Row): Seq[Any] = gIdx.map(r.get)
+    if (nParts == 0) return InternalScan.emptyDF(spark, outSchema)
 
     // phase 1 (narrow): one segment summary per partition
     val summaries = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var first: Seq[Any] = null
-      var cur: Seq[Any] = null
+      val keyProj = new InternalScan.KeyProj(schema, gIdx)
+      var first: UnsafeRow = null
+      var cur: UnsafeRow = null
       var acc = zero
       it.foreach { r =>
-        val g = groupOf(r)
-        if (first == null) { first = g; cur = g }
-        else if (g != cur) { cur = g; acc = zero }
-        val v = r.get(vIdx)
-        if (v != null) acc = combine(acc, conv(v.asInstanceOf[Number]))
+        val g = keyProj(r)
+        if (first == null) { first = g.copy(); cur = first }
+        else if (g != cur) { cur = g.copy(); acc = zero }
+        if (!r.isNullAt(vIdx)) acc = combine(acc, get(r))
       }
       Iterator.single(
         (pid, if (first == null) emptySeg else Seg(first, cur, acc, isEmpty = false)))
@@ -148,23 +154,22 @@ object Cumulative {
     // phase 2 (narrow): seeded per-group running aggregate
     val outRdd = rdd.zipPartitions(seeds) { (it, seedIt) =>
       val carry = if (seedIt.hasNext) seedIt.next()._2 else emptySeg
-      var cur: Seq[Any] = null
+      val keyProj = new InternalScan.KeyProj(schema, gIdx)
+      val append = new InternalScan.Append(schema, Seq(outType))
+      var cur: UnsafeRow = null
       var acc = zero
       var started = false
       it.map { r =>
-        val g = groupOf(r)
+        val g = keyProj(r)
         if (!started) {
-          started = true; cur = g
-          acc = if (!carry.isEmpty && carry.lastG == g) carry.tail.asInstanceOf[T] else zero
-        } else if (g != cur) { cur = g; acc = zero }
-        val v = r.get(vIdx)
-        val out: Any =
-          if (v == null) null
-          else { acc = combine(acc, conv(v.asInstanceOf[Number])); acc }
-        Row.fromSeq(r.toSeq :+ out)
+          started = true; cur = g.copy()
+          acc = if (!carry.isEmpty && carry.lastG == cur) carry.tail.asInstanceOf[T] else zero
+        } else if (g != cur) { cur = g.copy(); acc = zero }
+        if (r.isNullAt(vIdx)) append(r, null)
+        else { acc = combine(acc, get(r)); append(r, acc) }
       }
     }
-    spark.createDataFrame(outRdd, outSchema)
+    InternalScan.toDF(spark, outRdd, outSchema)
   }
 
   /** Adds `outCol` = running aggregate of `valueCol` in global index order.
@@ -177,22 +182,26 @@ object Cumulative {
       case _                                             => false
     }
     if (integral)
-      scan[Long](df, valueCol, outCol, "long", op.zeroL, op.combineL, _.longValue())
+      scan[Long](df, valueCol, outCol, LongType, op.zeroL, op.combineL,
+        InternalScan.longGetter)
     else
-      scan[Double](df, valueCol, outCol, "double", op.zero, op.combine, _.doubleValue())
+      scan[Double](df, valueCol, outCol, DoubleType, op.zero, op.combine,
+        InternalScan.doubleGetter)
   }
 
   private def scan[T: scala.reflect.ClassTag](
-      df: DataFrame, valueCol: String, outCol: String, outType: String,
-      zero: T, combine: (T, T) => T, conv: Number => T): DataFrame = {
+      df: DataFrame, valueCol: String, outCol: String, outType: DataType,
+      zero: T, combine: (T, T) => T,
+      getter: (DataType, Int) => InternalRow => T): DataFrame = {
     val spark = df.sparkSession
-    val vIdx = df.schema.fieldIndex(valueCol)
+    val schema = df.schema
+    val vIdx = schema.fieldIndex(valueCol)
+    val get = getter(schema(vIdx).dataType, vIdx)
 
-    val dataRdd = df.rdd
+    val dataRdd = InternalScan.rddOf(df)
     val nParts = dataRdd.getNumPartitions
-    val outSchema = df.schema.add(outCol, outType)
-    if (nParts == 0)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    val outSchema = schema.add(outCol, outType)
+    if (nParts == 0) return InternalScan.emptyDF(spark, outSchema)
 
     // phase 1: per-partition totals (narrow — no shuffle).  pid alignment
     // uses the RDD's own split index (mapPartitionsWithIndex), NOT
@@ -203,10 +212,7 @@ object Cumulative {
     // skipping them and folding them in are the same prefix.
     val partTotals = dataRdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = zero
-      it.foreach { r =>
-        val v = r.get(vIdx)
-        if (v != null) acc = combine(acc, conv(v.asInstanceOf[Number]))
-      }
+      it.foreach { r => if (!r.isNullAt(vIdx)) acc = combine(acc, get(r)) }
       Iterator.single((pid, acc))
     }
 
@@ -219,14 +225,12 @@ object Cumulative {
     // phase 2: seeded running aggregate (narrow)
     val outRdd = dataRdd.zipPartitions(seeds) { (it, seedIt) =>
       var acc = if (seedIt.hasNext) seedIt.next()._2 else zero
+      val append = new InternalScan.Append(schema, Seq(outType))
       it.map { r =>
-        val v = r.get(vIdx)
-        val out: Any =
-          if (v == null) null
-          else { acc = combine(acc, conv(v.asInstanceOf[Number])); acc }
-        Row.fromSeq(r.toSeq :+ out)
+        if (r.isNullAt(vIdx)) append(r, null)
+        else { acc = combine(acc, get(r)); append(r, acc) }
       }
     }
-    spark.createDataFrame(outRdd, outSchema)
+    InternalScan.toDF(spark, outRdd, outSchema)
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -138,8 +138,13 @@ object Expanding {
       // are released by `spark.catalog.clearCache()` (which every long
       // multi-query session, e.g. the bench loop, already calls).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vIdx = sorted.schema.fieldIndex(valueCol)
-    val sortedRdd = sorted.rdd
+    val schema = sorted.schema
+    val vIdx = schema.fieldIndex(valueCol)
+    val vType = schema(vIdx).dataType
+    val getD = InternalScan.doubleGetter(vType, vIdx)
+    val getL: org.apache.spark.sql.catalyst.InternalRow => Long =
+      if (integral) InternalScan.longGetter(vType, vIdx) else _ => 0L
+    val sortedRdd = InternalScan.rddOf(sorted)
 
     // phase 1: per-partition state (narrow). pid from the RDD's own split
     // index, not TaskContext — see Cumulative for the coalesce() hazard.
@@ -147,11 +152,7 @@ object Expanding {
       val st = St.empty
       it.foreach { r =>
         st.bump()
-        val v = r.get(vIdx)
-        if (v != null) {
-          val num = v.asInstanceOf[Number]
-          st.add(num.doubleValue(), if (integral) num.longValue() else 0L)
-        }
+        if (!r.isNullAt(vIdx)) st.add(getD(r), getL(r))
       }
       Iterator.single((pid, st))
     }
@@ -196,24 +197,24 @@ object Expanding {
     }
 
     // phase 2: seeded running scan (narrow), all aggregates in one pass
-    val outSchema = specs.foldLeft(sorted.schema) { case (sc, (out, a)) =>
+    val outSchema = specs.foldLeft(schema) { case (sc, (out, a)) =>
       sc.add(out, outType(a), nullable = true) }
     val specsL = specs.toArray
-    if (nParts == 0)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    val extraTypes = specsL.map { case (_, a) => outType(a) }.toSeq
+    if (nParts == 0) return InternalScan.emptyDF(spark, outSchema)
     val outRdd = sortedRdd.zipPartitions(seeds) { (it, seedIt) =>
       val st = (if (seedIt.hasNext) seedIt.next()._2 else St.empty).copySt()
+      val append = new InternalScan.Append(schema, extraTypes)
+      val vals = new Array[Any](specsL.length)
       it.map { r =>
         st.bump()
-        val v = r.get(vIdx)
-        if (v != null) {
-          val num = v.asInstanceOf[Number]
-          st.add(num.doubleValue(), if (integral) num.longValue() else 0L)
-        }
-        Row.fromSeq(r.toSeq ++ specsL.map { case (_, a) => emit(a, st) })
+        if (!r.isNullAt(vIdx)) st.add(getD(r), getL(r))
+        var i = 0
+        while (i < specsL.length) { vals(i) = emit(specsL(i)._2, st); i += 1 }
+        append.applyAll(r, vals)
       }
     }
-    spark.createDataFrame(outRdd, outSchema)
+    InternalScan.toDF(spark, outRdd, outSchema)
   }
 
   /** Single-aggregate convenience used by [[graft.api.GRolling.expanding]]. */

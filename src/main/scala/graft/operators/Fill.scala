@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.UnsafeRow
 
 /** Distributed global forward/backward fill — reference `FFill/BFill`
   * (`dask_expr/_expr.py:3405-3438`, map_overlap-based).
@@ -12,11 +14,16 @@ import org.apache.spark.sql.{DataFrame, Row}
   * O(npartitions) driver collect + broadcast), then phase 2 fills within
   * each partition seeded by its neighbor's carry via zipPartitions.  Two
   * narrow passes plus the tree's tiny boundary shuffles, no data shuffle
-  * (input already range-partitioned+sorted by the index).
+  * (input already range-partitioned+sorted by the index).  Since round 15
+  * both passes run on the plan's own InternalRow RDD ([[InternalScan]]):
+  * rows that keep their value pass through untouched and filled rows go
+  * out through a codegen'd replace projection — the former Row path paid
+  * an interpreted decode+encode per row.
   *
   * The carry merge is "latest non-null wins":
   * `(a, b) => if (b != null) b else a` — associative with identity null,
-  * exactly TreeCarry's contract.
+  * exactly TreeCarry's contract.  Carried values are Catalyst-form
+  * (`InternalRow.copyValue` snapshots them out of reused row buffers).
   */
 object Fill {
 
@@ -27,7 +34,7 @@ object Fill {
     * group. Same segmented-scan monoid as `Cumulative.grouped` with
     * last-non-null-wins as the combine.
     */
-  private case class GSeg(firstG: Seq[Any], lastG: Seq[Any], tail: Any,
+  private case class GSeg(firstG: UnsafeRow, lastG: UnsafeRow, tail: Any,
       isEmpty: Boolean)
   private val emptyGSeg = GSeg(null, null, null, isEmpty = true)
 
@@ -56,22 +63,22 @@ object Fill {
     val schema = arranged.schema
     val gIdx = groupCols.map(schema.fieldIndex)
     val vIdx = schema.fieldIndex(valueCol)
-    val rdd = arranged.rdd
+    val vType = schema(vIdx).dataType
+    val rdd = InternalScan.rddOf(arranged)
     val nParts = rdd.getNumPartitions
     if (nParts == 0) return arranged
 
-    def groupOf(r: Row): Seq[Any] = gIdx.map(r.get)
-
     val summaries = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var first: Seq[Any] = null
-      var cur: Seq[Any] = null
+      val keyProj = new InternalScan.KeyProj(schema, gIdx)
+      var first: UnsafeRow = null
+      var cur: UnsafeRow = null
       var last: Any = null
       it.foreach { r =>
-        val g = groupOf(r)
-        if (first == null) { first = g; cur = g }
-        else if (g != cur) { cur = g; last = null }
-        val v = r.get(vIdx)
-        if (v != null) last = v
+        val g = keyProj(r)
+        if (first == null) { first = g.copy(); cur = first }
+        else if (g != cur) { cur = g.copy(); last = null }
+        if (!r.isNullAt(vIdx))
+          last = InternalRow.copyValue(r.get(vIdx, vType))
       }
       Iterator.single(
         (pid, if (first == null) emptyGSeg else GSeg(first, cur, last, isEmpty = false)))
@@ -89,28 +96,33 @@ object Fill {
 
     val outRdd = rdd.zipPartitions(seeds) { (it, seedIt) =>
       val carry = if (seedIt.hasNext) seedIt.next()._2 else emptyGSeg
-      var cur: Seq[Any] = null
+      val keyProj = new InternalScan.KeyProj(schema, gIdx)
+      val replace = new InternalScan.Replace(schema, vIdx)
+      var cur: UnsafeRow = null
       var last: Any = null
       var started = false
       it.map { r =>
-        val g = groupOf(r)
+        val g = keyProj(r)
         if (!started) {
-          started = true; cur = g
-          last = if (!carry.isEmpty && carry.lastG == g) carry.tail else null
-        } else if (g != cur) { cur = g; last = null }
-        val v = r.get(vIdx)
-        if (v != null) { last = v; r }
+          started = true; cur = g.copy()
+          last = if (!carry.isEmpty && carry.lastG == cur) carry.tail else null
+        } else if (g != cur) { cur = g.copy(); last = null }
+        if (!r.isNullAt(vIdx)) {
+          last = InternalRow.copyValue(r.get(vIdx, vType)); r
+        }
         else if (last == null) r
-        else Row.fromSeq(r.toSeq.updated(vIdx, last))
+        else replace(r, last)
       }
     }
-    spark.createDataFrame(outRdd, schema)
+    InternalScan.toDF(spark, outRdd, schema)
   }
 
   def ffill(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
-    val vIdx = df.schema.fieldIndex(valueCol)
-    val dataRdd = df.rdd
+    val schema = df.schema
+    val vIdx = schema.fieldIndex(valueCol)
+    val vType = schema(vIdx).dataType
+    val dataRdd = InternalScan.rddOf(df)
     val nParts = dataRdd.getNumPartitions
     if (nParts == 0) return df
 
@@ -119,7 +131,9 @@ object Fill {
     // between the two passes (see MapOverlap)
     val lastNonNull = dataRdd.mapPartitionsWithIndex { (pid, it) =>
       var last: Any = null
-      it.foreach { r => val v = r.get(vIdx); if (v != null) last = v }
+      it.foreach { r =>
+        if (!r.isNullAt(vIdx)) last = InternalRow.copyValue(r.get(vIdx, vType))
+      }
       Iterator.single((pid, last))
     }
     val seeds = TreeCarry.exclusivePrefix[Any](lastNonNull, nParts,
@@ -127,13 +141,16 @@ object Fill {
 
     val outRdd = dataRdd.zipPartitions(seeds) { (it, seedIt) =>
       var last: Any = if (seedIt.hasNext) seedIt.next()._2 else null
+      val replace = new InternalScan.Replace(schema, vIdx)
       it.map { r =>
-        val v = r.get(vIdx)
-        if (v != null) { last = v; r }
-        else Row.fromSeq(r.toSeq.updated(vIdx, last))
+        if (!r.isNullAt(vIdx)) {
+          last = InternalRow.copyValue(r.get(vIdx, vType)); r
+        }
+        else if (last == null) r
+        else replace(r, last)
       }
     }
-    spark.createDataFrame(outRdd, df.schema)
+    InternalScan.toDF(spark, outRdd, schema)
   }
 
   /** bfill = ffill run over the reversed partition order; implemented
@@ -141,8 +158,10 @@ object Fill {
     */
   def bfill(df: DataFrame, valueCol: String): DataFrame = {
     val spark = df.sparkSession
-    val vIdx = df.schema.fieldIndex(valueCol)
-    val dataRdd = df.rdd
+    val schema = df.schema
+    val vIdx = schema.fieldIndex(valueCol)
+    val vType = schema(vIdx).dataType
+    val dataRdd = InternalScan.rddOf(df)
     val nParts = dataRdd.getNumPartitions
     if (nParts == 0) return df
 
@@ -150,7 +169,9 @@ object Fill {
       var first: Any = null
       var found = false
       it.foreach { r =>
-        if (!found) { val v = r.get(vIdx); if (v != null) { first = v; found = true } }
+        if (!found && !r.isNullAt(vIdx)) {
+          first = InternalRow.copyValue(r.get(vIdx, vType)); found = true
+        }
       }
       Iterator.single((pid, first))
     }
@@ -161,35 +182,39 @@ object Fill {
 
     val outRdd = dataRdd.zipPartitions(seeds) { (it, seedIt) =>
       val carryFromNext: Any = if (seedIt.hasNext) seedIt.next()._2 else null
+      val replace = new InternalScan.Replace(schema, vIdx)
       // need the partition's own next-non-null lookahead: buffer rows until
       // a non-null is seen (bounded by the null-run length, not partition
-      // size)
-      new Iterator[Row] {
-        private val pending = new scala.collection.mutable.ArrayDeque[Row]()
-        private val ready = new scala.collection.mutable.ArrayDeque[Row]()
+      // size).  Buffered rows are copies (the source iterator reuses its
+      // buffer); the fill value is applied lazily in next() so the replace
+      // projection's reused output buffer is safe.
+      new Iterator[InternalRow] {
+        // (row, fill) — fill == null means emit the row as-is
+        private val ready = new scala.collection.mutable.ArrayDeque[(InternalRow, Any)]()
+        private val pending = new scala.collection.mutable.ArrayDeque[InternalRow]()
         private def refill(): Unit = {
           while (ready.isEmpty && it.hasNext) {
             val r = it.next()
-            val v = r.get(vIdx)
-            if (v != null) {
-              pending.foreach(p => ready.append(Row.fromSeq(p.toSeq.updated(vIdx, v))))
+            if (!r.isNullAt(vIdx)) {
+              val v = InternalRow.copyValue(r.get(vIdx, vType))
+              pending.foreach(p => ready.append((p, v)))
               pending.clear()
-              ready.append(r)
-            } else pending.append(r)
+              ready.append((r, null))
+            } else pending.append(r.copy())
           }
           if (ready.isEmpty && !it.hasNext && pending.nonEmpty) {
-            pending.foreach { p =>
-              ready.append(
-                if (carryFromNext == null) p
-                else Row.fromSeq(p.toSeq.updated(vIdx, carryFromNext)))
-            }
+            pending.foreach(p => ready.append((p, carryFromNext)))
             pending.clear()
           }
         }
         def hasNext: Boolean = { refill(); ready.nonEmpty }
-        def next(): Row = { refill(); ready.removeHead() }
+        def next(): InternalRow = {
+          refill()
+          val (r, fill) = ready.removeHead()
+          if (fill == null) r else replace(r, fill)
+        }
       }
     }
-    spark.createDataFrame(outRdd, df.schema)
+    InternalScan.toDF(spark, outRdd, schema)
   }
 }

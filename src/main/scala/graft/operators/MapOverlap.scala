@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -16,24 +16,30 @@ import org.apache.spark.sql.types.StructType
   * re-keyed union would re-shuffle the *entire* dataset just to move a few
   * boundary rows.  Instead we exploit that the ghost region is tiny
   * (`before + after` rows per partition): one narrow job collects only the
-  * boundary rows (`take`-style per partition), the driver broadcasts them,
-  * and a single `mapPartitions` prepends/appends the neighbours' rows —
-  * zero shuffle of the main data.  Driver memory is
-  * O(npartitions × (before+after) × rowsize), the same budget the
-  * reference spends on its `concat(tails)` graph edges.
+  * boundary rows, they ride the √n [[TreeCarry]], and a single
+  * `zipPartitions` pass prepends/appends the neighbours' rows — zero
+  * shuffle of the main data.
+  *
+  * Since round 15 the whole family runs on the plan's own InternalRow RDD
+  * ([[InternalScan]]): kernels read typed primitives and emit through a
+  * codegen'd append projection — the former `df.rdd`/`createDataFrame`
+  * path paid an interpreted Row decode+encode per row on the same
+  * algorithm.  Iterator rows are REUSED buffers: ghosts and any row
+  * retained across `next()` are `copy()`d, carried field values go
+  * through `InternalRow.copyValue`.
   *
   * The input must be range-partitioned and sorted by the index column
   * (i.e. `setIndex` has run) so "previous/next partition" is meaningful.
   */
 object MapOverlap {
 
-  /** @param f     sees (ghostBefore ++ partition ++ ghostAfter) as one
-    *              iterator plus the count of before/after ghost rows; must
-    *              return exactly one output row per non-ghost input row
-    *              region it owns (the usual rolling/shift contract).
+  /** @param f     sees (ghostBefore, partition iterator, ghostAfter); the
+    *              ghosts are already-copied rows; must return exactly one
+    *              output row per non-ghost input row region it owns (the
+    *              usual rolling/shift contract).
     */
   def apply(df: DataFrame, outSchema: StructType, before: Int, after: Int)(
-      f: (Seq[Row], Iterator[Row], Seq[Row]) => Iterator[Row]): DataFrame = {
+      f: (Seq[InternalRow], Iterator[InternalRow], Seq[InternalRow]) => Iterator[InternalRow]): DataFrame = {
 
     val spark = df.sparkSession
 
@@ -43,19 +49,21 @@ object MapOverlap {
     // and the task id would then disagree with the boundary pass, silently
     // misaligning every carry (caught by the 10× oracle gate)
 
-    val dataRdd = df.rdd
+    val dataRdd = InternalScan.rddOf(df)
     val nParts = dataRdd.getNumPartitions
-    if (nParts == 0)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    if (nParts == 0) return InternalScan.emptyDF(spark, outSchema)
 
-    // 1) narrow pass: per-partition head/tail boundary rows
+    // 1) narrow pass: per-partition head/tail boundary rows (copies — the
+    // source iterator reuses its buffer)
     val boundaries = dataRdd.mapPartitionsWithIndex { (pid, it) =>
-      val head = new scala.collection.mutable.ArrayBuffer[Row]
-      val tail = new scala.collection.mutable.ArrayBuffer[Row]
+      val head = new scala.collection.mutable.ArrayBuffer[InternalRow]
+      val tail = new scala.collection.mutable.ArrayDeque[InternalRow]
       while (it.hasNext) {
         val r = it.next()
-        if (after > 0 && head.size < after) head += r
-        if (before > 0) { tail += r; if (tail.size > before) tail.remove(0) }
+        if (after > 0 && head.size < after) head += r.copy()
+        if (before > 0) {
+          tail.append(r.copy()); if (tail.size > before) { tail.removeHead(); () }
+        }
       }
       Iterator.single((pid, (tail.toArray, head.toArray)))
     }
@@ -70,24 +78,24 @@ object MapOverlap {
     // and the remainder comes from further back, exactly the old walk).
     // Ghost-after is the mirrored suffix fold. Row-buffer merges are pure
     // concatenation — no arithmetic, so tree reassociation is exact.
-    val beforeSeeds = TreeCarry.exclusivePrefix[Array[Row]](
-      boundaries.mapValues(_._1), nParts, () => Array.empty[Row],
+    val beforeSeeds = TreeCarry.exclusivePrefix[Array[InternalRow]](
+      boundaries.mapValues(_._1), nParts, () => Array.empty[InternalRow],
       (a, b) => (a ++ b).takeRight(before))
     // exclusiveSuffix visits partitions in DESCENDING order, so the
     // accumulated `a` holds rows that come AFTER `b` in row order
-    val afterSeeds = TreeCarry.exclusiveSuffix[Array[Row]](
-      boundaries.mapValues(_._2), nParts, () => Array.empty[Row],
+    val afterSeeds = TreeCarry.exclusiveSuffix[Array[InternalRow]](
+      boundaries.mapValues(_._2), nParts, () => Array.empty[InternalRow],
       (a, b) => (b ++ a).take(after))
 
     // 3) main pass: each partition reads its two seeds index-aligned
     val outRdd = dataRdd.zipPartitions(beforeSeeds, afterSeeds) { (it, bIt, aIt) =>
-      val ghostBefore: Seq[Row] =
+      val ghostBefore: Seq[InternalRow] =
         if (before <= 0 || !bIt.hasNext) Nil else bIt.next()._2.toSeq
-      val ghostAfter: Seq[Row] =
+      val ghostAfter: Seq[InternalRow] =
         if (after <= 0 || !aIt.hasNext) Nil else aIt.next()._2.toSeq
       f(ghostBefore, it, ghostAfter)
     }
-    spark.createDataFrame(outRdd, outSchema)
+    InternalScan.toDF(spark, outRdd, outSchema)
   }
 
   /** Rolling aggregate over the previous `window-1` rows + current, global
@@ -122,19 +130,23 @@ object MapOverlap {
     val arrangeCols = (groupCols ++ orderCols).map(col)
     val arranged = df.repartitionByRange(shuffleParts, arrangeCols: _*)
       .sortWithinPartitions(arrangeCols: _*)
-    val gIdx = groupCols.map(arranged.schema.fieldIndex)
-    val idx = arranged.schema.fieldIndex(valueCol)
-    val outSchema = arranged.schema.add(outCol, outType)
+    val schema = arranged.schema
+    val gIdx = groupCols.map(schema.fieldIndex)
+    val idx = schema.fieldIndex(valueCol)
+    val getD = InternalScan.doubleGetter(schema(idx).dataType, idx)
+    val outSchema = schema.add(outCol, outType)
     apply(arranged, outSchema, before = window - 1, after = 0) { (ghosts, it, _) =>
-      val bufG = new scala.collection.mutable.ArrayDeque[Seq[Any]]()
+      val keyProj = new InternalScan.KeyProj(schema, gIdx)
+      val append = new InternalScan.Append(schema, Seq(outType))
+      val bufG = new scala.collection.mutable.ArrayDeque[InternalRow]()
       val buf = new scala.collection.mutable.ArrayDeque[Double]()
       val bufValid = new scala.collection.mutable.ArrayDeque[Boolean]()
-      def push(r: Row): Seq[Any] = {
-        val v = r.get(idx)
-        val g = gIdx.map(r.get)
+      def push(r: InternalRow): InternalRow = {
+        val ok = !r.isNullAt(idx)
+        val g = keyProj(r).copy()
         bufG.append(g)
-        buf.append(if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue())
-        bufValid.append(v != null)
+        buf.append(if (ok) getD(r) else 0.0)
+        bufValid.append(ok)
         if (buf.size > window) { buf.removeHead(); bufValid.removeHead(); bufG.removeHead() }
         g
       }
@@ -143,7 +155,7 @@ object MapOverlap {
         val g = push(r)
         val valid = buf.indices.filter(i => bufValid(i) && bufG(i) == g).map(buf(_))
         val out: Any = if (valid.size >= minPeriods) agg(valid) else null
-        Row.fromSeq(r.toSeq :+ out)
+        append(r, out)
       }
     }
   }
@@ -161,29 +173,28 @@ object MapOverlap {
                  outType: org.apache.spark.sql.types.DataType =
                    org.apache.spark.sql.types.DoubleType)
                 (agg: Seq[Double] => Any): DataFrame = {
-    val idx = df.schema.fieldIndex(valueCol)
-    val outSchema = df.schema.add(outCol, outType)
+    val schema = df.schema
+    val idx = schema.fieldIndex(valueCol)
+    val getD = InternalScan.doubleGetter(schema(idx).dataType, idx)
+    val outSchema = schema.add(outCol, outType)
     apply(df, outSchema, before = window - 1, after = 0) { (ghosts, it, _) =>
+      val append = new InternalScan.Append(schema, Seq(outType))
       val buf = new scala.collection.mutable.ArrayDeque[Double]()
-      var bufValid = new scala.collection.mutable.ArrayDeque[Boolean]()
-      // seed with ghost rows (counted in the window but not emitted)
-      ghosts.foreach { g =>
-        val v = g.get(idx)
-        buf.append(if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue())
-        bufValid.append(v != null)
-        if (buf.size > window) { buf.removeHead(); bufValid.removeHead() }
+      val bufValid = new scala.collection.mutable.ArrayDeque[Boolean]()
+      def push(r: InternalRow): Unit = {
+        val ok = !r.isNullAt(idx)
+        buf.append(if (ok) getD(r) else 0.0)
+        bufValid.append(ok)
+        if (buf.size > window) { buf.removeHead(); bufValid.removeHead(); () }
       }
-      var seen = ghosts.size.toLong
+      // seed with ghost rows (counted in the window but not emitted)
+      ghosts.foreach(push)
       it.map { r =>
-        val v = r.get(idx)
-        buf.append(if (v == null) 0.0 else v.asInstanceOf[Number].doubleValue())
-        bufValid.append(v != null)
-        if (buf.size > window) { buf.removeHead(); bufValid.removeHead() }
-        seen += 1
+        push(r)
         val valid = buf.indices.filter(bufValid(_)).map(buf(_))
         val out: Any =
           if (valid.size >= minPeriods) agg(valid) else null
-        Row.fromSeq(r.toSeq :+ out)
+        append(r, out)
       }
     }
   }
@@ -297,14 +308,18 @@ object MapOverlap {
                      outType: org.apache.spark.sql.types.DataType =
                        org.apache.spark.sql.types.DoubleType)
                     (agg: PairMoments => Any): DataFrame = {
-    val xi = df.schema.fieldIndex(xCol)
-    val yi = df.schema.fieldIndex(yCol)
-    val outSchema = df.schema.add(outCol, outType)
+    val schema = df.schema
+    val xi = schema.fieldIndex(xCol)
+    val yi = schema.fieldIndex(yCol)
+    val getX = InternalScan.doubleGetter(schema(xi).dataType, xi)
+    val getY = InternalScan.doubleGetter(schema(yi).dataType, yi)
+    val outSchema = schema.add(outCol, outType)
     apply(df, outSchema, before = window - 1, after = 0) { (ghosts, it, _) =>
+      val append = new InternalScan.Append(schema, Seq(outType))
       val buf = new scala.collection.mutable.ArrayDeque[(Double, Double, Boolean)]()
       val m = new PairMoments
       var evictions = 0
-      def push(r: Row): Unit = {
+      def push(r: InternalRow): Unit = {
         var dirty = false
         if (buf.size == window) {
           val (ox, oy, ook) = buf.removeHead()
@@ -318,10 +333,9 @@ object MapOverlap {
               dirty = true
           }
         }
-        val xv = r.get(xi); val yv = r.get(yi)
-        val ok = xv != null && yv != null
-        val x = if (ok) xv.asInstanceOf[Number].doubleValue() else 0.0
-        val y = if (ok) yv.asInstanceOf[Number].doubleValue() else 0.0
+        val ok = !r.isNullAt(xi) && !r.isNullAt(yi)
+        val x = if (ok) getX(r) else 0.0
+        val y = if (ok) getY(r) else 0.0
         buf.append((x, y, ok))
         if (ok) m.add(x, y)
         if (dirty || evictions >= window) { // periodic exact rebuild bounds fp drift
@@ -333,7 +347,7 @@ object MapOverlap {
       it.map { r =>
         push(r)
         val out: Any = if (m.n >= minPeriods) agg(m) else null
-        Row.fromSeq(r.toSeq :+ out)
+        append(r, out)
       }
     }
   }
@@ -349,16 +363,19 @@ object MapOverlap {
                          outType: org.apache.spark.sql.types.DataType =
                            org.apache.spark.sql.types.DoubleType)
                         (agg: Seq[Double] => Any): DataFrame = {
-    val idx = df.schema.fieldIndex(valueCol)
-    val outSchema = df.schema.add(outCol, outType)
+    val schema = df.schema
+    val idx = schema.fieldIndex(valueCol)
+    val getD = InternalScan.doubleGetter(schema(idx).dataType, idx)
+    val outSchema = schema.add(outCol, outType)
     val before = window / 2
     val after = window - window / 2 - 1
     apply(df, outSchema, before, after) { (gb, it, ga) =>
-      def v(r: Row): Option[Double] = {
-        val x = r.get(idx)
-        if (x == null) None else Some(x.asInstanceOf[Number].doubleValue())
-      }
-      val rows = it.toIndexedSeq
+      val append = new InternalScan.Append(schema, Seq(outType))
+      def v(r: InternalRow): Option[Double] =
+        if (r.isNullAt(idx)) None else Some(getD(r))
+      // the partition body is buffered anyway — copy out of the reused
+      // iterator buffer
+      val rows = it.map(_.copy()).toIndexedSeq
       val vals = (gb.map(v) ++ rows.map(v) ++ ga.map(v)).toIndexedSeq
       val off = gb.size
       rows.indices.iterator.map { i =>
@@ -367,7 +384,7 @@ object MapOverlap {
         val hi = math.min(vals.size - 1, c + after)
         val valid = (lo to hi).flatMap(vals(_))
         val out: Any = if (valid.size >= minPeriods) agg(valid) else null
-        Row.fromSeq(rows(i).toSeq :+ out)
+        append(rows(i), out)
       }
     }
   }
@@ -393,26 +410,29 @@ object MapOverlap {
                         org.apache.spark.sql.types.DoubleType)
                      (agg: Seq[Double] => Any): DataFrame = {
     val spark = df.sparkSession
-    val vIdx = df.schema.fieldIndex(valueCol)
-    val oIdx = df.schema.fieldIndex(ordCol)
-    val outSchema = df.schema.add(outCol, outType)
-    def ordOf(r: Row): Double = r.get(oIdx).asInstanceOf[Number].doubleValue()
+    val schema = df.schema
+    val vIdx = schema.fieldIndex(valueCol)
+    val oIdx = schema.fieldIndex(ordCol)
+    val getV = InternalScan.doubleGetter(schema(vIdx).dataType, vIdx)
+    val ordOf = InternalScan.doubleGetter(schema(oIdx).dataType, oIdx)
+    val outSchema = schema.add(outCol, outType)
 
-    val dataRdd = df.rdd
+    val dataRdd = InternalScan.rddOf(df)
     val nParts = dataRdd.getNumPartitions
-    if (nParts == 0)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    if (nParts == 0) return InternalScan.emptyDF(spark, outSchema)
 
-    // boundary pass: per partition (maxOrd, tail rows within range of
-    // maxOrd) — the only rows any later partition could need.
-    // mapPartitionsWithIndex, not TaskContext (see apply())
+    // boundary pass: per partition (maxOrd, tail (ord, value-or-null)
+    // pairs within range of maxOrd) — the only rows any later partition
+    // could need.  Values are unboxed at read time, so nothing references
+    // the reused row buffer.  mapPartitionsWithIndex, not TaskContext
+    // (see apply())
     val bounds = dataRdd.mapPartitionsWithIndex { (pid, it) =>
       var maxO = Double.NegativeInfinity
       val tail = new scala.collection.mutable.ArrayDeque[(Double, Any)]
       it.foreach { r =>
         val o = ordOf(r)
         if (o > maxO) maxO = o
-        tail.append((o, r.get(vIdx)))
+        tail.append((o, if (r.isNullAt(vIdx)) null else Double.box(getV(r))))
         while (tail.nonEmpty && tail.head._1 < maxO - range) tail.removeHead()
       }
       Iterator.single((pid, (maxO, tail.toArray)))
@@ -438,22 +458,23 @@ object MapOverlap {
     val outRdd = dataRdd.zipPartitions(seeds) { (it, seedIt) =>
       val ghosts: Array[(Double, Any)] =
         if (seedIt.hasNext) seedIt.next()._2._2 else Array.empty
+      val append = new InternalScan.Append(schema, Seq(outType))
       val win = new scala.collection.mutable.ArrayDeque[(Double, Any)]
       // seed with the full carry: the per-row pruning below drops
       // anything older than the first row's window before it aggregates
       ghosts.foreach(win.append)
       it.map { r =>
         val o = ordOf(r)
-        win.append((o, r.get(vIdx)))
+        win.append((o, if (r.isNullAt(vIdx)) null else Double.box(getV(r))))
         while (win.nonEmpty && win.head._1 < o - range) win.removeHead()
         val valid = win.iterator.collect {
-          case (_, v) if v != null => v.asInstanceOf[Number].doubleValue()
+          case (_, v) if v != null => v.asInstanceOf[Double]
         }.toIndexedSeq
         val out: Any = if (valid.size >= minPeriods) agg(valid) else null
-        Row.fromSeq(r.toSeq :+ out)
+        append(r, out)
       }
     }
-    spark.createDataFrame(outRdd, outSchema)
+    InternalScan.toDF(spark, outRdd, outSchema)
   }
 
   /** Global lead(n): each row receives the value `n` rows LATER, using
@@ -462,24 +483,28 @@ object MapOverlap {
     */
   def lead(df: DataFrame, valueCol: String, n: Int, outCol: String): DataFrame = {
     require(n > 0, s"lead periods must be positive, got $n")
-    val idx = df.schema.fieldIndex(valueCol)
-    val outSchema = df.schema.add(outCol, df.schema(valueCol).dataType)
+    val schema = df.schema
+    val idx = schema.fieldIndex(valueCol)
+    val vType = schema(idx).dataType
+    val outSchema = schema.add(outCol, vType)
     apply(df, outSchema, before = 0, after = n) { (_, it, ghostAfter) =>
-      val ghosts = ghostAfter.map(_.get(idx)).toIndexedSeq
-      new Iterator[Row] {
-        private val q = new scala.collection.mutable.ArrayDeque[Row]()
+      // ghost rows are copies — reading their values is safe
+      val ghosts = ghostAfter.map(g => g.get(idx, vType)).toIndexedSeq
+      val append = new InternalScan.Append(schema, Seq(vType))
+      new Iterator[InternalRow] {
+        private val q = new scala.collection.mutable.ArrayDeque[InternalRow]()
         def hasNext: Boolean = it.hasNext || q.nonEmpty
-        def next(): Row = {
-          while (it.hasNext && q.size <= n) q.append(it.next())
+        def next(): InternalRow = {
+          while (it.hasNext && q.size <= n) q.append(it.next().copy())
           if (q.size > n) {
             val h = q.removeHead()
-            Row.fromSeq(h.toSeq :+ q.last.get(idx)) // q.last is h's n-th successor
+            append(h, q.last.get(idx, vType)) // q.last is h's n-th successor
           } else {
             // input exhausted: successors continue in the ghost region
             val ghostIdx = n - q.size
             val h = q.removeHead()
             val lead = if (ghostIdx < ghosts.length) ghosts(ghostIdx) else null
-            Row.fromSeq(h.toSeq :+ lead)
+            append(h, lead)
           }
         }
       }
@@ -508,17 +533,25 @@ object MapOverlap {
     */
   def shift(df: DataFrame, valueCol: String, n: Int, outCol: String): DataFrame = {
     if (n < 0) return lead(df, valueCol, -n, outCol)
-    val idx = df.schema.fieldIndex(valueCol)
-    val outSchema = df.schema.add(outCol, df.schema(valueCol).dataType)
+    val schema = df.schema
+    val idx = schema.fieldIndex(valueCol)
+    val vType = schema(idx).dataType
+    val outSchema = schema.add(outCol, vType)
     apply(df, outSchema, before = n, after = 0) { (ghosts, it, _) =>
+      val append = new InternalScan.Append(schema, Seq(vType))
       val buf = new scala.collection.mutable.ArrayDeque[Any]()
-      ghosts.foreach { g => buf.append(g.get(idx)); if (buf.size > n) buf.removeHead() }
+      // ghost rows are copies — their values need no further snapshot
+      ghosts.foreach { g =>
+        buf.append(g.get(idx, vType)); if (buf.size > n) { buf.removeHead(); () }
+      }
       // pad so the first rows of partition 0 get null
       while (buf.size < n) buf.prepend(null)
       it.map { r =>
-        val shifted = if (n == 0) r.get(idx) else buf.head
-        buf.append(r.get(idx)); if (buf.size > n) buf.removeHead()
-        Row.fromSeq(r.toSeq :+ shifted)
+        val shifted = if (n == 0) r.get(idx, vType) else buf.head
+        // carried values outlive the row buffer — snapshot them
+        buf.append(InternalRow.copyValue(r.get(idx, vType)))
+        if (buf.size > n) { buf.removeHead(); () }
+        append(r, shifted)
       }
     }
   }
