@@ -55,47 +55,60 @@ object SparkEntry {
     dest.setLastModified(mtime): Unit
   }
 
-  /** Drain a streaming replay into a DISTRIBUTED parquet sink under
-    * `runDir` (via foreachBatch, so update mode works too), read the
-    * files back, apply the finishing batch transform, and eagerly
-    * localCheckpoint the result so it survives replayRun's runDir
-    * cleanup.  The memory sink this replaces held EVERY stream output
+  /** Drain a streaming replay through a DISTRIBUTED in-memory sink
+    * (foreachBatch persists each micro-batch's frame in executor block
+    * storage, so update mode works too), union the batches, apply the
+    * finishing batch transform, and eagerly localCheckpoint the result
+    * so it survives the per-batch unpersist and replayRun's runDir
+    * cleanup.
+    *
+    * Sink history: the original memory sink held EVERY stream output
     * row on the driver and re-shipped them inside task closures for the
     * finishing query — linear-in-SF driver state (the 16–65 MB
-    * task-size warnings at the 10×/40× gates, impossible at 100 TB);
-    * the file sink keeps the stream output distributed end to end, and
-    * only `finish`'s (small) result is pinned in executor block
-    * storage.  localCheckpoint is the single-JVM-safe way to outlive
-    * the runDir delete; on a real cluster the sink would simply live in
-    * durable storage instead.
+    * task-size warnings at the 10×/40× gates, impossible at 100 TB).
+    * The r11–r14 parquet file sink fixed that but paid a full Hadoop
+    * commit protocol per micro-batch plus a read-back — measured as the
+    * bulk of q144's fixed cost, the suite's slowest query (~3.1 s at
+    * sf0.1 for ~720 output rows over 4+ batches).  Persisting the batch
+    * frames keeps the stream output distributed end to end
+    * (MEMORY_AND_DISK: spills under pressure, never collects to the
+    * driver — the foreachBatch persist pattern from the structured
+    * streaming guide) with zero commit latency; the per-batch blocks
+    * are freed in the finally once `finish`'s (small) result is pinned.
+    * Streaming semantics are untouched: same source, same watermarks,
+    * same state store, same per-batch output row multiset — only the
+    * sink changed.
     */
   private[graft] def drainReplay(out: DataFrame, runDir: String, name: String,
                                  run: String, mode: String)
                                 (finish: DataFrame => DataFrame): DataFrame = {
     val s = out.sparkSession
-    val sink = s"$runDir/${name}_sink"
+    val batches = new scala.collection.mutable.ArrayBuffer[DataFrame]()
     val query = out.writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
-        b.write.mode("append").parquet(sink): Unit
+        // persist + materialize inside the batch callback (a micro-batch
+        // plan is not re-executable once the stream moves on); count()
+        // scans every partition so the cache is complete before returning
+        val p = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count(): Unit
+        batches.synchronized { batches += p; () }
       }
       .queryName(s"${name}_$run").outputMode(mode)
       .option("checkpointLocation", s"$runDir/${name}_ck")
       .start()
     query.processAllAvailable()
     query.stop()
-    // a stream that produced zero micro-batches never created the sink
-    // directory — fall back to an empty frame with the stream's schema
-    // rather than letting the parquet read throw (the memory sink this
-    // replaced tolerated empty output).  Existence is resolved through
-    // the Hadoop FileSystem of the sink's own URI — a java.io.File check
-    // is always false for non-local sinks (s3://, hdfs://), which would
-    // silently swap a real result for an empty frame on a real cluster.
-    val sinkPath = new org.apache.hadoop.fs.Path(sink)
-    val sinkFs = sinkPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val drained =
-      if (sinkFs.exists(sinkPath)) s.read.parquet(sink)
-      else s.createDataFrame(s.sparkContext.emptyRDD[Row], out.schema)
-    finish(drained).localCheckpoint(true)
+    // a stream that produced zero micro-batches has nothing to union —
+    // fall back to an empty frame with the stream's schema (the memory
+    // sink this lineage started from tolerated empty output)
+    val drained = batches.synchronized {
+      if (batches.isEmpty) s.createDataFrame(s.sparkContext.emptyRDD[Row], out.schema)
+      else batches.reduce(_.union(_))
+    }
+    try finish(drained).localCheckpoint(true)
+    finally batches.synchronized {
+      batches.foreach(b => try { b.unpersist(false); () } catch { case _: Exception => () })
+    }
   }
 
   /** Deterministic-wall-time wrapper for the streaming replay queries
