@@ -34,4 +34,11 @@ object GraftSqlShim {
       schema: StructType): Dataset[Row] =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  /** Catalyst-to-external value converter for one data type (UTF8String →
+    * String, Decimal → BigDecimal, …) — used when driver-side metadata
+    * read off InternalRows must surface in external Rows.
+    */
+  def toScalaConverter(dt: org.apache.spark.sql.types.DataType): Any => Any =
+    catalyst.CatalystTypeConverters.createToScalaConverter(dt)
 }

@@ -135,6 +135,32 @@ class QuantileSpec extends SparkTestBase {
     assert(got == Map(None -> 2.0, Some("null") -> 20.0))
   }
 
+  test("grouped: cardinality guard falls back to the builtin above maxGroups") {
+    // 40 distinct groups with maxGroups=8: the bounded probe must fire
+    // the builtin fallback (no unbounded dictionary collect), and the
+    // fallback's values must equal the tree path's (run with a threshold
+    // that admits all 40 groups)
+    val rows = (1 to 400).map(i => Row(s"g${i % 40}", i.toDouble))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 5),
+      StructType(Seq(StructField("g", org.apache.spark.sql.types.StringType),
+        StructField("v", DoubleType))))
+    val ps = Seq(0.25, 0.5, 0.75)
+    def toMap(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getString(0) ->
+        (1 to 3).map(r.getDouble).toVector).toMap
+    val fellBack = Quantile.exactGrouped(df, "g", "v", ps, maxGroups = 8)
+    // the fallback is the builtin plan, not the sort+pick path: its plan
+    // contains the percentile aggregate
+    assert(fellBack.queryExecution.optimizedPlan.toString.contains("percentile"),
+      "expected the builtin-percentile fallback plan above maxGroups")
+    val viaTree = Quantile.exactGrouped(df, "g", "v", ps, maxGroups = 100)
+    assert(!viaTree.queryExecution.optimizedPlan.toString.contains("percentile"))
+    val a = toMap(fellBack)
+    val b = toMap(viaTree)
+    assert(a.keySet == b.keySet && a.keySet.size == 40)
+    a.foreach { case (k, g) => assert(g == b(k), s"group $k") }
+  }
+
   test("empty and out-of-range inputs are refused") {
     val empty = mkDf(Seq.empty)
     intercept[IllegalArgumentException] {
