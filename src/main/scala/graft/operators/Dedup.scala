@@ -261,11 +261,16 @@ object Dedup {
     // can be released deterministically (localCheckpoint on the Dataset
     // offers no unpersist handle; 20 retained edge-set generations would
     // crowd block storage on a big graph)
-    def materialize(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd
+    def materialize(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
+      // InternalRow checkpoint (r15): the former df.rdd path deserialized
+      // every edge to an external Row each round and re-encoded it on the
+      // way back in. toRdd iterators reuse buffers, so rows are copied
+      // before they are pinned in block storage.
+      val rdd = InternalScan.rddOf(df).map(_.copy())
       rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       rdd.localCheckpoint()
-      (spark.createDataFrame(rdd, df.schema), rdd)
+      (InternalScan.toDF(spark, rdd, df.schema), rdd)
     }
 
     // is-star probe (see Scaladoc): one groupBy job over the persisted
@@ -392,6 +397,7 @@ object Dedup {
           .as("__toks"),
         floor(length(col("__text")) / bandWidth).as("__bk")) ++
         blockCols.map(col)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = base.select(col("__rep"), size(col("__toks")).as("__sz"))
     val a = base.select(
       (Seq(col("__rep").as("__ra"),
