@@ -3666,26 +3666,37 @@ object GArr {
   /** 1-D array from a DataFrame column in a caller-defined total order —
     * the `from_dask_dataframe`/`Series.values` bridge. Distributed sort +
     * zipWithIndex (no single-partition window), then one groupBy to pack
-    * blocks; the separate metadata `count()` is a parquet-metadata read.
+    * blocks.  The length comes out of the counts job itself (r15: the
+    * former separate `df.count()` was a free parquet-metadata read for
+    * bare scans but a FULL extra execution for sort+limit / filtered
+    * inputs — the einsum/pad queries build three heads each, so every
+    * fromColumn paid one whole TakeOrdered scan for a number the counts
+    * job already knew).
     */
   def fromColumn(df: DataFrame, valueCol: String, orderBy: Seq[String],
                  chunk: Int): GArr = {
     import org.apache.spark.sql.functions.col
     val s = df.sparkSession
     import s.implicits._
-    val n = df.count()
-    val cs = evenChunks(n, chunk)
     val sorted = df
       .select((orderBy :+ valueCol).map(col): _*)
       .sort(orderBy.map(col): _*)
       .select(col(valueCol).cast("double"))
-    val rdd = sorted.rdd.map(_.getDouble(0))
+    // InternalRow read (r15): Dataset.rdd would deserialize every element
+    // to an external Row first; the primitive read needs no copy because
+    // the double is unboxed immediately
+    val rdd = InternalScan.rddOf(sorted).map(_.getDouble(0))
     // per-partition counts -> global start offsets (the same extra job
     // zipWithIndex pays; the sort's shuffle files are reused by the pack
-    // job below, so the sort itself runs once)
-    val counts = rdd.mapPartitionsWithIndex((pi, it) => Iterator((pi, it.size.toLong)))
-      .collect().sortBy(_._1).map(_._2)
+    // job below, so the sort itself runs once).  Long counter, not
+    // Iterator.size (an Int, wraps at 2^31 rows per partition).
+    val counts = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var c = 0L; while (it.hasNext) { it.next(); c += 1 }
+      Iterator((pi, c))
+    }.collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
+    val n = offsets.last
+    val cs = evenChunks(n, chunk)
     val bcOff = s.sparkContext.broadcast(offsets)
     val sizes = s.sparkContext.broadcast(cs.toArray)
     // pack contiguous per-partition SEGMENTS split at block boundaries:
@@ -3737,14 +3748,30 @@ object GArr {
     val s = df.sparkSession
     import s.implicits._
     val w = valueCols.length
-    val n = df.count()
-    val cs = evenChunks(n, chunk)
     val sorted = df
       .select((orderBy ++ valueCols).distinct.map(col): _*)
       .sort(orderBy.map(col): _*)
       .select(valueCols.map(c => col(c).cast("double")): _*)
+    // InternalRow read (r15): the tabulate copies the w doubles out of the
+    // reused row buffer immediately, so no row copy is needed.  Offsets
+    // come from one counts job (Long counter), replacing the former
+    // df.count() + zipWithIndex pair — one fewer execution of the input.
+    val rows0 = InternalScan.rddOf(sorted)
+      .map(r => Array.tabulate(w)(r.getDouble))
+    val counts = rows0.mapPartitionsWithIndex { (pi, it) =>
+      var c = 0L; while (it.hasNext) { it.next(); c += 1 }
+      Iterator((pi, c))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val n = offsets.last
+    val cs = evenChunks(n, chunk)
+    val bcOff = s.sparkContext.broadcast(offsets)
     val sizes = s.sparkContext.broadcast(cs.toArray)
-    val packed = sorted.rdd.map(r => Array.tabulate(w)(r.getDouble)).zipWithIndex()
+    val packed = rows0
+      .mapPartitionsWithIndex { (pi, it) =>
+        var i = bcOff.value(pi)
+        it.map { v => val out = (v, i); i += 1; out }
+      }
       .map { case (v, i) => ((i / chunk).toInt, ((i % chunk).toInt, v)) }
       .groupByKey()
       .map { case (b, it) =>
