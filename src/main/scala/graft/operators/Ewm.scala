@@ -128,11 +128,15 @@ object Ewm {
     val spark = df.sparkSession
     val vIdx = df.schema.fieldIndex(valueCol)
     val q = 1.0 - p.alpha
-    val rdd = df.rdd
+    // InternalRow scan (r15): same flat O(npartitions)-scalar carry — the
+    // float recurrence must not reassociate (oracle-hashed ulps) — but
+    // the per-row plumbing no longer decodes external Rows
+    val rdd = InternalScan.rddOf(df)
+    val getD = InternalScan.doubleGetter(df.schema(vIdx).dataType, vIdx)
 
-    def valueAt(r: Row): java.lang.Double =
+    def valueAt(r: org.apache.spark.sql.catalyst.InternalRow): java.lang.Double =
       if (r.isNullAt(vIdx)) null
-      else java.lang.Double.valueOf(r.get(vIdx).asInstanceOf[Number].doubleValue())
+      else java.lang.Double.valueOf(getD(r))
 
     // phase 1: per-partition end state under BOTH first-obs conventions
     // (identical when adjust=true), plus segment decay factors
@@ -171,23 +175,27 @@ object Ewm {
     }
 
     // phase 2: per-partition re-scan seeded with the carry
+    val outSchema = StructType(Seq(
+      StructField("rn", LongType, nullable = false),
+      StructField("ewm_mean", DoubleType, nullable = true),
+      StructField("ewm_var", DoubleType, nullable = true)))
     val bc = spark.sparkContext.broadcast((carry, carrySeen, startIdx))
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       val (c, cSeen, sIdx) = bc.value
       val st = new St()
       st.load(c(pid), cSeen(pid))
       var rn = sIdx(pid)
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(outSchema.fields.map(_.dataType))
+      val buf = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
       it.map { r =>
         st.step(valueAt(r), p)
-        val row = Row(rn, st.mean, st.varU)
+        buf.update(0, rn); buf.update(1, st.mean); buf.update(2, st.varU)
         rn += 1
-        row
+        proj(buf): org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    spark.createDataFrame(out, StructType(Seq(
-      StructField("rn", LongType, nullable = false),
-      StructField("ewm_mean", DoubleType, nullable = true),
-      StructField("ewm_var", DoubleType, nullable = true))))
+    InternalScan.toDF(spark, out, outSchema)
   }
 
   /** pandas `ewm(halflife=timedelta, times=col).mean()` — IRREGULAR
@@ -210,16 +218,23 @@ object Ewm {
     val spark = df.sparkSession
     val vIdx = df.schema.fieldIndex(valueCol)
     val tIdx = df.schema.fieldIndex(tsCol)
-    val rdd = df.rdd
+    val rdd = InternalScan.rddOf(df)
+    val getD = InternalScan.doubleGetter(df.schema(vIdx).dataType, vIdx)
 
-    def tsOf(r: Row): Double = r.get(tIdx) match {
-      case t: java.sql.Timestamp => t.getTime / 1000.0
-      case n: Number             => n.doubleValue()
-      case other => throw new IllegalArgumentException(s"bad times value $other")
-    }
-    def valueAt(r: Row): java.lang.Double =
+    // InternalRow timestamps are MICROSECONDS; the former Row path read
+    // java.sql.Timestamp.getTime (floorDiv(micros,1000) MILLIS) / 1000.0.
+    // Reproduce that exact millisecond truncation — µs-resolution seconds
+    // would move every decay factor by an ulp and break the oracle hash.
+    val tsOf: org.apache.spark.sql.catalyst.InternalRow => Double =
+      df.schema(tIdx).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          r => Math.floorDiv(r.getLong(tIdx), 1000L) / 1000.0
+        case dt => InternalScan.doubleGetter(dt, tIdx)
+      }
+    def valueAt(r: org.apache.spark.sql.catalyst.InternalRow): java.lang.Double =
       if (r.isNullAt(vIdx)) null
-      else java.lang.Double.valueOf(r.get(vIdx).asInstanceOf[Number].doubleValue())
+      else java.lang.Double.valueOf(getD(r))
     def decay(dtSec: Double): Double = math.pow(0.5, dtSec / halflifeSec)
 
     // phase 1: per-partition end state + boundary timestamps
@@ -263,11 +278,17 @@ object Ewm {
     }
 
     // phase 2: re-scan seeded with (carry, previous partition's last ts)
+    val outSchema = StructType(Seq(
+      StructField("rn", LongType, nullable = false),
+      StructField("ewm_mean", DoubleType, nullable = true)))
     val bc = spark.sparkContext.broadcast((carryS, carryW, carryTs, carryHas, startIdx))
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       val (cS, cW, cTs, cHas, sIdx) = bc.value
       var s = cS(pid); var w = cW(pid); var lastTs = cTs(pid); var any = cHas(pid)
       var rn = sIdx(pid)
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(outSchema.fields.map(_.dataType))
+      val buf = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
       it.map { r =>
         val t = tsOf(r)
         if (any) {
@@ -278,14 +299,12 @@ object Ewm {
         if (x != null) { s += x.doubleValue(); w += 1.0 }
         lastTs = t; any = true
         val mean: Any = if (w > 0) s / w else null
-        val row = Row(rn, mean)
+        buf.update(0, rn); buf.update(1, mean)
         rn += 1
-        row
+        proj(buf): org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    spark.createDataFrame(out, StructType(Seq(
-      StructField("rn", LongType, nullable = false),
-      StructField("ewm_mean", DoubleType, nullable = true))))
+    InternalScan.toDF(spark, out, outSchema)
   }
 
   /** Back-compat: the adjust=True, ignoreNa=False default of round 6. */
