@@ -265,7 +265,13 @@ object TextAnalysis {
       .otherwise(transform(
         sequence(lit(1), size(col("__toks")) - (k - 1)),
         s => xxhash64(concat_ws(" ", slice(col("__toks"), s, lit(k))))))
+    // the positional-gram subplan feeds TWO consumers (the duplicate-gram
+    // aggregate and the postings semi-join) and Spark shares no subplans,
+    // so the tokenize+slice+hash kernel would run twice — persist the
+    // postings per-invocation (freed by the session's cache clear, same
+    // pattern as the jaccard gram index)
     val grams = toks.select(col(idCol), posexplode(gramArr).as(Seq("__s", "__gh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // grams occurring in >= 2 distinct docs (partial→final agg on the hash)
     val dup = grams.groupBy(col("__gh"))
       .agg(countDistinct(col(idCol)).as("__nd"))
