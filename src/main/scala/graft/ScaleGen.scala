@@ -39,7 +39,17 @@ object ScaleGen {
     }
     def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(df: DataFrame, name: String): Unit = {
-      df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
+      // target ~64 MB files so a replica scan exposes row-group-level
+      // parallelism (r15 scaling finding: the 100x lineitem landed in 2
+      // ~445 MB files = ~8 row groups total, capping EVERY scan stage at
+      // ~8 tasks regardless of cores — the c8/c32 pair was measuring the
+      // replica's write layout, not the engine). Guide §6: file sizing is
+      // part of the fixture contract; real deployments have thousands of
+      // files per table.
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val files = (BigInt(spark.sparkContext.defaultParallelism)
+        .max(bytes / BigInt(64L * 1024 * 1024) + 1)).toInt
+      df.repartition(files).write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
       println(s"[scalegen] wrote $name")
     }
 
