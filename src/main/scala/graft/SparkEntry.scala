@@ -296,6 +296,11 @@ object SparkEntry {
       // reproduces its interpolation arithmetic bit-for-bit
       // (QuantileSpec pins ==) with every task holding only a range
       // slice. One sort pass for all three cut points.
+      // DRIVER-CONTRACT NOTE (r15, ADVICE r14): q12 and q102 are EAGER —
+      // Quantile.exact runs Spark jobs at query-CONSTRUCTION time and
+      // the returned frame is a literal projection. Bench/Verify time
+      // the construction inside their windows (correct), but harness
+      // code must not pre-build all declared DataFrames up front.
       val ps = graft.operators.Quantile.exact(
         t(s, dir, "lineitem"), "l_extendedprice", Seq(0.5, 0.9, 0.99))
       s.range(1).select(
